@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated testdata tables (repo:TESTDATA.md).
+  *
+  * All tables are plain Parquet; at 100 TB these would be partitioned
+  * (orders/lineitem by date, events by hour) — the loaders keep the read
+  * declarative so Catalyst's partition pruning + filter pushdown apply
+  * unchanged when the path points at a partitioned layout.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which the Spark parquet
+    * reader rejects. Read nanos as raw longs and convert to a micros
+    * timestamp with integer division (double division would lose precision
+    * above 2^53 nanos).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
+
+/** One verifiable query: a Spark implementation plus (optionally) the
+  * equivalent ANSI SQL for the driver's DuckDB oracle. Column names/aliases
+  * must match between the two — the oracle compare hashes values after
+  * sorting columns by name.
+  */
+final case class QDef(
+    name: String,
+    oracle: Option[String])(
+    val run: (SparkSession, String) => DataFrame)
+
+object QDef {
+  /** Collect a pack of QDefs into the SparkEntry map shapes. */
+  def toMaps(defs: Seq[QDef])
+      : (Map[String, (SparkSession, String) => DataFrame], Map[String, String]) = {
+    val qs = defs.map(q => q.name -> q.run).toMap
+    val os = defs.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    (qs, os)
+  }
+}

@@ -1,0 +1,377 @@
+package graft.queries
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operator pack over the TPC-H-ish testdata.
+  *
+  * Float determinism contract with the DuckDB oracle: double columns are
+  * summed as DECIMAL (exact, associative → partition-order independent) and
+  * cast back to DOUBLE at the end; per-row double arithmetic is written with
+  * identical operand order on both sides so IEEE-754 results are bit-equal.
+  * Every query ends in a total ORDER BY so row order is deterministic.
+  *
+  * Scale notes (100 TB): every query here is a declarative plan — filters and
+  * projections push to the parquet scan, dimension joins broadcast, fact-fact
+  * joins shuffle on their keys, and partial aggregation runs map-side. No
+  * collect(), no driver loops.
+  */
+object Relational {
+
+  /** Exact sum of a double expression: cast to decimal, sum, back to double. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  private def ts(s: String): Column = lit(s).cast("timestamp")
+
+  val defs: Seq[QDef] = Seq(
+
+    // ---- q01: scan + filter + groupBy aggregate (TPC-H Q1 shape) ----
+    QDef("q01_pricing_summary", Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= ts("1998-09-01 00:00:00"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("sum_disc_price"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ---- q02: multi-way join + agg; dims broadcast ----
+    QDef("q02_revenue_by_nation", Some("""
+      SELECT n_name, r_name,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_items
+      FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY n_name, r_name
+      ORDER BY revenue DESC, n_name""")) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"), col("r_name"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // ---- q03: selective join + agg + top-k (TPC-H Q3 shape) ----
+    QDef("q03_shipping_priority", Some("""
+      SELECT l_orderkey,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        o_orderdate, o_orderpriority
+      FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10""")) { (s, dir) =>
+      broadcast(Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING"))
+        .join(Tables.orders(s, dir).filter(col("o_orderdate") < ts("1998-01-01 00:00:00")),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, dir).filter(col("l_shipdate") > ts("1998-01-01 00:00:00")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // ---- q04: EXISTS semi-join + agg ----
+    QDef("q04_priority_with_heavy_items", Some("""
+      SELECT o_orderpriority, COUNT(*) AS order_count
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_quantity > 40)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")) { (s, dir) =>
+      Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir).filter(col("l_quantity") > 40)
+            .select(col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ---- q05: join + agg + top-k customers ----
+    QDef("q05_top_customers", Some("""
+      SELECT c_custkey, c_name,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+        COUNT(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_custkey, c_name
+      ORDER BY total_spent DESC, c_custkey
+      LIMIT 20""")) { (s, dir) =>
+      Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(dsum(col("o_totalprice")).as("total_spent"), count(lit(1)).as("n_orders"))
+        .orderBy(col("total_spent").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    // ---- q06: pushed-down filter + single global agg (TPC-H Q6 shape) ----
+    QDef("q06_forecast_revenue", Some("""
+      SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        AND l_discount >= 0.03 AND l_discount <= 0.07
+        AND l_quantity < 24""")) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1997-01-01 00:00:00") &&
+          col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount"), 6).as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    // ---- q07: window functions — running totals per partition ----
+    QDef("q07_running_supplier_qty", Some("""
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+        CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+             OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+      FROM lineitem
+      WHERE l_suppkey <= 3
+      WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+      ORDER BY l_suppkey, rn""")) { (s, dir) =>
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_suppkey") <= 3)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          row_number().over(w).cast("long").as("rn"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_qty"))
+        .orderBy(col("l_suppkey"), col("rn"))
+    },
+
+    // ---- q08: window ranking within groups ----
+    QDef("q08_priciest_parts_per_brand", Some("""
+      SELECT p_brand, p_partkey, p_retailprice, rnk FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+          CAST(DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS BIGINT) AS rnk
+        FROM part) AS ranked
+      WHERE rnk <= 3
+      ORDER BY p_brand, rnk, p_partkey""")) { (s, dir) =>
+      val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice").desc)
+      Tables.part(s, dir)
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+          dense_rank().over(w).cast("long").as("rnk"))
+        .filter(col("rnk") <= 3)
+        .orderBy(col("p_brand"), col("rnk"), col("p_partkey"))
+    },
+
+    // ---- q09: distinct aggregation ----
+    QDef("q09_nation_segments", Some("""
+      SELECT c_nationkey,
+        COUNT(DISTINCT c_mktsegment) AS n_segments,
+        COUNT(*) AS n_customers
+      FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")) { (s, dir) =>
+      Tables.customer(s, dir)
+        .groupBy(col("c_nationkey"))
+        .agg(countDistinct(col("c_mktsegment")).as("n_segments"),
+          count(lit(1)).as("n_customers"))
+        .orderBy("c_nationkey")
+    },
+
+    // ---- q10: set operations (INTERSECT / EXCEPT) ----
+    QDef("q10_set_ops", Some("""
+      SELECT DISTINCT o_custkey AS k FROM orders
+      INTERSECT
+      SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0
+      EXCEPT
+      SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 400000
+      ORDER BY k""")) { (s, dir) =>
+      val withOrders = Tables.orders(s, dir).select(col("o_custkey").as("k")).distinct()
+      val positive = Tables.customer(s, dir).filter(col("c_acctbal") > 0)
+        .select(col("c_custkey").as("k"))
+      val bigSpenders = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("k")).distinct()
+      withOrders.intersect(positive).except(bigSpenders).orderBy("k")
+    },
+
+    // ---- q11: scalar function library (string / case / cast) ----
+    QDef("q11_scalar_funcs", Some("""
+      SELECT c_custkey,
+        UPPER(c_name) AS uname,
+        CAST(LENGTH(c_name) AS BIGINT) AS name_len,
+        SUBSTR(c_name, 1, 8) AS pfx,
+        c_mktsegment || '/' || CAST(c_nationkey AS VARCHAR) AS seg_nat,
+        CASE WHEN c_acctbal < 0 THEN 'debt'
+             WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS bal_band
+      FROM customer ORDER BY c_custkey""")) { (s, dir) =>
+      Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("uname"),
+          length(col("c_name")).cast("long").as("name_len"),
+          substring(col("c_name"), 1, 8).as("pfx"),
+          concat(col("c_mktsegment"), lit("/"), col("c_nationkey").cast("string")).as("seg_nat"),
+          when(col("c_acctbal") < 0, "debt")
+            .when(col("c_acctbal") < 5000, "low")
+            .otherwise("high").as("bal_band"))
+        .orderBy("c_custkey")
+    },
+
+    // ---- q12: anti join (NOT EXISTS) ----
+    QDef("q12_customers_without_orders", Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey""")) { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // ---- q13: ROLLUP grouping sets ----
+    QDef("q13_rollup_lineitem", Some("""
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM lineitem
+      GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    // ---- q14: event-time bucketing (batch analogue of a tumbling window) ----
+    QDef("q14_events_hourly", Some("""
+      SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY hour, event_type""")) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 4).as("total_value"))
+        .orderBy("hour", "event_type")
+    },
+
+    // ---- q15: global top-k (TakeOrderedAndProject) ----
+    QDef("q15_topk_orders", Some("""
+      SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")) { (s, dir) =>
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
+    // ---- q16: HAVING over joined agg ----
+    QDef("q16_active_nations", Some("""
+      SELECT n_name, COUNT(*) AS n_customers,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+      HAVING COUNT(*) >= 5
+      ORDER BY n_name""")) { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("total_bal"))
+        .filter(col("n_customers") >= 5)
+        .orderBy("n_name")
+    },
+
+    // ---- q17: date part extraction + monthly aggregation ----
+    QDef("q17_orders_by_month", Some("""
+      SELECT CAST(YEAR(o_orderdate) AS INT) AS yr, CAST(MONTH(o_orderdate) AS INT) AS mo,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS volume
+      FROM orders GROUP BY 1, 2 ORDER BY yr, mo""")) { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("volume"))
+        .orderBy("yr", "mo")
+    },
+
+    // ---- q18: correlated-style per-group avg comparison (join vs subquery) ----
+    QDef("q18_above_avg_parts", Some("""
+      SELECT p_partkey, p_brand, p_retailprice FROM part
+      JOIN (SELECT p_brand AS b,
+              CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+            FROM part GROUP BY p_brand) AS avgs ON p_brand = b
+      WHERE p_retailprice > avg_price
+      ORDER BY p_partkey""")) { (s, dir) =>
+      val p = Tables.part(s, dir)
+      val avgs = p.groupBy(col("p_brand").as("b"))
+        .agg((dsum(col("p_retailprice")) / count(lit(1))).as("avg_price"))
+      p.join(broadcast(avgs), col("p_brand") === col("b"))
+        .filter(col("p_retailprice") > col("avg_price"))
+        .select("p_partkey", "p_brand", "p_retailprice")
+        .orderBy("p_partkey")
+    },
+
+    // ---- q19: UNION ALL + conditional aggregation ----
+    QDef("q19_account_flows", Some("""
+      SELECT k, CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS net, COUNT(*) AS n
+      FROM (
+        SELECT c_nationkey AS k, c_acctbal AS v FROM customer
+        UNION ALL
+        SELECT s_nationkey AS k, s_acctbal AS v FROM supplier) AS flows
+      GROUP BY k ORDER BY k""")) { (s, dir) =>
+      val c = Tables.customer(s, dir).select(col("c_nationkey").as("k"), col("c_acctbal").as("v"))
+      val su = Tables.supplier(s, dir).select(col("s_nationkey").as("k"), col("s_acctbal").as("v"))
+      c.unionAll(su)
+        .groupBy(col("k"))
+        .agg(dsum(col("v")).as("net"), count(lit(1)).as("n"))
+        .orderBy("k")
+    },
+
+    // ---- q20: lag/lead window over event stream ----
+    QDef("q20_event_gaps", Some("""
+      SELECT user_id, event_id,
+        COALESCE(CAST(DATE_DIFF('second', LAG(ts) OVER w, ts) AS BIGINT), -1) AS gap_sec
+      FROM events
+      WHERE user_id <= 20
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, event_id""")) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .filter(col("user_id") <= 20)
+        .select(col("user_id"), col("event_id"),
+          coalesce(
+            (unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+              .cast("long"),
+            lit(-1L)).as("gap_sec"))
+        .orderBy("user_id", "event_id")
+    }
+  )
+}

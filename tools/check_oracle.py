@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Local pre-flight for the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/oracle_sql.json, runs each SQL in DuckDB with the
+parquet tables of <sfDir> registered as views, loads the corresponding
+Spark-written parquet, sorts columns by name and rows by all columns, and
+compares values exactly (floats bit-exact). Mirrors (strictly) what the
+driver's CORRECTNESS gate does, so a pass here should mean a pass there.
+"""
+import json, math, sys, glob, os
+import duckdb
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v): return "NaN"
+        return v
+    return v
+
+def key(row):
+    return tuple((x is None, str(x)) for x in row)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            odf = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        sdf = con.execute(f"SELECT * FROM read_parquet({files!r})").fetchdf()
+        ocols, scols = sorted(odf.columns), sorted(sdf.columns)
+        if ocols != scols:
+            print(f"FAIL {name}: columns differ oracle={ocols} spark={scols}")
+            n_fail += 1; continue
+        orows = sorted([tuple(norm(v) for v in r) for r in odf[ocols].itertuples(index=False)], key=key)
+        srows = sorted([tuple(norm(v) for v in r) for r in sdf[scols].itertuples(index=False)], key=key)
+        if len(orows) != len(srows):
+            print(f"FAIL {name}: rowcount oracle={len(orows)} spark={len(srows)}")
+            n_fail += 1; continue
+        bad = None
+        for i, (a, b) in enumerate(zip(orows, srows)):
+            if a != b:
+                bad = (i, a, b); break
+        if bad:
+            print(f"FAIL {name}: first diff at sorted row {bad[0]}:\n  oracle={bad[1]}\n  spark ={bad[2]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(srows)} rows)"); n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
