@@ -1,24 +1,65 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{expr, struct, xxhash64}
+
+/** Benchmark main. Prints ONE JSON line:
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  *
+  * Harness rules (VERDICT r01 "What's wrong" #2/#3):
+  *   - deterministic query order (sorted by name) so run-to-run and
+  *     round-to-round timings are comparable;
+  *   - one untimed warm-up pass (JVM/JIT, codegen cache, parquet footers)
+  *     so the first timed query doesn't eat ~10s of cold-start;
+  *   - the action is a hash-aggregate over ALL columns (xxhash64 of the row
+  *     struct), so Spark cannot prune the projection the way `.count()`
+  *     allows — wide selects pay their real cost;
+  *   - failures are loud: recorded per-query in an `errors` map and the
+  *     elapsed time still counts (a broken query must not make the bench
+  *     look faster).
+  */
 object Bench {
+  private def force(df: DataFrame): Unit = {
+    val cols = df.columns.map(df.col)
+    if (cols.isEmpty) { df.count(); () }
+    // bit_xor: order-independent and overflow-free (sum of hashes would
+    // trip Spark 4's ANSI long-overflow check).
+    else df.select(xxhash64(struct(cols.toIndexedSeq: _*)).as("__h"))
+      .agg(expr("bit_xor(__h)")).collect()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val spark = Sessions.get()
+
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    // Warm-up: run the full suite once untimed. Errors here are ignored —
+    // they'll be reported from the timed pass.
+    ordered.foreach { case (_, fn) =>
+      try force(fn(spark, sfDir)) catch { case _: Throwable => () }
+    }
+
+    var errors = Map.empty[String, String]
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try force(fn(spark, sfDir))
+      catch { case e: Throwable =>
+        errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place where graft SparkSessions are configured.
+  *
+  * Every entry point (Verify, Bench, tests, the Session facade) builds its
+  * session here so behavior-changing confs are set exactly once, before any
+  * query runs:
+  *
+  *   - `spark.sql.legacy.parquet.nanosAsLong` — the events table stores
+  *     TIMESTAMP(NANOS); reading nanos as longs must be decided session-wide,
+  *     not mutated inside a loader (which would race concurrent queries).
+  *   - `spark.sql.shuffle.partitions` — sized to the local core count; on a
+  *     real cluster this would be tuned to ~2-3× total executor cores (or
+  *     left to AQE coalescing, which is enabled by default in Spark 4).
+  *   - session timezone pinned to UTC for deterministic date arithmetic.
+  */
+object Sessions {
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Build-or-reuse with the env-provided parallelism (default 4). */
+  def get(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val s = builder(cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -27,13 +27,13 @@ object Tables {
   /** events.parquet stores `ts` as TIMESTAMP(NANOS), which the Spark parquet
     * reader rejects. Read nanos as raw longs and convert to a micros
     * timestamp with integer division (double division would lose precision
-    * above 2^53 nanos).
+    * above 2^53 nanos). Requires `spark.sql.legacy.parquet.nanosAsLong=true`,
+    * set once at session build by [[Sessions.builder]] — not mutated here
+    * (a loader mutating session conf races with concurrent queries).
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, d: String): DataFrame =
     load(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

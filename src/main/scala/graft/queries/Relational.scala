@@ -67,7 +67,9 @@ object Relational {
       ORDER BY revenue DESC, n_name""")) { (s, dir) =>
       Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        // customer scales with sf — no broadcast hint; AQE picks the join
+        // strategy (broadcast while small, shuffle-hash/sort-merge at scale).
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"), col("r_name"))
@@ -91,7 +93,7 @@ object Relational {
       GROUP BY l_orderkey, o_orderdate, o_orderpriority
       ORDER BY revenue DESC, l_orderkey
       LIMIT 10""")) { (s, dir) =>
-      broadcast(Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING"))
+      Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
         .join(Tables.orders(s, dir).filter(col("o_orderdate") < ts("1998-01-01 00:00:00")),
           col("c_custkey") === col("o_custkey"))
         .join(Tables.lineitem(s, dir).filter(col("l_shipdate") > ts("1998-01-01 00:00:00")),
@@ -130,7 +132,7 @@ object Relational {
       ORDER BY total_spent DESC, c_custkey
       LIMIT 20""")) { (s, dir) =>
       Tables.orders(s, dir)
-        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey"), col("c_name"))
         .agg(dsum(col("o_totalprice")).as("total_spent"), count(lit(1)).as("n_orders"))
         .orderBy(col("total_spent").desc, col("c_custkey"))
@@ -356,12 +358,17 @@ object Relational {
     },
 
     // ---- q20: lag/lead window over event stream ----
+    // Oracle truncates ts to microseconds (CAST AS TIMESTAMP) so both sides
+    // window over identical precision — DuckDB reads the parquet nanos
+    // natively while Spark reads micros; sub-microsecond-distinct timestamps
+    // would otherwise order differently in the two engines.
     QDef("q20_event_gaps", Some("""
       SELECT user_id, event_id,
-        COALESCE(CAST(DATE_DIFF('second', LAG(ts) OVER w, ts) AS BIGINT), -1) AS gap_sec
+        COALESCE(CAST(DATE_DIFF('second', LAG(CAST(ts AS TIMESTAMP)) OVER w,
+                                CAST(ts AS TIMESTAMP)) AS BIGINT), -1) AS gap_sec
       FROM events
       WHERE user_id <= 20
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
       ORDER BY user_id, event_id""")) { (s, dir) =>
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       Tables.events(s, dir)

@@ -18,6 +18,7 @@ TABLES = ["region","nation","customer","supplier","part","orders",
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v): return "NaN"
+        if v == 0.0: return 0.0  # normalize -0.0 so str-keyed row pairing aligns
         return v
     return v
 
