@@ -1,0 +1,64 @@
+package graft.core
+
+/** Integer confidence scoring — 0..100, no floats, saturating arithmetic
+  * (confidence.rs:16-140). Floats would break cross-platform determinism of
+  * the honesty metadata, which is the product's whole point.
+  */
+final case class ConfidenceScore(score: Int, evidenceCount: Int, pathLength: Int) {
+  require(score >= 0 && score <= 100, s"score out of range: $score")
+  def isVerified: Boolean = score >= Confidence.VerifiedThreshold
+  def isSpeculative: Boolean = !isVerified
+}
+
+object ConfidenceScore {
+  def apply(score: Int, evidenceCount: Int, pathLength: Int): ConfidenceScore =
+    new ConfidenceScore(math.min(math.max(score, 0), 100), evidenceCount, pathLength)
+  val zero: ConfidenceScore = ConfidenceScore(0, 0, 0)
+  val max: ConfidenceScore = ConfidenceScore(100, 0, 0)
+}
+
+object Confidence {
+  /** Results at or above this score are "verified" (confidence.rs:16). */
+  val VerifiedThreshold = 70
+
+  /** Artifact confidence (confidence.rs:72-101):
+    * empty path -> 0; else 50 base + min(edges, 30) + min(pathLen, 10) * 2.
+    */
+  def computeConfidence(artifact: Artifact): ConfidenceScore = {
+    val pathLength = artifact.path.length
+    val evidenceCount = artifact.subgraph.map(_.length).getOrElse(0)
+    if (pathLength == 0) ConfidenceScore.zero
+    else {
+      val edgeBonus = math.min(evidenceCount, 30)
+      val pathBonus = math.min(math.min(pathLength, 10) * 2, 20)
+      ConfidenceScore(50 + edgeBonus + pathBonus, evidenceCount, pathLength)
+    }
+  }
+
+  /** Path confidence from average edge weight (confidence.rs:103-140):
+    * empty -> 0; single node -> (50, 0, 1); else integer-average the
+    * weights of consecutive edges that exist (missing edges counted
+    * honestly by lowering the average's edge count), clamp avg to 0..10 and
+    * map to 50..100.
+    */
+  def computePathConfidence(path: Seq[Long], graph: InMemoryGraph): ConfidenceScore = {
+    if (path.isEmpty) return ConfidenceScore.zero
+    if (path.length == 1) return ConfidenceScore(50, 0, 1)
+
+    var totalWeight = 0L
+    var edgeCount = 0
+    path.sliding(2).foreach {
+      case Seq(a, b) =>
+        graph.getEdge(a, b).foreach { w =>
+          totalWeight =
+            if (totalWeight > Long.MaxValue - math.max(w, 0)) Long.MaxValue
+            else totalWeight + w
+          edgeCount += 1
+        }
+      case _ => ()
+    }
+    val avg = if (edgeCount > 0) totalWeight / edgeCount else 0L
+    val weightScore = math.min(math.max(avg, 0L), 10L).toInt * 5 + 50
+    ConfidenceScore(math.min(weightScore, 100), edgeCount, path.length)
+  }
+}

@@ -1,0 +1,105 @@
+package graft.core
+
+import scala.collection.mutable
+
+/** Session facade: a graph plus a volatile buffer of activated nodes
+  * (session.rs:24-60, 218-530; buffer semantics types/mod.rs:229-271).
+  *
+  * The buffer (active context) is driver-local state, never persisted and
+  * cleared on reset — it seeds `composeFromActive` / `intersectActive`.
+  * The distributed engine reuses this same facade with query execution
+  * delegated to Spark jobs (see `graft.graph` package); the buffer stays on
+  * the driver either way, exactly as the reference keeps it outside the
+  * store.
+  */
+final class GraftSession(val graph: InMemoryGraph = new InMemoryGraph) {
+  private val activeNodes = mutable.SortedSet.empty[Long]
+
+  // --- ingestion (session.rs:218-240) ---
+
+  def ingest(signal: Signal): Either[GraftError, Long] =
+    Ingestor.ingestSignal(graph, signal).map { nodeId =>
+      activeNodes += nodeId
+      nodeId
+    }
+
+  def ingestSequence(signals: Seq[Signal]): Either[GraftError, Vector[Long]] =
+    Ingestor.ingestSequence(graph, signals).map { nodes =>
+      activeNodes ++= nodes
+      nodes
+    }
+
+  def decrementEdge(from: Long, to: Long): Either[GraftError, Unit] =
+    graph.decrementEdge(from, to)
+
+  // --- composition (session.rs:255-310; compositor.rs:26-91) ---
+
+  def compose(start: Long, depth: Int): Option[Artifact] =
+    graph.traverse(start, depth)
+
+  def composeFiltered(start: Long, depth: Int, minWeight: Long): Option[Artifact] =
+    graph.traverseFiltered(start, depth, minWeight)
+
+  /** `related` is compose by another name (compositor.rs:84-91). */
+  def relatedContext(start: Long, depth: Int): Option[Artifact] =
+    compose(start, depth)
+
+  /** Traverse seeded from the first active node; None when the buffer is
+    * empty (session.rs:266-273).
+    */
+  def composeFromActive(depth: Int): Option[Artifact] =
+    activeNodes.headOption.flatMap(compose(_, depth))
+
+  /** strongest_path with per-hop edge weights re-attached as the subgraph
+    * (session.rs:276-300).
+    */
+  def extractPath(start: Long, end: Long): Option[Artifact] =
+    graph.strongestPath(start, end).map { path =>
+      val sub = path.sliding(2).collect {
+        case Seq(a, b) if graph.getEdge(a, b).isDefined =>
+          Edge(a, b, graph.getEdge(a, b).get)
+      }.toVector
+      Artifact.withSubgraph(path, sub)
+    }
+
+  /** Common neighbors of every active node (session.rs:303-310). */
+  def intersectActive(): Artifact =
+    Artifact.withPath(graph.intersect(activeNodes.toSeq))
+
+  // --- context management (session.rs:317-345) ---
+
+  def activate(node: Long): Unit = activeNodes += node
+  def deactivate(node: Long): Unit = activeNodes -= node
+  def isActive(node: Long): Boolean = activeNodes.contains(node)
+  def clearContext(): Unit = activeNodes.clear()
+  def activeCount: Int = activeNodes.size
+  def active: Vector[Long] = activeNodes.toVector
+
+  // --- query entry with API-boundary validation (handlers.rs:240-246,360-363) ---
+
+  /** Validate bounds, dispatch, classify grounding. This is the
+    * `POST /query` shape: a grounded result plus its grounding verdict.
+    */
+  def query(q: QueryType): Either[GraftError, (GroundedResult, Grounding)] = {
+    val bounds = q match {
+      case QueryType.Traverse(_, d) if d > Limits.MaxTraversalDepth =>
+        Some(GraftError.InvalidQuery(s"depth $d > ${Limits.MaxTraversalDepth}"))
+      case QueryType.TraverseFiltered(_, d, _) if d > Limits.MaxTraversalDepth =>
+        Some(GraftError.InvalidQuery(s"depth $d > ${Limits.MaxTraversalDepth}"))
+      case QueryType.TraverseDfs(_, d) if d > Limits.MaxTraversalDepth =>
+        Some(GraftError.InvalidQuery(s"depth $d > ${Limits.MaxTraversalDepth}"))
+      case QueryType.Intersect(ns)
+          if ns.length < Limits.MinIntersectNodes || ns.length > Limits.MaxIntersectNodes =>
+        Some(GraftError.InvalidQuery(
+          s"intersect arity ${ns.length} outside ${Limits.MinIntersectNodes}..${Limits.MaxIntersectNodes}"))
+      case _ => None
+    }
+    bounds match {
+      case Some(e) => Left(e)
+      case None =>
+        val result = GroundingEngine.verifyHypothesis(graph, q)
+        val found = result.artifact.exists(a => a.path.nonEmpty)
+        Right((result, GroundingEngine.classifyGrounding(q, found)))
+    }
+  }
+}

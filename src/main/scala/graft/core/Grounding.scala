@@ -1,0 +1,98 @@
+package graft.core
+
+/** Hypothesis verification — execute a query, attach confidence and a
+  * verified flag, never fabricate (grounding.rs:20-122).
+  */
+final case class GroundedResult(
+    artifact: Option[Artifact],
+    confidence: ConfidenceScore,
+    verified: Boolean,
+    evidencePath: Vector[Long])
+
+object GroundedResult {
+  /** No evidence — explicitly unverified (grounding.rs:33-42). */
+  val unverified: GroundedResult =
+    GroundedResult(None, ConfidenceScore.zero, verified = false, Vector.empty)
+
+  def withArtifact(artifact: Artifact, confidence: ConfidenceScore): GroundedResult =
+    GroundedResult(Some(artifact), confidence, confidence.isVerified, artifact.path)
+}
+
+object GroundingEngine {
+
+  /** Main verification entry point: dispatch the query, compute confidence
+    * (grounding.rs:57-122). A lookup hit is confidence 100; everything
+    * found by search is scored; nothing found is `unverified`, not an
+    * error.
+    */
+  def verifyHypothesis(graph: InMemoryGraph, query: QueryType): GroundedResult =
+    query match {
+      case QueryType.Lookup(entity) =>
+        graph.getNodeByEntity(entity) match {
+          case Some(nodeId) =>
+            GroundedResult.withArtifact(
+              Artifact.withPath(Vector(nodeId)), ConfidenceScore(100, 0, 1))
+          case None => GroundedResult.unverified
+        }
+
+      case QueryType.Traverse(start, depth) =>
+        graph.traverse(start, depth) match {
+          case Some(a) => GroundedResult.withArtifact(a, Confidence.computeConfidence(a))
+          case None => GroundedResult.unverified
+        }
+
+      case QueryType.TraverseFiltered(start, depth, minWeight) =>
+        graph.traverseFiltered(start, depth, minWeight) match {
+          case Some(a) => GroundedResult.withArtifact(a, Confidence.computeConfidence(a))
+          case None => GroundedResult.unverified
+        }
+
+      case QueryType.StrongestPath(start, end) =>
+        graph.strongestPath(start, end) match {
+          case Some(path) =>
+            val confidence = Confidence.computePathConfidence(path, graph)
+            GroundedResult.withArtifact(Artifact.withPath(path), confidence)
+          case None => GroundedResult.unverified
+        }
+
+      case QueryType.Intersect(nodes) =>
+        val common = graph.intersect(nodes)
+        if (common.nonEmpty) {
+          val a = Artifact.withPath(common)
+          GroundedResult.withArtifact(a, Confidence.computeConfidence(a))
+        } else GroundedResult.unverified
+
+      case QueryType.TraverseDfs(start, depth) =>
+        graph.traverseDfs(start, depth) match {
+          case Some(a) => GroundedResult.withArtifact(a, Confidence.computeConfidence(a))
+          case None => GroundedResult.unverified
+        }
+    }
+
+  /** Grounding classification rule table (handlers.rs:282-291): nothing
+    * found -> unknown; a direct point read -> fact; anything derived ->
+    * inference.
+    */
+  def classifyGrounding(query: QueryType, found: Boolean): Grounding =
+    if (!found) Grounding.Unknown
+    else query match {
+      case _: QueryType.Lookup => Grounding.Fact
+      case _ => Grounding.Inference
+    }
+
+  /** Keep the K highest-weight edges of an artifact; order: weight desc,
+    * then (from, to) asc; the path is rebuilt to nodes appearing in kept
+    * edges plus the original start; k = 0 or absent is a no-op
+    * (handlers.rs:248-280).
+    */
+  def applyTopK(artifact: Artifact, k: Option[Int]): Artifact =
+    (artifact.subgraph, k.filter(_ > 0)) match {
+      case (Some(edges), Some(kk)) =>
+        val kept = edges
+          .sortBy(e => (-e.weight, e.from, e.to))
+          .take(kk)
+        val keptNodes = kept.flatMap(e => Seq(e.from, e.to)).toSet ++ artifact.path.headOption
+        Artifact.withSubgraph(artifact.path.filter(keptNodes.contains), kept)
+      case _ => artifact
+    }
+}

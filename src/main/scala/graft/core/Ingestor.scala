@@ -1,0 +1,80 @@
+package graft.core
+
+/** Signal validation and ingestion protocol (ingestor.rs:38-152).
+  *
+  * Validation is the only gate between raw input and the graph: malformed
+  * input is rejected, never repaired, and no semantic inference happens
+  * here. The same rules are applied as column predicates on the distributed
+  * ingest path (`graft.graph.GraphTables.validate`).
+  */
+object Ingestor {
+
+  /** Control characters per Unicode category Cc — exactly what Rust's
+    * `char::is_control` matches (U+0000..U+001F, U+007F..U+009F).
+    */
+  private def isControl(c: Char): Boolean = Character.isISOControl(c)
+
+  /** A signal is valid iff attribute and value are non-empty, within byte
+    * length limits, and free of control characters — values may keep
+    * `\n \r \t` (legitimate in multiline text); attributes are identifiers
+    * and may keep none (ingestor.rs:38-76). Length limits are *byte*
+    * lengths of the UTF-8 encoding, matching Rust's `str::len`.
+    */
+  def validate(signal: Signal): Either[GraftError, Unit] = {
+    val attr = signal.attribute
+    val value = signal.value
+    val ok =
+      attr.nonEmpty &&
+        attr.getBytes("UTF-8").length <= Limits.MaxAttributeLength &&
+        !attr.exists(isControl) &&
+        value.nonEmpty &&
+        value.getBytes("UTF-8").length <= Limits.MaxValueLength &&
+        !value.exists(c => isControl(c) && c != '\n' && c != '\r' && c != '\t')
+    if (ok) Right(()) else Left(GraftError.InvalidSignal)
+  }
+
+  /** validate -> get-or-create entity node -> store (attribute, value)
+    * property. Idempotent: re-ingesting the same signal changes nothing
+    * (ingestor.rs:91-104).
+    */
+  def ingestSignal(graph: InMemoryGraph, signal: Signal): Either[GraftError, Long] =
+    for {
+      _ <- validate(signal)
+      nodeId = graph.insertNode(signal.entityId)
+      _ <- graph.storeProperty(nodeId, signal.attribute, signal.value)
+    } yield nodeId
+
+  /** Ingest a sequence, creating/incrementing an edge between each pair of
+    * strictly adjacent signals (ASSOCIATION_WINDOW = 1); at most 10 000
+    * signals per sequence (ingestor.rs:118-152). Returns node ids in signal
+    * order. Any invalid signal aborts with InvalidSignal (the distributed
+    * batch path additionally makes this all-or-nothing).
+    */
+  def ingestSequence(graph: InMemoryGraph, signals: Seq[Signal]): Either[GraftError, Vector[Long]] = {
+    if (signals.isEmpty) return Right(Vector.empty)
+    if (signals.length > Limits.MaxSequenceLength) return Left(GraftError.InvalidSignal)
+
+    val out = Vector.newBuilder[Long]
+    var prev: Option[Signal] = None
+    var err: Option[GraftError] = None
+    val it = signals.iterator
+    while (err.isEmpty && it.hasNext) {
+      val s = it.next()
+      ingestSignal(graph, s) match {
+        case Left(e) => err = Some(e)
+        case Right(nodeId) =>
+          out += nodeId
+          prev.flatMap(p => graph.getNodeByEntity(p.entityId))
+            .foreach(prevNode => graph.incrementEdge(prevNode, nodeId))
+          prev = Some(s)
+      }
+    }
+    err.toLeft(out.result())
+  }
+
+  /** An entity already present in the graph makes a signal a duplicate
+    * (ingestor.rs:160-166).
+    */
+  def isDuplicate(graph: InMemoryGraph, signal: Signal): Boolean =
+    graph.getNodeByEntity(signal.entityId).isDefined
+}

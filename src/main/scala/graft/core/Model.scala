@@ -1,0 +1,115 @@
+package graft.core
+
+/** Core data model of the graft knowledge-graph engine.
+  *
+  * Semantics mirror the reference's deterministic substrate (see
+  * /root/reference/crates/kremis-core/src/types/mod.rs:37-271): the sole
+  * input unit is the Signal triple; the graph is directed and
+  * integer-weighted; query output is a raw symbolic Artifact. All ids and
+  * weights are `Long` — never floating point — so every operator is
+  * bit-reproducible across runs and partitionings (determinism law,
+  * lib.rs:16-23).
+  */
+final case class Signal(entityId: Long, attribute: String, value: String)
+
+/** A graph node: internal id plus the external entity it stands for
+  * (types/mod.rs:86-100). One node per distinct entity; insertion is
+  * idempotent.
+  */
+final case class Node(id: Long, entityId: Long)
+
+/** A directed weighted edge (types/mod.rs:37-76). Weight is a saturating
+  * co-occurrence count, floored at 0 — negative weights would break
+  * strongest-path scoring.
+  */
+final case class Edge(from: Long, to: Long, weight: Long)
+
+/** Query output: visit-order path plus (optionally) every frontier edge the
+  * traversal saw (types/mod.rs:181-223). Symbolic structure only — no text.
+  */
+final case class Artifact(
+    path: Vector[Long],
+    subgraph: Option[Vector[Edge]] = None)
+
+object Artifact {
+  def withPath(path: Vector[Long]): Artifact = Artifact(path, None)
+  def withSubgraph(path: Vector[Long], edges: Vector[Edge]): Artifact =
+    Artifact(path, Some(edges))
+}
+
+/** Error taxonomy (types/mod.rs:312-350). `Left(err)` vs `Right(None)`
+  * discipline matters: absence of a result is NOT an error
+  * (session.rs:653-674).
+  */
+sealed trait GraftError extends Product with Serializable {
+  def message: String
+}
+object GraftError {
+  case object InvalidSignal extends GraftError {
+    val message = "invalid signal"
+  }
+  final case class NodeNotFound(id: Long) extends GraftError {
+    def message = s"node not found: $id"
+  }
+  final case class EdgeNotFound(from: Long, to: Long) extends GraftError {
+    def message = s"edge not found: $from -> $to"
+  }
+  final case class PropertyLimitExceeded(node: Long, limit: Int) extends GraftError {
+    def message = s"property limit $limit exceeded for node $node"
+  }
+  final case class InvalidQuery(reason: String) extends GraftError {
+    def message = s"invalid query: $reason"
+  }
+  final case class ImportError(reason: String) extends GraftError {
+    def message = s"import error: $reason"
+  }
+}
+
+/** Hard computational bounds, mirrored from the reference's innate
+  * primitives (primitives.rs:20-94). Every query is bounded by
+  * construction; these are not tunables.
+  */
+object Limits {
+  /** Links form only between strictly adjacent signals (primitives.rs:21). */
+  val AssociationWindow = 1
+  /** Edges with weight >= this are "stable" (primitives.rs:39). */
+  val PromotionThreshold = 10L
+  /** Depth clamp on every traversal (primitives.rs:45). */
+  val MaxTraversalDepth = 100
+  /** Global visit budget for strongest-path DFS (primitives.rs:52). */
+  val MaxVisitCount = 50000
+  /** Attribute byte-length cap (primitives.rs:58). */
+  val MaxAttributeLength = 256
+  /** Value byte-length cap, 64 KiB (primitives.rs:63). */
+  val MaxValueLength = 65536
+  /** Signals per ingestion sequence (primitives.rs:68). */
+  val MaxSequenceLength = 10000
+  /** Distinct (attribute, value) pairs per node (primitives.rs:84). */
+  val MaxPropertiesPerNode = 4096
+  /** Intersect arity bounds (primitives.rs:86-94). */
+  val MinIntersectNodes = 2
+  val MaxIntersectNodes = 100
+}
+
+/** Structured query ADT (query.rs:13-35). */
+sealed trait QueryType extends Product with Serializable
+object QueryType {
+  final case class Lookup(entityId: Long) extends QueryType
+  final case class Traverse(start: Long, depth: Int) extends QueryType
+  final case class TraverseFiltered(start: Long, depth: Int, minWeight: Long)
+      extends QueryType
+  final case class StrongestPath(start: Long, end: Long) extends QueryType
+  final case class Intersect(nodes: Vector[Long]) extends QueryType
+  final case class TraverseDfs(start: Long, depth: Int) extends QueryType
+}
+
+/** Grounding verdict attached to every response (handlers.rs:282-291). */
+sealed trait Grounding extends Product with Serializable { def label: String }
+object Grounding {
+  /** Direct point-read hit (lookup / properties). */
+  case object Fact extends Grounding { val label = "fact" }
+  /** Derived via traversal / path / intersection. */
+  case object Inference extends Grounding { val label = "inference" }
+  /** Nothing found — explicitly marked, never fabricated. */
+  case object Unknown extends Grounding { val label = "unknown" }
+}

@@ -1,0 +1,139 @@
+package graft.core
+
+import scala.collection.mutable
+
+/** Maturity stages S0..S3, thresholds on the count of stable edges
+  * (stage.rs:36-46, 55-120).
+  */
+sealed abstract class Stage(val order: Int, val name: String)
+    extends Product with Serializable {
+  def threshold: Int = this match {
+    case Stage.S0 => 0
+    case Stage.S1 => StageAssessor.S1Threshold
+    case Stage.S2 => StageAssessor.S2Threshold
+    case Stage.S3 => StageAssessor.S3Threshold
+  }
+  def next: Option[Stage] = this match {
+    case Stage.S0 => Some(Stage.S1)
+    case Stage.S1 => Some(Stage.S2)
+    case Stage.S2 => Some(Stage.S3)
+    case Stage.S3 => None
+  }
+  def isTerminal: Boolean = this == Stage.S3
+}
+object Stage {
+  case object S0 extends Stage(0, "Signal Segmentation")
+  case object S1 extends Stage(1, "Pattern Crystallization")
+  case object S2 extends Stage(2, "Causal Chaining")
+  case object S3 extends Stage(3, "Recursive Optimization")
+}
+
+/** Informational graph metrics (stage.rs:128-261). Density is fixed-point
+  * millionths — integer only; max depth is sampled from at most 10 nodes
+  * (bounded computation), and skipped entirely on the distributed backend
+  * where a full BFS per sample would be a job per node.
+  */
+final case class GraphMetrics(
+    nodeCount: Long,
+    edgeCount: Long,
+    stableEdgeCount: Long,
+    densityMillionths: Long,
+    maxDepth: Int) {
+  def densityPerThousand: Long = densityMillionths / 1000
+}
+
+object GraphMetrics {
+  val StableThreshold: Long = 10L
+
+  val empty: GraphMetrics = GraphMetrics(0, 0, 0, 0, 0)
+
+  def densityMillionths(nodes: Long, edges: Long): Long =
+    if (nodes > 0) {
+      val prod = edges * 1000000L
+      (if (prod / 1000000L != edges) Long.MaxValue else prod) / nodes
+    } else 0L
+
+  def fromGraph(graph: InMemoryGraph): GraphMetrics = {
+    val nodes = graph.nodeCount.toLong
+    val edges = graph.edgeCount.toLong
+    GraphMetrics(
+      nodes, edges,
+      graph.stableEdgeCount(StableThreshold).toLong,
+      densityMillionths(nodes, edges),
+      computeMaxDepth(graph))
+  }
+
+  /** BFS depth from the first <=10 nodes; max level reached
+    * (stage.rs:224-261).
+    */
+  private def computeMaxDepth(graph: InMemoryGraph): Int = {
+    var maxDepth = 0
+    for (node <- graph.allNodes.take(10)) {
+      val visited = mutable.Set(node.id)
+      val queue = mutable.Queue((node.id, 0))
+      while (queue.nonEmpty) {
+        val (current, depth) = queue.dequeue()
+        maxDepth = math.max(maxDepth, depth)
+        if (depth < 100) {
+          for ((n, _) <- graph.neighbors(current) if !visited.contains(n)) {
+            visited += n
+            queue.enqueue((n, depth + 1))
+          }
+        }
+      }
+    }
+    maxDepth
+  }
+}
+
+final case class StageProgress(
+    current: Stage,
+    next: Option[Stage],
+    percent: Int,
+    stableEdgesCurrent: Long,
+    stableEdgesNeeded: Long,
+    metrics: GraphMetrics)
+
+/** Pure stage assessment from metrics (stage.rs:268-369). */
+final class StageAssessor(
+    s1: Int = StageAssessor.S1Threshold,
+    s2: Int = StageAssessor.S2Threshold,
+    s3: Int = StageAssessor.S3Threshold) {
+
+  def assessFromMetrics(m: GraphMetrics): Stage =
+    if (m.stableEdgeCount >= s3) Stage.S3
+    else if (m.stableEdgeCount >= s2) Stage.S2
+    else if (m.stableEdgeCount >= s1) Stage.S1
+    else Stage.S0
+
+  def assess(graph: InMemoryGraph): Stage =
+    assessFromMetrics(GraphMetrics.fromGraph(graph))
+
+  def hasReached(graph: InMemoryGraph, target: Stage): Boolean =
+    assess(graph).order >= target.order
+
+  def progressFromMetrics(m: GraphMetrics): StageProgress = {
+    val current = assessFromMetrics(m)
+    current match {
+      case Stage.S3 =>
+        StageProgress(current, None, 100, m.stableEdgeCount, s3.toLong, m)
+      case _ =>
+        val (nxt, lo, hi) = current match {
+          case Stage.S0 => (Stage.S1, 0, s1)
+          case Stage.S1 => (Stage.S2, s1, s2)
+          case _ => (Stage.S3, s2, s3)
+        }
+        val range = hi - lo
+        val inRange = math.max(m.stableEdgeCount - lo, 0L)
+        val percent =
+          if (range > 0) math.min(inRange * 100 / range, 100L).toInt else 100
+        StageProgress(current, Some(nxt), percent, m.stableEdgeCount, hi.toLong, m)
+    }
+  }
+}
+
+object StageAssessor {
+  val S1Threshold = 100
+  val S2Threshold = 1000
+  val S3Threshold = 5000
+}

@@ -1,0 +1,216 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit tests for the in-memory graph, porting the reference's semantics
+  * corpus (graph.rs:1021-1636).
+  */
+class GraphSpec extends AnyFunSuite {
+
+  test("insert and lookup node") {
+    val g = new InMemoryGraph
+    val id = g.insertNode(42L)
+    assert(g.lookup(id).map(_.entityId) === Some(42L))
+  }
+
+  test("entityOf inverts the entity index") {
+    val g = new InMemoryGraph
+    val node = g.insertNode(42L)
+    assert(g.getNodeByEntity(42L) === Some(node))
+    assert(g.entityOf(node) === Some(42L))
+    assert(g.entityOf(999L) === None)
+  }
+
+  test("entities are ordered by entity id") {
+    val g = new InMemoryGraph
+    g.insertNode(7L)
+    g.insertNode(3L)
+    assert(g.entities.map(_._1) === Vector(3L, 7L))
+  }
+
+  test("insert duplicate entity returns same node; ids are monotonic") {
+    val g = new InMemoryGraph
+    val first = g.insertNode(42L)
+    val second = g.insertNode(42L)
+    assert(first === second)
+    assert(g.nodeCount === 1)
+    val next = g.insertNode(43L)
+    assert(next === first + 1)
+  }
+
+  test("insert_edge is a silent no-op on dangling endpoints") {
+    val g = new InMemoryGraph
+    val a = g.insertNode(1L)
+    g.insertEdge(a, 999L, 5L) // missing dst
+    g.insertEdge(999L, a, 5L) // missing src
+    assert(g.edgeCount === 0)
+    g.incrementEdge(a, 999L) // same for increment
+    assert(g.edgeCount === 0)
+  }
+
+  test("increment_edge creates at 1 then increments") {
+    val g = new InMemoryGraph
+    val a = g.insertNode(1L)
+    val b = g.insertNode(2L)
+    g.incrementEdge(a, b)
+    assert(g.getEdge(a, b) === Some(1L))
+    g.incrementEdge(a, b)
+    assert(g.getEdge(a, b) === Some(2L))
+  }
+
+  test("increment saturates at Long.MaxValue") {
+    val g = new InMemoryGraph
+    val a = g.insertNode(1L)
+    val b = g.insertNode(2L)
+    g.insertEdge(a, b, Long.MaxValue)
+    g.incrementEdge(a, b)
+    assert(g.getEdge(a, b) === Some(Long.MaxValue))
+  }
+
+  test("decrement_edge reduces by one, floors at zero, errors when absent") {
+    val g = new InMemoryGraph
+    val a = g.insertNode(1L)
+    val b = g.insertNode(2L)
+    assert(g.decrementEdge(a, b) === Left(GraftError.EdgeNotFound(a, b)))
+    g.insertEdge(a, b, 1L)
+    assert(g.decrementEdge(a, b).isRight)
+    assert(g.getEdge(a, b) === Some(0L))
+    assert(g.decrementEdge(a, b).isRight) // stays at 0
+    assert(g.getEdge(a, b) === Some(0L))
+  }
+
+  test("neighbors come back sorted by destination id") {
+    val g = new InMemoryGraph
+    val a = g.insertNode(1L)
+    val b = g.insertNode(2L)
+    val c = g.insertNode(3L)
+    g.insertEdge(a, c, 1L)
+    g.insertEdge(a, b, 2L)
+    assert(g.neighbors(a).map(_._1) === Vector(b, c))
+  }
+
+  test("traverse respects depth and visit order is BFS") {
+    val g = new InMemoryGraph
+    val a = g.insertNode(1L); val b = g.insertNode(2L); val c = g.insertNode(3L)
+    g.insertEdge(a, b, 1L)
+    g.insertEdge(b, c, 1L)
+    val d1 = g.traverse(a, 1).get
+    assert(d1.path === Vector(a, b))
+    assert(d1.subgraph.get === Vector(Edge(a, b, 1L)))
+    val d2 = g.traverse(a, 2).get
+    assert(d2.path === Vector(a, b, c))
+  }
+
+  test("traverse reports frontier edges into already-visited nodes") {
+    val g = new InMemoryGraph
+    val a = g.insertNode(1L); val b = g.insertNode(2L)
+    g.insertEdge(a, b, 1L)
+    g.insertEdge(b, a, 7L) // back edge
+    val art = g.traverse(a, 2).get
+    assert(art.subgraph.get.contains(Edge(b, a, 7L)))
+    assert(art.path === Vector(a, b)) // a not revisited
+  }
+
+  test("traverse of missing node returns None; depth clamps at 100") {
+    val g = new InMemoryGraph
+    assert(g.traverse(999L, 5) === None)
+    // chain of 150 nodes: depth 1000 clamps to 100 -> 101 nodes on path
+    val ids = (0L until 150L).map(g.insertNode)
+    ids.sliding(2).foreach { case Seq(x, y) => g.insertEdge(x, y, 1L); case _ => }
+    assert(g.traverse(ids.head, 1000).get.path.length === 101)
+  }
+
+  test("traverse_filtered only expands edges at or above min weight") {
+    val g = new InMemoryGraph
+    val a = g.insertNode(1L); val b = g.insertNode(2L); val c = g.insertNode(3L)
+    g.insertEdge(a, b, 5L)
+    g.insertEdge(a, c, 1L)
+    val art = g.traverseFiltered(a, 2, 3L).get
+    assert(art.path === Vector(a, b))
+    assert(art.subgraph.get === Vector(Edge(a, b, 5L)))
+  }
+
+  test("traverse_dfs goes depth-first in neighbor-ascending order") {
+    val g = new InMemoryGraph
+    val a = g.insertNode(1L); val b = g.insertNode(2L); val c = g.insertNode(3L)
+    val d = g.insertNode(4L)
+    g.insertEdge(a, b, 1L); g.insertEdge(a, c, 1L); g.insertEdge(b, d, 1L)
+    val art = g.traverseDfs(a, 3).get
+    assert(art.path === Vector(a, b, d, c)) // DFS: a -> b -> d, backtrack, c
+  }
+
+  test("intersect finds common out-neighbors, ascending") {
+    val g = new InMemoryGraph
+    val a = g.insertNode(1L); val b = g.insertNode(2L)
+    val x = g.insertNode(10L); val y = g.insertNode(11L); val z = g.insertNode(12L)
+    g.insertEdge(a, x, 1L); g.insertEdge(a, y, 1L); g.insertEdge(a, z, 1L)
+    g.insertEdge(b, z, 1L); g.insertEdge(b, x, 1L)
+    assert(g.intersect(Seq(a, b)) === Vector(x, z))
+    assert(g.intersect(Seq.empty) === Vector.empty)
+    assert(g.intersect(Seq(a, x)) === Vector.empty) // x has no out-edges
+  }
+
+  test("strongest_path picks max total weight, not fewest hops") {
+    val g = new InMemoryGraph
+    val a = g.insertNode(1L); val b = g.insertNode(2L); val c = g.insertNode(3L)
+    // direct a->c weight 1; detour a->b->c weight 10+10
+    g.insertEdge(a, c, 1L)
+    g.insertEdge(a, b, 10L)
+    g.insertEdge(b, c, 10L)
+    assert(g.strongestPath(a, c) === Some(Vector(a, b, c)))
+  }
+
+  test("strongest_path endpoints: same node, missing node, no path") {
+    val g = new InMemoryGraph
+    val a = g.insertNode(1L); val b = g.insertNode(2L)
+    assert(g.strongestPath(a, a) === Some(Vector(a)))
+    assert(g.strongestPath(a, 999L) === None)
+    assert(g.strongestPath(a, b) === None) // disconnected
+  }
+
+  test("strongest_path is simple (cycles don't trap it)") {
+    val g = new InMemoryGraph
+    val a = g.insertNode(1L); val b = g.insertNode(2L); val c = g.insertNode(3L)
+    g.insertEdge(a, b, 5L); g.insertEdge(b, a, 5L) // 2-cycle
+    g.insertEdge(b, c, 1L)
+    assert(g.strongestPath(a, c) === Some(Vector(a, b, c)))
+  }
+
+  test("strongest_path ties resolve to first-found (lexicographic) path") {
+    val g = new InMemoryGraph
+    val a = g.insertNode(1L); val b = g.insertNode(2L); val c = g.insertNode(3L)
+    val d = g.insertNode(4L)
+    // two equal-weight paths a->b->d and a->c->d; DFS ascending finds b first
+    g.insertEdge(a, b, 5L); g.insertEdge(b, d, 5L)
+    g.insertEdge(a, c, 5L); g.insertEdge(c, d, 5L)
+    assert(g.strongestPath(a, d) === Some(Vector(a, b, d)))
+  }
+
+  test("property set semantics: idempotent pairs, accumulating values") {
+    val g = new InMemoryGraph
+    val a = g.insertNode(1L)
+    assert(g.storeProperty(a, "knows", "Bob").isRight)
+    assert(g.storeProperty(a, "knows", "Bob").isRight) // idempotent
+    assert(g.storeProperty(a, "knows", "Charlie").isRight) // accumulates
+    assert(g.getProperties(a) === Right(Vector("knows" -> "Bob", "knows" -> "Charlie")))
+    assert(g.getProperties(999L) === Left(GraftError.NodeNotFound(999L)))
+  }
+
+  test("property cap at 4096 distinct pairs; idempotent re-insert still allowed at cap") {
+    val g = new InMemoryGraph
+    val a = g.insertNode(1L)
+    (0 until Limits.MaxPropertiesPerNode).foreach { i =>
+      assert(g.storeProperty(a, "k", s"v$i").isRight)
+    }
+    assert(g.storeProperty(a, "k", "v0").isRight) // idempotent at cap
+    assert(g.storeProperty(a, "k", "overflow") ===
+      Left(GraftError.PropertyLimitExceeded(a, Limits.MaxPropertiesPerNode)))
+  }
+
+  test("importNode preserves ids and heals nextNodeId") {
+    val g = new InMemoryGraph
+    g.importNode(Node(10L, 1234L))
+    assert(g.entityOf(10L) === Some(1234L))
+    assert(g.insertNode(5555L) === 11L) // next id strictly above imported
+  }
+}
