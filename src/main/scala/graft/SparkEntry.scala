@@ -12,7 +12,7 @@ import graft.queries._
 object SparkEntry {
 
   private val packs: Seq[QDef] =
-    Relational.defs
+    Relational.defs ++ GraphPack.defs
 
   private lazy val maps = QDef.toMaps(packs)
 

@@ -1,0 +1,327 @@
+package graft.graph
+
+import graft.core.{InMemoryGraph, Limits, Node}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import scala.collection.concurrent.TrieMap
+
+/** The distributed graph: four Parquet-derivable tables.
+  *
+  * Mirrors the reference's store layout (redb tables NODES / EDGES /
+  * PROPERTIES / ENTITY_INDEX, /root/reference/crates/kremis-core/src/storage/
+  * redb_graph.rs:24-46) as DataFrames. `nodes` doubles as the entity index —
+  * it is small (one row per distinct entity) and broadcastable.
+  */
+final case class GraphFrames(
+    signals: DataFrame,    // (seq, entity_id, attribute, value)
+    nodes: DataFrame,      // (node_id, entity_id)
+    edges: DataFrame,      // (src, dst, weight) — hash-partitioned by src
+    properties: DataFrame) // (node_id, attribute, value) distinct
+
+/** Distributed derivation of the graft graph from a signal log, plus the
+  * graph operators over it (SURVEY.md §2.1). This is the scale path; the
+  * reference-semantics gold standard is [[graft.core.InMemoryGraph]] and
+  * cross-check tests assert the two agree.
+  *
+  * Scale design (100 TB):
+  *   - node-id assignment uses range-repartition + sortWithinPartitions +
+  *     zipWithIndex — per-partition offsets, never a single-partition
+  *     window (`row_number` over an unpartitioned window is the classic
+  *     scale-killer for monotonic ids);
+  *   - sequence adjacency is an equi-join on `seq + 1` (seq is the dense
+  *     0..n-1 position within the ingested sequence, by definition of a
+  *     sequence — ingestor.rs:118-152), which shuffles by key instead of
+  *     sorting globally;
+  *   - `edges` is persisted hash-partitioned by `src`, so each BFS hop
+  *     shuffles only the (small) frontier, not the edge table;
+  *   - every traversal is bounded by construction (depth ≤ 100, reference
+  *     primitives.rs:41-45), and each hop is localCheckpoint'ed to cut
+  *     lineage.
+  */
+object GraphTables {
+
+  /** Control characters per Unicode Cc (what Rust `char::is_control`
+    * matches): U+0000-U+001F and U+007F-U+009F (ingestor.rs:38-76).
+    */
+  private val CtrlAttr = "[\\x00-\\x1F\\x7F-\\x9F]"
+  /** Values may keep \t \n \r (legitimate in multiline text). */
+  private val CtrlValue = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]"
+
+  /** Validation as column predicates — the distributed twin of
+    * `graft.core.Ingestor.validate` (ingestor.rs:38-76). Length limits are
+    * byte lengths of the UTF-8 encoding (`octet_length`), matching Rust's
+    * `str::len`.
+    */
+  def validSignals(df: DataFrame): DataFrame =
+    df.filter(
+      length(col("attribute")) > 0 &&
+        octet_length(col("attribute")) <= Limits.MaxAttributeLength &&
+        !col("attribute").rlike(CtrlAttr) &&
+        length(col("value")) > 0 &&
+        octet_length(col("value")) <= Limits.MaxValueLength &&
+        !col("value").rlike(CtrlValue))
+
+  /** Count of rows `validSignals` would reject — the all-or-nothing batch
+    * gate (redb_graph.rs:203-207): a batch with any invalid signal must not
+    * commit.
+    */
+  def invalidCount(df: DataFrame): Long = df.count() - validSignals(df).count()
+
+  /** The events table read as a signal log: the sequence position is the
+    * dense event_id, the entity is the user, the (attribute, value) payload
+    * is (event_type, props). Only these four columns are selected so the
+    * parquet scan prunes the rest (incl. the nanos timestamp).
+    */
+  def signalsFromEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+      .select(
+        col("event_id").as("seq"),
+        col("user_id").as("entity_id"),
+        col("event_type").as("attribute"),
+        col("props").as("value"))
+
+  private val cache = TrieMap.empty[(SparkSession, String), GraphFrames]
+
+  /** Build (or fetch cached) graph tables for a testdata dir. */
+  def forDir(spark: SparkSession, dir: String): GraphFrames =
+    cache.getOrElseUpdate((spark, dir), build(validSignals(signalsFromEvents(spark, dir))))
+
+  /** Derive nodes / edges / properties from a validated signal log.
+    *
+    * Semantics are the reference's sequence ingest (ingestor.rs:91-152):
+    * one node per distinct entity, ids assigned in first-appearance order
+    * (graph.rs:502-517); an edge per strictly-adjacent signal pair
+    * (ASSOCIATION_WINDOW = 1) with weight = co-occurrence count; properties
+    * with set semantics at the (attribute, value) level.
+    */
+  def build(signals: DataFrame): GraphFrames = {
+    val spark = signals.sparkSession
+    import spark.implicits._
+
+    // Deterministic monotonic node ids: first-appearance order of each
+    // entity. Range-partition + in-partition sort preserves global order,
+    // so zipWithIndex's per-partition offsets reproduce row_number exactly
+    // — without the single-partition global window (SURVEY §4.3.5).
+    val firsts = signals.groupBy("entity_id").agg(min("seq").as("first_seq"))
+    val nodes = firsts
+      .repartitionByRange(col("first_seq"))
+      .sortWithinPartitions("first_seq")
+      .select("entity_id").rdd.map(_.getLong(0))
+      .zipWithIndex()
+      .map { case (entity, id) => (id, entity) }
+      .toDF("node_id", "entity_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // nodes is one row per distinct entity — broadcastable by size; the
+    // hint keeps the big signal table from shuffling at any scale.
+    val sn = signals.join(broadcast(nodes), "entity_id")
+      .select(col("seq"), col("node_id"))
+
+    // Adjacency = equi-join on consecutive seq (shuffle by key; no global
+    // sort). Self-edges (same entity twice in a row) are kept — the
+    // reference's increment_edge(prev, current) creates them too.
+    val a = sn.as("a")
+    val b = sn.as("b")
+    val edges = a.join(b, col("b.seq") === col("a.seq") + 1)
+      .groupBy(col("a.node_id").as("src"), col("b.node_id").as("dst"))
+      .agg(count(lit(1)).as("weight"))
+      .repartition(col("src")) // BFS hops join frontier against src
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val properties = signals.join(broadcast(nodes), "entity_id")
+      .select(col("node_id"), col("attribute"), col("value"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    GraphFrames(signals, nodes, edges, properties)
+  }
+
+  // -----------------------------------------------------------------------
+  // Point lookups / scans (graph.rs:552-578, 718-784)
+  // -----------------------------------------------------------------------
+
+  def lookup(g: GraphFrames, nodeId: Long): DataFrame =
+    g.nodes.filter(col("node_id") === nodeId)
+
+  def lookupByEntity(g: GraphFrames, entityId: Long): DataFrame =
+    g.nodes.filter(col("entity_id") === entityId)
+
+  /** Out-edges of a node, destination-ascending (the BTreeMap order the
+    * reference guarantees, graph.rs:567-574).
+    */
+  def neighbors(g: GraphFrames, node: Long): DataFrame =
+    g.edges.filter(col("src") === node)
+      .select(col("dst").as("node_id"), col("weight"))
+      .orderBy("node_id")
+
+  def getEdge(g: GraphFrames, from: Long, to: Long): DataFrame =
+    g.edges.filter(col("src") === from && col("dst") === to)
+
+  /** Single-row counts summary (node/edge/stable-edge counts). */
+  def counts(g: GraphFrames, stableThreshold: Long): DataFrame = {
+    val n = g.nodes.agg(count(lit(1)).as("node_count"))
+    val e = g.edges.agg(
+      count(lit(1)).as("edge_count"),
+      sum(when(col("weight") >= stableThreshold, 1L).otherwise(0L)).as("stable_edge_count"))
+    n.crossJoin(e)
+  }
+
+  /** GraphMetrics as a single-row DataFrame: counts plus integer fixed-point
+    * density in millionths (stage.rs:128-185; max-depth sampling is skipped
+    * on the distributed backend, exactly as the reference skips it on redb,
+    * stage.rs:209).
+    */
+  def metrics(g: GraphFrames, stableThreshold: Long): DataFrame =
+    counts(g, stableThreshold).select(
+      col("node_count"), col("edge_count"), col("stable_edge_count"),
+      when(col("node_count") > 0,
+        expr("edge_count * 1000000L div node_count")).otherwise(0L)
+        .as("density_millionths"))
+
+  // -----------------------------------------------------------------------
+  // Traversals (graph.rs:580-716)
+  // -----------------------------------------------------------------------
+
+  /** Bounded BFS level sets: (node_id, depth = first-reach level), depth
+    * clamped to MAX_TRAVERSAL_DEPTH (graph.rs:580-654). Empty result if the
+    * start node is missing (the reference's `None`).
+    *
+    * Per hop: frontier ⋈ edges (frontier shuffles to edges' src
+    * partitioning), distinct, anti-join against reached, localCheckpoint to
+    * cut lineage. The BFS *visit order* within a level is reconstructed by
+    * (depth, node_id) sort — the deterministic order the reference gets
+    * from its BTreeMap queue discipline.
+    */
+  def traverseBfs(
+      g: GraphFrames,
+      start: Long,
+      depth: Int,
+      minWeight: Option[Long] = None): DataFrame = {
+    val bound = math.min(math.max(depth, 0), Limits.MaxTraversalDepth)
+    val e0 = minWeight.map(w => g.edges.filter(col("weight") >= w)).getOrElse(g.edges)
+    val e = e0.select(col("src"), col("dst"))
+
+    var frontier = g.nodes.filter(col("node_id") === start)
+      .select(col("node_id")).withColumn("depth", lit(0))
+      .localCheckpoint()
+    var reached = frontier
+    var d = 0
+    var exhausted = frontier.isEmpty
+    while (d < bound && !exhausted) {
+      val next = frontier.join(e, frontier("node_id") === e("src"))
+        .select(e("dst").as("node_id")).distinct()
+        .join(reached, Seq("node_id"), "left_anti")
+        .withColumn("depth", lit(d + 1))
+        .localCheckpoint()
+      exhausted = next.isEmpty
+      if (!exhausted) reached = reached.union(next).localCheckpoint()
+      frontier = next
+      d += 1
+    }
+    reached
+  }
+
+  /** Every frontier edge a bounded BFS reports: edges whose source was
+    * visited at depth < bound, weight-filtered the same way the expansion
+    * was (graph.rs:595-607 — the artifact includes edges into
+    * already-visited nodes).
+    */
+  def frontierEdges(
+      g: GraphFrames,
+      start: Long,
+      depth: Int,
+      minWeight: Option[Long] = None): DataFrame = {
+    val bound = math.min(math.max(depth, 0), Limits.MaxTraversalDepth)
+    val lv = traverseBfs(g, start, depth, minWeight).filter(col("depth") < bound)
+    val e = minWeight.map(w => g.edges.filter(col("weight") >= w)).getOrElse(g.edges)
+    e.join(lv, e("src") === lv("node_id"))
+      .select(col("src"), col("dst"), col("weight"))
+  }
+
+  /** Common out-neighbors of ALL inputs (graph.rs:656-677): a
+    * countDistinct semi-join, node-ascending. Arity bounds (2..=100) are
+    * enforced at the session/API boundary.
+    */
+  def intersect(g: GraphFrames, inputs: Seq[Long]): DataFrame = {
+    require(inputs.nonEmpty, "intersect needs at least one input")
+    g.edges.filter(col("src").isin(inputs: _*))
+      .groupBy(col("dst"))
+      .agg(countDistinct(col("src")).as("n_src"))
+      .filter(col("n_src") === inputs.distinct.length)
+      .select(col("dst").as("node_id"))
+      .orderBy("node_id")
+  }
+
+  /** K highest-weight edges; order weight desc then (src, dst) asc
+    * (handlers.rs:248-280). Compiles to TakeOrderedAndProject — no global
+    * sort materialization.
+    */
+  def topKEdges(g: GraphFrames, k: Int): DataFrame =
+    g.edges.orderBy(col("weight").desc, col("src"), col("dst")).limit(k)
+
+  // -----------------------------------------------------------------------
+  // Driver-side bounded algorithms over a collected subgraph
+  // -----------------------------------------------------------------------
+
+  /** Collect the BFS closure from `start` (depth-bounded) into an
+    * [[InMemoryGraph]]. The reference's strongest-path / DFS answers are
+    * *defined by* sequential visit order + the 50 000-visit budget
+    * (graph.rs:858-917), so the distributed engine's job is to deliver the
+    * bounded reachable subgraph and hand it to the identical sequential
+    * algorithm (SURVEY §4.3.2). `maxEdges` guards the driver against an
+    * unexpectedly dense closure — over-budget collections fail loudly
+    * rather than OOM the driver.
+    */
+  def collectSubgraph(
+      g: GraphFrames,
+      start: Long,
+      depth: Int = Limits.MaxTraversalDepth,
+      maxEdges: Long = 5000000L): InMemoryGraph = {
+    val reachable = traverseBfs(g, start, depth).select("node_id")
+    val sub = g.edges.join(reachable, g.edges("src") === reachable("node_id"))
+      .select(col("src"), col("dst"), col("weight"))
+    val nEdges = sub.count()
+    require(nEdges <= maxEdges, s"subgraph too dense to collect: $nEdges > $maxEdges edges")
+
+    val mem = new InMemoryGraph
+    val nodeRows = g.nodes
+      .join(
+        sub.select(col("src").as("node_id"))
+          .union(sub.select(col("dst").as("node_id")))
+          .union(reachable).distinct(),
+        Seq("node_id"))
+      .orderBy("node_id")
+      .collect()
+    nodeRows.foreach(r => mem.importNode(Node(r.getLong(0), r.getLong(1))))
+    sub.collect().foreach(r => mem.insertEdge(r.getLong(0), r.getLong(1), r.getLong(2)))
+    mem
+  }
+
+  /** Budgeted max-weight simple path (graph.rs:679-716): bounded subgraph
+    * collect + the exact sequential DFS. Returns (step, node_id) rows.
+    */
+  def strongestPath(g: GraphFrames, start: Long, end: Long): DataFrame = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val mem = collectSubgraph(g, start)
+    // The end node must exist in the full graph even if unreachable —
+    // reference returns None only when an endpoint is missing entirely.
+    val endExists = !g.nodes.filter(col("node_id") === end).isEmpty
+    val path =
+      if (!endExists) Vector.empty[Long]
+      else mem.strongestPath(start, end).getOrElse(Vector.empty)
+    path.zipWithIndex.map { case (n, i) => (i.toLong, n) }.toDF("step", "node_id")
+  }
+
+  /** DFS visit order (graph.rs:796-855) over the collected bounded closure:
+    * (step, node_id) rows.
+    */
+  def traverseDfs(g: GraphFrames, start: Long, depth: Int): DataFrame = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val mem = collectSubgraph(g, start, depth)
+    val path = mem.traverseDfs(start, depth).map(_.path).getOrElse(Vector.empty)
+    path.zipWithIndex.map { case (n, i) => (i.toLong, n) }.toDF("step", "node_id")
+  }
+}

@@ -1,0 +1,184 @@
+package graft.queries
+
+import graft.QDef
+import graft.graph.GraphTables
+import org.apache.spark.sql.functions._
+
+/** Graph operator pack (SURVEY.md §2.1) over the events table read as a
+  * signal log: seq = event_id (dense sequence position), entity = user_id,
+  * (attribute, value) = (event_type, props).
+  *
+  * Every DuckDB oracle re-derives the graph tables from the same events
+  * parquet with window/recursive-CTE SQL, so the compare exercises the full
+  * derivation chain (validation → id assignment → adjacency edges →
+  * properties) plus the operator itself. Non-SQL-expressible operators
+  * (budgeted DFS orders) ship without an oracle — the driver records a
+  * rows-only check and ScalaTest cross-checks them against the in-memory
+  * reference-semantics engine.
+  */
+object GraphPack {
+
+  /** Shared derivation CTEs: the SQL twin of GraphTables.build. */
+  private val T = """
+    sig AS (
+      SELECT event_id AS seq, user_id AS entity_id,
+             event_type AS attribute, props AS value
+      FROM events
+      WHERE length(event_type) > 0 AND strlen(event_type) <= 256
+        AND NOT regexp_matches(event_type, '[\x00-\x1F\x7F-\x9F]')
+        AND length(props) > 0 AND strlen(props) <= 65536
+        AND NOT regexp_matches(props, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]')
+    ),
+    nodes AS (
+      SELECT entity_id,
+             CAST(row_number() OVER (ORDER BY first_seq) - 1 AS BIGINT) AS node_id
+      FROM (SELECT entity_id, min(seq) AS first_seq FROM sig GROUP BY entity_id) t
+    ),
+    sn AS (SELECT s.seq, n.node_id FROM sig s JOIN nodes n ON s.entity_id = n.entity_id),
+    edges AS (
+      SELECT a.node_id AS src, b.node_id AS dst, count(*) AS weight
+      FROM sn a JOIN sn b ON b.seq = a.seq + 1
+      GROUP BY a.node_id, b.node_id
+    ),
+    props AS (
+      SELECT DISTINCT n.node_id, s.attribute, s.value
+      FROM sig s JOIN nodes n ON s.entity_id = n.entity_id
+    )"""
+
+  private def oracle(body: String): Option[String] =
+    Some(s"WITH RECURSIVE $T $body")
+
+  /** BFS level-set CTE from a start node with depth bound and optional
+    * weight filter (the recursive twin of GraphTables.traverseBfs).
+    */
+  private def bfs(start: Long, depth: Int, minWeight: Long = Long.MinValue): String = {
+    val w = if (minWeight == Long.MinValue) "" else s"AND e.weight >= $minWeight"
+    s""",
+    r(node_id, depth) AS (
+      SELECT node_id, 0 FROM nodes WHERE node_id = $start
+      UNION
+      SELECT e.dst, r.depth + 1 FROM r JOIN edges e ON e.src = r.node_id
+      WHERE r.depth < $depth $w
+    ),
+    lv AS (SELECT node_id, min(depth) AS depth FROM r GROUP BY node_id)"""
+  }
+
+  val defs: Seq[QDef] = Seq(
+
+    // ---- the graph tables themselves (ingest derivation) ----
+    QDef("g01_nodes", oracle(
+      "SELECT node_id, entity_id FROM nodes ORDER BY node_id")) { (s, dir) =>
+      GraphTables.forDir(s, dir).nodes.orderBy("node_id")
+    },
+
+    QDef("g02_edges", oracle(
+      "SELECT src, dst, weight FROM edges ORDER BY src, dst")) { (s, dir) =>
+      GraphTables.forDir(s, dir).edges.orderBy("src", "dst")
+    },
+
+    QDef("g03_properties", oracle(
+      "SELECT node_id, attribute, value FROM props ORDER BY node_id, attribute, value")) { (s, dir) =>
+      GraphTables.forDir(s, dir).properties.orderBy("node_id", "attribute", "value")
+    },
+
+    QDef("g04_entity_index", oracle(
+      "SELECT entity_id, node_id FROM nodes ORDER BY entity_id")) { (s, dir) =>
+      GraphTables.forDir(s, dir).nodes.select("entity_id", "node_id").orderBy("entity_id")
+    },
+
+    // ---- point reads ----
+    QDef("g05_lookup_entity", oracle(
+      "SELECT node_id, entity_id FROM nodes WHERE entity_id = 8")) { (s, dir) =>
+      GraphTables.lookupByEntity(GraphTables.forDir(s, dir), 8L)
+        .select("node_id", "entity_id")
+    },
+
+    QDef("g06_neighbors", oracle(
+      "SELECT dst AS node_id, weight FROM edges WHERE src = 0 ORDER BY node_id")) { (s, dir) =>
+      GraphTables.neighbors(GraphTables.forDir(s, dir), 0L)
+    },
+
+    QDef("g07_get_edge", oracle(
+      "SELECT src, dst, weight FROM edges WHERE src = 0 AND dst = 1")) { (s, dir) =>
+      GraphTables.getEdge(GraphTables.forDir(s, dir), 0L, 1L)
+    },
+
+    QDef("g08_counts", oracle("""
+      SELECT (SELECT count(*) FROM nodes) AS node_count,
+             (SELECT count(*) FROM edges) AS edge_count,
+             (SELECT count(*) FROM edges WHERE weight >= 2) AS stable_edge_count""")) { (s, dir) =>
+      GraphTables.counts(GraphTables.forDir(s, dir), stableThreshold = 2L)
+    },
+
+    // ---- traversals ----
+    QDef("g09_traverse", oracle(bfs(0, 2) +
+      " SELECT node_id, depth FROM lv ORDER BY depth, node_id")) { (s, dir) =>
+      GraphTables.traverseBfs(GraphTables.forDir(s, dir), 0L, 2)
+        .orderBy("depth", "node_id")
+    },
+
+    QDef("g10_traverse_filtered", oracle(bfs(0, 3, minWeight = 3) +
+      " SELECT node_id, depth FROM lv ORDER BY depth, node_id")) { (s, dir) =>
+      GraphTables.traverseBfs(GraphTables.forDir(s, dir), 0L, 3, minWeight = Some(3L))
+        .orderBy("depth", "node_id")
+    },
+
+    QDef("g11_frontier_edges", oracle(bfs(0, 2, minWeight = 2) + """
+      SELECT e.src, e.dst, e.weight
+      FROM edges e JOIN lv ON e.src = lv.node_id
+      WHERE lv.depth < 2 AND e.weight >= 2
+      ORDER BY src, dst""")) { (s, dir) =>
+      GraphTables.frontierEdges(GraphTables.forDir(s, dir), 0L, 2, minWeight = Some(2L))
+        .orderBy("src", "dst")
+    },
+
+    QDef("g12_intersect", oracle("""
+      SELECT dst AS node_id FROM edges WHERE src IN (0, 1, 2)
+      GROUP BY dst HAVING count(DISTINCT src) = 3
+      ORDER BY node_id""")) { (s, dir) =>
+      GraphTables.intersect(GraphTables.forDir(s, dir), Seq(0L, 1L, 2L))
+    },
+
+    // ---- post-processing / stability ----
+    QDef("g13_top_k_edges", oracle("""
+      SELECT src, dst, weight FROM edges
+      ORDER BY weight DESC, src, dst LIMIT 20""")) { (s, dir) =>
+      GraphTables.topKEdges(GraphTables.forDir(s, dir), 20)
+    },
+
+    QDef("g14_stable_edges", oracle(
+      "SELECT src, dst, weight FROM edges WHERE weight >= 2 ORDER BY src, dst")) { (s, dir) =>
+      GraphTables.forDir(s, dir).edges
+        .filter(col("weight") >= 2L).orderBy("src", "dst")
+    },
+
+    QDef("g15_node_properties", oracle(
+      "SELECT attribute, value FROM props WHERE node_id = 0 ORDER BY attribute, value")) { (s, dir) =>
+      GraphTables.forDir(s, dir).properties
+        .filter(col("node_id") === 0L)
+        .select("attribute", "value").orderBy("attribute", "value")
+    },
+
+    QDef("g16_metrics", oracle("""
+      SELECT node_count, edge_count, stable_edge_count,
+             CASE WHEN node_count > 0
+                  THEN (edge_count * 1000000) // node_count
+                  ELSE 0 END AS density_millionths
+      FROM (SELECT (SELECT count(*) FROM nodes) AS node_count,
+                   (SELECT count(*) FROM edges) AS edge_count,
+                   (SELECT count(*) FROM edges WHERE weight >= 2) AS stable_edge_count) m""")) { (s, dir) =>
+      GraphTables.metrics(GraphTables.forDir(s, dir), stableThreshold = 2L)
+    },
+
+    // ---- driver-side budgeted algorithms (no SQL oracle: the answer is
+    // defined by sequential visit order + the 50 000-visit budget;
+    // cross-checked against InMemoryGraph in GraphTablesSpec) ----
+    QDef("g17_strongest_path", None) { (s, dir) =>
+      GraphTables.strongestPath(GraphTables.forDir(s, dir), 0L, 42L)
+    },
+
+    QDef("g18_traverse_dfs", None) { (s, dir) =>
+      GraphTables.traverseDfs(GraphTables.forDir(s, dir), 0L, 2)
+    }
+  )
+}
