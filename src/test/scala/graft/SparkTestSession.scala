@@ -1,0 +1,15 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared local SparkSession for every Spark-backed spec (sbt forks a
+  * single JVM for the test run; spinning a session per suite would dominate
+  * test time). Never stopped — the JVM exit tears it down.
+  */
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = Sessions.builder("4").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}

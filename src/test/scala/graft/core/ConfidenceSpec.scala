@@ -1,0 +1,71 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exact expected-score table, porting the reference's confidence test
+  * corpus (confidence.rs:146-485). The scores are part of the product
+  * contract — honesty metadata must be bit-stable.
+  */
+class ConfidenceSpec extends AnyFunSuite {
+
+  private def art(pathLen: Int, edges: Int): Artifact = {
+    val path = (0L until pathLen.toLong).toVector
+    val sub = (0 until edges).map(i => Edge(i.toLong, i + 1L, 1L)).toVector
+    if (edges == 0) Artifact.withPath(path) else Artifact.withSubgraph(path, sub)
+  }
+
+  test("computeConfidence: exact score table") {
+    // empty path -> 0
+    assert(Confidence.computeConfidence(art(0, 0)).score === 0)
+    // base 50 + min(edges,30) + min(path,10)*2
+    assert(Confidence.computeConfidence(art(1, 0)).score === 52)
+    assert(Confidence.computeConfidence(art(3, 5)).score === 61)
+    assert(Confidence.computeConfidence(art(5, 10)).score === 70)
+    assert(Confidence.computeConfidence(art(10, 30)).score === 100)
+    // caps: edges at 30, path bonus at 20
+    assert(Confidence.computeConfidence(art(50, 100)).score === 100)
+    assert(Confidence.computeConfidence(art(50, 0)).score === 70)
+  }
+
+  test("verified threshold at 70") {
+    assert(!Confidence.computeConfidence(art(3, 5)).isVerified)     // 61
+    assert(Confidence.computeConfidence(art(5, 10)).isVerified)     // 70
+    assert(ConfidenceScore(69, 0, 0).isSpeculative)
+    assert(ConfidenceScore(70, 0, 0).isVerified)
+  }
+
+  test("computePathConfidence: average-weight mapping 50..100") {
+    val g = new InMemoryGraph
+    val ids = (1L to 4L).map(g.insertNode)
+    g.insertEdge(ids(0), ids(1), 4)
+    g.insertEdge(ids(1), ids(2), 6)
+
+    // avg (4+6)/2 = 5 -> 50 + 5*5 = 75
+    val c = Confidence.computePathConfidence(Seq(ids(0), ids(1), ids(2)), g)
+    assert(c.score === 75)
+    assert(c.evidenceCount === 2)
+
+    // empty path -> 0; single node -> 50
+    assert(Confidence.computePathConfidence(Nil, g).score === 0)
+    assert(Confidence.computePathConfidence(Seq(ids(0)), g) === ConfidenceScore(50, 0, 1))
+
+    // missing edges lower the edge count honestly: path hops with no edge
+    val c2 = Confidence.computePathConfidence(Seq(ids(0), ids(3), ids(2)), g)
+    assert(c2.evidenceCount === 0)
+    assert(c2.score === 50) // no evidence -> avg 0 -> 50
+
+    // clamp: avg weight above 10 still maps to 100
+    g.insertEdge(ids(2), ids(3), 1000)
+    val c3 = Confidence.computePathConfidence(Seq(ids(2), ids(3)), g)
+    assert(c3.score === 100)
+  }
+
+  test("integer arithmetic saturates, never overflows") {
+    val g = new InMemoryGraph
+    val a = g.insertNode(1); val b = g.insertNode(2); val c = g.insertNode(3)
+    g.insertEdge(a, b, Long.MaxValue)
+    g.insertEdge(b, c, Long.MaxValue)
+    val s = Confidence.computePathConfidence(Seq(a, b, c), g)
+    assert(s.score === 100)
+  }
+}

@@ -1,0 +1,92 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based determinism suite, porting the reference's proptest
+  * corpus (tests/property_tests.rs:16-129): identical input ⇒ identical
+  * graph and node ids; idempotent inserts; saturating weights; traversal
+  * determinism; node_count = unique entities.
+  *
+  * Generators are driven with fixed seeds (the determinism suite must
+  * itself be deterministic); scalatestplus isn't in the offline cache, so
+  * the ScalaCheck Gen API is used directly.
+  */
+class DeterminismSpec extends AnyFunSuite {
+
+  private val genSignal: Gen[Signal] = for {
+    e <- Gen.chooseNum(0L, 10000L)
+    a <- Gen.oneOf("kind", "dep", "name", "role", "zone")
+    v <- Gen.alphaNumStr.suchThat(_.nonEmpty).map(_.take(32))
+  } yield Signal(e, a, v)
+
+  private val genSeq: Gen[List[Signal]] = Gen.listOfN(60, genSignal)
+
+  /** 30 deterministic samples of a generator. */
+  private def forAll[A](gen: Gen[A])(check: A => Unit): Unit =
+    (0 until 30).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(check)
+    }
+
+  test("identical input produces identical graphs and node ids") {
+    forAll(genSeq) { signals =>
+      val (g1, g2) = (new InMemoryGraph, new InMemoryGraph)
+      val r1 = Ingestor.ingestSequence(g1, signals)
+      val r2 = Ingestor.ingestSequence(g2, signals)
+      assert(r1 === r2)
+      assert(g1.allNodes === g2.allNodes)
+      assert(g1.allEdges === g2.allEdges)
+      assert(g1.entities === g2.entities)
+    }
+  }
+
+  test("node count equals the number of unique entities") {
+    forAll(genSeq) { signals =>
+      val g = new InMemoryGraph
+      Ingestor.ingestSequence(g, signals)
+      assert(g.nodeCount === signals.map(_.entityId).distinct.size)
+    }
+  }
+
+  test("insertNode is idempotent; ids are dense and monotonic") {
+    forAll(Gen.listOfN(40, Gen.chooseNum(0L, 50L))) { entities =>
+      val g = new InMemoryGraph
+      val ids = entities.map(g.insertNode)
+      // re-inserting returns the same id
+      assert(entities.map(g.insertNode) === ids)
+      assert(g.nodeCount === entities.distinct.size)
+      assert(g.allNodes.map(_.id) === (0L until g.nodeCount.toLong).toVector)
+    }
+  }
+
+  test("property re-insert is idempotent (set semantics)") {
+    forAll(genSeq) { signals =>
+      val g = new InMemoryGraph
+      Ingestor.ingestSequence(g, signals)
+      val before = g.allNodes.map(n => g.getProperties(n.id))
+      signals.foreach(s => Ingestor.ingestSignal(g, s))
+      assert(g.allNodes.map(n => g.getProperties(n.id)) === before)
+    }
+  }
+
+  test("edge weights saturate instead of overflowing") {
+    val g = new InMemoryGraph
+    val a = g.insertNode(1); val b = g.insertNode(2)
+    g.insertEdge(a, b, Long.MaxValue)
+    g.incrementEdge(a, b)
+    assert(g.getEdge(a, b) === Some(Long.MaxValue))
+  }
+
+  test("traversals are deterministic on a fixed graph") {
+    forAll(genSeq) { signals =>
+      val g = new InMemoryGraph
+      Ingestor.ingestSequence(g, signals)
+      if (g.nodeCount > 0) {
+        assert(g.traverse(0L, 3) === g.traverse(0L, 3))
+        assert(g.traverseDfs(0L, 3) === g.traverseDfs(0L, 3))
+        assert(g.strongestPath(0L, g.nodeCount - 1L) === g.strongestPath(0L, g.nodeCount - 1L))
+      }
+    }
+  }
+}

@@ -1,0 +1,84 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Grounding dispatch, classification rules and top-k post-processing
+  * (grounding.rs:57-122, handlers.rs:248-291).
+  */
+class GroundingSpec extends AnyFunSuite {
+
+  private def fixture: InMemoryGraph = {
+    val g = new InMemoryGraph
+    val ids = (1L to 4L).map(g.insertNode) // nodes 0..3
+    g.insertEdge(ids(0), ids(1), 10)
+    g.insertEdge(ids(0), ids(2), 5)
+    g.insertEdge(ids(1), ids(3), 2)
+    g.insertEdge(ids(2), ids(3), 8)
+    g
+  }
+
+  test("lookup hit is confidence 100 and grounding fact") {
+    val g = fixture
+    val r = GroundingEngine.verifyHypothesis(g, QueryType.Lookup(2L))
+    assert(r.confidence.score === 100)
+    assert(r.verified)
+    assert(GroundingEngine.classifyGrounding(QueryType.Lookup(2L), found = true) === Grounding.Fact)
+  }
+
+  test("nothing found is unknown — absence, never fabrication") {
+    val g = fixture
+    val r = GroundingEngine.verifyHypothesis(g, QueryType.Lookup(999L))
+    assert(r === GroundedResult.unverified)
+    assert(GroundingEngine.classifyGrounding(QueryType.Lookup(999L), found = false) === Grounding.Unknown)
+    // traversal from a missing node: same discipline
+    val t = GroundingEngine.verifyHypothesis(g, QueryType.Traverse(99L, 2))
+    assert(t === GroundedResult.unverified)
+  }
+
+  test("derived answers are inference") {
+    assert(GroundingEngine.classifyGrounding(QueryType.Traverse(0, 2), found = true) === Grounding.Inference)
+    assert(GroundingEngine.classifyGrounding(QueryType.StrongestPath(0, 3), found = true) === Grounding.Inference)
+    assert(GroundingEngine.classifyGrounding(QueryType.Intersect(Vector(0, 1)), found = true) === Grounding.Inference)
+  }
+
+  test("verifyHypothesis dispatch covers every query variant") {
+    val g = fixture
+    assert(GroundingEngine.verifyHypothesis(g, QueryType.Traverse(0L, 2)).artifact.get.path.nonEmpty)
+    assert(GroundingEngine.verifyHypothesis(g, QueryType.TraverseFiltered(0L, 2, 5L))
+      .artifact.get.subgraph.get.forall(_.weight >= 5))
+    assert(GroundingEngine.verifyHypothesis(g, QueryType.StrongestPath(0L, 3L))
+      .artifact.get.path === Vector(0L, 2L, 3L)) // weight 13 beats 12
+    assert(GroundingEngine.verifyHypothesis(g, QueryType.Intersect(Vector(1L, 2L)))
+      .artifact.get.path === Vector(3L))
+    assert(GroundingEngine.verifyHypothesis(g, QueryType.TraverseDfs(0L, 2))
+      .artifact.get.path === Vector(0L, 1L, 3L, 2L))
+  }
+
+  test("applyTopK: weight desc, (from, to) asc; path rebuilt; k=0 no-op") {
+    val art = Artifact.withSubgraph(
+      Vector(0L, 1L, 2L, 3L),
+      Vector(Edge(2, 3, 5), Edge(0, 1, 10), Edge(1, 2, 5), Edge(0, 2, 10)))
+
+    val top2 = GroundingEngine.applyTopK(art, Some(2))
+    // ties at weight 10 break on (from, to) ascending
+    assert(top2.subgraph.get === Vector(Edge(0, 1, 10), Edge(0, 2, 10)))
+    // path keeps only nodes in kept edges (plus original start)
+    assert(top2.path === Vector(0L, 1L, 2L))
+
+    val top3 = GroundingEngine.applyTopK(art, Some(3))
+    assert(top3.subgraph.get === Vector(Edge(0, 1, 10), Edge(0, 2, 10), Edge(1, 2, 5)))
+
+    assert(GroundingEngine.applyTopK(art, Some(0)) === art)
+    assert(GroundingEngine.applyTopK(art, None) === art)
+  }
+
+  test("session boundary validation: depth and arity bounds") {
+    val s = new GraftSession(fixture)
+    assert(s.query(QueryType.Traverse(0L, 101)).isLeft)
+    assert(s.query(QueryType.Intersect(Vector(1L))).isLeft)
+    assert(s.query(QueryType.Intersect((0L to 100L).toVector)).isLeft)
+    val ok = s.query(QueryType.Traverse(0L, 2))
+    assert(ok.isRight)
+    assert(ok.toOption.get._2 === Grounding.Inference)
+  }
+}

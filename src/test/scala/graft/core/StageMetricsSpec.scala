@@ -1,0 +1,50 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stage thresholds and metrics arithmetic (stage.rs:128-369). */
+class StageMetricsSpec extends AnyFunSuite {
+  private val assessor = new StageAssessor()
+
+  private def metricsWithStable(n: Long): GraphMetrics =
+    GraphMetrics(nodeCount = 10, edgeCount = n, stableEdgeCount = n,
+      densityMillionths = 0, maxDepth = 1)
+
+  test("stage thresholds at 100 / 1000 / 5000 stable edges") {
+    assert(assessor.assessFromMetrics(metricsWithStable(0)) === Stage.S0)
+    assert(assessor.assessFromMetrics(metricsWithStable(99)) === Stage.S0)
+    assert(assessor.assessFromMetrics(metricsWithStable(100)) === Stage.S1)
+    assert(assessor.assessFromMetrics(metricsWithStable(999)) === Stage.S1)
+    assert(assessor.assessFromMetrics(metricsWithStable(1000)) === Stage.S2)
+    assert(assessor.assessFromMetrics(metricsWithStable(4999)) === Stage.S2)
+    assert(assessor.assessFromMetrics(metricsWithStable(5000)) === Stage.S3)
+  }
+
+  test("progress is integer percent within the current band") {
+    val p = assessor.progressFromMetrics(metricsWithStable(50))
+    assert(p.current === Stage.S0 && p.next === Some(Stage.S1) && p.percent === 50)
+    val p2 = assessor.progressFromMetrics(metricsWithStable(550))
+    assert(p2.current === Stage.S1 && p2.percent === 50)
+    val p3 = assessor.progressFromMetrics(metricsWithStable(5000))
+    assert(p3.current === Stage.S3 && p3.next === None && p3.percent === 100)
+  }
+
+  test("density is integer fixed-point millionths, overflow-safe") {
+    assert(GraphMetrics.densityMillionths(0, 100) === 0L)
+    assert(GraphMetrics.densityMillionths(100, 250) === 2500000L)
+    // saturates instead of overflowing
+    assert(GraphMetrics.densityMillionths(1, Long.MaxValue / 1000) === Long.MaxValue)
+  }
+
+  test("metrics from a real graph: counts, stability, sampled depth") {
+    val g = new InMemoryGraph
+    val ids = (1L to 4L).map(g.insertNode)
+    ids.sliding(2).foreach { case Seq(a, b) => g.insertEdge(a, b, 10); case _ => }
+    val m = GraphMetrics.fromGraph(g)
+    assert(m.nodeCount === 4)
+    assert(m.edgeCount === 3)
+    assert(m.stableEdgeCount === 3)  // all weights at the promotion threshold
+    assert(m.densityMillionths === 750000L)
+    assert(m.maxDepth === 3)         // chain of 4 nodes
+  }
+}

@@ -1,0 +1,71 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Tiered validation suite, ported from the reference's
+  * tests/validation_tiers.rs: "if ANY tier fails, the system is INVALID".
+  * T0 signal integrity, T1 deterministic edge creation, T2 single-hop
+  * composition, T3 multi-hop traversal.
+  */
+class ValidationTiersSpec extends AnyFunSuite {
+
+  test("T0: signal integrity — valid signals land, invalid are rejected unrepaired") {
+    val g = new InMemoryGraph
+    assert(Ingestor.ingestSignal(g, Signal(1, "kind", "service")).isRight)
+    assert(g.nodeCount === 1)
+    assert(g.getProperties(0L) === Right(Vector(("kind", "service"))))
+
+    // rejected, never repaired — the graph must be untouched
+    for (bad <- Seq(
+        Signal(2, "", "x"),
+        Signal(2, "a", ""),
+        Signal(2, "a" * 257, "x"),
+        Signal(2, "at\u0000tr", "x"),
+        Signal(2, "attr", "va\u0007lue"))) {
+      assert(Ingestor.ingestSignal(g, bad) === Left(GraftError.InvalidSignal))
+    }
+    assert(g.nodeCount === 1)
+
+    // \n \r \t are legitimate in values (multiline text), not in attributes
+    assert(Ingestor.ingestSignal(g, Signal(3, "text", "line1\nline2\tend\r")).isRight)
+    assert(Ingestor.ingestSignal(g, Signal(4, "at\ttr", "x")).isLeft)
+  }
+
+  test("T1: deterministic edge creation — same sequence, same graph, every time") {
+    val seq = Seq(
+      Signal(10, "kind", "service"), Signal(20, "kind", "service"),
+      Signal(10, "dep", "b"), Signal(30, "kind", "db"))
+    val (g1, g2) = (new InMemoryGraph, new InMemoryGraph)
+    assert(Ingestor.ingestSequence(g1, seq) === Ingestor.ingestSequence(g2, seq))
+    assert(g1.allNodes === g2.allNodes)
+    assert(g1.allEdges === g2.allEdges)
+    // adjacency edges exist exactly between consecutive signals' nodes
+    assert(g1.getEdge(0L, 1L) === Some(1L))
+    assert(g1.getEdge(1L, 0L) === Some(1L))
+    assert(g1.getEdge(0L, 2L) === Some(1L))
+    assert(g1.getEdge(2L, 0L) === None)
+  }
+
+  test("T2: single-hop — traverse depth 1 reports exactly the out-neighbors") {
+    val g = new InMemoryGraph
+    val a = g.insertNode(1); val b = g.insertNode(2); val c = g.insertNode(3)
+    g.insertEdge(a, b, 2); g.insertEdge(a, c, 1); g.insertEdge(b, c, 5)
+    val art = g.traverse(a, 1).get
+    assert(art.path === Vector(a, b, c))
+    assert(art.subgraph.get === Vector(Edge(a, b, 2), Edge(a, c, 1)))
+  }
+
+  test("T3: multi-hop — chains resolve transitively, bounded by depth") {
+    val g = new InMemoryGraph
+    val ids = (1L to 5L).map(g.insertNode)
+    ids.sliding(2).foreach { case Seq(x, y) => g.insertEdge(x, y, 1); case _ => }
+    // depth 4 reaches the end of the chain; depth 2 must not
+    assert(g.traverse(ids.head, 4).get.path === ids.toVector)
+    assert(g.traverse(ids.head, 2).get.path === ids.take(3).toVector)
+    // strongest path follows the only route
+    assert(g.strongestPath(ids.head, ids.last) === Some(ids.toVector))
+    // and an unreachable target is absence, not error
+    val lone = g.insertNode(99)
+    assert(g.strongestPath(lone, ids.head) === None)
+  }
+}

@@ -1,0 +1,150 @@
+package graft.graph
+
+import graft.SparkTestSession
+import graft.core.{InMemoryGraph, Ingestor, Signal}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.mutable
+
+/** Cross-check: the distributed Parquet-derivation engine must agree with
+  * the reference-semantics [[InMemoryGraph]] on every operator, first on the
+  * canonical 9-signal example fixture (FIXTURES.md §1), then on the real
+  * sf0.001 events log (1000 signals, 15 entities).
+  */
+class GraphTablesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** The reference's canonical example: 9 signals, 3 entities
+    * (/root/reference/examples/sample_signals.json, FIXTURES.md §1).
+    */
+  private val sample: Seq[Signal] = Seq(
+    Signal(1, "name", "Alice"), Signal(1, "role", "engineer"),
+    Signal(2, "name", "Bob"), Signal(2, "role", "designer"),
+    Signal(3, "name", "Kremis"), Signal(3, "type", "project"),
+    Signal(1, "works_on", "Kremis"), Signal(2, "works_on", "Kremis"),
+    Signal(1, "knows", "Bob"))
+
+  private def framesOf(signals: Seq[Signal]): GraphFrames = {
+    import spark.implicits._
+    val df = signals.zipWithIndex
+      .map { case (s, i) => (i.toLong, s.entityId, s.attribute, s.value) }
+      .toDF("seq", "entity_id", "attribute", "value")
+    GraphTables.build(GraphTables.validSignals(df))
+  }
+
+  private def memOf(signals: Seq[Signal]): InMemoryGraph = {
+    val mem = new InMemoryGraph
+    assert(Ingestor.ingestSequence(mem, signals).isRight)
+    mem
+  }
+
+  /** BFS level sets from the in-memory graph (first-reach depth), the
+    * driver-side twin of GraphTables.traverseBfs output.
+    */
+  private def memLevels(
+      mem: InMemoryGraph, start: Long, depth: Int,
+      minWeight: Option[Long] = None): Map[Long, Int] = {
+    if (!mem.containsNode(start)) return Map.empty
+    val levels = mutable.Map(start -> 0)
+    val queue = mutable.Queue(start)
+    while (queue.nonEmpty) {
+      val n = queue.dequeue()
+      val d = levels(n)
+      if (d < depth) {
+        for ((m, w) <- mem.neighbors(n) if minWeight.forall(w >= _) && !levels.contains(m)) {
+          levels(m) = d + 1
+          queue.enqueue(m)
+        }
+      }
+    }
+    levels.toMap
+  }
+
+  test("sample fixture: tables match the in-memory derivation") {
+    val g = framesOf(sample)
+    val mem = memOf(sample)
+    // 3 entities -> 3 nodes in first-appearance order
+    assert(g.nodes.orderBy("node_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === mem.allNodes.map(n => (n.id, n.entityId)))
+    assert(g.edges.orderBy("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      === mem.allEdges.map(e => (e.from, e.to, e.weight)))
+    val props = g.properties.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val memProps = mem.allNodes.flatMap(n =>
+      mem.getProperties(n.id).toOption.get.map { case (a, v) => (n.id, a, v) }).toSet
+    assert(props === memProps)
+  }
+
+  test("sample fixture: invalid signals are filtered by the column predicates") {
+    import spark.implicits._
+    val bad = Seq(
+      (0L, 1L, "", "x"),                      // empty attribute
+      (1L, 1L, "a" * 257, "x"),               // oversized attribute
+      (2L, 1L, "ok", "a\u0000b"),               // control char in value
+      (3L, 1L, "bad\nattr", "x"),             // control char in attribute
+      (4L, 1L, "ok", "line1\nline2\tok\r"),   // \n\r\t allowed in value
+      (5L, 1L, "ok", "x"))
+    val df = bad.toDF("seq", "entity_id", "attribute", "value")
+    val kept = GraphTables.validSignals(df).select("seq").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(4L, 5L))
+    assert(GraphTables.invalidCount(df) === 4L)
+  }
+
+  test("sample fixture: BFS / intersect / strongest path agree with in-memory") {
+    val g = framesOf(sample)
+    val mem = memOf(sample)
+
+    val levels = GraphTables.traverseBfs(g, 0L, 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(levels === memLevels(mem, 0L, 2))
+
+    val inter = GraphTables.intersect(g, Seq(0L, 1L)).collect().map(_.getLong(0))
+    assert(inter.toSeq === mem.intersect(Seq(0L, 1L)))
+
+    val sp = GraphTables.strongestPath(g, 0L, 2L).orderBy("step")
+      .collect().map(_.getLong(1))
+    assert(sp.toSeq === mem.strongestPath(0L, 2L).getOrElse(Vector.empty))
+
+    val dfs = GraphTables.traverseDfs(g, 0L, 2).orderBy("step")
+      .collect().map(_.getLong(1))
+    assert(dfs.toSeq === mem.traverseDfs(0L, 2).get.path)
+  }
+
+  test("sf0.001 events: full derivation + traversals agree with in-memory") {
+    val g = GraphTables.forDir(spark, "/root/testdata/sf0.001")
+    val signals = GraphTables.signalsFromEvents(spark, "/root/testdata/sf0.001")
+      .orderBy("seq").collect()
+      .map(r => Signal(r.getLong(1), r.getString(2), r.getString(3)))
+    val mem = memOf(signals.toSeq)
+
+    assert(g.nodes.orderBy("node_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === mem.allNodes.map(n => (n.id, n.entityId)))
+    assert(g.edges.orderBy("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      === mem.allEdges.map(e => (e.from, e.to, e.weight)))
+
+    val levels = GraphTables.traverseBfs(g, 0L, 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(levels === memLevels(mem, 0L, 3))
+
+    val levelsW = GraphTables.traverseBfs(g, 0L, 3, minWeight = Some(5L))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(levelsW === memLevels(mem, 0L, 3, minWeight = Some(5L)))
+
+    val inter = GraphTables.intersect(g, Seq(0L, 1L, 2L)).collect().map(_.getLong(0))
+    assert(inter.toSeq === mem.intersect(Seq(0L, 1L, 2L)))
+
+    val nbr = GraphTables.neighbors(g, 0L).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(nbr.toSeq === mem.neighbors(0L))
+
+    val sp = GraphTables.strongestPath(g, 0L, 7L).orderBy("step").collect().map(_.getLong(1))
+    assert(sp.toSeq === mem.strongestPath(0L, 7L).getOrElse(Vector.empty))
+
+    val dfs = GraphTables.traverseDfs(g, 0L, 2).orderBy("step").collect().map(_.getLong(1))
+    assert(dfs.toSeq === mem.traverseDfs(0L, 2).get.path)
+  }
+
+  test("missing start node yields an empty traversal (the reference's None)") {
+    val g = framesOf(sample)
+    assert(GraphTables.traverseBfs(g, 999L, 2).isEmpty)
+    assert(GraphTables.strongestPath(g, 999L, 0L).isEmpty)
+  }
+}
