@@ -1,0 +1,235 @@
+package graft.queries
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over the `documents` table: exact and
+  * near deduplication, text statistics, quality scoring, language-ID
+  * heuristics and document fingerprinting.
+  *
+  * Scale design (100 TB):
+  *   - exact dedup is a hash-groupBy (shuffle on the 128-bit content hash,
+  *     map-side partial agg);
+  *   - near-dup is MinHash + LSH banding — candidates come from equi-joins
+  *     on (band, signature), never an all-pairs product; the exact-Jaccard
+  *     verification join touches only candidate pairs;
+  *   - every text metric is a per-row projection (no shuffle at all).
+  *
+  * Oracle contract: the DuckDB SQL recomputes near-dup pairs EXHAUSTIVELY
+  * (all-pairs) — the LSH path must find every pair at or above the
+  * threshold for the compare to pass. With 128 hashes in 32 bands of 4 and
+  * pairs at Jaccard >= 0.9, the per-pair miss probability is
+  * (1 - 0.9^4)^32 ~ 1.5e-15: the probabilistic recall is exact in any run
+  * that matters.
+  */
+object PipelinePack {
+
+  /** Whitespace-normalized, case-folded text — the canonical form for
+    * exact dedup.
+    */
+  private def normalized(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** token array (the corpus is single-space separated). */
+  private val toks: Column = split(col("text"), " ")
+
+  /** Distinct 3-gram word shingles per document: (doc_id, g). */
+  private def shingles(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      explode(when(size(toks) >= 3,
+        expr("transform(sequence(0, size(split(text, ' ')) - 3), " +
+          "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], split(text, ' ')[i+2]))"))
+        .otherwise(array().cast("array<string>"))).as("g"))
+      .distinct()
+
+  private val MinHashes = 128
+  private val Bands = 32
+  private val RowsPerBand = MinHashes / Bands
+  private val JaccardThreshold = 0.5
+
+  /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
+    * Returns (doc_i, doc_j, jaccard) for verified pairs above threshold.
+    */
+  def nearDupPairs(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs).persist()
+
+    // 128 minhashes per doc: min over shingles of a seeded 64-bit hash.
+    val mhCols = (0 until MinHashes).map(i => min(xxhash64(lit(i), col("g"))).as(s"mh_$i"))
+    val sigs = sh.groupBy("doc_id")
+      .agg(mhCols.head, mhCols.tail: _*)
+      .select(col("doc_id"), array((0 until MinHashes).map(i => col(s"mh_$i")): _*).as("mh"))
+
+    // LSH banding: one signature per (band of 4 consecutive minhashes).
+    val bands = sigs.select(
+      col("doc_id"),
+      posexplode(expr(s"transform(sequence(0, ${Bands - 1}), " +
+        s"b -> xxhash64(b, mh[b*$RowsPerBand], mh[b*$RowsPerBand+1], mh[b*$RowsPerBand+2], mh[b*$RowsPerBand+3]))")))
+      .toDF("doc_id", "band", "sig")
+
+    // Candidates: docs sharing any band signature (equi-join, no product).
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_i"), col("y.doc_id").as("doc_j"))
+      .distinct()
+
+    // Exact verification on candidates only.
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shJ = sh.select(col("doc_id").as("dj"), col("g").as("gj"))
+    val inter = cands
+      .join(sh.withColumnRenamed("doc_id", "doc_i").withColumnRenamed("g", "gi"), "doc_i")
+      .join(shJ, col("doc_j") === col("dj") && col("gi") === col("gj"))
+      .groupBy("doc_i", "doc_j").agg(count(lit(1)).as("inter"))
+
+    inter
+      .join(sizes.select(col("doc_id").as("doc_i"), col("n").as("ni")), "doc_i")
+      .join(sizes.select(col("doc_id").as("doc_j"), col("n").as("nj")), "doc_j")
+      .select(col("doc_i"), col("doc_j"),
+        (col("inter").cast("double") / (col("ni") + col("nj") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+  }
+
+  /** 60-bit SimHash over tokens, built from md5 bits so the plain-Scala
+    * test twin can reproduce it bit-for-bit (no engine-private hash).
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    // 15 hex chars = 60 bits, fits a signed long exactly.
+    val h = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+    val tokens = docs.select(col("doc_id"), explode(toks).as("tok"))
+      .withColumn("h", h)
+    val bitCols = (0 until 60).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$i")
+    }
+    val agg = tokens.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+    val sim = (0 until 60).map(i =>
+      when(col(s"b_$i") > 0, lit(1L) * (1L << i)).otherwise(0L)).reduce(_ + _)
+    agg.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  val defs: Seq[QDef] = Seq(
+
+    // ---- exact dedup: hash-groupBy keep-first ----
+    QDef("d01_dedup_keep_first", Some("""
+      SELECT min(doc_id) AS doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash
+      FROM documents
+      GROUP BY content_hash
+      ORDER BY doc_id""")) { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(md5(normalized(col("text"))).as("content_hash"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id", "content_hash")
+        .orderBy("doc_id")
+    },
+
+    QDef("d02_dedup_stats", Some("""
+      SELECT count(*) AS n_docs,
+             count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_distinct,
+             count(*) - count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_dup_rows
+      FROM documents""")) { (s, dir) =>
+      Tables.documents(s, dir)
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(md5(normalized(col("text")))).as("n_distinct"))
+        .select(col("n_docs"), col("n_distinct"),
+          (col("n_docs") - col("n_distinct")).as("n_dup_rows"))
+    },
+
+    // ---- near-dup: MinHash-LSH candidates + exact verify; the oracle is
+    // the exhaustive all-pairs recompute ----
+    QDef("d03_minhash_near_dup", Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      idx AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) i FROM tok),
+      sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM idx),
+      pairs AS (
+        SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS inter
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+      SELECT p.doc_i, p.doc_j,
+             CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) AS jaccard
+      FROM pairs p
+        JOIN sizes sa ON sa.doc_id = p.doc_i
+        JOIN sizes sb ON sb.doc_id = p.doc_j
+      WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5
+      ORDER BY doc_i, doc_j""")) { (s, dir) =>
+      nearDupPairs(Tables.documents(s, dir)).orderBy("doc_i", "doc_j")
+    },
+
+    // ---- text statistics (pure projections — no shuffle) ----
+    QDef("d04_token_stats", Some("""
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+             length(replace(text, ' ', '')) AS total_token_chars
+      FROM documents ORDER BY doc_id""")) { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("total_token_chars"))
+        .orderBy("doc_id")
+    },
+
+    // ---- quality scoring: integer fixed-point ratios (deterministic) ----
+    QDef("d05_quality_score", Some("""
+      SELECT doc_id,
+             (len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) * 1000000)
+               // len(string_split(text, ' ')) AS stopword_millionths,
+             (len(list_distinct(string_split(text, ' '))) * 1000000)
+               // len(string_split(text, ' ')) AS distinct_millionths,
+             (length(replace(text, ' ', '')) * 1000000)
+               // len(string_split(text, ' ')) AS avg_token_len_millionths
+      FROM documents ORDER BY doc_id""")) { (s, dir) =>
+      val nTok = size(toks).cast("long")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        expr("size(filter(split(text, ' '), x -> x = 'the' OR x = 'a')) * 1000000L")
+          .divide(nTok).cast("long").as("stopword_millionths"),
+        (size(array_distinct(toks)).cast("long") * 1000000L).divide(nTok).cast("long")
+          .as("distinct_millionths"),
+        (length(regexp_replace(col("text"), " ", "")).cast("long") * 1000000L).divide(nTok)
+          .cast("long").as("avg_token_len_millionths"))
+        .orderBy("doc_id")
+    },
+
+    // ---- language-ID heuristic: stopword-profile hits ----
+    QDef("d06_lang_guess", Some("""
+      SELECT doc_id,
+             CASE
+               WHEN len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'of'))) > 0 THEN 'en'
+               WHEN len(list_filter(string_split(text, ' '), x -> x IN ('der', 'und', 'die'))) > 0 THEN 'de'
+               WHEN len(list_filter(string_split(text, ' '), x -> x IN ('le', 'et', 'la'))) > 0 THEN 'fr'
+               ELSE 'unknown'
+             END AS lang_guess
+      FROM documents ORDER BY doc_id""")) { (s, dir) =>
+      val hits = (ws: Seq[String]) =>
+        expr(s"size(filter(split(text, ' '), x -> x IN (${ws.map(w => s"'$w'").mkString(", ")})))")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        when(hits(Seq("the", "a", "of")) > 0, "en")
+          .when(hits(Seq("der", "und", "die")) > 0, "de")
+          .when(hits(Seq("le", "et", "la")) > 0, "fr")
+          .otherwise("unknown").as("lang_guess"))
+        .orderBy("doc_id")
+    },
+
+    // ---- document fingerprint: min shingle digest (rolling-hash family) ----
+    QDef("d07_fingerprint", Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      idx AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) i FROM tok),
+      sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM idx)
+      SELECT doc_id, min(md5(g)) AS fingerprint FROM sh GROUP BY doc_id ORDER BY doc_id""")) { (s, dir) =>
+      shingles(Tables.documents(s, dir))
+        .groupBy("doc_id").agg(min(md5(col("g"))).as("fingerprint"))
+        .orderBy("doc_id")
+    },
+
+    // ---- SimHash (no SQL oracle: 60 bit-plane aggregations; verified
+    // bit-for-bit against a plain-Scala twin in PipelineSpec) ----
+    QDef("d08_simhash", None) { (s, dir) =>
+      simhash(Tables.documents(s, dir)).orderBy("doc_id")
+    }
+  )
+}

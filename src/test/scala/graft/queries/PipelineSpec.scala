@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.security.MessageDigest
+
+/** Pipeline-operator verification beyond the DuckDB oracle: the SimHash
+  * plain-Scala twin (bit-for-bit), LSH near-dup vs a brute-force recompute,
+  * and keep-first dedup semantics on a corpus with actual duplicates.
+  */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
+  test("simhash matches a plain-Scala recompute bit for bit") {
+    val docs = graft.Tables.documents(spark, dir)
+    val got = PipelinePack.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(texts.nonEmpty)
+    val expected = texts.map { case (id, text) =>
+      val counts = new Array[Long](60)
+      for (tok <- text.split(' ')) {
+        val h = java.lang.Long.parseLong(md5hex(tok).take(15), 16)
+        for (i <- 0 until 60)
+          counts(i) += (if (((h >> i) & 1L) == 1L) 1L else -1L)
+      }
+      val sim = (0 until 60).map(i => if (counts(i) > 0) 1L << i else 0L).sum
+      id -> sim
+    }.toMap
+    assert(got === expected)
+  }
+
+  test("LSH near-dup equals the brute-force all-pairs recompute") {
+    val docs = graft.Tables.documents(spark, dir)
+    val got = PipelinePack.nearDupPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def sh(t: String): Set[String] = t.split(' ').sliding(3).map(_.mkString(" ")).toSet
+    val expected = (for {
+      (i, ti) <- texts; (j, tj) <- texts if i < j
+      si = sh(ti); sj = sh(tj)
+      inter = (si & sj).size
+      jac = inter.toDouble / (si.size + sj.size - inter)
+      if jac >= 0.5
+    } yield (i, j, jac)).toSet
+    assert(expected.nonEmpty, "fixture should contain near-dup pairs")
+    assert(got === expected)
+  }
+
+  test("keep-first dedup keeps the lowest doc_id per normalized content") {
+    import spark.implicits._
+    val df = Seq(
+      (10L, "Hello  World"),
+      (3L, "hello world"),   // same normalized content, lower id -> keeper
+      (7L, "other doc"),
+      (8L, "hello world "))  // trailing space normalizes away
+      .toDF("doc_id", "text")
+    val kept = df.groupBy(md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(3L, 7L))
+  }
+}
