@@ -12,7 +12,7 @@ import graft.queries._
 object SparkEntry {
 
   private val packs: Seq[QDef] =
-    Relational.defs ++ GraphPack.defs ++ PipelinePack.defs
+    Relational.defs ++ GraphPack.defs ++ PipelinePack.defs ++ AnnPack.defs
 
   private lazy val maps = QDef.toMaps(packs)
 

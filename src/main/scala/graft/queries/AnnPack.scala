@@ -1,0 +1,123 @@
+package graft.queries
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Two paths:
+  *   - brute-force cosine top-k — the exactness baseline. The query side is
+  *     tiny and broadcast; the data side is scanned once and never
+  *     shuffled, so the plan is a single codegen'd projection + per-query
+  *     top-k. At 100 TB this is the "small query batch against the full
+  *     corpus" shape: cost is one full scan per query batch, embarrassingly
+  *     parallel, no shuffle.
+  *   - IVF (inverted-file) top-k — the scale path: vectors are assigned to
+  *     the nearest of a fixed set of centroids (one cell each); a query
+  *     probes only its nprobe nearest cells, so the candidate scan touches
+  *     a fraction of the corpus. At 100 TB the cell id becomes a partition
+  *     / bucketing key and probing prunes partitions at the source.
+  *
+  * All arithmetic is double-precision with left-to-right accumulation via
+  * `aggregate` over `zip_with` — codegen'd higher-order functions, no UDF.
+  */
+object AnnPack {
+
+  val K = 10
+  val NumQueries = 10
+  val NumCentroids = 16
+  val NProbe = 4
+
+  /** Double-precision cosine similarity of two float-array columns. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+
+  /** The query batch: vec_ids 0..9 (deterministic fixture). */
+  private def queries(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+  /** Exact top-k: (q_id, rank, neighbor_id). */
+  def bruteForceTopK(emb: DataFrame): DataFrame = {
+    val scored = emb.crossJoin(broadcast(queries(emb)))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("embedding"), col("q_emb")).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
+  }
+
+  /** IVF top-k: same output shape, candidates restricted to the query's
+    * nprobe nearest cells. Centroids are the vectors with
+    * vec_id < NumCentroids — a deterministic sample standing in for a
+    * k-means codebook (the assignment/probing plumbing is what scales).
+    */
+  def ivfTopK(emb: DataFrame): DataFrame = {
+    val centroids = broadcast(
+      emb.filter(col("vec_id") < NumCentroids)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb")))
+
+    // cell assignment: nearest centroid per vector (one row each)
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))
+    val cells = emb.crossJoin(centroids)
+      .select(col("vec_id"), col("embedding"), col("label"),
+        col("c_id"), cosine(col("embedding"), col("c_emb")).as("c_cos"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
+
+    // probe list: nprobe nearest cells per query
+    val wProbe = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("c_id"))
+    val probes = queries(emb).crossJoin(centroids)
+      .select(col("q_id"), col("q_emb"),
+        col("c_id"), cosine(col("q_emb"), col("c_emb")).as("c_cos"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= NProbe)
+      .select(col("q_id"), col("q_emb"), col("c_id").as("cell"))
+
+    // candidates = vectors in probed cells only (equi-join on cell)
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    cells.join(probes, "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("embedding"), col("q_emb")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
+  }
+
+  val defs: Seq[QDef] = Seq(
+
+    QDef("e01_ann_brute_topk", Some(s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < $NumQueries),
+      scored AS (
+        SELECT q.q_id, e.vec_id,
+               list_cosine_similarity(e.embedding, q.q_emb) AS c
+        FROM embeddings e, q WHERE e.vec_id != q.q_id),
+      ranked AS (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rank
+        FROM scored)
+      SELECT q_id, rank, vec_id AS neighbor_id FROM ranked
+      WHERE rank <= $K ORDER BY q_id, rank""")) { (s, dir) =>
+      bruteForceTopK(embeddings(s, dir)).orderBy("q_id", "rank")
+    },
+
+    // IVF is approximate by construction (recall measured in AnnSpec
+    // against the brute-force baseline) — no equality oracle.
+    QDef("e02_ann_ivf_topk", None) { (s, dir) =>
+      ivfTopK(embeddings(s, dir)).orderBy("q_id", "rank")
+    }
+  )
+}
