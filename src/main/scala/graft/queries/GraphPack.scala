@@ -179,6 +179,13 @@ object GraphPack {
 
     QDef("g18_traverse_dfs", None) { (s, dir) =>
       GraphTables.traverseDfs(GraphTables.forDir(s, dir), 0L, 2)
+    },
+
+    // ---- integrity: commutative distributed checksum (no SQL oracle —
+    // FNV-1a row hashes aren't DuckDB-expressible; parity with the
+    // driver-side canonical checksum is asserted in CanonicalSpec) ----
+    QDef("g19_state_checksum", None) { (s, dir) =>
+      graft.verify.DistributedChecksum.summary(GraphTables.forDir(s, dir))
     }
   )
 }

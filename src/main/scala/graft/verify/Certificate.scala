@@ -1,0 +1,142 @@
+package graft.verify
+
+import graft.core.{Artifact, Edge, GraftError, Grounding, InMemoryGraph, Node}
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+
+/** Verifiable Query Certificate ("GQC1") — byte-reproducible proof that a
+  * query was answered against a specific graph state, including proof of
+  * ABSENCE when nothing was found.
+  *
+  * Role-equivalent to the reference's KVQC (certificate.rs:29-237): bind a
+  * 32-byte state hash, a query descriptor, sorted minimal evidence
+  * (nodes + edges), the ordered traversal trace, and the grounding verdict
+  * into a canonical byte string. Same (state, query, result) ⇒ identical
+  * bytes — frozen golden vectors pin the layout (certificate_vectors.rs
+  * methodology; our own bytes).
+  *
+  * Layout (big-endian, length-prefixed UTF-8):
+  * {{{
+  *   magic "GQC1" 4 B | version u8 = 1 | state_hash 32 B
+  *   descriptor: len u32 + utf8         (e.g. "traverse:0:2")
+  *   grounding u8                       (0 fact / 1 inference / 2 unknown)
+  *   evidence nodes: count u32 + [id i64, entity i64] sorted by id
+  *   evidence edges: count u32 + [from, to, weight i64] sorted (from, to)
+  *   trace: count u32 + [node i64] in visit order
+  * }}}
+  */
+final case class QueryCertificate(
+    stateHash: Vector[Byte],
+    queryDescriptor: String,
+    grounding: Grounding,
+    evidenceNodes: Vector[Node],
+    evidenceEdges: Vector[Edge],
+    trace: Vector[Long]) {
+
+  def isProofOfAbsence: Boolean =
+    grounding == Grounding.Unknown && evidenceNodes.isEmpty && evidenceEdges.isEmpty
+
+  def toCanonicalBytes: Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.write(QueryCertificate.Magic)
+    out.writeByte(QueryCertificate.Version)
+    require(stateHash.length == 32, "state hash must be 32 bytes")
+    out.write(stateHash.toArray)
+    val d = queryDescriptor.getBytes(StandardCharsets.UTF_8)
+    out.writeInt(d.length); out.write(d)
+    out.writeByte(QueryCertificate.groundingCode(grounding))
+    out.writeInt(evidenceNodes.length)
+    evidenceNodes.foreach(n => { out.writeLong(n.id); out.writeLong(n.entityId) })
+    out.writeInt(evidenceEdges.length)
+    evidenceEdges.foreach(e => { out.writeLong(e.from); out.writeLong(e.to); out.writeLong(e.weight) })
+    out.writeInt(trace.length)
+    trace.foreach(out.writeLong)
+    out.flush()
+    bos.toByteArray
+  }
+}
+
+object QueryCertificate {
+  val Magic: Array[Byte] = "GQC1".getBytes(StandardCharsets.US_ASCII)
+  val Version: Byte = 1
+  val MaxEvidence = 1000000
+
+  def groundingCode(g: Grounding): Byte = g match {
+    case Grounding.Fact => 0
+    case Grounding.Inference => 1
+    case Grounding.Unknown => 2
+  }
+
+  private def groundingOf(code: Byte): Option[Grounding] = code match {
+    case 0 => Some(Grounding.Fact)
+    case 1 => Some(Grounding.Inference)
+    case 2 => Some(Grounding.Unknown)
+    case _ => None
+  }
+
+  /** Build from a query answer. Evidence = nodes touched by path ∪
+    * subgraph (sorted by id, resolved to (id, entity) by local lookup —
+    * never a whole-graph materialization, certificate.rs:94-135); edges
+    * from the subgraph, or the induced edges among evidence nodes when the
+    * artifact carries none; trace = the path in visit order. An absent
+    * result (grounding unknown) yields empty evidence: proof of absence.
+    */
+  def build(
+      stateHash: Array[Byte],
+      queryDescriptor: String,
+      grounding: Grounding,
+      graph: InMemoryGraph,
+      artifact: Option[Artifact]): QueryCertificate = {
+    val (nodes, edges, trace) = artifact match {
+      case None => (Vector.empty[Node], Vector.empty[Edge], Vector.empty[Long])
+      case Some(a) =>
+        val sub = a.subgraph.getOrElse(Vector.empty)
+        val touched = (a.path ++ sub.flatMap(e => Seq(e.from, e.to))).distinct.sorted
+        val evNodes = touched.flatMap(graph.lookup)
+        val evEdges =
+          if (sub.nonEmpty) sub.sortBy(e => (e.from, e.to))
+          else {
+            val set = touched.toSet
+            touched.flatMap(n =>
+              graph.neighbors(n).collect { case (to, w) if set.contains(to) => Edge(n, to, w) })
+          }
+        (evNodes, evEdges, a.path)
+    }
+    QueryCertificate(stateHash.toVector, queryDescriptor, grounding, nodes, edges, trace)
+  }
+
+  def fromCanonicalBytes(bytes: Array[Byte]): Either[GraftError, QueryCertificate] = {
+    def err(m: String) = Left(GraftError.ImportError(m))
+    if (bytes.length < 4 + 1 + 32 + 4) return err("truncated certificate")
+    val buf = ByteBuffer.wrap(bytes)
+    val magic = new Array[Byte](4); buf.get(magic)
+    if (!magic.sameElements(Magic)) return err("bad magic")
+    if (buf.get() != Version) return err("unsupported version")
+    try {
+      val hash = new Array[Byte](32); buf.get(hash)
+      val dLen = buf.getInt
+      if (dLen < 0 || dLen > 65536) return err("corrupt descriptor length")
+      val d = new Array[Byte](dLen); buf.get(d)
+      val grounding = groundingOf(buf.get()) match {
+        case Some(g) => g
+        case None => return err("unknown grounding code")
+      }
+      val nNodes = buf.getInt
+      if (nNodes < 0 || nNodes > MaxEvidence) return err("corrupt node count")
+      val nodes = Vector.fill(nNodes)(Node(buf.getLong, buf.getLong))
+      val nEdges = buf.getInt
+      if (nEdges < 0 || nEdges > MaxEvidence) return err("corrupt edge count")
+      val edges = Vector.fill(nEdges)(Edge(buf.getLong, buf.getLong, buf.getLong))
+      val nTrace = buf.getInt
+      if (nTrace < 0 || nTrace > MaxEvidence) return err("corrupt trace count")
+      val trace = Vector.fill(nTrace)(buf.getLong)
+      if (buf.hasRemaining) return err("trailing bytes")
+      Right(QueryCertificate(
+        hash.toVector, new String(d, StandardCharsets.UTF_8), grounding, nodes, edges, trace))
+    } catch {
+      case _: java.nio.BufferUnderflowException => err("truncated payload")
+    }
+  }
+}

@@ -1,0 +1,43 @@
+package graft.verify
+
+import org.apache.spark.sql.{Column, GraftExpressionBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+
+/** Native Catalyst expression: FNV-1a 64 of a binary column.
+  *
+  * Why not a Scala UDF: the checksum runs over every row of every graph
+  * table — it must stay inside whole-stage codegen (a UDF breaks the
+  * codegen span and boxes every row). Why not built-in hash functions:
+  * Spark's xxhash64/murmur are engine-private choices we'd have to
+  * re-implement driver-side anyway, and Spark 4's ANSI mode makes the
+  * wrapping multiply impossible to express with SQL arithmetic (long
+  * overflow throws). The codegen body delegates to [[RowHash.fnv1a64]] —
+  * the exact function the driver-side canonical serializer uses, so
+  * distributed and local checksums agree by construction.
+  */
+case class Fnv1a64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"fnv1a64 requires BINARY input, got ${child.dataType}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    RowHash.fnv1a64(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.verify.RowHash.fnv1a64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Fnv1a64Expr =
+    copy(child = newChild)
+}
+
+object Fnv1a64Expr {
+  def apply(c: Column): Column =
+    GraftExpressionBridge.toColumn(Fnv1a64Expr(GraftExpressionBridge.toExpression(c)))
+}

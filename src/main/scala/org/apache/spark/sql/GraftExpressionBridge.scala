@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to Spark's private[sql] Column ⇄ Expression converters, for
+  * registering native Catalyst expressions (graft.verify.Fnv1a64Expr)
+  * without a UDF. Spark 4 moved these behind `private[sql]`; a one-object
+  * bridge in the sql package is the conventional extension-library
+  * workaround.
+  */
+object GraftExpressionBridge {
+  def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,113 @@
+package graft.verify
+
+import graft.SparkTestSession
+import graft.core._
+import graft.graph.GraphTables
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Canonical export: roundtrip, frozen golden bytes, commutative checksum
+  * (driver and distributed agreeing), import limits and dangling
+  * diagnostics. Reproducibility alone cannot catch a consistently-changed
+  * format — hence the pinned hex vector (certificate_vectors.rs
+  * methodology, our own bytes).
+  */
+class CanonicalSpec extends AnyFunSuite {
+
+  /** FIXTURES.md §2: entities 1,2,3 → nodes 0,1,2; edges 0→1 w10, 1→2 w20. */
+  private def fixture: InMemoryGraph = {
+    val g = new InMemoryGraph
+    Seq(1L, 2L, 3L).foreach(g.insertNode)
+    g.insertEdge(0, 1, 10); g.insertEdge(1, 2, 20)
+    g.storeProperty(0, "name", "alpha")
+    g
+  }
+
+  private def hex(b: Array[Byte]): String = b.map(x => f"$x%02x").mkString
+
+  private val FrozenCanonicalHex =
+    "475246580100000000000000030000000000000003000000000000000200000000000000" +
+    "017a9deb12d01e1655000000000000000000000000000000010000000000000001000000" +
+    "000000000200000000000000020000000000000003000000000000000000000000000000" +
+    "01000000000000000a000000000000000100000000000000020000000000000014000000" +
+    "0000000000000000046e616d6500000005616c706861"
+  private val FrozenChecksum = 8835476510004352597L
+  private val FrozenStateHash =
+    "a98efe04211f288d8a6a0e3aefe5eb6f67bfd4118ac084333aea88ea38f42e99"
+
+  test("golden vector: canonical bytes, checksum and state hash are frozen") {
+    val c = Canonical.fromGraph(fixture)
+    assert(hex(Canonical.toBytes(c)) === FrozenCanonicalHex)
+    assert(Canonical.checksum(c) === FrozenChecksum)
+    assert(Canonical.stateHashHex(c) === FrozenStateHash)
+  }
+
+  test("roundtrip: toBytes -> fromBytes -> importCanonical is the identity") {
+    val g = fixture
+    val c = Canonical.fromGraph(g)
+    val parsed = Canonical.fromBytes(Canonical.toBytes(c))
+    assert(parsed === Right(c))
+    val (g2, diag) = Canonical.importCanonical(parsed.toOption.get)
+    assert(diag === Canonical.LoadDiagnostics(0, 0))
+    assert(Canonical.fromGraph(g2) === c)
+    assert(Canonical.verifyCanonical(g))
+  }
+
+  test("checksum commutes: ingest order does not change it") {
+    val g1 = fixture
+    val g2 = new InMemoryGraph
+    // same content, different construction order
+    Seq(1L, 2L, 3L).foreach(g2.insertNode)
+    g2.storeProperty(0, "name", "alpha")
+    g2.insertEdge(1, 2, 20); g2.insertEdge(0, 1, 10)
+    assert(Canonical.checksum(Canonical.fromGraph(g1)) ===
+      Canonical.checksum(Canonical.fromGraph(g2)))
+  }
+
+  test("distributed checksum equals the driver-side canonical checksum") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val signals = Seq(
+      Signal(1, "name", "Alice"), Signal(1, "role", "engineer"),
+      Signal(2, "name", "Bob"), Signal(3, "kind", "svc"),
+      Signal(1, "knows", "Bob"), Signal(2, "knows", "Alice"))
+    val df = signals.zipWithIndex
+      .map { case (s, i) => (i.toLong, s.entityId, s.attribute, s.value) }
+      .toDF("seq", "entity_id", "attribute", "value")
+    val frames = GraphTables.build(GraphTables.validSignals(df))
+
+    val mem = new InMemoryGraph
+    Ingestor.ingestSequence(mem, signals)
+    assert(DistributedChecksum.checksum(frames) ===
+      Canonical.checksum(Canonical.fromGraph(mem)))
+  }
+
+  test("import rejects bad magic, truncation, tampering and over-limit counts") {
+    val bytes = Canonical.toBytes(Canonical.fromGraph(fixture))
+
+    val badMagic = bytes.clone(); badMagic(0) = 'X'.toByte
+    assert(Canonical.fromBytes(badMagic).isLeft)
+
+    assert(Canonical.fromBytes(bytes.take(20)).isLeft)
+
+    // flip one payload byte -> checksum mismatch
+    val tampered = bytes.clone(); tampered(bytes.length - 1) = (tampered(bytes.length - 1) ^ 1).toByte
+    assert(Canonical.fromBytes(tampered).isLeft)
+
+    // node count over the 1M limit, rejected before payload parse
+    val overLimit = bytes.clone()
+    val bb = java.nio.ByteBuffer.wrap(overLimit)
+    bb.putLong(13, Canonical.MaxNodes + 1)
+    assert(Canonical.fromBytes(overLimit).isLeft)
+  }
+
+  test("dangling edges and properties are dropped with diagnostics") {
+    val c = Canonical.fromGraph(fixture)
+    val withDangling = c.copy(
+      edges = c.edges :+ Edge(0, 99, 5) :+ Edge(98, 0, 5),
+      properties = c.properties :+ ((97L, "ghost", "x")))
+    val (g, diag) = Canonical.importCanonical(withDangling)
+    assert(diag === Canonical.LoadDiagnostics(danglingEdges = 2, danglingProperties = 1))
+    assert(g.edgeCount === 2)
+    assert(g.getProperties(0L).toOption.get === Vector(("name", "alpha")))
+  }
+}

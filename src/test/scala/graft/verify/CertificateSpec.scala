@@ -1,0 +1,87 @@
+package graft.verify
+
+import graft.core._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Certificate byte determinism, frozen golden vectors, roundtrip parsing
+  * and proof-of-absence (certificate.rs:262-338 corpus, our own bytes).
+  */
+class CertificateSpec extends AnyFunSuite {
+
+  private def fixture: InMemoryGraph = {
+    val g = new InMemoryGraph
+    Seq(1L, 2L, 3L).foreach(g.insertNode)
+    g.insertEdge(0, 1, 10); g.insertEdge(1, 2, 20)
+    g.storeProperty(0, "name", "alpha")
+    g
+  }
+
+  private val stateHash = Array.fill[Byte](32)(0x07)
+  private def hex(b: Array[Byte]): String = b.map(x => f"$x%02x").mkString
+
+  private val FrozenTraverseHex =
+    "4751433101070707070707070707070707070707070707070707070707070707070707070700" +
+    "00000c74726176657273653a313a320100000002000000000000000100000000000000020000" +
+    "000000000002000000000000000300000001000000000000000100000000000000020000000000" +
+    "0000140000000200000000000000010000000000000002"
+  private val FrozenAbsenceHex =
+    "4751433101070707070707070707070707070707070707070707070707070707070707070700" +
+    "00000a6c6f6f6b75703a39393902000000000000000000000000"
+
+  test("golden vector: traverse certificate bytes are frozen") {
+    val art = Artifact.withSubgraph(Vector(1L, 2L), Vector(Edge(1, 2, 20)))
+    val cert = QueryCertificate.build(stateHash, "traverse:1:2", Grounding.Inference, fixture, Some(art))
+    assert(hex(cert.toCanonicalBytes) === FrozenTraverseHex)
+    assert(!cert.isProofOfAbsence)
+    // evidence: nodes touched by path ∪ subgraph, sorted; edges from subgraph
+    assert(cert.evidenceNodes === Vector(Node(1, 2), Node(2, 3)))
+    assert(cert.evidenceEdges === Vector(Edge(1, 2, 20)))
+    assert(cert.trace === Vector(1L, 2L))
+  }
+
+  test("golden vector: proof-of-absence bytes are frozen") {
+    val cert = QueryCertificate.build(stateHash, "lookup:999", Grounding.Unknown, fixture, None)
+    assert(hex(cert.toCanonicalBytes) === FrozenAbsenceHex)
+    assert(cert.isProofOfAbsence)
+  }
+
+  test("same (state, query, result) gives byte-identical certificates") {
+    val art = Artifact.withSubgraph(Vector(0L, 1L), Vector(Edge(0, 1, 10)))
+    val a = QueryCertificate.build(stateHash, "traverse:0:1", Grounding.Inference, fixture, Some(art))
+    val b = QueryCertificate.build(stateHash, "traverse:0:1", Grounding.Inference, fixture, Some(art))
+    assert(a.toCanonicalBytes.toSeq === b.toCanonicalBytes.toSeq)
+  }
+
+  test("roundtrip: parse(serialize(cert)) == cert") {
+    val art = Artifact.withSubgraph(Vector(0L, 1L, 2L), Vector(Edge(0, 1, 10), Edge(1, 2, 20)))
+    val cert = QueryCertificate.build(stateHash, "path:0:2", Grounding.Inference, fixture, Some(art))
+    assert(QueryCertificate.fromCanonicalBytes(cert.toCanonicalBytes) === Right(cert))
+  }
+
+  test("induced evidence edges when the artifact has no subgraph") {
+    val cert = QueryCertificate.build(
+      stateHash, "intersect:0,1", Grounding.Inference, fixture,
+      Some(Artifact.withPath(Vector(0L, 1L, 2L))))
+    // edges among evidence nodes, (from, to) ascending
+    assert(cert.evidenceEdges === Vector(Edge(0, 1, 10), Edge(1, 2, 20)))
+  }
+
+  test("parser rejects bad magic, version, grounding and truncation") {
+    val cert = QueryCertificate.build(stateHash, "lookup:1", Grounding.Fact, fixture,
+      Some(Artifact.withPath(Vector(0L))))
+    val bytes = cert.toCanonicalBytes
+
+    val badMagic = bytes.clone(); badMagic(0) = 'X'.toByte
+    assert(QueryCertificate.fromCanonicalBytes(badMagic).isLeft)
+
+    val badVersion = bytes.clone(); badVersion(4) = 9
+    assert(QueryCertificate.fromCanonicalBytes(badVersion).isLeft)
+
+    assert(QueryCertificate.fromCanonicalBytes(bytes.take(30)).isLeft)
+
+    // grounding byte sits right after the descriptor
+    val dLen = java.nio.ByteBuffer.wrap(bytes, 37, 4).getInt
+    val badGrounding = bytes.clone(); badGrounding(41 + dLen) = 9
+    assert(QueryCertificate.fromCanonicalBytes(badGrounding).isLeft)
+  }
+}
