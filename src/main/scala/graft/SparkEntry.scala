@@ -12,7 +12,8 @@ import graft.queries._
 object SparkEntry {
 
   private val packs: Seq[QDef] =
-    Relational.defs ++ GraphPack.defs ++ PipelinePack.defs ++ AnnPack.defs
+    Relational.defs ++ GraphPack.defs ++ PipelinePack.defs ++ AnnPack.defs ++
+      ExtensionsPack.defs
 
   private lazy val maps = QDef.toMaps(packs)
 

@@ -1,0 +1,98 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: opaque binary media payloads with typed
+  * metadata, decoded / feature-extracted / frame-sampled in partition-wise
+  * batches.
+  *
+  * The Spark-side shape is real and tested — schema, partition-preserving
+  * mapPartitions batches, deterministic outputs. The codec itself is a
+  * STUB: this container has no image/audio libraries, so `decodeFeatures`
+  * derives a deterministic fake feature vector from the payload bytes
+  * (clearly marked below). Swapping in a real decoder changes only the
+  * body of [[stubDecode]] — batch shape, schema and partitioning are
+  * production form.
+  */
+object Multimodal {
+
+  val FeatureDim = 16
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("media", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("format", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false))), nullable = false)))
+
+  /** Derive a media table from the documents corpus: the text bytes stand
+    * in for an opaque payload (at 100 TB these are real image/audio blobs
+    * read straight from parquet binary columns; everything downstream is
+    * agnostic to what the bytes mean).
+    */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("media"),
+      struct(
+        element_at(array(lit("png"), lit("wav"), lit("mp4")), (col("doc_id") % 3 + 1).cast("int"))
+          .as("format"),
+        (col("doc_id") % 640 + 1).cast("int").as("width"),
+        (col("doc_id") % 480 + 1).cast("int").as("height"),
+        (length(col("text")) * 10L).as("duration_ms")).as("meta"))
+
+  /** STUB DECODER — deterministic fake: a real implementation would hand
+    * the byte buffer to an image/audio codec here. Features are a folded
+    * byte histogram, normalized; stable across runs and partitionings.
+    */
+  def stubDecode(payload: Array[Byte]): Array[Float] = {
+    val acc = new Array[Long](FeatureDim)
+    var i = 0
+    while (i < payload.length) {
+      acc(payload(i) & (FeatureDim - 1)) += 1
+      i += 1
+    }
+    val n = math.max(payload.length, 1)
+    acc.map(c => c.toFloat / n)
+  }
+
+  /** Feature extraction over partition-wise batches: one decoder instance
+    * per partition (the expensive init a real codec needs), rows streamed
+    * through it — the mapPartitions twin of a pandas_udf iterator batch.
+    */
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition decoder init would go here
+        rows.map { case (id, payload) => (id, stubDecode(payload)) }
+      }
+      .toDF("doc_id", "features")
+  }
+
+  /** Frame sampling: split a payload into n evenly-spaced fixed-size
+    * "frames" (byte slices standing in for decoded video frames), emitted
+    * as one row per frame with its offset.
+    */
+  def frameSample(media: DataFrame, frames: Int, frameBytes: Int = 32): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        val n = math.min(frames, math.max(payload.length / math.max(frameBytes, 1), 1))
+        (0 until n).map { f =>
+          val offset = (payload.length.toLong * f / n).toInt
+          val end = math.min(offset + frameBytes, payload.length)
+          (id, f, offset.toLong, payload.slice(offset, end))
+        }
+      }
+      .toDF("doc_id", "frame", "offset", "frame_bytes")
+  }
+}

@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.{QDef, Tables}
+import graft.multimodal.Multimodal
+import graft.streaming.EventsStream
+import org.apache.spark.sql.functions._
+
+/** Streaming-equivalent and multimodal query surfaces.
+  *
+  * s01 runs the exact transform the streaming path uses
+  * ([[EventsStream.windowedCounts]]) against the batch events table — the
+  * two paths share one function, so the oracle gates both. Multimodal
+  * metadata is oracle-gated; the stubbed feature decode and frame sampling
+  * are rows-only (verified against deterministic expectations in
+  * MultimodalSpec).
+  */
+object ExtensionsPack {
+
+  val defs: Seq[QDef] = Seq(
+
+    QDef("s01_windowed_events", Some("""
+      SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+             event_type,
+             count(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY window_start, event_type
+      ORDER BY window_start, event_type""")) { (s, dir) =>
+      EventsStream.windowedCounts(Tables.events(s, dir))
+        .orderBy("window_start", "event_type")
+    },
+
+    QDef("s02_dedup_events", Some("""
+      SELECT count(*) AS n_events, count(DISTINCT event_id) AS n_distinct
+      FROM events""")) { (s, dir) =>
+      // batch twin of EventsStream.dedupedEvents — the watermark-bounded
+      // streaming variant is exercised in StreamingSpec (it is
+      // streaming-only by definition)
+      val deduped = Tables.events(s, dir).dropDuplicates("event_id")
+      Tables.events(s, dir).agg(count(lit(1)).as("n_events"))
+        .crossJoin(deduped.agg(count(lit(1)).as("n_distinct")))
+    },
+
+    QDef("m01_media_meta", Some("""
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'png'
+                  WHEN doc_id % 3 = 1 THEN 'wav'
+                  ELSE 'mp4' END AS format,
+             doc_id % 640 + 1 AS width,
+             doc_id % 480 + 1 AS height,
+             length(text) * 10 AS duration_ms,
+             strlen(text) AS n_bytes
+      FROM documents ORDER BY doc_id""")) { (s, dir) =>
+      Multimodal.mediaFromDocuments(Tables.documents(s, dir))
+        .select(
+          col("doc_id"),
+          col("meta.format").as("format"),
+          col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"),
+          col("meta.duration_ms").as("duration_ms"),
+          octet_length(col("media")).cast("long").as("n_bytes"))
+        .orderBy("doc_id")
+    },
+
+    // rows-only: the stub decode isn't SQL-expressible; determinism and
+    // batch shape are asserted in MultimodalSpec
+    QDef("m02_media_features", None) { (s, dir) =>
+      Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(Tables.documents(s, dir)))
+        .orderBy("doc_id")
+    },
+
+    QDef("m03_frame_sample", None) { (s, dir) =>
+      Multimodal.frameSample(Multimodal.mediaFromDocuments(Tables.documents(s, dir)), frames = 4)
+        .select(col("doc_id"), col("frame"), col("offset"),
+          octet_length(col("frame_bytes")).as("n_bytes"))
+        .orderBy("doc_id", "frame")
+    }
+  )
+}

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured-Streaming surface over the events signal log.
+  *
+  * The reference is strictly request/response (SURVEY §2.2: no watermarks,
+  * windows or stateful ops) — this module is the extension hook the
+  * north-star calls for: streaming ingest of `events` with event-time
+  * windowing, late-data bounds and exactly-once-style dedup.
+  *
+  * Every transform is written against an unbounded DataFrame and works
+  * identically under `readStream` (incremental, stateful) and `read`
+  * (batch backfill) — the lambda-free way to keep the two paths from
+  * drifting. State size is bounded by the watermark: the store evicts
+  * windows/keys older than the lateness horizon, so at 100 TB/day the
+  * state is proportional to (keys active within the horizon), not to
+  * history.
+  */
+object EventsStream {
+
+  /** Event-time tumbling-window aggregation: count + exact value sum per
+    * (window, event_type). Watermark bounds both late-data acceptance and
+    * state retention.
+    */
+  def windowedCounts(
+      events: DataFrame,
+      windowLength: String = "15 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Idempotent ingest: drop replayed event_ids within the watermark
+    * horizon (the streaming twin of batch `dropDuplicates` — state is
+    * evicted once an id can no longer collide with a late replay).
+    */
+  def dedupedEvents(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  final case class UserEvent(userId: Long, ts: Timestamp, eventType: String)
+  final case class UserActivity(userId: Long, nEvents: Long, lastType: String)
+
+  /** Custom keyed state: running per-user activity via mapGroupsWithState
+    * (the KeyValueGroupedDataset extension point for state Spark's
+    * built-ins can't express). In production this would set an idle
+    * timeout (GroupStateTimeout.EventTimeTimeout + a watermark) so
+    * abandoned keys are evicted and state stays proportional to the
+    * active-key set, not to history.
+    */
+  def userActivity(events: Dataset[UserEvent]): Dataset[UserActivity] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .mapGroupsWithState[UserActivity, UserActivity](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[UserEvent], state: GroupState[UserActivity]) =>
+          val events = batch.toSeq.sortBy(e => (e.ts.getTime, e.eventType))
+          val prior = state.getOption.getOrElse(UserActivity(userId, 0L, ""))
+          val updated = UserActivity(
+            userId,
+            prior.nEvents + events.length,
+            events.lastOption.map(_.eventType).getOrElse(prior.lastType))
+          state.update(updated)
+          updated
+      }
+  }
+
+  /** Wire a streaming source through windowedCounts into a memory sink —
+    * the readStream → transform → writeStream shape (used by the spec; in
+    * production the sink would be a parquet/kafka writer with
+    * checkpointing).
+    */
+  def startWindowedQuery(spark: SparkSession, source: DataFrame, queryName: String) =
+    windowedCounts(source)
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Update())
+      .start()
+}

@@ -1,0 +1,49 @@
+package graft.multimodal
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multimodal plumbing: schema, deterministic stub decode, frame-sampling
+  * batch shape.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def media = Multimodal.mediaFromDocuments(graft.Tables.documents(spark, dir))
+
+  test("media table matches the declared schema (structurally)") {
+    // nullability is derived from the source parquet; the contract is the
+    // shape: names and types
+    assert(media.schema.simpleString === Multimodal.mediaSchema.simpleString)
+  }
+
+  test("stub decode is deterministic and matches a direct recompute") {
+    val a = Multimodal.decodeFeatures(media).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toVector).toMap
+    val b = Multimodal.decodeFeatures(media).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toVector).toMap
+    assert(a === b)
+    assert(a.values.forall(_.length === Multimodal.FeatureDim))
+
+    val texts = graft.Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expected = texts.map { case (id, text) =>
+      id -> Multimodal.stubDecode(text.getBytes("UTF-8")).toVector
+    }.toMap
+    assert(a === expected)
+  }
+
+  test("frame sampling emits bounded, offset-ordered slices per document") {
+    val frames = Multimodal.frameSample(media, frames = 4, frameBytes = 32).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getAs[Array[Byte]](3)))
+    assert(frames.nonEmpty)
+    val byDoc = frames.groupBy(_._1)
+    byDoc.values.foreach { fs =>
+      assert(fs.length <= 4)
+      val offsets = fs.sortBy(_._2).map(_._3)
+      assert(offsets === offsets.sorted)
+      assert(fs.forall(_._4.length <= 32))
+    }
+  }
+}

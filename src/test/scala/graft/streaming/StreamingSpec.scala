@@ -1,0 +1,109 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+final case class StreamEvent(
+    event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** Structured-Streaming semantics over MemoryStream sources: windowed
+  * aggregation, watermark-bounded dedup, custom keyed state, and
+  * batch/streaming parity of the shared transform.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def t(minutes: Int): Timestamp = new Timestamp(minutes * 60000L)
+
+  test("windowed counts aggregate by event-time tumbling window") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[StreamEvent]
+    val query = EventsStream.windowedCounts(input.toDF())
+      .writeStream.format("memory").queryName("win_test")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(
+        StreamEvent(1, t(1), 10, "click", 2.0),
+        StreamEvent(2, t(5), 11, "click", 3.0),
+        StreamEvent(3, t(20), 10, "view", 1.0))
+      query.processAllAvailable()
+      val rows = spark.table("win_test")
+        .collect().map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      // events at minute 1 and 5 share the [0,15) window; minute 20 is in [15,30)
+      assert(rows === Set((0L, "click", 2L, 5.0), (15L, "view", 1L, 1.0)))
+    } finally query.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses replayed event ids") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[StreamEvent]
+    val query = EventsStream.dedupedEvents(input.toDF())
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        StreamEvent(1, t(1), 10, "click", 2.0),
+        StreamEvent(1, t(2), 10, "click", 2.0)) // same id, same batch
+      query.processAllAvailable()
+      input.addData(
+        StreamEvent(1, t(3), 10, "click", 2.0), // replay in a later batch
+        StreamEvent(2, t(4), 11, "view", 1.0))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_test").collect().map(_.getLong(0)).toSeq.sorted
+      assert(ids === Seq(1L, 2L))
+    } finally query.stop()
+  }
+
+  test("mapGroupsWithState accumulates per-user activity across batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventsStream.UserEvent]
+    val query = EventsStream.userActivity(input.toDS())
+      .writeStream.format("memory").queryName("activity_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        EventsStream.UserEvent(10, t(1), "click"),
+        EventsStream.UserEvent(10, t(2), "view"))
+      query.processAllAvailable()
+      input.addData(EventsStream.UserEvent(10, t(3), "purchase"))
+      query.processAllAvailable()
+      val last = spark.table("activity_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .filter(_._1 == 10L).maxBy(_._2)
+      assert(last === ((10L, 3L, "purchase")))
+    } finally query.stop()
+  }
+
+  test("the streaming transform gives batch-identical results on the same data") {
+    import spark.implicits._
+    val events = Seq(
+      StreamEvent(1, t(1), 10, "click", 2.0),
+      StreamEvent(2, t(5), 11, "click", 3.0),
+      StreamEvent(3, t(20), 10, "view", 1.0)).toDF()
+
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val query = EventsStream.windowedCounts(input.toDF())
+      .writeStream.format("memory").queryName("parity_test")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(
+        StreamEvent(1, t(1), 10, "click", 2.0),
+        StreamEvent(2, t(5), 11, "click", 3.0),
+        StreamEvent(3, t(20), 10, "view", 1.0))
+      query.processAllAvailable()
+      val streaming = spark.table("parity_test").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = EventsStream.windowedCounts(events).collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streaming === batch)
+    } finally query.stop()
+  }
+}
