@@ -1,0 +1,79 @@
+package graft.graph
+
+import graft.core.GraftError
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mutation on the distributed store (graph.rs:21-56, 502-550).
+  *
+  * The store is immutable DataFrames; every mutation derives the next table
+  * version — the Spark twin of the reference's copy-on-write B-trees, where
+  * a batch of mutations is staged, validated wholesale, and committed as
+  * one new snapshot (redb_graph.rs:192-372). Semantics preserved exactly:
+  *
+  *   - insert/increment silently DROP deltas with dangling endpoints (an
+  *     explicit design choice, graph.rs:29-40);
+  *   - decrement ERRORS on an absent edge (the deliberate asymmetry,
+  *     graph.rs:543-550) and floors at 0;
+  *   - weights saturate at Long.MaxValue instead of overflowing (ANSI-safe:
+  *     the guarded branch never evaluates the overflowing sum).
+  */
+object GraphMutation {
+
+  /** Keep only deltas whose BOTH endpoints exist (broadcast semi-joins
+    * against the small nodes table).
+    */
+  private def dropDangling(g: GraphFrames, deltas: DataFrame): DataFrame = {
+    val srcIds = g.nodes.select(col("node_id").as("src"))
+    val dstIds = g.nodes.select(col("node_id").as("dst"))
+    deltas
+      .join(broadcast(srcIds), Seq("src"), "left_semi")
+      .join(broadcast(dstIds), Seq("dst"), "left_semi")
+  }
+
+  /** Upsert edge weights: (src, dst, weight) deltas overwrite existing
+    * weights; dangling deltas are silently dropped.
+    */
+  def insertEdges(g: GraphFrames, deltas: DataFrame): GraphFrames = {
+    val d = dropDangling(g, deltas.select(col("src"), col("dst"), col("weight").as("new_w")))
+    val merged = g.edges.join(d, Seq("src", "dst"), "full_outer")
+      .select(col("src"), col("dst"),
+        coalesce(col("new_w"), col("weight")).as("weight"))
+    g.copy(edges = merged)
+  }
+
+  /** Add (src, dst, delta) co-occurrence counts: creates at delta,
+    * saturates at Long.MaxValue, silently drops dangling pairs
+    * (graph.rs:532-541).
+    */
+  def incrementEdges(g: GraphFrames, deltas: DataFrame): GraphFrames = {
+    val d = dropDangling(g, deltas.select(col("src"), col("dst"), col("delta")))
+      .groupBy("src", "dst").agg(sum(col("delta")).as("delta"))
+    val merged = g.edges.join(d, Seq("src", "dst"), "full_outer")
+      .select(col("src"), col("dst"),
+        when(col("delta").isNull, col("weight"))
+          .when(col("weight").isNull, col("delta"))
+          .when(col("weight") > lit(Long.MaxValue) - col("delta"), lit(Long.MaxValue))
+          .otherwise(col("weight") + col("delta"))
+          .as("weight"))
+    g.copy(edges = merged)
+  }
+
+  /** −1 floored at 0; `EdgeNotFound` if the edge is absent — asymmetric
+    * with insert/increment on purpose (graph.rs:543-550).
+    */
+  def decrementEdge(g: GraphFrames, from: Long, to: Long): Either[GraftError, GraphFrames] = {
+    if (g.edges.filter(col("src") === from && col("dst") === to).isEmpty)
+      Left(GraftError.EdgeNotFound(from, to))
+    else
+      Right(g.copy(edges = g.edges.select(col("src"), col("dst"),
+        when(col("src") === from && col("dst") === to,
+          greatest(lit(0L), col("weight") - 1)).otherwise(col("weight")).as("weight"))))
+  }
+
+  /** Stability predicate (`weight >= PROMOTION_THRESHOLD`, mutation.rs:
+    * 24-72): is this edge stable in the current snapshot?
+    */
+  def isStableEdge(g: GraphFrames, from: Long, to: Long, threshold: Long = 10L): Boolean =
+    !g.edges.filter(col("src") === from && col("dst") === to && col("weight") >= threshold).isEmpty
+}

@@ -222,6 +222,78 @@ object GraphTables {
     reached
   }
 
+  /** BFS with exact visit-order reconstruction: (node_id, depth, ord)
+    * where `ord` is the position within the level of the reference's BFS
+    * queue discipline — children enqueue at their FIRST discovering
+    * parent's position, neighbors ascending (graph.rs:580-612, BTreeMap
+    * order). Order key per level: (min discovering parent's ord, node_id).
+    *
+    * The per-level `row_number` runs over an unpartitioned window — fine
+    * here because visit order is only materialized for driver-bounded
+    * Artifacts (path output is collected anyway); the scale-safe level-set
+    * variant is [[traverseBfs]].
+    */
+  def traverseBfsOrdered(
+      g: GraphFrames,
+      start: Long,
+      depth: Int,
+      minWeight: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bound = math.min(math.max(depth, 0), Limits.MaxTraversalDepth)
+    val e0 = minWeight.map(w => g.edges.filter(col("weight") >= w)).getOrElse(g.edges)
+    val e = e0.select(col("src"), col("dst"))
+
+    var frontier = g.nodes.filter(col("node_id") === start)
+      .select(col("node_id"), lit(0).as("depth"), lit(0L).as("ord"))
+      .localCheckpoint()
+    var reached = frontier
+    var d = 0
+    var exhausted = frontier.isEmpty
+    while (d < bound && !exhausted) {
+      val w = Window.orderBy(col("min_pord"), col("node_id"))
+      val next = frontier.join(e, frontier("node_id") === e("src"))
+        .select(e("dst").as("node_id"), frontier("ord").as("pord"))
+        .groupBy("node_id").agg(min(col("pord")).as("min_pord"))
+        .join(reached, Seq("node_id"), "left_anti")
+        .withColumn("depth", lit(d + 1))
+        .withColumn("ord", row_number().over(w).cast("long"))
+        .select(col("node_id"), col("depth"), col("ord"))
+        .localCheckpoint()
+      exhausted = next.isEmpty
+      if (!exhausted) reached = reached.union(next).localCheckpoint()
+      frontier = next
+      d += 1
+    }
+    reached
+  }
+
+  /** Collect a traversal as a reference-shaped [[graft.core.Artifact]]:
+    * path in exact BFS visit order, frontier edges in parent-visit-order
+    * then neighbor-ascending — bit-identical to InMemoryGraph.traverse.
+    */
+  def traverseArtifact(
+      g: GraphFrames,
+      start: Long,
+      depth: Int,
+      minWeight: Option[Long] = None): Option[graft.core.Artifact] = {
+    val bound = math.min(math.max(depth, 0), Limits.MaxTraversalDepth)
+    val lv = traverseBfsOrdered(g, start, depth, minWeight)
+    val visited = lv.orderBy("depth", "ord").collect()
+    if (visited.isEmpty) return None
+    val path = visited.map(_.getLong(0)).toVector
+
+    val e = minWeight.map(w => g.edges.filter(col("weight") >= w)).getOrElse(g.edges)
+    val expanding = lv.filter(col("depth") < bound)
+      .select(col("node_id"), col("depth"), col("ord"))
+    val edges = e.join(expanding, e("src") === expanding("node_id"))
+      .orderBy(col("depth"), col("ord"), col("dst"))
+      .select(col("src"), col("dst"), col("weight"))
+      .collect()
+      .map(r => graft.core.Edge(r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toVector
+    Some(graft.core.Artifact.withSubgraph(path, edges))
+  }
+
   /** Every frontier edge a bounded BFS reports: edges whose source was
     * visited at depth < bound, weight-filtered the same way the expansion
     * was (graph.rs:595-607 — the artifact includes edges into

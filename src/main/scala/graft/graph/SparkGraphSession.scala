@@ -1,0 +1,88 @@
+package graft.graph
+
+import graft.core._
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** Session facade over the distributed store — the Spark-backed twin of
+  * [[graft.core.GraftSession]] (session.rs:24-60, 218-530). Queries run as
+  * Spark jobs over the GraphFrames snapshot; the volatile active-context
+  * buffer stays on the driver, never persisted, exactly as the reference
+  * keeps it outside the store (types/mod.rs:229-271).
+  *
+  * Artifacts returned here are bit-identical to the in-memory engine's
+  * (cross-checked in SparkGraphSessionSpec): path in exact BFS visit
+  * order, frontier edges in parent-visit order.
+  */
+final class SparkGraphSession(private var framesVar: GraphFrames) {
+  private val activeNodes = mutable.SortedSet.empty[Long]
+
+  def frames: GraphFrames = framesVar
+
+  // --- composition (session.rs:255-310; compositor.rs:26-91) ---
+
+  def compose(start: Long, depth: Int): Option[Artifact] =
+    GraphTables.traverseArtifact(framesVar, start, depth)
+
+  def composeFiltered(start: Long, depth: Int, minWeight: Long): Option[Artifact] =
+    GraphTables.traverseArtifact(framesVar, start, depth, Some(minWeight))
+
+  /** `related` is compose by another name (compositor.rs:84-91). */
+  def relatedContext(start: Long, depth: Int): Option[Artifact] =
+    compose(start, depth)
+
+  def composeFromActive(depth: Int): Option[Artifact] =
+    activeNodes.headOption.flatMap(compose(_, depth))
+
+  def intersect(inputs: Seq[Long]): Vector[Long] =
+    GraphTables.intersect(framesVar, inputs).collect().map(_.getLong(0)).toVector
+
+  def intersectActive(): Artifact =
+    Artifact.withPath(
+      if (activeNodes.isEmpty) Vector.empty
+      else intersect(activeNodes.toSeq))
+
+  /** strongest_path with per-hop weights re-attached (session.rs:276-300):
+    * bounded-closure collect + the exact sequential DFS, then the path
+    * pairs looked up against the distributed edge table.
+    */
+  def extractPath(start: Long, end: Long): Option[Artifact] = {
+    val mem = GraphTables.collectSubgraph(framesVar, start)
+    val endExists = !framesVar.nodes.filter(col("node_id") === end).isEmpty
+    if (!endExists || !mem.containsNode(start)) return None
+    mem.strongestPath(start, end).map { path =>
+      val sub = path.sliding(2).collect {
+        case Seq(a, b) if mem.getEdge(a, b).isDefined => Edge(a, b, mem.getEdge(a, b).get)
+      }.toVector
+      Artifact.withSubgraph(path, sub)
+    }
+  }
+
+  // --- point reads ---
+
+  def lookup(entityId: Long): Option[Long] = {
+    val rows = GraphTables.lookupByEntity(framesVar, entityId).select("node_id").collect()
+    rows.headOption.map(_.getLong(0))
+  }
+
+  def properties(node: Long): Vector[(String, String)] =
+    framesVar.properties.filter(col("node_id") === node)
+      .orderBy("attribute", "value")
+      .collect().map(r => (r.getString(1), r.getString(2))).toVector
+
+  // --- mutation (new snapshot per mutation — copy-on-write discipline) ---
+
+  def decrementEdge(from: Long, to: Long): Either[GraftError, Unit] =
+    GraphMutation.decrementEdge(framesVar, from, to).map { next =>
+      framesVar = next
+    }
+
+  // --- context management (session.rs:317-345) ---
+
+  def activate(node: Long): Unit = activeNodes += node
+  def deactivate(node: Long): Unit = activeNodes -= node
+  def isActive(node: Long): Boolean = activeNodes.contains(node)
+  def clearContext(): Unit = activeNodes.clear()
+  def activeCount: Int = activeNodes.size
+  def active: Vector[Long] = activeNodes.toVector
+}

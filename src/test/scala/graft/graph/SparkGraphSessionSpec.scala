@@ -1,0 +1,117 @@
+package graft.graph
+
+import graft.SparkTestSession
+import graft.core._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Spark-backed session must agree with the in-memory session on
+  * artifacts (bit-identical paths and frontier-edge order), intersection,
+  * extract-path, point reads — and on mutation semantics (dangling drops,
+  * saturation, the decrement asymmetry).
+  */
+class SparkGraphSessionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val sample: Seq[Signal] = Seq(
+    Signal(1, "name", "Alice"), Signal(1, "role", "engineer"),
+    Signal(2, "name", "Bob"), Signal(2, "role", "designer"),
+    Signal(3, "name", "Kremis"), Signal(3, "type", "project"),
+    Signal(1, "works_on", "Kremis"), Signal(2, "works_on", "Kremis"),
+    Signal(1, "knows", "Bob"))
+
+  private def framesOf(signals: Seq[Signal]): GraphFrames = {
+    import spark.implicits._
+    val df = signals.zipWithIndex
+      .map { case (s, i) => (i.toLong, s.entityId, s.attribute, s.value) }
+      .toDF("seq", "entity_id", "attribute", "value")
+    GraphTables.build(GraphTables.validSignals(df))
+  }
+
+  private def memOf(signals: Seq[Signal]): InMemoryGraph = {
+    val mem = new InMemoryGraph
+    assert(Ingestor.ingestSequence(mem, signals).isRight)
+    mem
+  }
+
+  test("compose artifacts are bit-identical to the in-memory engine") {
+    val s = new SparkGraphSession(framesOf(sample))
+    val mem = memOf(sample)
+    for (depth <- 0 to 3) {
+      assert(s.compose(0L, depth) === mem.traverse(0L, depth), s"depth $depth")
+    }
+    assert(s.compose(99L, 2) === None)
+    assert(s.relatedContext(1L, 2) === mem.traverse(1L, 2))
+  }
+
+  test("filtered compose matches, including edge order") {
+    val s = new SparkGraphSession(framesOf(sample))
+    val mem = memOf(sample)
+    for (w <- 1L to 3L)
+      assert(s.composeFiltered(0L, 2, w) === mem.traverseFiltered(0L, 2, w), s"minWeight $w")
+  }
+
+  test("events sf0.001: compose parity on a dense real graph") {
+    val g = GraphTables.forDir(spark, "/root/testdata/sf0.001")
+    val signals = GraphTables.signalsFromEvents(spark, "/root/testdata/sf0.001")
+      .orderBy("seq").collect()
+      .map(r => Signal(r.getLong(1), r.getString(2), r.getString(3)))
+    val mem = memOf(signals.toSeq)
+    val s = new SparkGraphSession(g)
+    assert(s.compose(0L, 2) === mem.traverse(0L, 2))
+    assert(s.composeFiltered(0L, 3, 4L) === mem.traverseFiltered(0L, 3, 4L))
+  }
+
+  test("intersect, extractPath, lookup and properties match in-memory") {
+    val s = new SparkGraphSession(framesOf(sample))
+    val mem = memOf(sample)
+    assert(s.intersect(Seq(0L, 1L)) === mem.intersect(Seq(0L, 1L)))
+    assert(s.extractPath(0L, 2L) === new GraftSession(mem).extractPath(0L, 2L))
+    assert(s.extractPath(0L, 99L) === None)
+    assert(s.lookup(2L) === mem.getNodeByEntity(2L))
+    assert(s.lookup(999L) === None)
+    assert(s.properties(0L) === mem.getProperties(0L).toOption.get.sorted)
+  }
+
+  test("active-context buffer drives compose and intersect") {
+    val s = new SparkGraphSession(framesOf(sample))
+    assert(s.composeFromActive(2) === None)
+    s.activate(1L); s.activate(0L)
+    assert(s.activeCount === 2)
+    // seeded from the FIRST active node (sorted set -> 0)
+    assert(s.composeFromActive(1) === s.compose(0L, 1))
+    assert(s.intersectActive().path === s.intersect(Seq(0L, 1L)))
+    s.clearContext()
+    assert(s.active === Vector.empty)
+  }
+
+  test("mutations: dangling drops, saturation, decrement asymmetry") {
+    import spark.implicits._
+    val g0 = framesOf(sample)
+
+    // increment an existing pair and a dangling pair: dangling dropped
+    val deltas = Seq((0L, 1L, 1L), (0L, 99L, 5L)).toDF("src", "dst", "delta")
+    val g1 = GraphMutation.incrementEdges(g0, deltas)
+    def weight(g: GraphFrames, f: Long, t: Long): Option[Long] =
+      GraphTables.getEdge(g, f, t).collect().headOption.map(_.getLong(2))
+    assert(weight(g1, 0L, 1L) === weight(g0, 0L, 1L).map(_ + 1))
+    assert(weight(g1, 0L, 99L) === None)
+
+    // saturation: near-max weight + 2 stays at MaxValue
+    val gMax = GraphMutation.insertEdges(g0,
+      Seq((0L, 1L, Long.MaxValue - 1)).toDF("src", "dst", "weight"))
+    val gSat = GraphMutation.incrementEdges(gMax, Seq((0L, 1L, 2L)).toDF("src", "dst", "delta"))
+    assert(weight(gSat, 0L, 1L) === Some(Long.MaxValue))
+
+    // decrement: floored at 0, errors when absent
+    val s = new SparkGraphSession(g1)
+    assert(s.decrementEdge(0L, 1L).isRight)
+    assert(s.decrementEdge(50L, 60L) === Left(GraftError.EdgeNotFound(50L, 60L)))
+
+    // insertEdges upserts and drops dangling
+    val g2 = GraphMutation.insertEdges(g0, Seq((1L, 2L, 42L), (98L, 0L, 7L)).toDF("src", "dst", "weight"))
+    assert(weight(g2, 1L, 2L) === Some(42L))
+    assert(weight(g2, 98L, 0L) === None)
+    assert(GraphMutation.isStableEdge(g2, 1L, 2L))
+    assert(!GraphMutation.isStableEdge(g0, 0L, 1L))
+  }
+}
