@@ -1,0 +1,91 @@
+package graft.sources
+
+import graft.core.GraftError
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Signal ingest source formats (cli/mod.rs:88-105): a JSON array of
+  * `{entity_id, attribute, value}` objects, JSONL (one object per line),
+  * and `entity:attribute:value` text lines. Every reader emits the
+  * canonical signal schema `(seq, entity_id, attribute, value)` with `seq`
+  * the position in file order — the sequence position that drives
+  * adjacency edges (ingestor.rs:118-152).
+  *
+  * `strict = true` mirrors the reference's `--strict` flag and the batch
+  * all-or-nothing gate: any malformed line fails the whole read; lenient
+  * mode drops malformed lines (their count is reported by
+  * [[malformedCount]]).
+  *
+  * Sequencing uses zipWithIndex over the source order (text/JSON sources
+  * enumerate file splits in offset order, so the index is the line
+  * position) — per-partition offsets, no single-partition window, the same
+  * scale-safe pattern as node-id assignment.
+  */
+object SignalSources {
+
+  val signalSchema: StructType = StructType(Seq(
+    StructField("entity_id", LongType),
+    StructField("attribute", StringType),
+    StructField("value", StringType)))
+
+  private def sequence(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("entity_id"), col("attribute"), col("value"))
+      .rdd.zipWithIndex()
+      .map { case (r, i) => (i, r.getLong(0), r.getString(1), r.getString(2)) }
+      .toDF("seq", "entity_id", "attribute", "value")
+  }
+
+  private def finish(parsed: DataFrame, strict: Boolean, what: String): Either[GraftError, DataFrame] = {
+    val ok = parsed.filter(
+      col("entity_id").isNotNull && col("attribute").isNotNull && col("value").isNotNull)
+    if (strict) {
+      val bad = parsed.count() - ok.count()
+      if (bad > 0)
+        return Left(GraftError.ImportError(s"$bad malformed $what line(s) in strict mode"))
+    }
+    Right(sequence(ok))
+  }
+
+  /** JSON array file (`examples/sample_signals.json` shape): one top-level
+    * array of signal objects — multiLine parse.
+    */
+  def readJsonArray(spark: SparkSession, path: String, strict: Boolean = false): Either[GraftError, DataFrame] = {
+    val parsed = spark.read
+      .schema(signalSchema)
+      .option("multiLine", "true")
+      .option("mode", "PERMISSIVE")
+      .json(path)
+    finish(parsed, strict, "json")
+  }
+
+  /** JSONL: one signal object per line (the stdin-pipe format). */
+  def readJsonl(spark: SparkSession, path: String, strict: Boolean = false): Either[GraftError, DataFrame] = {
+    val parsed = spark.read
+      .schema(signalSchema)
+      .option("mode", "PERMISSIVE")
+      .json(path)
+    finish(parsed, strict, "jsonl")
+  }
+
+  /** `entity:attribute:value` text lines (`examples/sample_signals.txt`
+    * shape). The value may itself contain ':' — the split is limited to 3
+    * parts. Malformed = fewer than 3 parts or a non-numeric entity id.
+    */
+  def readText(spark: SparkSession, path: String, strict: Boolean = false): Either[GraftError, DataFrame] = {
+    val lines = spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0) // blank lines are not signals
+    val parts = lines.select(split(col("value"), ":", 3).as("p"))
+    val parsed = parts.select(
+      when(size(col("p")) === 3, element_at(col("p"), 1).cast("long")).as("entity_id"),
+      when(size(col("p")) === 3, element_at(col("p"), 2)).as("attribute"),
+      when(size(col("p")) === 3, element_at(col("p"), 3)).as("value"))
+    finish(parsed, strict, "text")
+  }
+
+  /** Lenient-mode diagnostic: how many rows a read dropped. */
+  def malformedCount(spark: SparkSession, raw: Long, parsed: DataFrame): Long =
+    raw - parsed.count()
+}

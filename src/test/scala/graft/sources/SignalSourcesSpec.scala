@@ -1,0 +1,90 @@
+package graft.sources
+
+import graft.SparkTestSession
+import graft.core.{InMemoryGraph, Ingestor, Signal}
+import graft.graph.GraphTables
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Source-format parity: JSON array, JSONL and e:a:v text readers must
+  * produce the same sequenced signals (and therefore the same graph), with
+  * strict/lenient malformed-line handling.
+  */
+class SignalSourcesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** The canonical 9-signal fixture in all three formats (FIXTURES.md §1). */
+  private val signals = Seq(
+    (1L, "name", "Alice"), (1L, "role", "engineer"),
+    (2L, "name", "Bob"), (2L, "role", "designer"),
+    (3L, "name", "Kremis"), (3L, "type", "project"),
+    (1L, "works_on", "Kremis"), (2L, "works_on", "Kremis"),
+    (1L, "knows", "Bob"))
+
+  private def tmpFile(name: String, content: String): String = {
+    val dir = Files.createTempDirectory("graft-sources")
+    val f = dir.resolve(name)
+    Files.writeString(f, content)
+    f.toString
+  }
+
+  private def jsonArray: String =
+    signals.map { case (e, a, v) =>
+      s"""{"entity_id": $e, "attribute": "$a", "value": "$v"}"""
+    }.mkString("[\n", ",\n", "\n]")
+
+  private def jsonl: String =
+    signals.map { case (e, a, v) =>
+      s"""{"entity_id": $e, "attribute": "$a", "value": "$v"}"""
+    }.mkString("\n")
+
+  private def text: String =
+    signals.map { case (e, a, v) => s"$e:$a:$v" }.mkString("\n")
+
+  private def collectSignals(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, String, String)] =
+    df.orderBy("seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSeq
+
+  private val expected = signals.zipWithIndex
+    .map { case ((e, a, v), i) => (i.toLong, e, a, v) }
+
+  test("all three formats parse to identical sequenced signals") {
+    val ja = SignalSources.readJsonArray(spark, tmpFile("s.json", jsonArray))
+    val jl = SignalSources.readJsonl(spark, tmpFile("s.jsonl", jsonl))
+    val tx = SignalSources.readText(spark, tmpFile("s.txt", text))
+    assert(ja.isRight && jl.isRight && tx.isRight)
+    assert(collectSignals(ja.toOption.get) === expected)
+    assert(collectSignals(jl.toOption.get) === expected)
+    assert(collectSignals(tx.toOption.get) === expected)
+  }
+
+  test("a value containing ':' survives the 3-limited text split") {
+    val path = tmpFile("colon.txt", "7:url:https://example.test/x\n8:kind:svc")
+    val rows = collectSignals(SignalSources.readText(spark, path).toOption.get)
+    assert(rows === Seq((0L, 7L, "url", "https://example.test/x"), (1L, 8L, "kind", "svc")))
+  }
+
+  test("strict mode fails on malformed lines; lenient drops them") {
+    val path = tmpFile("bad.txt", "1:kind:svc\nnot-a-signal\nalpha:beta\n2:kind:db")
+    assert(SignalSources.readText(spark, path, strict = true).isLeft)
+    val lenient = collectSignals(SignalSources.readText(spark, path).toOption.get)
+    assert(lenient === Seq((0L, 1L, "kind", "svc"), (1L, 2L, "kind", "db")))
+
+    val badJsonl = tmpFile("bad.jsonl", """{"entity_id": 1, "attribute": "a", "value": "x"}""" + "\nnot json")
+    assert(SignalSources.readJsonl(spark, badJsonl, strict = true).isLeft)
+    assert(collectSignals(SignalSources.readJsonl(spark, badJsonl).toOption.get)
+      === Seq((0L, 1L, "a", "x")))
+  }
+
+  test("the sourced fixture builds the same graph as the in-memory ingest") {
+    val df = SignalSources.readJsonArray(spark, tmpFile("s2.json", jsonArray)).toOption.get
+    val frames = GraphTables.build(GraphTables.validSignals(df))
+
+    val mem = new InMemoryGraph
+    Ingestor.ingestSequence(mem, signals.map { case (e, a, v) => Signal(e, a, v) })
+    assert(frames.nodes.orderBy("node_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === mem.allNodes.map(n => (n.id, n.entityId)))
+    assert(frames.edges.orderBy("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      === mem.allEdges.map(e => (e.from, e.to, e.weight)))
+  }
+}
