@@ -1,0 +1,58 @@
+package graft.verify
+
+import graft.graph.GraphFrames
+import java.nio.ByteBuffer
+import java.security.MessageDigest
+
+/** The cryptographic state hash computed from the distributed store with
+  * O(1) driver memory: the exact GRFX canonical byte stream (header +
+  * sorted rows) is fed incrementally into SHA-256 via sorted
+  * `toLocalIterator` — partitions arrive in range order, so the stream is
+  * byte-identical to `Canonical.toBytes` of the collected graph, without
+  * ever materializing the graph on the driver.
+  *
+  * This is the scale path SURVEY §7.3 flags: a sequential hash over a
+  * canonical stream. The executors do the sorting (range exchange); the
+  * driver only folds bytes. The commutative checksum in the header comes
+  * from [[DistributedChecksum]] (bit_xor aggregation — fully distributed).
+  */
+object DistributedStateHash {
+
+  /** nextNodeId of a derived graph: ids are dense 0..n-1 by construction,
+    * so the counter equals the node count.
+    */
+  def stateHashHex(g: GraphFrames): String = {
+    val md = MessageDigest.getInstance("SHA-256")
+    val nNodes = g.nodes.count()
+    val nEdges = g.edges.count()
+    val nProps = g.properties.count()
+    val checksum = DistributedChecksum.checksum(g)
+
+    val header = ByteBuffer.allocate(4 + 1 + 8 * 5)
+    header.put(Canonical.Magic)
+    header.put(Canonical.Version)
+    header.putLong(nNodes) // nextNodeId == node count for dense derived ids
+    header.putLong(nNodes)
+    header.putLong(nEdges)
+    header.putLong(nProps)
+    header.putLong(checksum)
+    md.update(header.array())
+
+    val nodes = g.nodes.orderBy("node_id").toLocalIterator()
+    while (nodes.hasNext) {
+      val r = nodes.next()
+      md.update(Canonical.nodeBytes(r.getLong(0), r.getLong(1)))
+    }
+    val edges = g.edges.orderBy("src", "dst").toLocalIterator()
+    while (edges.hasNext) {
+      val r = edges.next()
+      md.update(Canonical.edgeBytes(r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    val props = g.properties.orderBy("node_id", "attribute", "value").toLocalIterator()
+    while (props.hasNext) {
+      val r = props.next()
+      md.update(Canonical.propBytes(r.getLong(0), r.getString(1), r.getString(2)))
+    }
+    md.digest().map(b => f"$b%02x").mkString
+  }
+}

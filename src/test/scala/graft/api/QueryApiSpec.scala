@@ -1,0 +1,101 @@
+package graft.api
+
+import graft.core._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One golden request/response per query variant, the diagnostics table,
+  * and the certify path incl. proof-of-absence (the api_tests.rs surface,
+  * transport-free).
+  */
+class QueryApiSpec extends AnyFunSuite {
+
+  private def session: GraftSession = {
+    val g = new InMemoryGraph
+    val ids = (1L to 4L).map(g.insertNode) // nodes 0..3
+    g.insertEdge(ids(0), ids(1), 10)
+    g.insertEdge(ids(0), ids(2), 5)
+    g.insertEdge(ids(1), ids(3), 2)
+    g.insertEdge(ids(2), ids(3), 8)
+    g.storeProperty(ids(0), "name", "alpha")
+    new GraftSession(g)
+  }
+
+  test("lookup: hit is fact, miss is entity_not_found absence") {
+    val s = session
+    val hit = QueryApi.execute(s, ApiRequest.Lookup(2))
+    assert(hit === ApiResponse(success = true, found = true, Vector(1L),
+      Vector.empty, Vector.empty, "fact"))
+    val miss = QueryApi.execute(s, ApiRequest.Lookup(999))
+    assert(miss.success && !miss.found && miss.diagnostic === Some("entity_not_found"))
+    assert(miss.grounding === "unknown")
+  }
+
+  test("traverse and related: inference with path + frontier edges") {
+    val s = session
+    val r = QueryApi.execute(s, ApiRequest.Traverse(0, 1))
+    assert(r.found && r.grounding === "inference")
+    assert(r.path === Vector(0L, 1L, 2L))
+    assert(r.edges === Vector(Edge(0, 1, 10), Edge(0, 2, 5)))
+    assert(QueryApi.execute(s, ApiRequest.Related(0, 1)) === r)
+    // depth over the clamp is invalid, not absent
+    val bad = QueryApi.execute(s, ApiRequest.Traverse(0, 101))
+    assert(!bad.success && bad.error.isDefined)
+  }
+
+  test("traverse_filtered applies min weight and top-k ordering") {
+    val s = session
+    val r = QueryApi.execute(s, ApiRequest.TraverseFiltered(0, 2, 5, topK = Some(2)))
+    assert(r.found)
+    // weight>=5 edges: (0,1,10), (0,2,5), (2,3,8); top-2 by weight desc:
+    assert(r.edges === Vector(Edge(0, 1, 10), Edge(2, 3, 8)))
+  }
+
+  test("strongest_path: found, start/end/no-path diagnostics") {
+    val s = session
+    val r = QueryApi.execute(s, ApiRequest.StrongestPath(0, 3))
+    assert(r.path === Vector(0L, 2L, 3L)) // weight 13 beats 12
+    assert(r.edges === Vector(Edge(0, 2, 5), Edge(2, 3, 8)))
+
+    assert(QueryApi.execute(s, ApiRequest.StrongestPath(99, 3)).diagnostic === Some("start_not_found"))
+    assert(QueryApi.execute(s, ApiRequest.StrongestPath(0, 99)).diagnostic === Some("end_not_found"))
+    // 3 has no outgoing edges: no path back to 0
+    assert(QueryApi.execute(s, ApiRequest.StrongestPath(3, 0)).diagnostic === Some("no_path"))
+  }
+
+  test("intersect: common neighbors, arity bounds, no_common_neighbors") {
+    val s = session
+    val r = QueryApi.execute(s, ApiRequest.Intersect(Vector(1, 2)))
+    assert(r.path === Vector(3L))
+    assert(QueryApi.execute(s, ApiRequest.Intersect(Vector(1))).error.isDefined)
+    assert(QueryApi.execute(s, ApiRequest.Intersect((0L to 100L).toVector)).error.isDefined)
+    assert(QueryApi.execute(s, ApiRequest.Intersect(Vector(0, 3))).diagnostic
+      === Some("no_common_neighbors"))
+  }
+
+  test("properties: pairs for existing nodes, absence for missing") {
+    val s = session
+    val r = QueryApi.execute(s, ApiRequest.Properties(0))
+    assert(r.found && r.properties === Vector(("name", "alpha")) && r.grounding === "fact")
+    // existing node, no properties: found with empty pairs
+    val empty = QueryApi.execute(s, ApiRequest.Properties(3))
+    assert(empty.found && empty.properties.isEmpty)
+    assert(QueryApi.execute(s, ApiRequest.Properties(99)).diagnostic === Some("entity_not_found"))
+  }
+
+  test("certify binds result to state, yields proof of absence, rejects properties") {
+    val s = session
+    val Right((resp, cert)) = QueryApi.certify(s, ApiRequest.Traverse(0, 1)): @unchecked
+    assert(resp.found && !cert.isProofOfAbsence)
+    assert(cert.queryDescriptor === "traverse:0:1")
+    assert(cert.trace === resp.path)
+    // same state + query => byte-identical certificate
+    val Right((_, cert2)) = QueryApi.certify(s, ApiRequest.Traverse(0, 1)): @unchecked
+    assert(cert.toCanonicalBytes.toSeq === cert2.toCanonicalBytes.toSeq)
+
+    val Right((absent, absCert)) = QueryApi.certify(s, ApiRequest.Lookup(999)): @unchecked
+    assert(!absent.found && absCert.isProofOfAbsence)
+
+    assert(QueryApi.certify(s, ApiRequest.Properties(0)).isLeft)
+    assert(QueryApi.certify(s, ApiRequest.Traverse(0, 200)).isLeft)
+  }
+}

@@ -81,6 +81,24 @@ class CanonicalSpec extends AnyFunSuite {
       Canonical.checksum(Canonical.fromGraph(mem)))
   }
 
+  test("streamed distributed state hash equals the driver-side canonical hash") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val signals = Seq(
+      Signal(1, "name", "Alice"), Signal(1, "role", "engineer"),
+      Signal(2, "name", "Bob"), Signal(3, "kind", "svc"),
+      Signal(1, "knows", "Bob"), Signal(2, "knows", "Alice"))
+    val df = signals.zipWithIndex
+      .map { case (s, i) => (i.toLong, s.entityId, s.attribute, s.value) }
+      .toDF("seq", "entity_id", "attribute", "value")
+    val frames = GraphTables.build(GraphTables.validSignals(df))
+
+    val mem = new InMemoryGraph
+    Ingestor.ingestSequence(mem, signals)
+    assert(DistributedStateHash.stateHashHex(frames) ===
+      Canonical.stateHashHex(Canonical.fromGraph(mem)))
+  }
+
   test("import rejects bad magic, truncation, tampering and over-limit counts") {
     val bytes = Canonical.toBytes(Canonical.fromGraph(fixture))
 
