@@ -1,0 +1,87 @@
+package graft.graph
+
+import graft.core.{GraftError, Limits}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Incremental atomic batch ingest — the distributed twin of
+  * `RedbGraph::ingest_batch` (redb_graph.rs:192-372).
+  *
+  * Semantics:
+  *   - ALL-OR-NOTHING: any invalid signal, or a batch over the 10 000
+  *     sequence cap, rejects the whole batch before anything is staged
+  *     (redb_graph.rs:203-207);
+  *   - new entities are assigned ids continuing from the current
+  *     `next_node_id`, ordered by first appearance within the batch — the
+  *     monotonic single-writer counter, distributed (graph.rs:502-517);
+  *   - adjacency edges increment between strictly-adjacent batch signals
+  *     only (a sequence is a batch; edges never span batches);
+  *   - properties are distinct-unioned (set semantics).
+  *
+  * The returned GraphFrames is a new snapshot; commit = swapping the
+  * session's reference (the copy-on-write discipline — one atomic
+  * "commit" per batch, the O(1)-fsync analogue).
+  */
+object GraphIngest {
+
+  /** `next_node_id` of a snapshot: derived ids are dense, so it's the
+    * node count (kept O(1) by the caller if tracked; recomputed here).
+    */
+  def nextNodeId(g: GraphFrames): Long = g.nodes.count()
+
+  def ingestBatch(g: GraphFrames, batch: DataFrame): Either[GraftError, GraphFrames] = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+
+    val total = batch.count()
+    if (total > Limits.MaxSequenceLength)
+      return Left(GraftError.InvalidSignal)
+    val valid = GraphTables.validSignals(batch)
+    if (valid.count() != total)
+      return Left(GraftError.InvalidSignal) // all-or-nothing: reject the batch
+
+    val signals = valid.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val base = nextNodeId(g)
+
+      // new entities, ids continuing from next_node_id in first-appearance order
+      val firsts = signals.groupBy("entity_id").agg(min("seq").as("first_seq"))
+        .join(g.nodes.select("entity_id"), Seq("entity_id"), "left_anti")
+      val newNodes = firsts
+        .repartitionByRange(col("first_seq"))
+        .sortWithinPartitions("first_seq")
+        .select("entity_id").rdd.map(_.getLong(0))
+        .zipWithIndex()
+        .map { case (entity, i) => (base + i, entity) }
+        .toDF("node_id", "entity_id")
+      val nodes = g.nodes.union(newNodes)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+      val sn = signals.join(broadcast(nodes), "entity_id").select(col("seq"), col("node_id"))
+
+      // within-batch adjacency -> increment deltas
+      val a = sn.as("a"); val b = sn.as("b")
+      val deltas = a.join(b, col("b.seq") === col("a.seq") + 1)
+        .groupBy(col("a.node_id").as("src"), col("b.node_id").as("dst"))
+        .agg(count(lit(1)).as("delta"))
+
+      val withNodes = g.copy(nodes = nodes)
+      val afterEdges = GraphMutation.incrementEdges(withNodes, deltas)
+
+      val properties = g.properties
+        .union(signals.join(broadcast(nodes), "entity_id")
+          .select(col("node_id"), col("attribute"), col("value")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+      Right(afterEdges.copy(
+        properties = properties,
+        edges = afterEdges.edges
+          .repartition(col("src"))
+          .persist(StorageLevel.MEMORY_AND_DISK)))
+    } finally {
+      signals.unpersist()
+    }
+  }
+}

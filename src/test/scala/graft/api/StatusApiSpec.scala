@@ -1,0 +1,61 @@
+package graft.api
+
+import graft.SparkTestSession
+import graft.core._
+import graft.graph.GraphTables
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Status/stage/hash surfaces: in-memory and distributed backends agree;
+  * Prometheus exposition is well-formed.
+  */
+class StatusApiSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val signals = Seq(
+    Signal(1, "name", "Alice"), Signal(2, "name", "Bob"),
+    Signal(1, "knows", "Bob"), Signal(2, "knows", "Alice"),
+    Signal(1, "role", "engineer"))
+
+  private def memSession: GraftSession = {
+    val s = new GraftSession()
+    assert(s.ingestSequence(signals).isRight)
+    s
+  }
+
+  private def frames = {
+    import spark.implicits._
+    val df = signals.zipWithIndex
+      .map { case (s, i) => (i.toLong, s.entityId, s.attribute, s.value) }
+      .toDF("seq", "entity_id", "attribute", "value")
+    GraphTables.build(GraphTables.validSignals(df))
+  }
+
+  test("status and stage agree between backends") {
+    val mem = StatusApi.status(memSession)
+    val dist = StatusApi.status(frames)
+    assert(mem === dist)
+    assert(mem.stage === "Signal Segmentation") // no stable edges yet
+
+    val stageMem = StatusApi.stage(memSession)
+    val stageDist = StatusApi.stage(frames)
+    assert(stageMem === stageDist)
+    assert(stageMem.next === Some("Pattern Crystallization"))
+  }
+
+  test("hash surfaces agree between backends") {
+    val mem = StatusApi.hash(memSession)
+    val dist = StatusApi.hash(frames)
+    assert(mem === dist)
+  }
+
+  test("health and prometheus text") {
+    assert(StatusApi.health(memSession))
+    assert(StatusApi.health(frames))
+    val text = StatusApi.prometheusText(
+      GraphMetrics(10, 20, 3, 2000000, 1), Stage.S1)
+    assert(text.contains("graft_nodes_total 10"))
+    assert(text.contains("graft_edges_total 20"))
+    assert(text.contains("graft_stage 1"))
+    assert(text.linesIterator.count(_.startsWith("# TYPE")) === 5)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.graph
+
+import graft.SparkTestSession
+import graft.core.{InMemoryGraph, Ingestor, Signal}
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental batch ingest must equal sequence-by-sequence in-memory
+  * ingest: continued monotonic ids, within-batch-only adjacency,
+  * property set semantics, and the all-or-nothing gate.
+  */
+class GraphIngestSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def df(signals: Seq[Signal]): DataFrame = {
+    import spark.implicits._
+    signals.zipWithIndex
+      .map { case (s, i) => (i.toLong, s.entityId, s.attribute, s.value) }
+      .toDF("seq", "entity_id", "attribute", "value")
+  }
+
+  private val batch1 = Seq(
+    Signal(1, "name", "Alice"), Signal(2, "name", "Bob"),
+    Signal(1, "knows", "Bob"))
+  private val batch2 = Seq(
+    Signal(3, "name", "Kremis"), Signal(1, "works_on", "Kremis"),
+    Signal(2, "works_on", "Kremis"), Signal(1, "name", "Alice")) // dup property
+
+  private def tables(g: GraphFrames) = (
+    g.nodes.orderBy("node_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq,
+    g.edges.orderBy("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq,
+    g.properties.orderBy("node_id", "attribute", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq)
+
+  test("two distributed batches equal two in-memory sequences") {
+    val g0 = GraphTables.build(GraphTables.validSignals(df(batch1)))
+    val g1 = GraphIngest.ingestBatch(g0, df(batch2)).toOption.get
+
+    val mem = new InMemoryGraph
+    assert(Ingestor.ingestSequence(mem, batch1).isRight)
+    assert(Ingestor.ingestSequence(mem, batch2).isRight)
+
+    val (nodes, edges, props) = tables(g1)
+    assert(nodes === mem.allNodes.map(n => (n.id, n.entityId)))
+    assert(edges === mem.allEdges.map(e => (e.from, e.to, e.weight)))
+    val memProps = mem.allNodes.flatMap(n =>
+      mem.getProperties(n.id).toOption.get.map { case (a, v) => (n.id, a, v) }).sorted
+    assert(props === memProps)
+    assert(GraphIngest.nextNodeId(g1) === mem.currentNextNodeId)
+  }
+
+  test("edges never span batches; re-ingesting increments weights") {
+    val g0 = GraphTables.build(GraphTables.validSignals(df(batch1)))
+    // batch of the same sequence again: adjacency weights double
+    val g1 = GraphIngest.ingestBatch(g0, df(batch1)).toOption.get
+    val (_, edges0, _) = tables(g0)
+    val (nodes1, edges1, _) = tables(g1)
+    assert(nodes1.length === 2) // no new entities
+    assert(edges1 === edges0.map { case (f, t, w) => (f, t, w * 2) })
+  }
+
+  test("a batch with any invalid signal is rejected whole") {
+    val g0 = GraphTables.build(GraphTables.validSignals(df(batch1)))
+    val bad = batch2 :+ Signal(9, "", "empty-attr")
+    assert(GraphIngest.ingestBatch(g0, df(bad)).isLeft)
+    // over the sequence cap: rejected before staging
+    val huge = (1 to (graft.core.Limits.MaxSequenceLength + 1))
+      .map(i => Signal(i.toLong, "k", "v"))
+    assert(GraphIngest.ingestBatch(g0, df(huge)).isLeft)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.graph
+
+import graft.SparkTestSession
+import graft.core.Signal
+import graft.verify.{DistributedChecksum, DistributedStateHash}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Save/load roundtrip preserves content, checksum and state hash;
+  * compact preserves content under a new physical layout.
+  */
+class GraphPersistenceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def frames: GraphFrames = {
+    import spark.implicits._
+    val signals = Seq(
+      Signal(1, "name", "Alice"), Signal(2, "name", "Bob"),
+      Signal(1, "knows", "Bob"), Signal(3, "kind", "svc"),
+      Signal(2, "knows", "Alice"))
+    val df = signals.zipWithIndex
+      .map { case (s, i) => (i.toLong, s.entityId, s.attribute, s.value) }
+      .toDF("seq", "entity_id", "attribute", "value")
+    GraphTables.build(GraphTables.validSignals(df))
+  }
+
+  test("save/load roundtrip preserves tables, checksum and state hash") {
+    val g = frames
+    val dir = Files.createTempDirectory("graft-persist").toString
+    GraphPersistence.save(g, dir)
+    val loaded = GraphPersistence.load(spark, dir)
+
+    assert(loaded.nodes.orderBy("node_id").collect().toSeq
+      === g.nodes.orderBy("node_id").collect().toSeq)
+    assert(loaded.edges.orderBy("src", "dst").collect().toSeq
+      === g.edges.orderBy("src", "dst").collect().toSeq)
+    assert(loaded.properties.orderBy("node_id", "attribute", "value").collect().toSeq
+      === g.properties.orderBy("node_id", "attribute", "value").collect().toSeq)
+
+    assert(DistributedChecksum.checksum(loaded) === DistributedChecksum.checksum(g))
+    assert(DistributedStateHash.stateHashHex(loaded) === DistributedStateHash.stateHashHex(g))
+  }
+
+  test("compact preserves content and integrity under a new layout") {
+    val g = frames
+    val compacted = GraphPersistence.compact(g)
+    assert(compacted.edges.orderBy("src", "dst").collect().toSeq
+      === g.edges.orderBy("src", "dst").collect().toSeq)
+    assert(DistributedChecksum.checksum(compacted) === DistributedChecksum.checksum(g))
+  }
+}
