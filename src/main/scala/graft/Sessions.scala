@@ -25,9 +25,12 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
-  /** Build-or-reuse with the env-provided parallelism (default 4). */
+  /** Build-or-reuse with the env-provided parallelism. The default matches
+    * the driver contract (local[32], shuffle.partitions=32); tests pass a
+    * smaller explicit value via [[builder]].
+    */
   def get(): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val s = builder(cpus).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -1,0 +1,61 @@
+package graft.functions
+
+import graft.core.{Artifact, Signal}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import java.nio.charset.StandardCharsets
+
+/** The engine's only extension point — a stateless, pure codec pair
+  * (types/mod.rs:277-301): `ingest` decodes raw bytes into a Signal (or
+  * rejects them — input not expressible as a Signal is DISCARDED, never
+  * repaired), `emit` renders an Artifact to bytes. Core logic stays closed
+  * to injected code (lib.rs:18-21); facets only translate at the boundary.
+  *
+  * Spark mapping: `ingest` runs distributed over a Dataset of payloads
+  * (one codec instance per partition); `emit` runs on the driver over the
+  * collected, bounded Artifact.
+  */
+trait Facet extends Serializable {
+  def ingest(bytes: Array[Byte]): Option[Signal]
+  def emit(artifact: Artifact): Array[Byte]
+}
+
+object Facets {
+
+  /** Decode a payload Dataset through a facet; undecodable payloads are
+    * dropped (counted by comparing counts upstream if needed). The result
+    * carries the payload order index as `seq` so a decoded batch can feed
+    * sequence ingest directly.
+    */
+  def ingestWith(facet: Facet)(raw: Dataset[Array[Byte]]): DataFrame = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    raw.rdd.zipWithIndex()
+      .flatMap { case (bytes, i) =>
+        facet.ingest(bytes).map(s => (i, s.entityId, s.attribute, s.value))
+      }
+      .toDF("seq", "entity_id", "attribute", "value")
+  }
+
+  /** `entity:attribute:value` UTF-8 line codec (the reference's text
+    * format, cli/mod.rs:88-105). Emit renders the artifact path as a
+    * comma-joined line — deterministic bytes for a deterministic artifact.
+    */
+  object Utf8ColonFacet extends Facet {
+    override def ingest(bytes: Array[Byte]): Option[Signal] = {
+      val line = new String(bytes, StandardCharsets.UTF_8).trim
+      line.split(":", 3) match {
+        case Array(e, a, v) if a.nonEmpty && v.nonEmpty =>
+          e.toLongOption.map(Signal(_, a, v))
+        case _ => None
+      }
+    }
+
+    override def emit(artifact: Artifact): Array[Byte] = {
+      val path = artifact.path.mkString(",")
+      val edges = artifact.subgraph
+        .map(_.map(e => s"${e.from}>${e.to}:${e.weight}").mkString(";"))
+        .getOrElse("")
+      s"$path|$edges".getBytes(StandardCharsets.UTF_8)
+    }
+  }
+}

@@ -1,0 +1,60 @@
+package graft.graph
+
+import graft.core.Limits
+import org.apache.spark.graphx.{Edge => GxEdge, Graph, VertexId}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** GraphX Pregel as an alternative scale path for bounded BFS.
+  *
+  * The DataFrame loop in [[GraphTables.traverseBfs]] issues one join job
+  * per hop — at depth 100 on a giant component that is 100 driver-
+  * coordinated stages. Pregel runs the same level-set computation inside
+  * GraphX's partitioned vertex/edge RDDs with its own supersteps, which
+  * amortizes scheduling and keeps the frontier state co-partitioned. Both
+  * paths must agree (cross-checked in GraphXTraversalSpec); the DataFrame
+  * loop remains the reference-semantics path because its output feeds the
+  * visit-order reconstruction.
+  */
+object GraphXTraversal {
+
+  /** BFS level sets via Pregel: (node_id, depth = first-reach level),
+    * depth clamped to MAX_TRAVERSAL_DEPTH; empty if the start is missing.
+    */
+  def bfsLevels(
+      g: GraphFrames,
+      start: Long,
+      depth: Int,
+      minWeight: Option[Long] = None): DataFrame = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val bound = math.min(math.max(depth, 0), Limits.MaxTraversalDepth)
+
+    val vertices = g.nodes.select("node_id").rdd
+      .map(r => (r.getLong(0): VertexId, ()))
+    val e0 = minWeight.map(w => g.edges.filter(col("weight") >= w)).getOrElse(g.edges)
+    val edges = e0.select("src", "dst").rdd
+      .map(r => GxEdge(r.getLong(0), r.getLong(1), ()))
+
+    val graph = Graph(vertices, edges)
+    if (graph.vertices.filter(_._1 == start).isEmpty())
+      return Seq.empty[(Long, Int)].toDF("node_id", "depth")
+    if (bound == 0) // Pregel requires >=1 iteration; depth 0 is just the start
+      return Seq((start, 0)).toDF("node_id", "depth")
+
+    val Unreached = Int.MaxValue
+    val init = graph.mapVertices((id, _) => if (id == start) 0 else Unreached)
+    val result = init.pregel(Unreached, maxIterations = bound)(
+      vprog = (_, level, msg) => math.min(level, msg),
+      sendMsg = t =>
+        if (t.srcAttr != Unreached && t.srcAttr < bound && t.dstAttr > t.srcAttr + 1)
+          Iterator((t.dstId, t.srcAttr + 1))
+        else Iterator.empty,
+      mergeMsg = math.min)
+
+    result.vertices
+      .filter { case (_, level) => level != Unreached }
+      .map { case (id, level) => (id, level) }
+      .toDF("node_id", "depth")
+  }
+}

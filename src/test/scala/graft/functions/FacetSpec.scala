@@ -1,0 +1,51 @@
+package graft.functions
+
+import graft.SparkTestSession
+import graft.core.{Artifact, Edge, InMemoryGraph, Ingestor, Signal}
+import graft.graph.GraphTables
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets
+
+/** Facet codec: distributed ingest decode (undecodable payloads discarded,
+  * never repaired), deterministic emit, and end-to-end graph parity.
+  */
+class FacetSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("ingestWith decodes payloads in order and discards garbage") {
+    import spark.implicits._
+    val payloads = Seq(
+      "1:name:Alice", "2:name:Bob", "not a signal", "x:y", "1:knows:Bob", ":empty:attr")
+      .map(_.getBytes(StandardCharsets.UTF_8)).toDS()
+    val decoded = Facets.ingestWith(Facets.Utf8ColonFacet)(payloads)
+      .orderBy("seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    // seq keeps payload positions; garbage rows vanish
+    assert(decoded.toSeq === Seq(
+      (0L, 1L, "name", "Alice"), (1L, 2L, "name", "Bob"), (4L, 1L, "knows", "Bob")))
+  }
+
+  test("a facet-decoded batch builds the same graph as direct ingest") {
+    import spark.implicits._
+    val lines = Seq("1:name:Alice", "2:name:Bob", "1:knows:Bob", "2:knows:Alice")
+    val payloads = lines.map(_.getBytes(StandardCharsets.UTF_8)).toDS()
+    val frames = GraphTables.build(
+      GraphTables.validSignals(Facets.ingestWith(Facets.Utf8ColonFacet)(payloads)))
+
+    val mem = new InMemoryGraph
+    Ingestor.ingestSequence(mem, lines.map { l =>
+      val Array(e, a, v) = l.split(":", 3); Signal(e.toLong, a, v)
+    })
+    assert(frames.edges.orderBy("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      === mem.allEdges.map(e => (e.from, e.to, e.weight)))
+  }
+
+  test("emit is deterministic and carries path + weighted subgraph") {
+    val art = Artifact.withSubgraph(Vector(0L, 1L, 2L), Vector(Edge(0, 1, 10), Edge(1, 2, 20)))
+    val a = Facets.Utf8ColonFacet.emit(art)
+    val b = Facets.Utf8ColonFacet.emit(art)
+    assert(a.toSeq === b.toSeq)
+    assert(new String(a, StandardCharsets.UTF_8) === "0,1,2|0>1:10;1>2:20")
+  }
+}

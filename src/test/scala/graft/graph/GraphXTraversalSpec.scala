@@ -1,0 +1,25 @@
+package graft.graph
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Pregel scale path must agree with the DataFrame-loop BFS on level
+  * sets — plain, weight-filtered, and missing-start cases.
+  */
+class GraphXTraversalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def levels(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+    df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+  test("Pregel BFS equals the DataFrame-loop BFS on the sf0.001 graph") {
+    val g = GraphTables.forDir(spark, "/root/testdata/sf0.001")
+    for (d <- Seq(0, 1, 3)) {
+      assert(levels(GraphXTraversal.bfsLevels(g, 0L, d))
+        === levels(GraphTables.traverseBfs(g, 0L, d)), s"depth $d")
+    }
+    assert(levels(GraphXTraversal.bfsLevels(g, 0L, 3, minWeight = Some(5L)))
+      === levels(GraphTables.traverseBfs(g, 0L, 3, minWeight = Some(5L))))
+    assert(GraphXTraversal.bfsLevels(g, 99999L, 2).isEmpty)
+  }
+}
