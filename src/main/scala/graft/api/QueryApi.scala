@@ -126,6 +126,20 @@ object QueryApi {
     }
   }
 
+  /** The `POST /signal/retract` path (handlers.rs:169-213): an entity
+    * pair resolves to its edge, which is decremented; missing entity or
+    * edge is a lookup failure (the HTTP 404), NOT a silent no-op — the
+    * deliberate asymmetry with ingest. Returns the new weight.
+    */
+  def retract(session: GraftSession, fromEntity: Long, toEntity: Long): Either[GraftError, Long] = {
+    val g = session.graph
+    for {
+      from <- g.getNodeByEntity(fromEntity).toRight(GraftError.NodeNotFound(fromEntity))
+      to <- g.getNodeByEntity(toEntity).toRight(GraftError.NodeNotFound(toEntity))
+      _ <- g.decrementEdge(from, to)
+    } yield g.getEdge(from, to).getOrElse(0L)
+  }
+
   /** The `/certify` path (handlers.rs:578-674): re-run the query, bind the
     * result to the state hash in a GQC1 certificate. `properties` queries
     * are rejected — the certificate format carries no property evidence.

@@ -1,0 +1,117 @@
+package graft.api
+
+import graft.core._
+import graft.graph.{GraphTables, SparkGraphSession}
+import graft.verify.{DistributedStateHash, QueryCertificate}
+import org.apache.spark.sql.functions.col
+
+/** The query/certify surface over the DISTRIBUTED backend — the same
+  * request union, response envelope, diagnostics and grounding rules as
+  * [[QueryApi]], dispatched to Spark jobs. Responses are identical to the
+  * in-memory backend's for the same graph (parity-tested), and
+  * certificates are byte-identical: the streamed distributed state hash
+  * equals the canonical driver hash, and evidence is resolved by bounded
+  * local lookups against the tables, never a whole-graph collect.
+  */
+object SparkQueryApi {
+
+  def execute(session: SparkGraphSession, req: ApiRequest): ApiResponse = {
+    val g = session.frames
+    def containsNode(id: Long): Boolean =
+      !g.nodes.filter(col("node_id") === id).isEmpty
+
+    req match {
+      case ApiRequest.Lookup(entity) =>
+        session.lookup(entity) match {
+          case Some(node) => ApiResponse(success = true, found = true,
+            Vector(node), Vector.empty, Vector.empty, Grounding.Fact.label)
+          case None => ApiResponse.absent("entity_not_found")
+        }
+
+      case ApiRequest.Traverse(n, d) => traverseResponse(session, n, d, None, None)
+      case ApiRequest.Related(n, d) => traverseResponse(session, n, d, None, None)
+      case ApiRequest.TraverseFiltered(n, d, w, k) => traverseResponse(session, n, d, Some(w), k)
+
+      case ApiRequest.StrongestPath(start, end) =>
+        if (!containsNode(start)) ApiResponse.absent("start_not_found")
+        else if (!containsNode(end)) ApiResponse.absent("end_not_found")
+        else session.extractPath(start, end) match {
+          case None => ApiResponse.absent("no_path")
+          case Some(a) => ApiResponse(success = true, found = true, a.path,
+            a.subgraph.getOrElse(Vector.empty), Vector.empty, Grounding.Inference.label)
+        }
+
+      case ApiRequest.Intersect(nodes) =>
+        if (nodes.length < Limits.MinIntersectNodes || nodes.length > Limits.MaxIntersectNodes)
+          ApiResponse.invalid(
+            s"intersect arity ${nodes.length} outside ${Limits.MinIntersectNodes}..${Limits.MaxIntersectNodes}")
+        else {
+          val common = session.intersect(nodes)
+          if (common.isEmpty) ApiResponse.absent("no_common_neighbors")
+          else ApiResponse(success = true, found = true, common, Vector.empty,
+            Vector.empty, Grounding.Inference.label)
+        }
+
+      case ApiRequest.Properties(node) =>
+        if (!containsNode(node)) ApiResponse.absent("entity_not_found")
+        else ApiResponse(success = true, found = true, Vector(node), Vector.empty,
+          session.properties(node), Grounding.Fact.label)
+    }
+  }
+
+  private def traverseResponse(
+      session: SparkGraphSession, node: Long, depth: Int,
+      minWeight: Option[Long], topK: Option[Int]): ApiResponse = {
+    if (depth > Limits.MaxTraversalDepth)
+      return ApiResponse.invalid(s"depth $depth > ${Limits.MaxTraversalDepth}")
+    val art = minWeight match {
+      case Some(w) => session.composeFiltered(node, depth, w)
+      case None => session.compose(node, depth)
+    }
+    art match {
+      case None => ApiResponse.absent("entity_not_found")
+      case Some(a) =>
+        val cut = GroundingEngine.applyTopK(a, topK)
+        ApiResponse(success = true, found = true, cut.path,
+          cut.subgraph.getOrElse(Vector.empty), Vector.empty, Grounding.Inference.label)
+    }
+  }
+
+  /** Certify against the distributed snapshot: streamed state hash +
+    * evidence resolved by a bounded collect of only the touched nodes and
+    * their induced edges (certificate.rs:94-135's local-lookup rule).
+    */
+  def certify(session: SparkGraphSession, req: ApiRequest): Either[GraftError, (ApiResponse, QueryCertificate)] = {
+    req match {
+      case _: ApiRequest.Properties =>
+        return Left(GraftError.InvalidQuery("properties queries cannot be certified"))
+      case _ => ()
+    }
+    val resp = execute(session, req)
+    if (!resp.success)
+      return Left(GraftError.InvalidQuery(resp.error.getOrElse("invalid query")))
+    val g = session.frames
+    val stateHash = DistributedStateHash.stateHash(g)
+    val grounding =
+      if (!resp.found) Grounding.Unknown
+      else req match {
+        case _: ApiRequest.Lookup => Grounding.Fact
+        case _ => Grounding.Inference
+      }
+
+    // evidence scaffold: only the touched nodes + their induced edges
+    val evidence = new InMemoryGraph
+    if (resp.found) {
+      val touched = (resp.path ++ resp.edges.flatMap(e => Seq(e.from, e.to))).distinct
+      g.nodes.filter(col("node_id").isin(touched: _*))
+        .collect().foreach(r => evidence.importNode(Node(r.getLong(0), r.getLong(1))))
+      g.edges.filter(col("src").isin(touched: _*) && col("dst").isin(touched: _*))
+        .collect().foreach(r => evidence.insertEdge(r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    val artifact =
+      if (!resp.found) None
+      else Some(Artifact(resp.path, if (resp.edges.nonEmpty) Some(resp.edges) else None))
+    Right((resp, QueryCertificate.build(
+      stateHash, QueryApi.descriptor(req), grounding, evidence, artifact)))
+  }
+}

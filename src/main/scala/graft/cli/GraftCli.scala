@@ -1,0 +1,198 @@
+package graft.cli
+
+import graft.Sessions
+import graft.api.{ApiRequest, ApiResponse, SparkQueryApi, StatusApi}
+import graft.core.{InMemoryGraph, Node}
+import graft.graph._
+import graft.sources.SignalSources
+import graft.verify.Canonical
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+
+/** Command-line surface (cli/mod.rs:66-165): `init`, `ingest`
+  * (json / jsonl / text, `--strict`), `query` (lookup / traverse / path /
+  * intersect / related / properties), `export` / `import` (canonical GRFX
+  * bytes), `status`, `stage`, `hash` — against a `--database <dir>` of
+  * persisted graph tables. Output is one JSON line per command
+  * (`--json-mode` is the only mode).
+  *
+  * `run` is the testable core: it returns either an error message or the
+  * output line, and never calls System.exit.
+  */
+object GraftCli {
+
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.get()
+    run(spark, args.toSeq) match {
+      case Right(out) => println(out)
+      case Left(err) => System.err.println(s"""{"error": ${jstr(err)}}"""); sys.exit(1)
+    }
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private val signalSchema = StructType(Seq(
+    StructField("seq", LongType), StructField("entity_id", LongType),
+    StructField("attribute", StringType), StructField("value", StringType)))
+
+  private def emptyFrames(spark: SparkSession): GraphFrames = {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], signalSchema)
+    GraphFrames(
+      empty,
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("node_id", LongType), StructField("entity_id", LongType)))),
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("src", LongType), StructField("dst", LongType),
+          StructField("weight", LongType)))),
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("node_id", LongType), StructField("attribute", StringType),
+          StructField("value", StringType)))))
+  }
+
+  private def loadDb(spark: SparkSession, db: String): Either[String, GraphFrames] =
+    if (GraphPersistence.currentVersion(db).isEmpty) Left(s"database not initialized: $db")
+    else Right(GraphPersistence.load(spark, db))
+
+  /** Collect the (limit-bounded) graph into the in-memory form for
+    * canonical export (export is bounded by the same limits as import).
+    */
+  private def collectGraph(g: GraphFrames): Either[String, InMemoryGraph] = {
+    val nNodes = g.nodes.count()
+    if (nNodes > Canonical.MaxNodes) return Left(s"graph too large to export: $nNodes nodes")
+    val mem = new InMemoryGraph
+    g.nodes.orderBy("node_id").collect().foreach(r => mem.importNode(Node(r.getLong(0), r.getLong(1))))
+    g.edges.collect().foreach(r => mem.insertEdge(r.getLong(0), r.getLong(1), r.getLong(2)))
+    g.properties.collect().foreach(r => mem.storeProperty(r.getLong(0), r.getString(1), r.getString(2)))
+    Right(mem)
+  }
+
+  private def renderResponse(r: ApiResponse): String = {
+    val edges = r.edges.map(e => s"""{"from":${e.from},"to":${e.to},"weight":${e.weight}}""")
+      .mkString("[", ",", "]")
+    val props = r.properties.map { case (a, v) => s"[${jstr(a)},${jstr(v)}]" }
+      .mkString("[", ",", "]")
+    s"""{"success":${r.success},"found":${r.found},"path":${r.path.mkString("[", ",", "]")},""" +
+      s""""edges":$edges,"properties":$props,"grounding":${jstr(r.grounding)}""" +
+      r.error.map(e => s""","error":${jstr(e)}""").getOrElse("") +
+      r.diagnostic.map(d => s""","diagnostic":${jstr(d)}""").getOrElse("") + "}"
+  }
+
+  def run(spark: SparkSession, args: Seq[String]): Either[String, String] = {
+    val (flags, positional) = args.partition(_.startsWith("--"))
+    val flagMap = flags.map { f =>
+      f.stripPrefix("--").split("=", 2) match {
+        case Array(k, v) => k -> v
+        case Array(k) => k -> "true"
+      }
+    }.toMap
+    val db = flagMap.getOrElse("database", "graft-db")
+    val strict = flagMap.get("strict").contains("true")
+
+    positional match {
+      case Seq("init") =>
+        GraphPersistence.save(emptyFrames(spark), db)
+        Right(s"""{"initialized":${jstr(db)}}""")
+
+      case Seq("ingest", file) =>
+        val format = flagMap.getOrElse("format",
+          if (file.endsWith(".json")) "json"
+          else if (file.endsWith(".jsonl")) "jsonl" else "text")
+        val read = format match {
+          case "json" => SignalSources.readJsonArray(spark, file, strict)
+          case "jsonl" => SignalSources.readJsonl(spark, file, strict)
+          case "text" => SignalSources.readText(spark, file, strict)
+          case other => return Left(s"unknown format: $other")
+        }
+        for {
+          signals <- read.left.map(_.message)
+          base <- loadDb(spark, db)
+          next <- GraphIngest.ingestBatch(base, signals).left.map(_.message)
+        } yield {
+          GraphPersistence.save(next, db)
+          s"""{"ingested":${signals.count()},"nodes":${next.nodes.count()},"edges":${next.edges.count()}}"""
+        }
+
+      case Seq("query", rest @ _*) =>
+        for {
+          g <- loadDb(spark, db)
+          req <- parseQuery(rest)
+        } yield renderResponse(SparkQueryApi.execute(new SparkGraphSession(g), req))
+
+      case Seq("export", file) =>
+        for {
+          g <- loadDb(spark, db)
+          mem <- collectGraph(g)
+        } yield {
+          val bytes = Canonical.toBytes(Canonical.fromGraph(mem))
+          Files.write(Paths.get(file), bytes)
+          s"""{"exported":${jstr(file)},"bytes":${bytes.length}}"""
+        }
+
+      case Seq("import", file) =>
+        val bytes = Files.readAllBytes(Paths.get(file))
+        for {
+          canon <- Canonical.fromBytes(bytes).left.map(_.message)
+        } yield {
+          val (mem, diag) = Canonical.importCanonical(canon)
+          import spark.implicits._
+          val frames = emptyFrames(spark).copy(
+            nodes = mem.allNodes.map(n => (n.id, n.entityId)).toDF("node_id", "entity_id"),
+            edges = mem.allEdges.map(e => (e.from, e.to, e.weight)).toDF("src", "dst", "weight"),
+            properties = mem.allNodes.flatMap(n =>
+              mem.getProperties(n.id).toOption.get.map { case (a, v) => (n.id, a, v) })
+              .toDF("node_id", "attribute", "value"))
+          GraphPersistence.save(frames, db)
+          s"""{"imported":${mem.nodeCount},"dangling_edges":${diag.danglingEdges},""" +
+            s""""dangling_properties":${diag.danglingProperties}}"""
+        }
+
+      case Seq("status") =>
+        loadDb(spark, db).map { g =>
+          val s = StatusApi.status(g)
+          s"""{"nodes":${s.nodeCount},"edges":${s.edgeCount},"stable_edges":${s.stableEdgeCount},""" +
+            s""""stage":${jstr(s.stage)},"stage_order":${s.stageOrder}}"""
+        }
+
+      case Seq("stage") =>
+        loadDb(spark, db).map { g =>
+          val p = StatusApi.stage(g)
+          s"""{"current":${jstr(p.current)},"next":${p.next.map(jstr).getOrElse("null")},""" +
+            s""""percent":${p.percent},"stable_edges":${p.stableEdges},"needed":${p.stableEdgesNeeded}}"""
+        }
+
+      case Seq("hash") =>
+        loadDb(spark, db).map { g =>
+          val h = StatusApi.hash(g)
+          s"""{"checksum":${h.checksum},"state_hash":${jstr(h.stateHash)}}"""
+        }
+
+      case other => Left(s"unknown command: ${other.mkString(" ")}")
+    }
+  }
+
+  private def parseQuery(rest: Seq[String]): Either[String, ApiRequest] = rest match {
+    case Seq("lookup", e) => e.toLongOption.map(ApiRequest.Lookup).toRight(s"bad entity: $e")
+    case Seq("traverse", n, d) => numPair(n, d).map { case (a, b) => ApiRequest.Traverse(a, b.toInt) }
+    case Seq("path", s, e) => numPair(s, e).map { case (a, b) => ApiRequest.StrongestPath(a, b) }
+    case Seq("intersect", ns) =>
+      val ids = ns.split(",").toVector.map(_.toLongOption)
+      if (ids.forall(_.isDefined)) Right(ApiRequest.Intersect(ids.flatten))
+      else Left(s"bad node list: $ns")
+    case Seq("related", n, d) => numPair(n, d).map { case (a, b) => ApiRequest.Related(a, b.toInt) }
+    case Seq("properties", n) => n.toLongOption.map(ApiRequest.Properties).toRight(s"bad node: $n")
+    case other => Left(s"unknown query: ${other.mkString(" ")}")
+  }
+
+  private def numPair(a: String, b: String): Either[String, (Long, Long)] =
+    (a.toLongOption, b.toLongOption) match {
+      case (Some(x), Some(y)) => Right((x, y))
+      case _ => Left(s"bad numbers: $a $b")
+    }
+}

@@ -3,14 +3,18 @@ package graft.graph
 import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
-/** Durable table persistence — the role of the reference's KREM file / redb
-  * database (formats/persistence.rs, redb_graph.rs), as Parquet table
-  * snapshots. A saved graph directory holds `nodes/`, `edges/`,
-  * `properties/`; `save` writes a complete snapshot (overwrite = the
-  * atomic-commit analogue: readers of the old version are unaffected until
-  * the swap), `load` restores GraphFrames with the same persisted layout
-  * the in-session builder produces.
+/** Durable table persistence — the role of the reference's KREM file /
+  * redb database (formats/persistence.rs, redb_graph.rs), as VERSIONED
+  * Parquet snapshots: each `save` writes a fresh `v<N>/` directory
+  * (`nodes/`, `edges/`, `properties/`) and then atomically swaps the
+  * `CURRENT` pointer file. This is the ACID analogue SURVEY §1.4 calls
+  * for: writers never touch the files a live snapshot reads (no
+  * read-overwrite hazard — the new snapshot's lineage may still scan the
+  * old version), readers keep their version until they reload, and a
+  * crashed write leaves `CURRENT` pointing at the last complete version.
   *
   * `compact` is the reference's `RedbGraph::compact` (redb_graph.rs:
   * 172-177) as a repartition-rewrite: edges re-clustered by `src` (the
@@ -19,20 +23,39 @@ import org.apache.spark.storage.StorageLevel
   */
 object GraphPersistence {
 
+  private def currentPointer(path: String): Path = Paths.get(path, "CURRENT")
+
+  /** The committed version name, if the database is initialized. */
+  def currentVersion(path: String): Option[String] = {
+    val p = currentPointer(path)
+    if (Files.exists(p)) Some(Files.readString(p).trim) else None
+  }
+
   def save(g: GraphFrames, path: String): Unit = {
-    g.nodes.write.mode(SaveMode.Overwrite).parquet(s"$path/nodes")
+    val next = "v" + (currentVersion(path).map(_.stripPrefix("v").toLong).getOrElse(0L) + 1)
+    val dir = s"$path/$next"
+    g.nodes.write.mode(SaveMode.Overwrite).parquet(s"$dir/nodes")
     // cluster edges by src so a loaded graph scans adjacency locally
     g.edges.repartition(col("src")).sortWithinPartitions("src", "dst")
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/edges")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/edges")
     g.properties.repartition(col("node_id")).sortWithinPartitions("node_id", "attribute", "value")
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/properties")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/properties")
+    // commit = atomic pointer swap (write-temp + move)
+    Files.createDirectories(Paths.get(path))
+    val tmp = Paths.get(path, s".CURRENT.tmp")
+    Files.writeString(tmp, next, StandardCharsets.UTF_8)
+    Files.move(tmp, currentPointer(path),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
   def load(spark: SparkSession, path: String): GraphFrames = {
-    val nodes = spark.read.parquet(s"$path/nodes").persist(StorageLevel.MEMORY_AND_DISK)
-    val edges = spark.read.parquet(s"$path/edges")
+    val version = currentVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"database not initialized: $path"))
+    val dir = s"$path/$version"
+    val nodes = spark.read.parquet(s"$dir/nodes").persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = spark.read.parquet(s"$dir/edges")
       .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
-    val properties = spark.read.parquet(s"$path/properties").persist(StorageLevel.MEMORY_AND_DISK)
+    val properties = spark.read.parquet(s"$dir/properties").persist(StorageLevel.MEMORY_AND_DISK)
     val signals = spark.emptyDataFrame
     GraphFrames(signals, nodes, edges, properties)
   }

@@ -77,6 +77,19 @@ final class SparkGraphSession(private var framesVar: GraphFrames) {
       framesVar = next
     }
 
+  /** Atomic batch ingest + buffer activation (session.rs:218-240): on
+    * success the snapshot swaps and every node the batch touched becomes
+    * active.
+    */
+  def ingestBatch(batch: org.apache.spark.sql.DataFrame): Either[GraftError, Unit] =
+    GraphIngest.ingestBatch(framesVar, batch).map { next =>
+      framesVar = next
+      val touched = batch.select("entity_id").distinct()
+        .join(next.nodes, "entity_id")
+        .select("node_id").collect().map(_.getLong(0))
+      activeNodes ++= touched
+    }
+
   // --- context management (session.rs:317-345) ---
 
   def activate(node: Long): Unit = activeNodes += node

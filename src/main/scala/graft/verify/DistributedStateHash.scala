@@ -18,10 +18,13 @@ import java.security.MessageDigest
   */
 object DistributedStateHash {
 
+  def stateHashHex(g: GraphFrames): String =
+    stateHash(g).map(b => f"$b%02x").mkString
+
   /** nextNodeId of a derived graph: ids are dense 0..n-1 by construction,
     * so the counter equals the node count.
     */
-  def stateHashHex(g: GraphFrames): String = {
+  def stateHash(g: GraphFrames): Array[Byte] = {
     val md = MessageDigest.getInstance("SHA-256")
     val nNodes = g.nodes.count()
     val nEdges = g.edges.count()
@@ -53,6 +56,6 @@ object DistributedStateHash {
       val r = props.next()
       md.update(Canonical.propBytes(r.getLong(0), r.getString(1), r.getString(2)))
     }
-    md.digest().map(b => f"$b%02x").mkString
+    md.digest()
   }
 }

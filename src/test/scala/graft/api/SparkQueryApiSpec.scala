@@ -1,0 +1,95 @@
+package graft.api
+
+import graft.SparkTestSession
+import graft.core._
+import graft.graph.{GraphTables, SparkGraphSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Backend parity: every API variant returns the identical response on
+  * the distributed backend, certificates are byte-identical to the
+  * in-memory backend's (same state hash, same evidence), and the retract
+  * + distributed-ingest session paths behave.
+  */
+class SparkQueryApiSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val signals = Seq(
+    Signal(1, "name", "Alice"), Signal(2, "name", "Bob"),
+    Signal(3, "name", "Kremis"), Signal(1, "works_on", "Kremis"),
+    Signal(2, "works_on", "Kremis"), Signal(1, "knows", "Bob"))
+
+  private def distSession: SparkGraphSession = {
+    import spark.implicits._
+    val df = signals.zipWithIndex
+      .map { case (s, i) => (i.toLong, s.entityId, s.attribute, s.value) }
+      .toDF("seq", "entity_id", "attribute", "value")
+    new SparkGraphSession(GraphTables.build(GraphTables.validSignals(df)))
+  }
+
+  private def memSession: GraftSession = {
+    val s = new GraftSession()
+    assert(s.ingestSequence(signals).isRight)
+    s
+  }
+
+  private val requests: Seq[ApiRequest] = Seq(
+    ApiRequest.Lookup(2), ApiRequest.Lookup(999),
+    ApiRequest.Traverse(0, 2), ApiRequest.Traverse(99, 2),
+    ApiRequest.TraverseFiltered(0, 2, 2, topK = Some(2)),
+    ApiRequest.StrongestPath(0, 2), ApiRequest.StrongestPath(2, 0),
+    ApiRequest.StrongestPath(99, 0),
+    ApiRequest.Intersect(Vector(0, 1)), ApiRequest.Intersect(Vector(1)),
+    ApiRequest.Related(1, 1), ApiRequest.Properties(0), ApiRequest.Properties(99))
+
+  test("every variant returns the identical response on both backends") {
+    val dist = distSession
+    val mem = memSession
+    for (req <- requests)
+      assert(SparkQueryApi.execute(dist, req) === QueryApi.execute(mem, req), s"request $req")
+  }
+
+  test("distributed certificates are byte-identical to in-memory ones") {
+    val dist = distSession
+    val mem = memSession
+    for (req <- Seq(
+        ApiRequest.Lookup(2), ApiRequest.Lookup(999),
+        ApiRequest.Traverse(0, 1), ApiRequest.StrongestPath(0, 2),
+        ApiRequest.Intersect(Vector(0, 1)))) {
+      val d = SparkQueryApi.certify(dist, req)
+      val m = QueryApi.certify(mem, req)
+      assert(d.isRight && m.isRight, s"request $req")
+      assert(d.toOption.get._2.toCanonicalBytes.toSeq
+        === m.toOption.get._2.toCanonicalBytes.toSeq, s"request $req")
+    }
+    assert(SparkQueryApi.certify(dist, ApiRequest.Properties(0)).isLeft)
+  }
+
+  test("retract decrements by entity pair; missing entity or edge is an error") {
+    val mem = memSession
+    // 1 knows->adjacent 2? adjacency edges from the sequence: check an existing pair
+    val g = mem.graph
+    val from = g.getNodeByEntity(2).get
+    val to = g.getNodeByEntity(3).get
+    val w0 = g.getEdge(from, to).get
+    assert(QueryApi.retract(mem, 2, 3) === Right(w0 - 1))
+    assert(QueryApi.retract(mem, 999, 3).isLeft)
+    assert(QueryApi.retract(mem, 3, 999).isLeft)
+    // entities exist but no such edge (no 1->3 adjacency in the sequence)
+    assert(QueryApi.retract(mem, 1, 3).isLeft)
+  }
+
+  test("distributed session ingest activates touched nodes atomically") {
+    import spark.implicits._
+    val s = distSession
+    val batch = Seq((0L, 4L, "name", "Newbie"), (1L, 1L, "meets", "Newbie"))
+      .toDF("seq", "entity_id", "attribute", "value")
+    assert(s.ingestBatch(batch).isRight)
+    assert(s.lookup(4L).isDefined)
+    assert(s.active.nonEmpty)
+    // invalid batch leaves the snapshot and buffer untouched
+    val before = s.frames
+    val bad = Seq((0L, 5L, "", "x")).toDF("seq", "entity_id", "attribute", "value")
+    assert(s.ingestBatch(bad).isLeft)
+    assert(s.frames eq before)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.cli
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** End-to-end CLI flow: init → ingest → query → status → export → import
+  * roundtrip with hash equality — the cli_tests.rs surface.
+  */
+class GraftCliSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def run(args: String*): Either[String, String] = GraftCli.run(spark, args)
+
+  test("init, ingest, query, status, export/import roundtrip") {
+    val work = Files.createTempDirectory("graft-cli")
+    val db = s"$work/db"
+    val sample = work.resolve("signals.json")
+    Files.writeString(sample,
+      """[
+        |{"entity_id": 1, "attribute": "name", "value": "Alice"},
+        |{"entity_id": 2, "attribute": "name", "value": "Bob"},
+        |{"entity_id": 1, "attribute": "knows", "value": "Bob"}
+        |]""".stripMargin)
+
+    assert(run("init", s"--database=$db").isRight)
+    val ingest = run("ingest", sample.toString, s"--database=$db")
+    // adjacency pairs of the 3-signal sequence: (1,2) and (2,1) -> 2 edges
+    assert(ingest === Right("""{"ingested":3,"nodes":2,"edges":2}"""))
+
+    val q = run("query", "lookup", "1", s"--database=$db")
+    assert(q.isRight && q.toOption.get.contains(""""found":true"""))
+    assert(q.toOption.get.contains(""""grounding":"fact""""))
+
+    val t = run("query", "traverse", "0", "2", s"--database=$db")
+    assert(t.isRight && t.toOption.get.contains(""""path":[0,1]"""))
+
+    val missing = run("query", "lookup", "42", s"--database=$db")
+    assert(missing.toOption.get.contains(""""diagnostic":"entity_not_found""""))
+
+    val status = run("status", s"--database=$db")
+    assert(status.toOption.get.contains(""""nodes":2"""))
+
+    val hashBefore = run("hash", s"--database=$db").toOption.get
+
+    val exportFile = s"$work/graph.grfx"
+    assert(run("export", exportFile, s"--database=$db").isRight)
+    val db2 = s"$work/db2"
+    assert(run("import", exportFile, s"--database=$db2").isRight)
+    val hashAfter = run("hash", s"--database=$db2").toOption.get
+    assert(hashAfter === hashBefore)
+  }
+
+  test("errors: uninitialized db, bad command, strict malformed ingest") {
+    val work = Files.createTempDirectory("graft-cli2")
+    assert(run("status", s"--database=$work/nope").isLeft)
+    assert(run("frobnicate").isLeft)
+
+    val db = s"$work/db"
+    assert(run("init", s"--database=$db").isRight)
+    val bad = work.resolve("bad.txt")
+    Files.writeString(bad, "1:kind:svc\nnot-a-signal")
+    assert(run("ingest", bad.toString, "--strict", s"--database=$db").isLeft)
+    // lenient mode ingests the valid line
+    assert(run("ingest", bad.toString, s"--database=$db").isRight)
+  }
+}
