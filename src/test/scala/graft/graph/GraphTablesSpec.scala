@@ -142,6 +142,30 @@ class GraphTablesSpec extends AnyFunSuite {
     assert(dfs.toSeq === mem.traverseDfs(0L, 2).get.path)
   }
 
+  test("random sequences: distributed derivation equals in-memory, every time") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genSignal: Gen[Signal] = for {
+      e <- Gen.chooseNum(0L, 40L)
+      a <- Gen.oneOf("kind", "dep", "name")
+      v <- Gen.oneOf("x", "y", "z", "alpha", "beta")
+    } yield Signal(e, a, v)
+    val genSeq = Gen.listOfN(80, genSignal)
+
+    for (seed <- 0 until 4) {
+      val signals = genSeq.apply(Gen.Parameters.default, Seed(seed.toLong)).get
+      val g = framesOf(signals)
+      val mem = memOf(signals)
+      assert(g.nodes.orderBy("node_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        === mem.allNodes.map(n => (n.id, n.entityId)), s"seed $seed nodes")
+      assert(g.edges.orderBy("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        === mem.allEdges.map(e => (e.from, e.to, e.weight)), s"seed $seed edges")
+      val levels = GraphTables.traverseBfs(g, 0L, 3)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(levels === memLevels(mem, 0L, 3), s"seed $seed bfs")
+    }
+  }
+
   test("missing start node yields an empty traversal (the reference's None)") {
     val g = framesOf(sample)
     assert(GraphTables.traverseBfs(g, 999L, 2).isEmpty)
