@@ -52,7 +52,10 @@ object QueryApi {
   def descriptor(req: ApiRequest): String = req match {
     case ApiRequest.Lookup(e) => s"lookup:$e"
     case ApiRequest.Traverse(n, d) => s"traverse:$n:$d"
-    case ApiRequest.TraverseFiltered(n, d, w, _) => s"traverse_filtered:$n:$d:$w"
+    case ApiRequest.TraverseFiltered(n, d, w, k) =>
+      // top-k is part of the answered question — a certificate for the
+      // truncated result must not collide with the untruncated query's
+      s"traverse_filtered:$n:$d:$w" + k.map(kk => s":top$kk").getOrElse("")
     case ApiRequest.StrongestPath(s, e) => s"strongest_path:$s:$e"
     case ApiRequest.Intersect(ns) => s"intersect:${ns.mkString(",")}"
     case ApiRequest.Related(n, d) => s"related:$n:$d"
@@ -101,9 +104,13 @@ object QueryApi {
         g.getProperties(node) match {
           case Left(_) => ApiResponse.absent("entity_not_found")
           case Right(props) =>
-            // an existing node with zero properties is still found
+            // an existing node with zero properties is still found; the
+            // response orders pairs canonically by (attribute, value) so
+            // both backends answer identically (the in-memory store keeps
+            // values in insertion order, the distributed store doesn't
+            // track it)
             ApiResponse(success = true, found = true, Vector(node), Vector.empty,
-              props, Grounding.Fact.label)
+              props.sorted, Grounding.Fact.label)
         }
     }
   }

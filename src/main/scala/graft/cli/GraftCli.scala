@@ -66,11 +66,20 @@ object GraftCli {
   private def collectGraph(g: GraphFrames): Either[String, InMemoryGraph] = {
     val nNodes = g.nodes.count()
     if (nNodes > Canonical.MaxNodes) return Left(s"graph too large to export: $nNodes nodes")
+    val nEdges = g.edges.count()
+    if (nEdges > Canonical.MaxEdges) return Left(s"graph too large to export: $nEdges edges")
+    val nProps = g.properties.count()
+    if (nProps > Canonical.MaxProps) return Left(s"graph too large to export: $nProps properties")
     val mem = new InMemoryGraph
     g.nodes.orderBy("node_id").collect().foreach(r => mem.importNode(Node(r.getLong(0), r.getLong(1))))
     g.edges.collect().foreach(r => mem.insertEdge(r.getLong(0), r.getLong(1), r.getLong(2)))
-    g.properties.collect().foreach(r => mem.storeProperty(r.getLong(0), r.getString(1), r.getString(2)))
-    Right(mem)
+    var propErr: Option[String] = None
+    g.properties.collect().foreach { r =>
+      if (propErr.isEmpty)
+        mem.storeProperty(r.getLong(0), r.getString(1), r.getString(2)).left.foreach(e =>
+          propErr = Some(e.message))
+    }
+    propErr.toLeft(mem)
   }
 
   private def renderResponse(r: ApiResponse): String = {

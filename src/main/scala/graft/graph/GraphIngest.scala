@@ -75,11 +75,25 @@ object GraphIngest {
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
 
-      Right(afterEdges.copy(
+      // the per-node property cap is part of the all-or-nothing gate
+      // (redb_graph.rs:289-318): a batch that would push any node past
+      // 4096 distinct pairs must not commit.
+      val overCap = properties.groupBy("node_id").agg(count(lit(1)).as("n"))
+        .filter(col("n") > Limits.MaxPropertiesPerNode).limit(1).collect()
+      if (overCap.nonEmpty)
+        return Left(GraftError.PropertyLimitExceeded(
+          overCap.head.getLong(0), Limits.MaxPropertiesPerNode))
+
+      val next = afterEdges.copy(
         properties = properties,
         edges = afterEdges.edges
           .repartition(col("src"))
-          .persist(StorageLevel.MEMORY_AND_DISK)))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+      // materialize the new snapshot's caches while the batch source is
+      // still pinned — unpersisting first would force 3 re-scans of the
+      // batch on first downstream use.
+      next.nodes.count(); next.edges.count(); next.properties.count()
+      Right(next)
     } finally {
       signals.unpersist()
     }

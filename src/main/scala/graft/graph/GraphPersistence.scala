@@ -31,8 +31,17 @@ object GraphPersistence {
     if (Files.exists(p)) Some(Files.readString(p).trim) else None
   }
 
+  /** Single-writer discipline, like the reference's `RwLock<Session>`
+    * (api/mod.rs:64): concurrent `save`s on one path are a caller error —
+    * the version counter is read-modify-write. Readers are always safe
+    * (they hold a complete committed version).
+    */
   def save(g: GraphFrames, path: String): Unit = {
-    val next = "v" + (currentVersion(path).map(_.stripPrefix("v").toLong).getOrElse(0L) + 1)
+    val lastVersion = currentVersion(path).map { v =>
+      v.stripPrefix("v").toLongOption.getOrElse(
+        throw new IllegalStateException(s"corrupt CURRENT pointer at $path: '$v'"))
+    }.getOrElse(0L)
+    val next = "v" + (lastVersion + 1)
     val dir = s"$path/$next"
     g.nodes.write.mode(SaveMode.Overwrite).parquet(s"$dir/nodes")
     // cluster edges by src so a loaded graph scans adjacency locally

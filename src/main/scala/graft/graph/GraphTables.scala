@@ -83,9 +83,18 @@ object GraphTables {
 
   private val cache = TrieMap.empty[(SparkSession, String), GraphFrames]
 
-  /** Build (or fetch cached) graph tables for a testdata dir. */
+  /** Build (or fetch cached) graph tables for a testdata dir. The cache is
+    * per-(session, dir); entries pin persisted tables until
+    * [[invalidate]] — callers that churn through many dirs own eviction.
+    */
   def forDir(spark: SparkSession, dir: String): GraphFrames =
     cache.getOrElseUpdate((spark, dir), build(validSignals(signalsFromEvents(spark, dir))))
+
+  /** Drop a cache entry and unpersist its tables. */
+  def invalidate(spark: SparkSession, dir: String): Unit =
+    cache.remove((spark, dir)).foreach { g =>
+      g.nodes.unpersist(); g.edges.unpersist(); g.properties.unpersist()
+    }
 
   /** Derive nodes / edges / properties from a validated signal log.
     *
@@ -134,6 +143,14 @@ object GraphTables {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // per-node property cap (primitives.rs:84): the sequential reference
+    // errors at the 4096th distinct pair; the batch derivation is
+    // all-or-nothing, so a violating log fails the whole build.
+    val overCap = properties.groupBy("node_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") > Limits.MaxPropertiesPerNode).limit(1).collect()
+    require(overCap.isEmpty,
+      s"property cap ${Limits.MaxPropertiesPerNode} exceeded for node ${overCap.headOption.map(_.getLong(0)).getOrElse(-1L)}")
+
     GraphFrames(signals, nodes, edges, properties)
   }
 
@@ -158,12 +175,16 @@ object GraphTables {
   def getEdge(g: GraphFrames, from: Long, to: Long): DataFrame =
     g.edges.filter(col("src") === from && col("dst") === to)
 
-  /** Single-row counts summary (node/edge/stable-edge counts). */
+  /** Single-row counts summary (node/edge/stable-edge counts). The
+    * stable-count sum is coalesced: SQL `sum` over zero rows is NULL, and
+    * an empty, freshly-initialized store must report 0, not crash.
+    */
   def counts(g: GraphFrames, stableThreshold: Long): DataFrame = {
     val n = g.nodes.agg(count(lit(1)).as("node_count"))
     val e = g.edges.agg(
       count(lit(1)).as("edge_count"),
-      sum(when(col("weight") >= stableThreshold, 1L).otherwise(0L)).as("stable_edge_count"))
+      coalesce(sum(when(col("weight") >= stableThreshold, 1L).otherwise(0L)), lit(0L))
+        .as("stable_edge_count"))
     n.crossJoin(e)
   }
 

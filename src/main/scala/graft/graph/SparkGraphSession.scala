@@ -65,10 +65,14 @@ final class SparkGraphSession(private var framesVar: GraphFrames) {
     rows.headOption.map(_.getLong(0))
   }
 
+  /** Collected bounded result — sorted on the driver with Scala's string
+    * ordering so the response is bit-identical to the in-memory backend's
+    * canonical (attribute, value) response order regardless of engine
+    * collation.
+    */
   def properties(node: Long): Vector[(String, String)] =
     framesVar.properties.filter(col("node_id") === node)
-      .orderBy("attribute", "value")
-      .collect().map(r => (r.getString(1), r.getString(2))).toVector
+      .collect().map(r => (r.getString(1), r.getString(2))).toVector.sorted
 
   // --- mutation (new snapshot per mutation — copy-on-write discipline) ---
 

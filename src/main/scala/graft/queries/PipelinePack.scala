@@ -18,10 +18,13 @@ import org.apache.spark.sql.functions._
   *
   * Oracle contract: the DuckDB SQL recomputes near-dup pairs EXHAUSTIVELY
   * (all-pairs) — the LSH path must find every pair at or above the
-  * threshold for the compare to pass. With 128 hashes in 32 bands of 4 and
-  * pairs at Jaccard >= 0.9, the per-pair miss probability is
-  * (1 - 0.9^4)^32 ~ 1.5e-15: the probabilistic recall is exact in any run
-  * that matters.
+  * threshold for the compare to pass. Miss probability per pair at
+  * similarity s is (1 - s^4)^32 with 32 bands of 4: ~1.5e-15 at s=0.9,
+  * ~5e-8 at s=0.8, but 12.7% at exactly s=0.5 — the banding is tuned for
+  * the high-similarity regime this corpus actually occupies (measured: no
+  * pair falls in (0.2, 0.8) at any SF). A production deployment thresholding
+  * at 0.5 would widen to r=2/3 rows per band and eat the extra candidate
+  * verifications.
   */
 object PipelinePack {
 

@@ -68,6 +68,29 @@ object Canonical {
   /** Dangling references dropped during import (export.rs LoadDiagnostics). */
   final case class LoadDiagnostics(danglingEdges: Long, danglingProperties: Long)
 
+  /** Strings under canonical sorts compare by UTF-8 BYTES, not UTF-16 code
+    * units: Spark's UTF8String ordering is binary over UTF-8, and the
+    * distributed state hash sorts with Spark — Java's natural String order
+    * diverges for supplementary-plane characters (surrogates sort low in
+    * UTF-16, high in UTF-8). One ordering, declared here, used by both
+    * paths.
+    */
+  val utf8Ordering: Ordering[String] = (a: String, b: String) => {
+    val x = a.getBytes(StandardCharsets.UTF_8)
+    val y = b.getBytes(StandardCharsets.UTF_8)
+    var i = 0
+    var cmp = 0
+    val n = math.min(x.length, y.length)
+    while (cmp == 0 && i < n) {
+      cmp = (x(i) & 0xff) - (y(i) & 0xff)
+      i += 1
+    }
+    if (cmp != 0) cmp else x.length - y.length
+  }
+
+  private val propOrdering: Ordering[(Long, String, String)] =
+    Ordering.Tuple3(Ordering.Long, utf8Ordering, utf8Ordering)
+
   def fromGraph(g: InMemoryGraph): CanonicalGraph =
     CanonicalGraph(
       g.currentNextNodeId,
@@ -75,7 +98,7 @@ object Canonical {
       g.allEdges, // (from, to)-ascending
       g.allNodes.flatMap(n =>
         g.getProperties(n.id).toOption.get.map { case (a, v) => (n.id, a, v) })
-        .sortBy(identity))
+        .sorted(propOrdering))
 
   // --- canonical row bytes (shared by serializer and checksum) ---
 

@@ -97,5 +97,9 @@ class QueryApiSpec extends AnyFunSuite {
 
     assert(QueryApi.certify(s, ApiRequest.Properties(0)).isLeft)
     assert(QueryApi.certify(s, ApiRequest.Traverse(0, 200)).isLeft)
+
+    // top-k is part of the certified question: descriptors must differ
+    assert(QueryApi.descriptor(ApiRequest.TraverseFiltered(0, 2, 5, Some(2)))
+      !== QueryApi.descriptor(ApiRequest.TraverseFiltered(0, 2, 5, None)))
   }
 }

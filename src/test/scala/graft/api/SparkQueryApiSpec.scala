@@ -78,6 +78,23 @@ class SparkQueryApiSpec extends AnyFunSuite {
     assert(QueryApi.retract(mem, 1, 3).isLeft)
   }
 
+  test("multi-valued attributes: canonical response order on both backends") {
+    import spark.implicits._
+    // value "b" ingested before "a": insertion order and sorted order differ
+    val sigs = Seq(Signal(1, "tag", "b"), Signal(1, "tag", "a"), Signal(1, "kind", "svc"))
+    val mem = new GraftSession()
+    assert(mem.ingestSequence(sigs).isRight)
+    val df = sigs.zipWithIndex
+      .map { case (s, i) => (i.toLong, s.entityId, s.attribute, s.value) }
+      .toDF("seq", "entity_id", "attribute", "value")
+    val dist = new SparkGraphSession(GraphTables.build(GraphTables.validSignals(df)))
+
+    val m = QueryApi.execute(mem, ApiRequest.Properties(0))
+    val d = SparkQueryApi.execute(dist, ApiRequest.Properties(0))
+    assert(m === d)
+    assert(m.properties === Vector(("kind", "svc"), ("tag", "a"), ("tag", "b")))
+  }
+
   test("distributed session ingest activates touched nodes atomically") {
     import spark.implicits._
     val s = distSession

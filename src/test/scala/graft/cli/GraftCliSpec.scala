@@ -24,6 +24,10 @@ class GraftCliSpec extends AnyFunSuite {
         |]""".stripMargin)
 
     assert(run("init", s"--database=$db").isRight)
+    // a freshly-initialized empty database must report zeros, not crash
+    val empty = run("status", s"--database=$db")
+    assert(empty.isRight && empty.toOption.get.contains(""""nodes":0"""), empty)
+
     val ingest = run("ingest", sample.toString, s"--database=$db")
     // adjacency pairs of the 3-signal sequence: (1,2) and (2,1) -> 2 edges
     assert(ingest === Right("""{"ingested":3,"nodes":2,"edges":2}"""))

@@ -68,4 +68,13 @@ class GraphIngestSpec extends AnyFunSuite {
       .map(i => Signal(i.toLong, "k", "v"))
     assert(GraphIngest.ingestBatch(g0, df(huge)).isLeft)
   }
+
+  test("a batch pushing a node past the property cap is rejected whole") {
+    val g0 = GraphTables.build(GraphTables.validSignals(df(batch1)))
+    val flood = (1 to graft.core.Limits.MaxPropertiesPerNode + 1)
+      .map(i => Signal(1L, "attr", s"v$i"))
+    val r = GraphIngest.ingestBatch(g0, df(flood))
+    assert(r === Left(graft.core.GraftError.PropertyLimitExceeded(
+      0L, graft.core.Limits.MaxPropertiesPerNode)))
+  }
 }

@@ -99,6 +99,26 @@ class CanonicalSpec extends AnyFunSuite {
       Canonical.stateHashHex(Canonical.fromGraph(mem)))
   }
 
+  test("state hash parity holds for supplementary-plane strings") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    // U+E000 (one UTF-16 unit, 3 UTF-8 bytes) vs U+1F600 (surrogate pair,
+    // 4 UTF-8 bytes): Java natural order puts the emoji FIRST, UTF-8
+    // binary order puts it LAST — the canonical sort must pick one side.
+    val signals = Seq(
+      Signal(1, "tag", "😀"), Signal(1, "tag", ""),
+      Signal(2, "kind", "svc"))
+    val df = signals.zipWithIndex
+      .map { case (s, i) => (i.toLong, s.entityId, s.attribute, s.value) }
+      .toDF("seq", "entity_id", "attribute", "value")
+    val frames = GraphTables.build(GraphTables.validSignals(df))
+
+    val mem = new InMemoryGraph
+    Ingestor.ingestSequence(mem, signals)
+    assert(DistributedStateHash.stateHashHex(frames) ===
+      Canonical.stateHashHex(Canonical.fromGraph(mem)))
+  }
+
   test("import rejects bad magic, truncation, tampering and over-limit counts") {
     val bytes = Canonical.toBytes(Canonical.fromGraph(fixture))
 
