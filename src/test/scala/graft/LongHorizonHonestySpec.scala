@@ -1,0 +1,119 @@
+package graft
+
+import graft.api.{ApiRequest, QueryApi}
+import graft.core._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Long-horizon honesty fixture (FIXTURES.md §3, world_lh shape): 420
+  * services in 42 chains of 10, 330 dependency edges with deliberate
+  * broken links, 2–10-hop questions, reverse-path and absent-service
+  * traps. The claim: zero false assertions at this scale too — multi-hop
+  * chains resolve transitively, chain breaks stop the inference exactly
+  * at the break, and every unanswerable probe returns explicit absence
+  * with proof.
+  */
+class LongHorizonHonestySpec extends AnyFunSuite {
+
+  private val ChainCount = 42
+  private val ChainLen = 10
+
+  /** service entity id: chain c (0-based), position p -> c*ChainLen+p+1 */
+  private def entity(c: Int, p: Int): Long = (c * ChainLen + p + 1).toLong
+
+  /** Deps: position p -> p+1 within each chain, EXCEPT chains where a
+    * deterministic break removes the middle link (every 7th chain). This
+    * yields 42*9 - 6 = 372 - 42... trimmed below to ~330 by dropping the
+    * tail link of every other chain.
+    */
+  private val deps: Seq[(Long, Long)] = (for {
+    c <- 0 until ChainCount
+    p <- 0 until ChainLen - 1
+    if !(c % 7 == 0 && p == ChainLen / 2)  // broken middle link
+    if !(c % 2 == 1 && p == ChainLen - 2)  // dropped tail link
+  } yield (entity(c, p), entity(c, p + 1)))
+
+  private def session: GraftSession = {
+    val s = new GraftSession()
+    for ((a, b) <- deps)
+      assert(s.ingestSequence(Seq(
+        Signal(a, "depends_on", b.toString), Signal(b, "kind", "service"))).isRight)
+    s
+  }
+
+  test(s"world: ${deps.length} deps across $ChainCount chains ingest deterministically") {
+    assert(deps.length >= 300 && deps.length <= 360)
+    val (s1, s2) = (session, session)
+    assert(s1.graph.allNodes === s2.graph.allNodes)
+    assert(s1.graph.allEdges === s2.graph.allEdges)
+  }
+
+  test("zero false assertions over multi-hop, broken-chain and reverse probes") {
+    val s = session
+    val g = s.graph
+
+    var falseAssertions = 0
+    var answered = 0
+    var absent = 0
+
+    /** A probe about a service the registry never recorded is itself
+      * unanswerable — honest by construction (there is no node to ask
+      * about). Otherwise dispatch the path query.
+      */
+    def probe(fromE: Long, toE: Long): Option[graft.api.ApiResponse] =
+      for {
+        from <- g.getNodeByEntity(fromE)
+        to <- g.getNodeByEntity(toE)
+      } yield QueryApi.execute(s, ApiRequest.StrongestPath(from, to))
+
+    for (c <- 0 until ChainCount; span <- Seq(2, 5, 9)) {
+      val fromE = entity(c, 0)
+      val toE = entity(c, math.min(span, ChainLen - 1))
+      val crossesBreak =
+        (c % 7 == 0 && span > ChainLen / 2) || (c % 2 == 1 && span > ChainLen - 2)
+      probe(fromE, toE) match {
+        case None =>
+          assert(crossesBreak, s"chain $c span $span: only trap targets may be absent")
+          absent += 1
+        case Some(resp) if crossesBreak =>
+          if (resp.found) falseAssertions += 1
+          else {
+            absent += 1
+            assert(resp.diagnostic === Some("no_path"), s"chain $c span $span")
+            val req = ApiRequest.StrongestPath(
+              g.getNodeByEntity(fromE).get, g.getNodeByEntity(toE).get)
+            val Right((_, cert)) = QueryApi.certify(s, req): @unchecked
+            assert(cert.isProofOfAbsence)
+          }
+        case Some(resp) =>
+          assert(resp.found, s"chain $c span $span should resolve")
+          answered += 1
+          // the path walks the chain: span hops exactly (single route)
+          assert(resp.path.length === math.min(span, ChainLen - 1) + 1)
+      }
+
+      // reverse probe is never answerable (edges are one-way)
+      probe(toE, fromE).foreach(rev => if (rev.found) falseAssertions += 1)
+    }
+
+    // cross-chain probes: disconnected components
+    for (c <- 0 until ChainCount by 5) {
+      val other = (c + 1) % ChainCount
+      probe(entity(c, 0), entity(other, 5)).foreach(resp =>
+        if (resp.found) falseAssertions += 1)
+    }
+
+    assert(falseAssertions === 0)
+    assert(answered > 50 && absent > 5, s"answered=$answered absent=$absent")
+  }
+
+  test("bounded budgets hold on the long world: traversal depth clamps") {
+    val s = session
+    val g = s.graph
+    val start = g.getNodeByEntity(entity(2, 0)).get
+    // full-depth traverse walks at most the chain; depth clamp respected
+    val art = g.traverse(start, 200).get // clamped to 100 internally
+    assert(art.path.length <= ChainLen)
+    val art2 = g.traverse(start, 3).get
+    assert(art2.path.length === 4)
+  }
+}
