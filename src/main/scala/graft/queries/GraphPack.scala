@@ -181,6 +181,14 @@ object GraphPack {
       GraphTables.traverseDfs(GraphTables.forDir(s, dir), 0L, 2)
     },
 
+    // ---- the GraphX Pregel scale path, gated by the same recursive-CTE
+    // oracle as the DataFrame-loop BFS (both must answer identically) ----
+    QDef("g20_pregel_traverse", oracle(bfs(0, 2) +
+      " SELECT node_id, depth FROM lv ORDER BY depth, node_id")) { (s, dir) =>
+      graft.graph.GraphXTraversal.bfsLevels(GraphTables.forDir(s, dir), 0L, 2)
+        .orderBy("depth", "node_id")
+    },
+
     // ---- integrity: commutative distributed checksum (no SQL oracle —
     // FNV-1a row hashes aren't DuckDB-expressible; parity with the
     // driver-side canonical checksum is asserted in CanonicalSpec) ----
