@@ -1,0 +1,37 @@
+package graft
+
+import graft.verify.Fnv1a64Expr
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registration — the `SparkSessionExtensions` hook the
+  * brief's custom-operator ladder ends at. The engine's one native
+  * expression becomes a SQL-callable function, so `spark.sql` users can
+  * compute the canonical row hash without touching the Scala API:
+  *
+  * {{{
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  *   spark.sql("SELECT fnv1a64(encode(attr, 'UTF-8')) FROM ...")
+  * }}}
+  *
+  * No analyzer Rule or SparkStrategy is registered on purpose: every graft
+  * operator is expressible as a declarative plan Catalyst already
+  * optimizes (SURVEY §4.3.7) — the extension surface is exactly as large
+  * as the semantics demand, no larger.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit = {
+    extensions.injectFunction((
+      new FunctionIdentifier("fnv1a64"),
+      new ExpressionInfo(
+        classOf[Fnv1a64Expr].getName, null, "fnv1a64",
+        "fnv1a64(binary) - FNV-1a 64-bit hash of the input bytes (the graft canonical row hash).",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "fnv1a64 takes exactly one argument")
+        Fnv1a64Expr(children.head)
+      }))
+  }
+}

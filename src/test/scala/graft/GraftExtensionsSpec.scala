@@ -1,0 +1,25 @@
+package graft
+
+import graft.verify.RowHash
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The session extension makes the native row hash SQL-callable and it
+  * agrees with the driver-side implementation byte for byte.
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("fnv1a64 is registered and matches RowHash") {
+    val got = spark.sql("SELECT fnv1a64(encode('graft', 'UTF-8'))").first().getLong(0)
+    assert(got === RowHash.fnv1a64("graft".getBytes("UTF-8")))
+
+    val empty = spark.sql("SELECT fnv1a64(encode('', 'UTF-8'))").first().getLong(0)
+    assert(empty === RowHash.FnvOffset)
+  }
+
+  test("fnv1a64 rejects non-binary input at analysis") {
+    intercept[Exception] {
+      spark.sql("SELECT fnv1a64(42)").collect()
+    }
+  }
+}
