@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed `Aggregator[IN, BUF, OUT]` computing a full MinHash signature in
+  * one pass: input is the 64-bit shingle hash, the buffer is the
+  * element-wise running minimum of the seeded hash family. Buffer merge is
+  * element-wise min, so the aggregation is associative/commutative and
+  * map-side partial aggregation applies.
+  *
+  * The hash family reproduces Spark SQL's `xxhash64(lit(i), h0)` exactly
+  * (seed 42, left-fold over children — XXH64.hashLong composition), so
+  * this Aggregator and PipelinePack's 128-column aggregate-expression path
+  * produce bit-identical signatures (asserted in MinHashAggregatorSpec).
+  * The expression path stays the default (whole-stage codegen'd); the
+  * Aggregator is the typed-API form for Dataset pipelines that want one
+  * signature column instead of 128 agg expressions.
+  */
+final class MinHashAggregator(numHashes: Int)
+    extends Aggregator[Long, Array[Long], Array[Long]] {
+
+  private val SqlXxhash64DefaultSeed = 42L
+
+  override def zero: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
+
+  override def reduce(buf: Array[Long], shingleHash: Long): Array[Long] = {
+    var i = 0
+    while (i < numHashes) {
+      // xxhash64(lit(i), h0) folds left over children with seed 42; the
+      // INT literal hashes via hashInt, the long via hashLong
+      val h = XXH64.hashLong(shingleHash, XXH64.hashInt(i, SqlXxhash64DefaultSeed))
+      if (h < buf(i)) buf(i) = h
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < numHashes) {
+      if (b(i) < a(i)) a(i) = b(i)
+      i += 1
+    }
+    a
+  }
+
+  override def finish(reduction: Array[Long]): Array[Long] = reduction
+
+  override def bufferEncoder: Encoder[Array[Long]] = MinHashAggregator.longArrayEncoder
+  override def outputEncoder: Encoder[Array[Long]] = MinHashAggregator.longArrayEncoder
+}
+
+object MinHashAggregator {
+  private val longArrayEncoder: Encoder[Array[Long]] =
+    Encoders.javaSerialization[Array[Long]]
+}

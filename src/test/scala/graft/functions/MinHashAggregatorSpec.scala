@@ -1,0 +1,41 @@
+package graft.functions
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The typed Aggregator must produce bit-identical MinHash signatures to
+  * the SQL aggregate-expression path.
+  */
+class MinHashAggregatorSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val NumHashes = 16
+
+  test("Aggregator signatures equal the xxhash64 expression path") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "alpha beta gamma"), (1L, "beta gamma delta"), (1L, "alpha beta gamma"),
+      (2L, "one two three"), (2L, "four five six"))
+      .toDF("doc_id", "g")
+      .withColumn("h0", xxhash64(col("g")))
+
+    // expression path: N min(xxhash64(i, h0)) aggregates
+    val mhCols = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("h0"))).as(s"mh_$i"))
+    val viaExpr = rows.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+      .collect()
+      .map(r => r.getLong(0) -> (1 to NumHashes).map(r.getLong).toVector)
+      .toMap
+
+    // typed path: one Aggregator over the h0 values per key
+    val viaAgg = rows.select(col("doc_id"), col("h0")).as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new MinHashAggregator(NumHashes).toColumn.name("sig"))
+      .collect()
+      .toMap
+
+    assert(viaAgg.keySet === viaExpr.keySet)
+    for ((k, sig) <- viaAgg)
+      assert(sig.toVector === viaExpr(k), s"doc $k")
+  }
+}
