@@ -214,3 +214,53 @@ class GraphSpec extends AnyFunSuite {
     assert(g.insertNode(5555L) === 11L) // next id strictly above imported
   }
 }
+
+/** Budget semantics of strongest_path: the 50 000-visit cap makes dense
+  * answers best-effort-but-deterministic; small graphs must still find the
+  * true optimum (verified against exhaustive enumeration).
+  */
+class StrongestPathBudgetSpec extends AnyFunSuite {
+
+  test("budget exhaustion yields a deterministic best-effort path") {
+    def build(): InMemoryGraph = {
+      val g = new InMemoryGraph
+      val ids = (0L until 40L).map(g.insertNode)
+      // dense: each node -> next 10, weights varying; simple-path space is
+      // astronomically larger than the 50k visit budget
+      for (i <- ids.indices; j <- 1 to 10; if i + j < ids.length)
+        g.insertEdge(ids(i), ids(i + j), ((i * 7 + j * 13) % 20 + 1).toLong)
+      g
+    }
+    val (g1, g2) = (build(), build())
+    val p1 = g1.strongestPath(0L, 39L)
+    val p2 = g2.strongestPath(0L, 39L)
+    assert(p1.nonEmpty)
+    assert(p1 === p2) // identical graphs, identical budget, identical answer
+    // and the path is simple
+    val p = p1.get
+    assert(p.distinct === p)
+    assert(p.head === 0L && p.last === 39L)
+  }
+
+  test("within budget, the true max-weight simple path is found") {
+    val g = new InMemoryGraph
+    val ids = (0L until 7L).map(g.insertNode)
+    val edges = Seq(
+      (0, 1, 3L), (0, 2, 9L), (1, 3, 7L), (2, 3, 1L), (1, 4, 2L),
+      (3, 5, 4L), (4, 5, 8L), (2, 6, 5L), (6, 5, 6L), (3, 6, 2L))
+    edges.foreach { case (a, b, w) => g.insertEdge(ids(a), ids(b), w) }
+
+    // exhaustive enumeration of simple paths 0 -> 5
+    val adj = edges.groupBy(_._1)
+    def allPaths(cur: Int, visited: Set[Int], path: Vector[Int], w: Long): Seq[(Vector[Int], Long)] =
+      if (cur == 5) Seq((path, w))
+      else adj.getOrElse(cur, Nil).flatMap { case (_, n, ew) =>
+        if (visited.contains(n)) Nil
+        else allPaths(n, visited + n, path :+ n, w + ew)
+      }
+    val best = allPaths(0, Set(0), Vector(0), 0L).maxBy(_._2)
+
+    val got = g.strongestPath(0L, 5L).get
+    assert(got === best._1.map(_.toLong))
+  }
+}
