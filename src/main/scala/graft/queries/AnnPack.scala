@@ -118,6 +118,28 @@ object AnnPack {
     // against the brute-force baseline) — no equality oracle.
     QDef("e02_ann_ivf_topk", None) { (s, dir) =>
       ivfTopK(embeddings(s, dir)).orderBy("q_id", "rank")
+    },
+
+    // ---- embedding-cosine near-duplicate pairs ----
+    // The exact all-pairs variant: one broadcast side (vectors are small)
+    // against one corpus scan, id-ordered to halve the pair space. This is
+    // the verification-grade baseline; at 100 TB the blocking variants
+    // (IVF cells above, or sign-bit LSH) generate candidates instead —
+    // hyperplane LSH cannot guarantee the exhaustive recall an equality
+    // oracle demands, so the exact form is what's gated here.
+    QDef("e03_cosine_near_dup", Some("""
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+      ORDER BY id_a, id_b""")) { (s, dir) =>
+      val emb = embeddings(s, dir)
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      a.crossJoin(broadcast(b))
+        .filter(col("id_a") < col("id_b"))
+        .filter(cosine(col("emb_a"), col("emb_b")) >= 0.45)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
     }
   )
 }

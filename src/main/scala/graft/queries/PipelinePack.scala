@@ -237,6 +237,21 @@ object PipelinePack {
     // bit-for-bit against a plain-Scala twin in PipelineSpec) ----
     QDef("d08_simhash", None) { (s, dir) =>
       simhash(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
+    // ---- BPE-ish regex tokenization (runs of letters / digits / other,
+    // the subword-style pre-tokenizer shape) ----
+    QDef("d09_token_count_bpe", Some("""
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS n_bpe_tokens,
+             len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]+'))) AS n_distinct_bpe
+      FROM documents ORDER BY doc_id""")) { (s, dir) =>
+      val toksBpe = expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]+', 0)")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(toksBpe).cast("long").as("n_bpe_tokens"),
+        size(array_distinct(toksBpe)).cast("long").as("n_distinct_bpe"))
+        .orderBy("doc_id")
     }
   )
 }
