@@ -1,0 +1,251 @@
+package graft.api
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.core._
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.Base64
+import java.util.concurrent.locks.ReentrantReadWriteLock
+
+/** HTTP facade over the query engine (api/mod.rs:5-16, 211-246) on the
+  * JDK's built-in httpserver — zero external dependencies, matching this
+  * environment's constraint. Routes and semantics mirror the reference:
+  *
+  *   POST /signal, /signals    ingest (sequence), 400 on invalid, 2 MB cap
+  *   POST /signal/retract      entity-pair decrement, 404 on missing
+  *   POST /query               the query union -> response envelope
+  *   POST /certify             query + GQC1 certificate (base64)
+  *   GET  /status /stage /hash /metrics /health
+  *
+  * Concurrency: one ReentrantReadWriteLock around the session — many
+  * readers, single writer, exactly the reference's `RwLock<Session>`
+  * (api/mod.rs:62-67). JSON in/out is hand-rolled (flat, known shapes).
+  */
+final class HttpFacade(session: GraftSession, port: Int = 0) {
+
+  private val lock = new ReentrantReadWriteLock()
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  val MaxBodyBytes = 2 * 1024 * 1024
+
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): Unit = { registerRoutes(); server.start() }
+  def stop(): Unit = server.stop(0)
+
+  // ---------------------------------------------------------------- JSON
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def renderResponse(r: ApiResponse): String = {
+    val edges = r.edges.map(e => s"""{"from":${e.from},"to":${e.to},"weight":${e.weight}}""")
+      .mkString("[", ",", "]")
+    val props = r.properties.map { case (a, v) => s"[${jstr(a)},${jstr(v)}]" }.mkString("[", ",", "]")
+    s"""{"success":${r.success},"found":${r.found},"path":${r.path.mkString("[", ",", "]")},""" +
+      s""""edges":$edges,"properties":$props,"grounding":${jstr(r.grounding)}""" +
+      r.error.map(e => s""","error":${jstr(e)}""").getOrElse("") +
+      r.diagnostic.map(d => s""","diagnostic":${jstr(d)}""").getOrElse("") + "}"
+  }
+
+  /** Minimal flat-JSON reader: top-level string/number fields and one
+    * optional array of objects / array of numbers. Only the known request
+    * shapes are parsed; anything else is a 400.
+    */
+  private object Json {
+    private val field = """"([a-z_]+)"\s*:\s*("((?:[^"\\]|\\.)*)"|-?\d+|\[[^\]]*\])""".r
+
+    def fields(body: String): Map[String, String] =
+      field.findAllMatchIn(body).map { m =>
+        val raw = m.group(2)
+        val value =
+          if (raw.startsWith("\"")) m.group(3)
+            .replace("\\\"", "\"").replace("\\\\", "\\")
+          else raw
+        m.group(1) -> value
+      }.toMap
+
+    def long(fs: Map[String, String], k: String): Option[Long] =
+      fs.get(k).flatMap(_.toLongOption)
+
+    def longArray(fs: Map[String, String], k: String): Option[Vector[Long]] =
+      fs.get(k).map(_.stripPrefix("[").stripSuffix("]").split(",").toVector
+        .map(_.trim).filter(_.nonEmpty).flatMap(_.toLongOption))
+  }
+
+  // ---------------------------------------------------------------- HTTP
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    val os = ex.getResponseBody
+    os.write(bytes); os.close()
+  }
+
+  private def readBody(ex: HttpExchange): Either[String, String] = {
+    val bytes = ex.getRequestBody.readNBytes(MaxBodyBytes + 1)
+    if (bytes.length > MaxBodyBytes) Left("body too large")
+    else Right(new String(bytes, StandardCharsets.UTF_8))
+  }
+
+  private def handle(method: String)(f: String => (Int, String))(ex: HttpExchange): Unit =
+    try {
+      if (ex.getRequestMethod != method)
+        respond(ex, 405, """{"error":"method not allowed"}""")
+      else readBody(ex) match {
+        case Left(err) => respond(ex, 413, s"""{"error":${jstr(err)}}""")
+        case Right(body) =>
+          val (code, out) = f(body)
+          respond(ex, code, out)
+      }
+    } catch {
+      case e: Throwable => respond(ex, 500, s"""{"error":${jstr(e.getMessage)}}""")
+    } finally ex.close()
+
+  private def reading[A](f: => A): A = {
+    lock.readLock().lock()
+    try f finally lock.readLock().unlock()
+  }
+  private def writing[A](f: => A): A = {
+    lock.writeLock().lock()
+    try f finally lock.writeLock().unlock()
+  }
+
+  private def parseSignal(fs: Map[String, String]): Option[Signal] =
+    for {
+      e <- Json.long(fs, "entity_id")
+      a <- fs.get("attribute")
+      v <- fs.get("value")
+    } yield Signal(e, a, v)
+
+  private def parseQuery(fs: Map[String, String]): Either[String, ApiRequest] =
+    fs.get("type") match {
+      case Some("lookup") =>
+        Json.long(fs, "entity_id").map(ApiRequest.Lookup).toRight("missing entity_id")
+      case Some("traverse") =>
+        (for { n <- Json.long(fs, "node_id"); d <- Json.long(fs, "depth") }
+          yield ApiRequest.Traverse(n, d.toInt)).toRight("missing node_id/depth")
+      case Some("traverse_filtered") =>
+        (for { n <- Json.long(fs, "node_id"); d <- Json.long(fs, "depth"); w <- Json.long(fs, "min_weight") }
+          yield ApiRequest.TraverseFiltered(n, d.toInt, w, Json.long(fs, "top_k").map(_.toInt)))
+          .toRight("missing node_id/depth/min_weight")
+      case Some("strongest_path") =>
+        (for { s <- Json.long(fs, "start"); e <- Json.long(fs, "end") }
+          yield ApiRequest.StrongestPath(s, e)).toRight("missing start/end")
+      case Some("intersect") =>
+        Json.longArray(fs, "nodes").map(ApiRequest.Intersect).toRight("missing nodes")
+      case Some("related") =>
+        (for { n <- Json.long(fs, "node_id"); d <- Json.long(fs, "depth") }
+          yield ApiRequest.Related(n, d.toInt)).toRight("missing node_id/depth")
+      case Some("properties") =>
+        Json.long(fs, "node_id").map(ApiRequest.Properties).toRight("missing node_id")
+      case other => Left(s"unknown query type: ${other.getOrElse("(absent)")}")
+    }
+
+  private def registerRoutes(): Unit = {
+    server.createContext("/signal/retract", handle("POST") { body =>
+      val fs = Json.fields(body)
+      (for { f <- Json.long(fs, "from_entity"); t <- Json.long(fs, "to_entity") }
+        yield (f, t)) match {
+        case None => (400, """{"error":"missing from_entity/to_entity"}""")
+        case Some((f, t)) => writing {
+          QueryApi.retract(session, f, t) match {
+            case Right(w) => (200, s"""{"success":true,"new_weight":$w}""")
+            case Left(err) => (404, s"""{"error":${jstr(err.message)}}""")
+          }
+        }
+      }
+    } _)
+
+    server.createContext("/signals", handle("POST") { body =>
+      // body: {"signals":[{...},{...}]} — split array objects naively
+      val objs = """\{[^{}]*\}""".r.findAllIn(
+        body.dropWhile(_ != '[')).toVector
+      val parsed = objs.map(o => parseSignal(Json.fields(o)))
+      if (parsed.isEmpty || parsed.exists(_.isEmpty))
+        (400, """{"error":"invalid signals"}""")
+      else writing {
+        session.ingestSequence(parsed.flatten) match {
+          case Right(nodes) => (200, s"""{"success":true,"nodes":${nodes.mkString("[", ",", "]")}}""")
+          case Left(err) => (400, s"""{"error":${jstr(err.message)}}""")
+        }
+      }
+    } _)
+
+    server.createContext("/signal", handle("POST") { body =>
+      parseSignal(Json.fields(body)) match {
+        case None => (400, """{"error":"invalid signal"}""")
+        case Some(sig) => writing {
+          session.ingest(sig) match {
+            case Right(node) => (200, s"""{"success":true,"node":$node}""")
+            case Left(err) => (400, s"""{"error":${jstr(err.message)}}""")
+          }
+        }
+      }
+    } _)
+
+    server.createContext("/query", handle("POST") { body =>
+      parseQuery(Json.fields(body)) match {
+        case Left(err) => (400, s"""{"error":${jstr(err)}}""")
+        case Right(req) => reading {
+          (200, renderResponse(QueryApi.execute(session, req)))
+        }
+      }
+    } _)
+
+    server.createContext("/certify", handle("POST") { body =>
+      parseQuery(Json.fields(body)) match {
+        case Left(err) => (400, s"""{"error":${jstr(err)}}""")
+        case Right(req) => reading {
+          QueryApi.certify(session, req) match {
+            case Left(err) => (400, s"""{"error":${jstr(err.message)}}""")
+            case Right((resp, cert)) =>
+              val b64 = Base64.getEncoder.encodeToString(cert.toCanonicalBytes)
+              (200, s"""{"response":${renderResponse(resp)},""" +
+                s""""certificate":${jstr(b64)},"proof_of_absence":${cert.isProofOfAbsence}}""")
+          }
+        }
+      }
+    } _)
+
+    server.createContext("/status", handle("GET") { _ =>
+      reading {
+        val s = StatusApi.status(session)
+        (200, s"""{"nodes":${s.nodeCount},"edges":${s.edgeCount},""" +
+          s""""stable_edges":${s.stableEdgeCount},"stage":${jstr(s.stage)}}""")
+      }
+    } _)
+
+    server.createContext("/stage", handle("GET") { _ =>
+      reading {
+        val p = StatusApi.stage(session)
+        (200, s"""{"current":${jstr(p.current)},"next":${p.next.map(jstr).getOrElse("null")},""" +
+          s""""percent":${p.percent}}""")
+      }
+    } _)
+
+    server.createContext("/hash", handle("GET") { _ =>
+      reading {
+        val h = StatusApi.hash(session)
+        (200, s"""{"checksum":${h.checksum},"state_hash":${jstr(h.stateHash)}}""")
+      }
+    } _)
+
+    server.createContext("/metrics", handle("GET") { _ =>
+      reading {
+        val m = GraphMetrics.fromGraph(session.graph)
+        val stage = new StageAssessor().assessFromMetrics(m)
+        (200, StatusApi.prometheusText(m, stage))
+      }
+    } _)
+
+    server.createContext("/health", handle("GET") { _ =>
+      (200, s"""{"healthy":${StatusApi.health(session)}}""")
+    } _)
+  }
+}

@@ -30,12 +30,14 @@ object AnnPack {
   val NumCentroids = 16
   val NProbe = 4
 
-  /** Double-precision cosine similarity of two float-array columns. */
+  /** Double-precision cosine similarity of two float-array columns. The
+    * dot product is the native codegen'd expression — bit-identical to
+    * the `aggregate`/`zip_with` form (same widen-then-accumulate order)
+    * but ~10x faster on all-pairs scans (see VectorOps).
+    */
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+    import graft.functions.VectorOps.dotCol
+    dotCol(a, b) / sqrt(dotCol(a, a)) / sqrt(dotCol(b, b))
   }
 
   private def embeddings(s: SparkSession, dir: String): DataFrame =

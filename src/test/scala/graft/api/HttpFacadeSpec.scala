@@ -1,0 +1,113 @@
+package graft.api
+
+import graft.core._
+import org.scalatest.funsuite.AnyFunSuite
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.util.Base64
+
+/** Integration tests against the real HTTP router (the api_tests.rs
+  * surface): ingest, query variants, diagnostics, retract semantics,
+  * certify with byte-stable certificates, metric surfaces, 405/400/404
+  * discipline and the body cap.
+  */
+class HttpFacadeSpec extends AnyFunSuite {
+
+  private def withServer(f: (HttpClient, String) => Unit): Unit = {
+    val facade = new HttpFacade(new GraftSession())
+    facade.start()
+    try f(HttpClient.newHttpClient(), s"http://127.0.0.1:${facade.boundPort}")
+    finally facade.stop()
+  }
+
+  private def post(c: HttpClient, url: String, body: String): HttpResponse[String] =
+    c.send(HttpRequest.newBuilder(URI.create(url))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def get(c: HttpClient, url: String): HttpResponse[String] =
+    c.send(HttpRequest.newBuilder(URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("ingest -> query -> status round trip over HTTP") {
+    withServer { (c, base) =>
+      val seq =
+        """{"signals":[
+          |{"entity_id": 1, "attribute": "name", "value": "Alice"},
+          |{"entity_id": 2, "attribute": "name", "value": "Bob"},
+          |{"entity_id": 1, "attribute": "knows", "value": "Bob"}]}""".stripMargin
+      val ing = post(c, s"$base/signals", seq)
+      assert(ing.statusCode === 200 && ing.body.contains(""""success":true"""))
+
+      val q = post(c, s"$base/query", """{"type": "lookup", "entity_id": 1}""")
+      assert(q.statusCode === 200)
+      assert(q.body.contains(""""found":true""") && q.body.contains(""""grounding":"fact""""))
+
+      val t = post(c, s"$base/query", """{"type": "traverse", "node_id": 0, "depth": 2}""")
+      assert(t.body.contains(""""path":[0,1]"""))
+
+      val miss = post(c, s"$base/query", """{"type": "lookup", "entity_id": 42}""")
+      assert(miss.body.contains(""""diagnostic":"entity_not_found""""))
+
+      val status = get(c, s"$base/status")
+      assert(status.statusCode === 200 && status.body.contains(""""nodes":2"""))
+      assert(get(c, s"$base/health").body.contains("true"))
+      assert(get(c, s"$base/metrics").body.contains("graft_nodes_total 2"))
+      assert(get(c, s"$base/hash").body.contains("state_hash"))
+    }
+  }
+
+  test("single-signal ingest, retract semantics and 404s") {
+    withServer { (c, base) =>
+      post(c, s"$base/signals",
+        """{"signals":[{"entity_id": 1, "attribute": "k", "value": "a"},
+          |{"entity_id": 2, "attribute": "k", "value": "b"}]}""".stripMargin)
+      val one = post(c, s"$base/signal", """{"entity_id": 3, "attribute": "k", "value": "c"}""")
+      assert(one.statusCode === 200)
+
+      // adjacency edge 0->1 exists with weight 1; retract it to 0
+      val r1 = post(c, s"$base/signal/retract", """{"from_entity": 1, "to_entity": 2}""")
+      assert(r1.statusCode === 200 && r1.body.contains(""""new_weight":0"""))
+      // absent edge and absent entity -> 404
+      assert(post(c, s"$base/signal/retract", """{"from_entity": 2, "to_entity": 3}""").statusCode === 404)
+      assert(post(c, s"$base/signal/retract", """{"from_entity": 99, "to_entity": 1}""").statusCode === 404)
+
+      // invalid signal -> 400
+      assert(post(c, s"$base/signal", """{"entity_id": 9, "attribute": "", "value": "x"}""").statusCode === 400)
+    }
+  }
+
+  test("certify returns byte-stable certificates and proof of absence") {
+    withServer { (c, base) =>
+      post(c, s"$base/signals",
+        """{"signals":[{"entity_id": 1, "attribute": "k", "value": "a"},
+          |{"entity_id": 2, "attribute": "k", "value": "b"}]}""".stripMargin)
+
+      val body = """{"type": "traverse", "node_id": 0, "depth": 1}"""
+      val c1 = post(c, s"$base/certify", body)
+      val c2 = post(c, s"$base/certify", body)
+      assert(c1.statusCode === 200)
+      def certOf(resp: String): String =
+        """"certificate":"([^"]+)"""".r.findFirstMatchIn(resp).get.group(1)
+      assert(certOf(c1.body) === certOf(c2.body))
+      val bytes = Base64.getDecoder.decode(certOf(c1.body))
+      val parsed = graft.verify.QueryCertificate.fromCanonicalBytes(bytes)
+      assert(parsed.isRight && parsed.toOption.get.queryDescriptor === "traverse:0:1")
+
+      val absent = post(c, s"$base/certify", """{"type": "lookup", "entity_id": 404}""")
+      assert(absent.body.contains(""""proof_of_absence":true"""))
+
+      // properties queries cannot be certified
+      assert(post(c, s"$base/certify", """{"type": "properties", "node_id": 0}""").statusCode === 400)
+    }
+  }
+
+  test("protocol discipline: 405 on wrong method, 400 on bad requests") {
+    withServer { (c, base) =>
+      assert(get(c, s"$base/query").statusCode === 405)
+      assert(post(c, s"$base/query", "not json at all").statusCode === 400)
+      assert(post(c, s"$base/query", """{"type": "frobnicate"}""").statusCode === 400)
+      assert(post(c, s"$base/signals", """{"signals":[{"entity_id": "x"}]}""").statusCode === 400)
+    }
+  }
+}
