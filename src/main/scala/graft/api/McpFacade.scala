@@ -1,0 +1,168 @@
+package graft.api
+
+import graft.core._
+import java.io.{BufferedReader, PrintWriter}
+import java.util.Base64
+
+/** MCP facade: a line-delimited JSON-RPC 2.0 loop exposing the engine's
+  * tool set over stdio (the reference's kremis-mcp server surface,
+  * apps/kremis-mcp/src/server.rs:108-307) — hand-rolled JSON, no
+  * dependencies, same handlers as the HTTP facade.
+  *
+  * Tools: graft_ingest, graft_lookup, graft_traverse (maps to
+  * traverse_filtered min_weight 0 + top_k, default depth 2), graft_path,
+  * graft_intersect, graft_properties, graft_retract, graft_status,
+  * graft_hash, graft_certify.
+  */
+final class McpFacade(session: GraftSession) {
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private val fieldRe = """"([a-zA-Z_]+)"\s*:\s*("((?:[^"\\]|\\.)*)"|-?\d+|\[[^\]]*\]|\{)""".r
+
+  private def fields(body: String): Map[String, String] =
+    fieldRe.findAllMatchIn(body).map { m =>
+      val raw = m.group(2)
+      val v = if (raw.startsWith("\"")) m.group(3).replace("\\\"", "\"").replace("\\\\", "\\") else raw
+      m.group(1) -> v
+    }.toMap
+
+  private def long(fs: Map[String, String], k: String): Option[Long] =
+    fs.get(k).flatMap(_.toLongOption)
+
+  val toolNames: Seq[String] = Seq(
+    "graft_ingest", "graft_lookup", "graft_traverse", "graft_path",
+    "graft_intersect", "graft_properties", "graft_retract",
+    "graft_status", "graft_hash", "graft_certify")
+
+  /** One JSON-RPC request in, one response line out. */
+  def handle(line: String): Option[String] = {
+    val fs = fields(line)
+    val id = fs.getOrElse("id", "null")
+    fs.get("method") match {
+      case Some("initialize") =>
+        Some(rpcResult(id,
+          """{"protocolVersion":"2024-11-05","capabilities":{"tools":{}},""" +
+            """"serverInfo":{"name":"graft","version":"0.1.0"}}"""))
+      case Some("notifications/initialized") => None // notification: no response
+      case Some("tools/list") =>
+        val tools = toolNames.map(n =>
+          s"""{"name":${jstr(n)},"inputSchema":{"type":"object"}}""").mkString("[", ",", "]")
+        Some(rpcResult(id, s"""{"tools":$tools}"""))
+      case Some("tools/call") =>
+        Some(rpcResult(id, callTool(fs.getOrElse("name", ""), fields(
+          line.drop(line.indexOf("\"arguments\"").max(0))))))
+      case Some(other) =>
+        Some(s"""{"jsonrpc":"2.0","id":$id,"error":{"code":-32601,"message":${jstr(s"unknown method: $other")}}}""")
+      case None =>
+        Some(s"""{"jsonrpc":"2.0","id":$id,"error":{"code":-32700,"message":"parse error"}}""")
+    }
+  }
+
+  private def rpcResult(id: String, result: String): String =
+    s"""{"jsonrpc":"2.0","id":$id,"result":$result}"""
+
+  private def toolText(text: String): String =
+    s"""{"content":[{"type":"text","text":${jstr(text)}}]}"""
+
+  private def renderResponse(r: ApiResponse): String = {
+    val edges = r.edges.map(e => s"""{"from":${e.from},"to":${e.to},"weight":${e.weight}}""")
+      .mkString("[", ",", "]")
+    s"""{"found":${r.found},"path":${r.path.mkString("[", ",", "]")},"edges":$edges,""" +
+      s""""grounding":${jstr(r.grounding)}""" +
+      r.diagnostic.map(d => s""","diagnostic":${jstr(d)}""").getOrElse("") + "}"
+  }
+
+  private def callTool(name: String, args: Map[String, String]): String = name match {
+    case "graft_ingest" =>
+      (long(args, "entity_id"), args.get("attribute"), args.get("value")) match {
+        case (Some(e), Some(a), Some(v)) =>
+          session.ingest(Signal(e, a, v)) match {
+            case Right(node) => toolText(s"""{"node":$node}""")
+            case Left(err) => toolText(s"""{"error":${jstr(err.message)}}""")
+          }
+        case _ => toolText("""{"error":"missing entity_id/attribute/value"}""")
+      }
+    case "graft_lookup" =>
+      long(args, "entity_id") match {
+        case Some(e) => toolText(renderResponse(QueryApi.execute(session, ApiRequest.Lookup(e))))
+        case None => toolText("""{"error":"missing entity_id"}""")
+      }
+    case "graft_traverse" =>
+      long(args, "node_id") match {
+        case Some(n) =>
+          val depth = long(args, "depth").getOrElse(2L).toInt
+          val req = ApiRequest.TraverseFiltered(
+            n, depth, long(args, "min_weight").getOrElse(0L),
+            long(args, "top_k").map(_.toInt))
+          toolText(renderResponse(QueryApi.execute(session, req)))
+        case None => toolText("""{"error":"missing node_id"}""")
+      }
+    case "graft_path" =>
+      (long(args, "start"), long(args, "end")) match {
+        case (Some(s), Some(e)) =>
+          toolText(renderResponse(QueryApi.execute(session, ApiRequest.StrongestPath(s, e))))
+        case _ => toolText("""{"error":"missing start/end"}""")
+      }
+    case "graft_intersect" =>
+      args.get("nodes").map(_.stripPrefix("[").stripSuffix("]").split(",").toVector
+        .map(_.trim).filter(_.nonEmpty).flatMap(_.toLongOption)) match {
+        case Some(ns) if ns.nonEmpty =>
+          toolText(renderResponse(QueryApi.execute(session, ApiRequest.Intersect(ns))))
+        case _ => toolText("""{"error":"missing nodes"}""")
+      }
+    case "graft_properties" =>
+      long(args, "node_id") match {
+        case Some(n) =>
+          val r = QueryApi.execute(session, ApiRequest.Properties(n))
+          val props = r.properties.map { case (a, v) => s"[${jstr(a)},${jstr(v)}]" }
+            .mkString("[", ",", "]")
+          toolText(s"""{"found":${r.found},"properties":$props}""")
+        case None => toolText("""{"error":"missing node_id"}""")
+      }
+    case "graft_retract" =>
+      (long(args, "from_entity"), long(args, "to_entity")) match {
+        case (Some(f), Some(t)) =>
+          QueryApi.retract(session, f, t) match {
+            case Right(w) => toolText(s"""{"new_weight":$w}""")
+            case Left(err) => toolText(s"""{"error":${jstr(err.message)}}""")
+          }
+        case _ => toolText("""{"error":"missing from_entity/to_entity"}""")
+      }
+    case "graft_status" =>
+      val s = StatusApi.status(session)
+      toolText(s"""{"nodes":${s.nodeCount},"edges":${s.edgeCount},"stage":${jstr(s.stage)}}""")
+    case "graft_hash" =>
+      val h = StatusApi.hash(session)
+      toolText(s"""{"checksum":${h.checksum},"state_hash":${jstr(h.stateHash)}}""")
+    case "graft_certify" =>
+      long(args, "entity_id") match {
+        case Some(e) =>
+          QueryApi.certify(session, ApiRequest.Lookup(e)) match {
+            case Right((resp, cert)) =>
+              val b64 = Base64.getEncoder.encodeToString(cert.toCanonicalBytes)
+              toolText(s"""{"found":${resp.found},"certificate":${jstr(b64)},""" +
+                s""""proof_of_absence":${cert.isProofOfAbsence}}""")
+            case Left(err) => toolText(s"""{"error":${jstr(err.message)}}""")
+          }
+        case None => toolText("""{"error":"missing entity_id"}""")
+      }
+    case other => toolText(s"""{"error":${jstr(s"unknown tool: $other")}}""")
+  }
+
+  /** Blocking stdio loop: one JSON-RPC message per line. */
+  def serve(in: BufferedReader, out: PrintWriter): Unit = {
+    var line = in.readLine()
+    while (line != null) {
+      if (line.trim.nonEmpty) handle(line).foreach { resp =>
+        out.println(resp); out.flush()
+      }
+      line = in.readLine()
+    }
+  }
+}

@@ -1,0 +1,61 @@
+package graft.api
+
+import graft.core.GraftSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MCP protocol loop: initialize, tools/list, tool calls for ingest /
+  * lookup / traverse / path / certify, notifications, unknown methods.
+  */
+class McpFacadeSpec extends AnyFunSuite {
+
+  private def facade = new McpFacade(new GraftSession())
+
+  test("initialize and tools/list") {
+    val f = facade
+    val init = f.handle("""{"jsonrpc":"2.0","id":1,"method":"initialize","params":{}}""").get
+    assert(init.contains(""""serverInfo":{"name":"graft""""))
+    assert(f.handle("""{"jsonrpc":"2.0","method":"notifications/initialized"}""") === None)
+    val tools = f.handle("""{"jsonrpc":"2.0","id":2,"method":"tools/list"}""").get
+    for (t <- f.toolNames) assert(tools.contains(t), t)
+  }
+
+  test("ingest, lookup, traverse, path through tool calls") {
+    val f = facade
+    def call(name: String, args: String): String =
+      f.handle(s"""{"jsonrpc":"2.0","id":9,"method":"tools/call","params":{"name":"$name","arguments":{$args}}}""")
+        .get.replace("\\\"", "\"") // unescape the embedded tool-text JSON
+
+    // sequence via repeated ingest (MCP ingests one signal per call)
+    assert(call("graft_ingest", """"entity_id":1,"attribute":"name","value":"Alice"""").contains(""""node":0"""))
+    assert(call("graft_ingest", """"entity_id":2,"attribute":"name","value":"Bob"""").contains(""""node":1"""))
+    assert(call("graft_lookup", """"entity_id":1""").contains(""""found":true"""))
+    assert(call("graft_lookup", """"entity_id":42""").contains(""""diagnostic":"entity_not_found""""))
+    // no edges yet: traverse finds only the start; path finds none
+    assert(call("graft_traverse", """"node_id":0""").contains(""""path":[0]"""))
+    assert(call("graft_path", """"start":0,"end":1""").contains(""""diagnostic":"no_path""""))
+    assert(call("graft_status", "").contains(""""nodes":2"""))
+    assert(call("graft_certify", """"entity_id":404""").contains(""""proof_of_absence":true"""))
+    assert(call("graft_certify", """"entity_id":1""").contains(""""certificate":""""))
+    // invalid signal is rejected, never repaired
+    assert(call("graft_ingest", """"entity_id":9,"attribute":"","value":"x"""").contains("error"))
+  }
+
+  test("unknown methods and malformed input get JSON-RPC errors") {
+    val f = facade
+    assert(f.handle("""{"jsonrpc":"2.0","id":3,"method":"frobnicate"}""").get.contains("-32601"))
+    assert(f.handle("""garbage""").get.contains("-32700"))
+  }
+
+  test("stdio loop round trip") {
+    val f = facade
+    val input = new java.io.BufferedReader(new java.io.StringReader(
+      """{"jsonrpc":"2.0","id":1,"method":"initialize","params":{}}
+        |{"jsonrpc":"2.0","id":2,"method":"tools/list"}
+        |""".stripMargin))
+    val sw = new java.io.StringWriter()
+    f.serve(input, new java.io.PrintWriter(sw))
+    val lines = sw.toString.linesIterator.toSeq
+    assert(lines.length === 2)
+    assert(lines.head.contains("serverInfo") && lines(1).contains("graft_lookup"))
+  }
+}
