@@ -182,6 +182,27 @@ object GraftCli {
           s"""{"checksum":${h.checksum},"state_hash":${jstr(h.stateHash)}}"""
         }
 
+      case Seq("server") =>
+        // serve an in-memory session (seeded from the database when one is
+        // committed) over the HTTP facade; --port=0 binds an ephemeral
+        // port, --block=false returns immediately (used by tests)
+        val seeded = GraphPersistence.currentVersion(db) match {
+          case None => Right(new graft.core.GraftSession())
+          case Some(_) =>
+            loadDb(spark, db).flatMap(collectGraph).map(mem => new graft.core.GraftSession(mem))
+        }
+        seeded.map { s =>
+          val port = flagMap.get("port").flatMap(_.toIntOption).getOrElse(0)
+          val facade = new graft.api.HttpFacade(s, port)
+          facade.start()
+          val out = s"""{"serving":true,"port":${facade.boundPort}}"""
+          if (flagMap.get("block").forall(_ == "true")) {
+            println(out)
+            Thread.currentThread().join() // serve until killed
+          } else facade.stop()
+          out
+        }
+
       case other => Left(s"unknown command: ${other.mkString(" ")}")
     }
   }

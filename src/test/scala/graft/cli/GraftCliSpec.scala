@@ -55,6 +55,18 @@ class GraftCliSpec extends AnyFunSuite {
     assert(hashAfter === hashBefore)
   }
 
+  test("server command binds, seeds from the database, and answers") {
+    val work = Files.createTempDirectory("graft-cli3")
+    val db = s"$work/db"
+    assert(run("init", s"--database=$db").isRight)
+    val sample = work.resolve("s.txt")
+    Files.writeString(sample, "1:name:Alice\n2:name:Bob")
+    assert(run("ingest", sample.toString, s"--database=$db").isRight)
+    // --block=false: start, report the bound port, stop
+    val served = run("server", "--block=false", s"--database=$db")
+    assert(served.isRight && served.toOption.get.contains(""""serving":true"""), served)
+  }
+
   test("errors: uninitialized db, bad command, strict malformed ingest") {
     val work = Files.createTempDirectory("graft-cli2")
     assert(run("status", s"--database=$work/nope").isLeft)
