@@ -8,7 +8,10 @@ import org.apache.spark.sql.SparkSession
   */
 object SparkTestSession {
   lazy val spark: SparkSession = {
-    val s = Sessions.builder("4").getOrCreate()
+    // default 4; override (e.g. a prime like 7) to shake out
+    // partition-count-dependent nondeterminism across the whole suite
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_TEST_CPUS", "4")
+    val s = Sessions.builder(cpus).getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }

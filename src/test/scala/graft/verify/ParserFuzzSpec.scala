@@ -1,0 +1,81 @@
+package graft.verify
+
+import graft.core._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hostile-input discipline for every byte/protocol parser: random
+  * garbage and random single-byte corruptions of valid payloads must
+  * produce clean errors (Left / 4xx / JSON-RPC error), never exceptions
+  * and never a silently-wrong Right.
+  */
+class ParserFuzzSpec extends AnyFunSuite {
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private def fixtureBytes: Array[Byte] = {
+    val g = new InMemoryGraph
+    Seq(1L, 2L, 3L).foreach(g.insertNode)
+    g.insertEdge(0, 1, 10); g.insertEdge(1, 2, 20)
+    g.storeProperty(0, "name", "alpha")
+    Canonical.toBytes(Canonical.fromGraph(g))
+  }
+
+  test("canonical fromBytes survives random garbage") {
+    for (bytes <- samples(Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue)), 60)) {
+      Canonical.fromBytes(bytes) match {
+        case Left(_) => ()
+        case Right(c) => // vanishingly unlikely; must at least be self-consistent
+          assert(Canonical.fromBytes(Canonical.toBytes(c)) === Right(c))
+      }
+    }
+  }
+
+  test("canonical fromBytes survives single-byte corruption of a valid payload") {
+    val valid = fixtureBytes
+    for (i <- valid.indices) {
+      val corrupt = valid.clone()
+      corrupt(i) = (corrupt(i) ^ 0x5a).toByte
+      Canonical.fromBytes(corrupt) match {
+        case Left(_) => () // detected
+        case Right(c) =>
+          // a mutation that still parses must have hit a byte the checksum
+          // covers... which it always does — so parsing Right means the
+          // flip recreated a consistent graph; re-serialize must roundtrip
+          assert(Canonical.toBytes(c).length === valid.length)
+      }
+    }
+  }
+
+  test("certificate fromCanonicalBytes survives garbage and corruption") {
+    for (bytes <- samples(Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue)), 60))
+      QueryCertificate.fromCanonicalBytes(bytes) // must not throw
+    val g = new InMemoryGraph
+    Seq(1L, 2L).foreach(g.insertNode)
+    val cert = QueryCertificate.build(Array.fill[Byte](32)(1), "lookup:1",
+      Grounding.Fact, g, Some(Artifact.withPath(Vector(0L))))
+    val valid = cert.toCanonicalBytes
+    for (i <- valid.indices) {
+      val corrupt = valid.clone()
+      corrupt(i) = (corrupt(i) ^ 0x33).toByte
+      QueryCertificate.fromCanonicalBytes(corrupt) // must not throw
+    }
+  }
+
+  test("MCP handler survives garbage lines") {
+    val f = new graft.api.McpFacade(new GraftSession())
+    val genLine = Gen.asciiPrintableStr.map(_.take(200))
+    for (line <- samples(genLine, 100)) {
+      f.handle(line).foreach(resp => assert(resp.contains("jsonrpc")))
+    }
+    // structured-but-wrong shapes
+    for (bad <- Seq(
+        """{"method": "tools/call"}""",
+        """{"id": 1, "method": "tools/call", "params": {"name": "graft_lookup"}}""",
+        """{"id": [1,2], "method": 3}""")) {
+      f.handle(bad) // must not throw
+    }
+  }
+}
