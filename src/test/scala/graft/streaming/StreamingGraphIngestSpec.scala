@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import graft.core.{InMemoryGraph, Ingestor, Signal}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming graph ingest: micro-batches accumulate into the same graph
+  * as sequence-by-sequence in-memory ingest; invalid batches are rejected
+  * whole without poisoning the stream.
+  */
+class StreamingGraphIngestSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def df(signals: Seq[Signal]) = {
+    import spark.implicits._
+    signals.zipWithIndex
+      .map { case (s, i) => (i.toLong, s.entityId, s.attribute, s.value) }
+      .toDF("seq", "entity_id", "attribute", "value")
+  }
+
+  private val batch1 = Seq(Signal(1, "name", "Alice"), Signal(2, "name", "Bob"))
+  private val batch2 = Seq(Signal(3, "name", "Kremis"), Signal(1, "works_on", "Kremis"))
+  private val badBatch = Seq(Signal(4, "", "broken"))
+
+  test("micro-batches accumulate; a bad batch is rejected whole and skipped") {
+    val ingest = StreamingGraphIngest.empty(spark)
+    ingest.processBatch(df(batch1))
+    ingest.processBatch(df(badBatch))
+    ingest.processBatch(df(batch2))
+    assert(ingest.committed === 2 && ingest.rejected === 1)
+
+    val mem = new InMemoryGraph
+    assert(Ingestor.ingestSequence(mem, batch1).isRight)
+    assert(Ingestor.ingestSequence(mem, batch2).isRight)
+
+    val g = ingest.snapshot
+    assert(g.nodes.orderBy("node_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === mem.allNodes.map(n => (n.id, n.entityId)))
+    assert(g.edges.orderBy("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      === mem.allEdges.map(e => (e.from, e.to, e.weight)))
+  }
+
+  test("a real streaming query drives the ingest loop end to end") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+
+    val input = MemoryStream[(Long, Long, String, String)]
+    val ingest = StreamingGraphIngest.empty(spark)
+    input.addData(batch1.zipWithIndex.map { case (s, i) =>
+      (i.toLong, s.entityId, s.attribute, s.value) }: _*)
+    val query = ingest.start(
+      input.toDF().toDF("seq", "entity_id", "attribute", "value"),
+      "graph_ingest_test")
+    try query.awaitTermination(30000) finally query.stop()
+
+    assert(ingest.committed >= 1)
+    assert(ingest.snapshot.nodes.count() === 2)
+  }
+}
