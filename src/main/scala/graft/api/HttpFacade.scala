@@ -22,25 +22,22 @@ import java.util.concurrent.locks.ReentrantReadWriteLock
   * (api/mod.rs:62-67). JSON in/out is hand-rolled (flat, known shapes).
   */
 final class HttpFacade(session: GraftSession, port: Int = 0) {
+  import JsonCodec.{fields, jstr, long, longArray}
 
   private val lock = new ReentrantReadWriteLock()
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  // a real pool: many concurrent readers (the RwLock below is what
+  // serializes writers); the JDK default (no executor) would run every
+  // exchange on one dispatcher thread and serialize ALL routes
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+  server.setExecutor(pool)
 
   val MaxBodyBytes = 2 * 1024 * 1024
 
   def boundPort: Int = server.getAddress.getPort
 
   def start(): Unit = { registerRoutes(); server.start() }
-  def stop(): Unit = server.stop(0)
-
-  // ---------------------------------------------------------------- JSON
-
-  private def jstr(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 
   private def renderResponse(r: ApiResponse): String = {
     val edges = r.edges.map(e => s"""{"from":${e.from},"to":${e.to},"weight":${e.weight}}""")
@@ -50,31 +47,6 @@ final class HttpFacade(session: GraftSession, port: Int = 0) {
       s""""edges":$edges,"properties":$props,"grounding":${jstr(r.grounding)}""" +
       r.error.map(e => s""","error":${jstr(e)}""").getOrElse("") +
       r.diagnostic.map(d => s""","diagnostic":${jstr(d)}""").getOrElse("") + "}"
-  }
-
-  /** Minimal flat-JSON reader: top-level string/number fields and one
-    * optional array of objects / array of numbers. Only the known request
-    * shapes are parsed; anything else is a 400.
-    */
-  private object Json {
-    private val field = """"([a-z_]+)"\s*:\s*("((?:[^"\\]|\\.)*)"|-?\d+|\[[^\]]*\])""".r
-
-    def fields(body: String): Map[String, String] =
-      field.findAllMatchIn(body).map { m =>
-        val raw = m.group(2)
-        val value =
-          if (raw.startsWith("\"")) m.group(3)
-            .replace("\\\"", "\"").replace("\\\\", "\\")
-          else raw
-        m.group(1) -> value
-      }.toMap
-
-    def long(fs: Map[String, String], k: String): Option[Long] =
-      fs.get(k).flatMap(_.toLongOption)
-
-    def longArray(fs: Map[String, String], k: String): Option[Vector[Long]] =
-      fs.get(k).map(_.stripPrefix("[").stripSuffix("]").split(",").toVector
-        .map(_.trim).filter(_.nonEmpty).flatMap(_.toLongOption))
   }
 
   // ---------------------------------------------------------------- HTTP
@@ -104,7 +76,11 @@ final class HttpFacade(session: GraftSession, port: Int = 0) {
           respond(ex, code, out)
       }
     } catch {
-      case e: Throwable => respond(ex, 500, s"""{"error":${jstr(e.getMessage)}}""")
+      case e: Throwable =>
+        // jstr guards null messages; fall back to the class name so the
+        // 500 envelope is always sent
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+        respond(ex, 500, s"""{"error":${jstr(msg)}}""")
     } finally ex.close()
 
   private def reading[A](f: => A): A = {
@@ -118,7 +94,7 @@ final class HttpFacade(session: GraftSession, port: Int = 0) {
 
   private def parseSignal(fs: Map[String, String]): Option[Signal] =
     for {
-      e <- Json.long(fs, "entity_id")
+      e <- long(fs, "entity_id")
       a <- fs.get("attribute")
       v <- fs.get("value")
     } yield Signal(e, a, v)
@@ -126,31 +102,31 @@ final class HttpFacade(session: GraftSession, port: Int = 0) {
   private def parseQuery(fs: Map[String, String]): Either[String, ApiRequest] =
     fs.get("type") match {
       case Some("lookup") =>
-        Json.long(fs, "entity_id").map(ApiRequest.Lookup).toRight("missing entity_id")
+        long(fs, "entity_id").map(ApiRequest.Lookup).toRight("missing entity_id")
       case Some("traverse") =>
-        (for { n <- Json.long(fs, "node_id"); d <- Json.long(fs, "depth") }
+        (for { n <- long(fs, "node_id"); d <- long(fs, "depth") }
           yield ApiRequest.Traverse(n, d.toInt)).toRight("missing node_id/depth")
       case Some("traverse_filtered") =>
-        (for { n <- Json.long(fs, "node_id"); d <- Json.long(fs, "depth"); w <- Json.long(fs, "min_weight") }
-          yield ApiRequest.TraverseFiltered(n, d.toInt, w, Json.long(fs, "top_k").map(_.toInt)))
+        (for { n <- long(fs, "node_id"); d <- long(fs, "depth"); w <- long(fs, "min_weight") }
+          yield ApiRequest.TraverseFiltered(n, d.toInt, w, long(fs, "top_k").map(_.toInt)))
           .toRight("missing node_id/depth/min_weight")
       case Some("strongest_path") =>
-        (for { s <- Json.long(fs, "start"); e <- Json.long(fs, "end") }
+        (for { s <- long(fs, "start"); e <- long(fs, "end") }
           yield ApiRequest.StrongestPath(s, e)).toRight("missing start/end")
       case Some("intersect") =>
-        Json.longArray(fs, "nodes").map(ApiRequest.Intersect).toRight("missing nodes")
+        longArray(fs, "nodes").map(ApiRequest.Intersect).toRight("missing nodes")
       case Some("related") =>
-        (for { n <- Json.long(fs, "node_id"); d <- Json.long(fs, "depth") }
+        (for { n <- long(fs, "node_id"); d <- long(fs, "depth") }
           yield ApiRequest.Related(n, d.toInt)).toRight("missing node_id/depth")
       case Some("properties") =>
-        Json.long(fs, "node_id").map(ApiRequest.Properties).toRight("missing node_id")
+        long(fs, "node_id").map(ApiRequest.Properties).toRight("missing node_id")
       case other => Left(s"unknown query type: ${other.getOrElse("(absent)")}")
     }
 
   private def registerRoutes(): Unit = {
     server.createContext("/signal/retract", handle("POST") { body =>
-      val fs = Json.fields(body)
-      (for { f <- Json.long(fs, "from_entity"); t <- Json.long(fs, "to_entity") }
+      val fs = fields(body)
+      (for { f <- long(fs, "from_entity"); t <- long(fs, "to_entity") }
         yield (f, t)) match {
         case None => (400, """{"error":"missing from_entity/to_entity"}""")
         case Some((f, t)) => writing {
@@ -163,10 +139,10 @@ final class HttpFacade(session: GraftSession, port: Int = 0) {
     } _)
 
     server.createContext("/signals", handle("POST") { body =>
-      // body: {"signals":[{...},{...}]} — split array objects naively
-      val objs = """\{[^{}]*\}""".r.findAllIn(
-        body.dropWhile(_ != '[')).toVector
-      val parsed = objs.map(o => parseSignal(Json.fields(o)))
+      // body: {"signals":[{...},{...}]} — string-aware array split, so
+      // braces inside signal values can't break elements apart
+      val objs = JsonCodec.splitArrayObjects(body)
+      val parsed = objs.map(o => parseSignal(fields(o)))
       if (parsed.isEmpty || parsed.exists(_.isEmpty))
         (400, """{"error":"invalid signals"}""")
       else writing {
@@ -178,7 +154,7 @@ final class HttpFacade(session: GraftSession, port: Int = 0) {
     } _)
 
     server.createContext("/signal", handle("POST") { body =>
-      parseSignal(Json.fields(body)) match {
+      parseSignal(fields(body)) match {
         case None => (400, """{"error":"invalid signal"}""")
         case Some(sig) => writing {
           session.ingest(sig) match {
@@ -190,7 +166,7 @@ final class HttpFacade(session: GraftSession, port: Int = 0) {
     } _)
 
     server.createContext("/query", handle("POST") { body =>
-      parseQuery(Json.fields(body)) match {
+      parseQuery(fields(body)) match {
         case Left(err) => (400, s"""{"error":${jstr(err)}}""")
         case Right(req) => reading {
           (200, renderResponse(QueryApi.execute(session, req)))
@@ -199,7 +175,7 @@ final class HttpFacade(session: GraftSession, port: Int = 0) {
     } _)
 
     server.createContext("/certify", handle("POST") { body =>
-      parseQuery(Json.fields(body)) match {
+      parseQuery(fields(body)) match {
         case Left(err) => (400, s"""{"error":${jstr(err)}}""")
         case Right(req) => reading {
           QueryApi.certify(session, req) match {
@@ -245,7 +221,7 @@ final class HttpFacade(session: GraftSession, port: Int = 0) {
     } _)
 
     server.createContext("/health", handle("GET") { _ =>
-      (200, s"""{"healthy":${StatusApi.health(session)}}""")
+      reading { (200, s"""{"healthy":${StatusApi.health(session)}}""") }
     } _)
   }
 }

@@ -1,0 +1,114 @@
+package graft.api
+
+/** The one shared flat-JSON helper for every transport facade (HTTP, MCP,
+  * CLI): escaping, full unescaping, known-shape field extraction, and a
+  * string-aware top-level array splitter. Hand-rolled because this
+  * environment resolves no JSON library — but hand-rolled ONCE: the
+  * facades previously drifted on escape handling, which in an engine
+  * premised on byte-exact state is a correctness bug, not a style issue.
+  */
+object JsonCodec {
+
+  def jstr(s: String): String =
+    "\"" + Option(s).getOrElse("").flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case '\n' => "\\n"; case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Full JSON string unescape: \" \\ \/ \b \f \n \r \t and \uXXXX. */
+  def unescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => sb.append('"'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case '/' => sb.append('/'); i += 2
+          case 'b' => sb.append('\b'); i += 2
+          case 'f' => sb.append('\f'); i += 2
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'u' if i + 5 < s.length + 1 && i + 6 <= s.length =>
+            try {
+              sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+              i += 6
+            } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+          case other => sb.append(other); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private val fieldRe =
+    """"([a-zA-Z_]+)"\s*:\s*("((?:[^"\\]|\\.)*)"|-?\d+|true|false|null|\[[^\]]*\])""".r
+
+  /** Top-level (and shallowly nested) string/number/bool/array fields of a
+    * flat JSON object. String values are fully unescaped.
+    */
+  def fields(body: String): Map[String, String] =
+    fieldRe.findAllMatchIn(body).map { m =>
+      val raw = m.group(2)
+      val value = if (raw.startsWith("\"")) unescape(m.group(3)) else raw
+      m.group(1) -> value
+    }.toMap
+
+  /** The RAW token of one field (quotes preserved) — for echoing JSON-RPC
+    * ids, which may be strings, numbers or null and must round-trip
+    * verbatim.
+    */
+  def rawField(body: String, key: String): Option[String] =
+    (""""""" + key + """"\s*:\s*("(?:[^"\\]|\\.)*"|-?\d+|null)""").r
+      .findFirstMatchIn(body).map(_.group(1))
+
+  def long(fs: Map[String, String], k: String): Option[Long] =
+    fs.get(k).flatMap(_.toLongOption)
+
+  def longArray(fs: Map[String, String], k: String): Option[Vector[Long]] =
+    fs.get(k).map(_.stripPrefix("[").stripSuffix("]").split(",").toVector
+      .map(_.trim).filter(_.nonEmpty).flatMap(_.toLongOption))
+
+  /** Split the FIRST top-level JSON array in `body` into its element
+    * object strings — string-aware and depth-aware, so braces inside
+    * string values don't break elements apart.
+    */
+  def splitArrayObjects(body: String): Vector[String] = {
+    val start = body.indexOf('[')
+    if (start < 0) return Vector.empty
+    val out = Vector.newBuilder[String]
+    var i = start + 1
+    var depth = 0
+    var inString = false
+    var escaped = false
+    var objStart = -1
+    var done = false
+    while (i < body.length && !done) {
+      val c = body.charAt(i)
+      if (inString) {
+        if (escaped) escaped = false
+        else if (c == '\\') escaped = true
+        else if (c == '"') inString = false
+      } else c match {
+        case '"' => inString = true
+        case '{' =>
+          if (depth == 0) objStart = i
+          depth += 1
+        case '}' =>
+          depth -= 1
+          if (depth == 0 && objStart >= 0) {
+            out += body.substring(objStart, i + 1)
+            objStart = -1
+          }
+        case ']' if depth == 0 => done = true
+        case _ => ()
+      }
+      i += 1
+    }
+    out.result()
+  }
+}

@@ -15,25 +15,7 @@ import java.util.Base64
   * graft_hash, graft_certify.
   */
 final class McpFacade(session: GraftSession) {
-
-  private def jstr(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-
-  private val fieldRe = """"([a-zA-Z_]+)"\s*:\s*("((?:[^"\\]|\\.)*)"|-?\d+|\[[^\]]*\]|\{)""".r
-
-  private def fields(body: String): Map[String, String] =
-    fieldRe.findAllMatchIn(body).map { m =>
-      val raw = m.group(2)
-      val v = if (raw.startsWith("\"")) m.group(3).replace("\\\"", "\"").replace("\\\\", "\\") else raw
-      m.group(1) -> v
-    }.toMap
-
-  private def long(fs: Map[String, String], k: String): Option[Long] =
-    fs.get(k).flatMap(_.toLongOption)
+  import JsonCodec.{fields, jstr, long}
 
   val toolNames: Seq[String] = Seq(
     "graft_ingest", "graft_lookup", "graft_traverse", "graft_path",
@@ -43,7 +25,9 @@ final class McpFacade(session: GraftSession) {
   /** One JSON-RPC request in, one response line out. */
   def handle(line: String): Option[String] = {
     val fs = fields(line)
-    val id = fs.getOrElse("id", "null")
+    // ids may be strings, numbers or null and must round-trip VERBATIM
+    // (quotes included) — a string id echoed unquoted is invalid JSON
+    val id = JsonCodec.rawField(line, "id").getOrElse("null")
     fs.get("method") match {
       case Some("initialize") =>
         Some(rpcResult(id,
@@ -110,8 +94,7 @@ final class McpFacade(session: GraftSession) {
         case _ => toolText("""{"error":"missing start/end"}""")
       }
     case "graft_intersect" =>
-      args.get("nodes").map(_.stripPrefix("[").stripSuffix("]").split(",").toVector
-        .map(_.trim).filter(_.nonEmpty).flatMap(_.toLongOption)) match {
+      JsonCodec.longArray(args, "nodes") match {
         case Some(ns) if ns.nonEmpty =>
           toolText(renderResponse(QueryApi.execute(session, ApiRequest.Intersect(ns))))
         case _ => toolText("""{"error":"missing nodes"}""")

@@ -30,12 +30,7 @@ object GraftCli {
     }
   }
 
-  private def jstr(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+  private def jstr(s: String): String = graft.api.JsonCodec.jstr(s)
 
   private val signalSchema = StructType(Seq(
     StructField("seq", LongType), StructField("entity_id", LongType),
@@ -191,16 +186,21 @@ object GraftCli {
           case Some(_) =>
             loadDb(spark, db).flatMap(collectGraph).map(mem => new graft.core.GraftSession(mem))
         }
-        seeded.map { s =>
+        seeded.flatMap { s =>
           val port = flagMap.get("port").flatMap(_.toIntOption).getOrElse(0)
-          val facade = new graft.api.HttpFacade(s, port)
-          facade.start()
-          val out = s"""{"serving":true,"port":${facade.boundPort}}"""
-          if (flagMap.get("block").forall(_ == "true")) {
-            println(out)
-            Thread.currentThread().join() // serve until killed
-          } else facade.stop()
-          out
+          try {
+            val facade = new graft.api.HttpFacade(s, port) // binds here
+            facade.start()
+            val out = s"""{"serving":true,"port":${facade.boundPort}}"""
+            if (flagMap.get("block").forall(_ == "true")) {
+              println(out)
+              Thread.currentThread().join() // serve until killed
+            } else facade.stop()
+            Right(out)
+          } catch {
+            case e: java.io.IOException =>
+              Left(s"cannot bind port $port: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}")
+          }
         }
 
       case other => Left(s"unknown command: ${other.mkString(" ")}")

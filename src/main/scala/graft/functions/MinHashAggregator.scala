@@ -53,6 +53,10 @@ final class MinHashAggregator(numHashes: Int)
 }
 
 object MinHashAggregator {
+  // ExpressionEncoder, not javaSerialization: the buffer crosses the
+  // partial-aggregate exchange on every row group — Java serialization
+  // would ~10x the payload and hide the output behind an opaque BINARY
+  // column instead of array<bigint>
   private val longArrayEncoder: Encoder[Array[Long]] =
-    Encoders.javaSerialization[Array[Long]]
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }

@@ -19,7 +19,15 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 final class StreamingGraphIngest(initial: GraphFrames) {
 
+  /** Cut the union lineage with an eager localCheckpoint every N commits
+    * — without it, batch N's plan is an N-deep union chain.
+    */
+  val LineageCutInterval = 8
+
   @volatile private var current: GraphFrames = initial
+  // only snapshots THIS class created may be unpersisted on supersession —
+  // the initial frames may be shared (e.g. GraphTables.forDir cache)
+  private var ownsCurrent = false
   private val rejectedBatches = new java.util.concurrent.atomic.AtomicLong(0)
   private val committedBatches = new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -27,15 +35,36 @@ final class StreamingGraphIngest(initial: GraphFrames) {
   def rejected: Long = rejectedBatches.get()
   def committed: Long = committedBatches.get()
 
+  private def unpersistTables(g: GraphFrames): Unit = {
+    g.nodes.unpersist(); g.edges.unpersist(); g.properties.unpersist()
+  }
+
   /** Process one micro-batch (also the foreachBatch body — public for
     * deterministic unit testing without a streaming runtime).
+    *
+    * Storage discipline: ingestBatch materializes the new snapshot's
+    * caches before returning, so the superseded snapshot's tables can be
+    * unpersisted immediately — executor storage holds ONE graph copy (two
+    * transiently during a commit), not one per batch of stream history.
     */
   def processBatch(batch: DataFrame): Unit = {
     if (!batch.isEmpty) {
       GraphIngest.ingestBatch(current, batch) match {
-        case Right(next) =>
+        case Right(next0) =>
+          val n = committedBatches.incrementAndGet()
+          val next =
+            if (n % LineageCutInterval == 0) {
+              val cut = next0.copy(
+                nodes = next0.nodes.localCheckpoint(),
+                edges = next0.edges.localCheckpoint(),
+                properties = next0.properties.localCheckpoint())
+              unpersistTables(next0) // checkpoint holds the data now
+              cut
+            } else next0
+          val prev = current
           current = next
-          committedBatches.incrementAndGet()
+          if (ownsCurrent) unpersistTables(prev)
+          ownsCurrent = true
         case Left(_) =>
           rejectedBatches.incrementAndGet()
       }

@@ -102,6 +102,29 @@ class HttpFacadeSpec extends AnyFunSuite {
     }
   }
 
+  test("JSON escapes and braces in values round-trip intact") {
+    withServer { (c, base) =>
+      // \n must decode to a real newline; braces inside values must not
+      // break the batch array apart
+      val seq =
+        """{"signals":[
+          |{"entity_id": 1, "attribute": "note", "value": "line1\nline2"},
+          |{"entity_id": 2, "attribute": "props", "value": "a}b{c"}]}""".stripMargin
+      assert(post(c, s"$base/signals", seq).statusCode === 200)
+
+      val p1 = post(c, s"$base/query", """{"type": "properties", "node_id": 0}""")
+      assert(p1.body.contains("""line1\nline2""")) // re-escaped on output
+      val p2 = post(c, s"$base/query", """{"type": "properties", "node_id": 1}""")
+      assert(p2.body.contains("a}b{c"))
+
+      // the stored value is the DECODED form: unicode escape too
+      val u = post(c, s"$base/signal", """{"entity_id": 3, "attribute": "k", "value": "xAy"}""")
+      assert(u.statusCode === 200)
+      val p3 = post(c, s"$base/query", """{"type": "properties", "node_id": 2}""")
+      assert(p3.body.contains("xAy"))
+    }
+  }
+
   test("protocol discipline: 405 on wrong method, 400 on bad requests") {
     withServer { (c, base) =>
       assert(get(c, s"$base/query").statusCode === 405)

@@ -40,6 +40,14 @@ class McpFacadeSpec extends AnyFunSuite {
     assert(call("graft_ingest", """"entity_id":9,"attribute":"","value":"x"""").contains("error"))
   }
 
+  test("string JSON-RPC ids round-trip verbatim (quoted)") {
+    val f = facade
+    val resp = f.handle("""{"jsonrpc":"2.0","id":"req-1","method":"tools/list"}""").get
+    assert(resp.contains(""""id":"req-1""""))
+    val numeric = f.handle("""{"jsonrpc":"2.0","id":7,"method":"tools/list"}""").get
+    assert(numeric.contains(""""id":7"""))
+  }
+
   test("unknown methods and malformed input get JSON-RPC errors") {
     val f = facade
     assert(f.handle("""{"jsonrpc":"2.0","id":3,"method":"frobnicate"}""").get.contains("-32601"))

@@ -43,6 +43,19 @@ class AnnSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("native dot product: mismatched lengths and null elements give NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)),      // ok: 11.0
+      (2L, Seq(1.0f, 2.0f), Seq(3.0f)),            // length mismatch -> NULL
+      (3L, Seq(1.0f), Seq(2.0f)))
+      .toDF("id", "a", "b")
+    val got = df.select(col("id"), graft.functions.VectorOps.dotCol(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got === Map(1L -> Some(11.0), 2L -> None, 3L -> Some(2.0)))
+  }
+
   test("IVF top-k recall against brute force is high at nprobe/cells = 1/4") {
     val emb = graft.Tables.embeddings(spark, dir)
     val bf = AnnPack.bruteForceTopK(emb).collect().map(r => (r.getLong(0), r.getLong(2))).toSet

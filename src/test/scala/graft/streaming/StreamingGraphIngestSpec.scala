@@ -40,6 +40,23 @@ class StreamingGraphIngestSpec extends AnyFunSuite {
       === mem.allEdges.map(e => (e.from, e.to, e.weight)))
   }
 
+  test("many micro-batches stay correct across the lineage-cut interval") {
+    val ingest = StreamingGraphIngest.empty(spark)
+    val mem = new InMemoryGraph
+    // 10 batches crosses the LineageCutInterval checkpoint path
+    for (b <- 0 until 10) {
+      val batch = Seq(Signal(b.toLong, "kind", "svc"), Signal(b.toLong + 100, "peer", s"of-$b"))
+      ingest.processBatch(df(batch))
+      assert(Ingestor.ingestSequence(mem, batch).isRight)
+    }
+    assert(ingest.committed === 10)
+    val g = ingest.snapshot
+    assert(g.nodes.orderBy("node_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === mem.allNodes.map(n => (n.id, n.entityId)))
+    assert(g.edges.orderBy("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      === mem.allEdges.map(e => (e.from, e.to, e.weight)))
+  }
+
   test("a real streaming query drives the ingest loop end to end") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
