@@ -62,11 +62,28 @@ object ExtensionsPack {
         .orderBy("doc_id")
     },
 
-    // rows-only: the stub decode isn't SQL-expressible; determinism and
-    // batch shape are asserted in MultimodalSpec
-    QDef("m02_media_features", None) { (s, dir) =>
-      Multimodal.decodeFeatures(Multimodal.mediaFromDocuments(Tables.documents(s, dir)))
-        .orderBy("doc_id")
+    // The decode stub's folded byte histogram IS SQL-expressible (the corpus
+    // is ASCII, so DuckDB's per-character codepoints are the payload bytes).
+    // The gated projection recovers the integer byte counts from the float
+    // features (count = round(value * n_bytes) — exact for n < 2^24), so the
+    // compare is integer-only; the raw array<float> form stays spec-covered
+    // in MultimodalSpec (a float-array column can't be sorted/hashed by the
+    // driver's pandas compare — r03's one red row).
+    QDef("m02_media_features", Some(s"""
+      WITH dims AS (SELECT doc_id, unnest(range(0, ${Multimodal.FeatureDim})) AS dim FROM documents),
+      pos AS (SELECT doc_id, text, unnest(range(1, strlen(text) + 1)) AS i FROM documents),
+      cnt AS (SELECT doc_id, ascii(substr(text, i, 1)) % ${Multimodal.FeatureDim} AS dim, count(*) AS c
+              FROM pos GROUP BY 1, 2)
+      SELECT d.doc_id, d.dim, COALESCE(c.c, 0) AS byte_count
+      FROM dims d LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.dim = d.dim
+      ORDER BY d.doc_id, d.dim""")) { (s, dir) =>
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, dir))
+      Multimodal.decodeFeatures(media)
+        .select(col("doc_id"), posexplode(col("features")).as(Seq("dim", "value")))
+        .join(media.select(col("doc_id"), octet_length(col("media")).cast("long").as("n")), Seq("doc_id"))
+        .select(col("doc_id"), col("dim").cast("long").as("dim"),
+          round(col("value") * greatest(col("n"), lit(1L))).cast("long").as("byte_count"))
+        .orderBy("doc_id", "dim")
     },
 
     QDef("m03_frame_sample", None) { (s, dir) =>

@@ -56,7 +56,15 @@ object PipelinePack {
     * Returns (doc_i, doc_j, jaccard) for verified pairs above threshold.
     */
   def nearDupPairs(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs).persist()
+    // NOT persisted: the four consumers below (signatures, sizes, and the
+    // two sides of the verification join) share one canonicalized plan, so
+    // Catalyst's ReuseExchange computes the shingle explode + distinct
+    // shuffle once per action and the other consumers read its shuffle
+    // files (PipelineSpec pins both: the reused exchange in the plan and an
+    // empty block-manager cache). A `persist()` here pinned a copy of the
+    // shingle table in executor storage for the session lifetime per call —
+    // r03's leak — and shuffle files are already the spill-safe medium.
+    val sh = shingles(docs)
 
     // 128 minhashes per doc: hash each shingle STRING once (the expensive
     // part), then derive the hash family from the resulting long — 128
@@ -113,6 +121,25 @@ object PipelinePack {
     val sim = (0 until 60).map(i =>
       when(col(s"b_$i") > 0, lit(1L) * (1L << i)).otherwise(0L)).reduce(_ + _)
     agg.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** DuckDB twin of [[simhash]], generated: bit i of the 60-bit token hash
+    * lives in hex-nibble i/4 (char position 15 - i/4 of the 15-char md5
+    * prefix, least-significant nibble rightmost); per-plane ±1 sums and the
+    * sign-bit reconstruction mirror the Spark aggregation exactly.
+    */
+  private[queries] val simhashOracleSql: String = {
+    val bitSums = (0 until 60).map { i =>
+      val nib = s"(instr('0123456789abcdef', substr(hx, ${15 - i / 4}, 1)) - 1)"
+      s"sum(CASE WHEN (($nib >> ${i % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS b_$i"
+    }.mkString(", ")
+    val recon = (0 until 60).map(i =>
+      s"CASE WHEN b_$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    s"""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      h AS (SELECT doc_id, substr(md5(tok), 1, 15) AS hx FROM tok),
+      bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
+      SELECT doc_id, CAST($recon AS BIGINT) AS simhash FROM bits ORDER BY doc_id"""
   }
 
   val defs: Seq[QDef] = Seq(
@@ -233,9 +260,11 @@ object PipelinePack {
         .orderBy("doc_id")
     },
 
-    // ---- SimHash (no SQL oracle: 60 bit-plane aggregations; verified
-    // bit-for-bit against a plain-Scala twin in PipelineSpec) ----
-    QDef("d08_simhash", None) { (s, dir) =>
+    // ---- SimHash — oracle-gated: the md5-derived construction is
+    // reproducible in DuckDB with nibble arithmetic over the same 15-hex-char
+    // prefix (also verified bit-for-bit against a plain-Scala twin in
+    // PipelineSpec). The 60 bit-plane SQL is generated, not hand-written. ----
+    QDef("d08_simhash", Some(simhashOracleSql)) { (s, dir) =>
       simhash(Tables.documents(s, dir)).orderBy("doc_id")
     },
 

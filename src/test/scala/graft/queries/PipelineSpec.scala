@@ -57,6 +57,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("near-dup pins nothing in executor storage and reuses the shingle exchange") {
+    val docs = graft.Tables.documents(spark, dir)
+    val df = PipelinePack.nearDupPairs(docs)
+    df.collect()
+    // r03's leak: a persist() inside nearDupPairs pinned a shingle-table
+    // copy per invocation for the session lifetime. The shared computation
+    // now rides on shuffle reuse instead of the block manager.
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "nearDupPairs must not leave cached RDDs behind")
+    // and the sharing is real: the distinct-shingle exchange appears as a
+    // reused exchange in the executed plan, not as four separate scans
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("TableCacheQueryStage"),
+      s"expected a reused exchange in:\n$plan")
+  }
+
   test("keep-first dedup keeps the lowest doc_id per normalized content") {
     import spark.implicits._
     val df = Seq(
