@@ -6,11 +6,16 @@ import org.apache.spark.sql.functions.{expr, struct, xxhash64}
 /** Benchmark main. Prints ONE JSON line:
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
   *
-  * Harness rules (VERDICT r01 "What's wrong" #2/#3):
+  * Harness rules (VERDICT r01 "What's wrong" #2/#3, r03 bench hygiene):
   *   - deterministic query order (sorted by name) so run-to-run and
   *     round-to-round timings are comparable;
   *   - one untimed warm-up pass (JVM/JIT, codegen cache, parquet footers)
   *     so the first timed query doesn't eat ~10s of cold-start;
+  *   - per-query MEDIAN of 3 timed passes: r03's driver artifact recorded a
+  *     7x outlier on q13 from machine contention that vanished on rerun —
+  *     a median absorbs one bad pass per query (passes are interleaved by
+  *     pass, not by query, so a contention burst hits each query at most
+  *     once);
   *   - the action is a hash-aggregate over ALL columns (xxhash64 of the row
   *     struct), so Spark cannot prune the projection the way `.count()`
   *     allows — wide selects pay their real cost;
@@ -41,13 +46,20 @@ object Bench {
     }
 
     var errors = Map.empty[String, String]
-    val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try force(fn(spark, sfDir))
-      catch { case e: Throwable =>
-        errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+    val Passes = 3
+    val samples = (1 to Passes).flatMap { _ =>
+      ordered.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try force(fn(spark, sfDir))
+        catch { case e: Throwable =>
+          errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        }
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+    }
+    val results = ordered.map { case (name, _) =>
+      val ts = samples.collect { case (`name`, t) => t }.sorted
+      name -> ts(ts.length / 2)
     }
 
     def jstr(s: String): String =

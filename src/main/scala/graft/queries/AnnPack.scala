@@ -99,6 +99,94 @@ object AnnPack {
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
   }
 
+  /** e04 — embedding near-dup with CANDIDATE GENERATION (the production
+    * path, d03's blocked design applied to vectors). EXACT at any
+    * threshold, unlike sign-bit LSH:
+    *
+    *   1. assign every vector to its nearest IVF cell, keeping the angle
+    *      to the centroid;
+    *   2. per cell, compute the angular radius r_c = max angle of any
+    *      member to the centroid (one tiny aggregate);
+    *   3. prune CELL PAIRS by the spherical triangle inequality —
+    *      theta(a,b) >= theta(c_a,c_b) - r_a - r_b, so a cell pair whose
+    *      lower bound exceeds arccos(t) cannot contain a qualifying pair
+    *      and is never joined;
+    *   4. equi-join vectors through the surviving cell-pair list and verify
+    *      exact cosine on candidates only.
+    *
+    * Recall is 1.0 BY CONSTRUCTION (the prune is a sound bound, not a
+    * probability), which is what lets the exhaustive-recompute oracle gate
+    * it. Pruning power tracks how clustered the corpus is: real embedding
+    * corpora cluster, so cells are tight and far-apart cell pairs drop; on
+    * adversarially uniform vectors (this synthetic fixture) radii are wide
+    * and it degrades toward all pairs routed through equi-joins — the
+    * price ANY exact method pays on data with no structure (AnnSpec
+    * demonstrates >90% cell-pair pruning on a clustered fixture). At
+    * 100 TB the cell id is the bucketing key, so the per-cell-pair joins
+    * are co-located scans, and the quadratic term is over CELLS, not rows.
+    */
+  private def clampAcos(c: Column): Column =
+    acos(least(greatest(c, lit(-1d)), lit(1d)))
+
+  /** Stages 1–3 of the blocked near-dup: nearest-cell assignment with
+    * member→centroid angles, per-cell angular radii, and the surviving
+    * cell-pair list after the triangle-inequality prune. Exposed so the
+    * spec can assert the prune's selectivity directly.
+    */
+  private[queries] def blockedCells(emb: DataFrame, threshold: Double): (DataFrame, DataFrame) = {
+    val centroids = broadcast(
+      emb.filter(col("vec_id") < NumCentroids)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb")))
+
+    // 1. nearest-cell assignment, keeping the member→centroid angle
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))
+    val assigned = emb.crossJoin(centroids)
+      .select(col("vec_id"), col("embedding"), col("c_id"),
+        cosine(col("embedding"), col("c_emb")).as("c_cos"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_id").as("cell"),
+        clampAcos(col("c_cos")).as("theta"))
+
+    // 2. per-cell angular radius (tiny: one row per cell)
+    val radii = assigned.groupBy("cell").agg(max(col("theta")).as("radius"))
+    val cellGeo = radii.join(
+      centroids.select(col("c_id").as("cell"), col("c_emb")), Seq("cell"))
+
+    // 3. sound cell-pair prune: keep (a,b) iff the triangle-inequality
+    // lower bound on any member-pair angle can still reach arccos(t).
+    // 1e-9 slack keeps double rounding on the safe (inclusive) side.
+    val bound = math.acos(threshold) + 1e-9
+    val ga = cellGeo.select(col("cell").as("cell_a"), col("radius").as("r_a"), col("c_emb").as("ca"))
+    val gb = cellGeo.select(col("cell").as("cell_b"), col("radius").as("r_b"), col("c_emb").as("cb"))
+    val cellPairs = broadcast(
+      ga.crossJoin(gb) // centroids x centroids: quadratic over CELLS only
+        .filter(col("cell_a") <= col("cell_b"))
+        .filter(clampAcos(cosine(col("ca"), col("cb"))) - col("r_a") - col("r_b") <= bound)
+        .select(col("cell_a"), col("cell_b")))
+    (assigned, cellPairs)
+  }
+
+  def cosineNearDupBlocked(emb: DataFrame, threshold: Double = 0.45): DataFrame = {
+    val (assigned, cellPairs) = blockedCells(emb, threshold)
+
+    // 4. candidates via equi-joins through the surviving cell pairs
+    val va = assigned.select(col("vec_id").as("ia"), col("embedding").as("ea"), col("cell").as("cell_a"))
+    val vb = assigned.select(col("vec_id").as("ib"), col("embedding").as("eb"), col("cell").as("cell_b"))
+    val crossCell = va
+      .join(cellPairs.filter(col("cell_a") =!= col("cell_b")), Seq("cell_a"))
+      .join(vb, Seq("cell_b")) // orientation fixed by (min,max) cell: one row per pair
+    val sameCell = va
+      .join(vb.withColumnRenamed("cell_b", "cell_a"), Seq("cell_a"))
+      .join(cellPairs.filter(col("cell_a") === col("cell_b")).select(col("cell_a")), Seq("cell_a"))
+      .filter(col("ia") < col("ib"))
+
+    crossCell.select(col("ia"), col("ea"), col("ib"), col("eb"))
+      .union(sameCell.select(col("ia"), col("ea"), col("ib"), col("eb")))
+      .filter(cosine(col("ea"), col("eb")) >= threshold)
+      .select(least(col("ia"), col("ib")).as("id_a"), greatest(col("ia"), col("ib")).as("id_b"))
+  }
+
   val defs: Seq[QDef] = Seq(
 
     QDef("e01_ann_brute_topk", Some(s"""
@@ -142,6 +230,17 @@ object AnnPack {
         .filter(cosine(col("emb_a"), col("emb_b")) >= 0.45)
         .select(col("id_a"), col("id_b"))
         .orderBy("id_a", "id_b")
+    },
+
+    // ---- e04: the candidate-generating production path, gated against the
+    // SAME exhaustive recompute as e03 — passing proves recall 1.0 at the
+    // operating threshold with no data x data cross join in the plan ----
+    QDef("e04_cosine_near_dup_blocked", Some("""
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+      ORDER BY id_a, id_b""")) { (s, dir) =>
+      cosineNearDupBlocked(embeddings(s, dir)).orderBy("id_a", "id_b")
     }
   )
 }

@@ -56,6 +56,64 @@ class AnnSpec extends AnyFunSuite {
     assert(got === Map(1L -> Some(11.0), 2L -> None, 3L -> Some(2.0)))
   }
 
+  test("blocked near-dup is exact on the real fixture (equals brute force)") {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val got = AnnPack.cosineNearDupBlocked(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vecs = collected
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dab = 0.0; var daa = 0.0; var dbb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dab += a(i).toDouble * b(i).toDouble
+        daa += a(i).toDouble * a(i).toDouble
+        dbb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dab / math.sqrt(daa) / math.sqrt(dbb)
+    }
+    val expected = (for {
+      (i, vi) <- vecs; (j, vj) <- vecs if i < j && cos(vi, vj) >= 0.45
+    } yield (i, j)).toSet
+    assert(expected.nonEmpty, "fixture should contain near-dup pairs")
+    assert(got === expected)
+  }
+
+  test("blocked near-dup prunes most cell pairs on a clustered corpus, exactly") {
+    // Real embedding corpora cluster; the synthetic testdata is uniform (the
+    // worst case for any EXACT method). This fixture is what the blocking
+    // stage exists for: 8 tight clusters, so far-apart cell pairs fail the
+    // triangle-inequality bound and are never joined.
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val dim = 16
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian()))
+    val vecs: Seq[(Long, Seq[Float])] = (0L until 400L).map { id =>
+      val c = centers((id % 8).toInt)
+      id -> c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+
+    val got = AnnPack.cosineNearDupBlocked(emb, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dab = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val daa = a.map(x => x.toDouble * x.toDouble).sum
+      val dbb = b.map(x => x.toDouble * x.toDouble).sum
+      dab / math.sqrt(daa) / math.sqrt(dbb)
+    }
+    val expected = (for {
+      (i, vi) <- vecs; (j, vj) <- vecs if i < j && cos(vi, vj) >= 0.9
+    } yield (i, j)).toSet
+    assert(expected.size > 1000, s"clustered fixture should be dense (got ${expected.size})")
+    assert(got === expected)
+
+    // the prune is real: of the 16*17/2 = 136 possible cell pairs, only the
+    // intra-cluster handful survives the triangle-inequality bound
+    val surviving = AnnPack.blockedCells(emb, threshold = 0.9)._2.count()
+    assert(surviving <= 40, s"expected >70% cell-pair pruning, got $surviving/136 surviving")
+  }
+
   test("IVF top-k recall against brute force is high at nprobe/cells = 1/4") {
     val emb = graft.Tables.embeddings(spark, dir)
     val bf = AnnPack.bruteForceTopK(emb).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
