@@ -160,7 +160,7 @@ object QueryApi {
     val resp = execute(session, req)
     if (!resp.success)
       return Left(GraftError.InvalidQuery(resp.error.getOrElse("invalid query")))
-    val stateHash = Canonical.stateHash(Canonical.fromGraph(session.graph))
+    val stateHash = Canonical.merkleStateHash(Canonical.fromGraph(session.graph))
     val grounding =
       if (!resp.found) Grounding.Unknown
       else req match {

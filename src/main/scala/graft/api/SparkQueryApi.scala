@@ -91,7 +91,9 @@ object SparkQueryApi {
     if (!resp.success)
       return Left(GraftError.InvalidQuery(resp.error.getOrElse("invalid query")))
     val g = session.frames
-    val stateHash = DistributedStateHash.stateHash(g)
+    // Merkle root: block digests computed in executors, 32 B per block to
+    // the driver — r03's O(N)-rows-through-the-driver certify cost is gone
+    val stateHash = DistributedStateHash.merkleStateHash(g)
     val grounding =
       if (!resp.found) Grounding.Unknown
       else req match {

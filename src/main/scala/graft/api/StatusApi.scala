@@ -39,7 +39,9 @@ object StatusApi {
 
   def hash(session: GraftSession): HashResponse = {
     val c = Canonical.fromGraph(session.graph)
-    HashResponse(Canonical.checksum(c), Canonical.stateHashHex(c))
+    // Merkle root (SURVEY §4.3.6) — the same value the distributed backend
+    // computes executor-side; certificates bind it too
+    HashResponse(Canonical.checksum(c), Canonical.merkleStateHashHex(c))
   }
 
   // --- distributed backend ---
@@ -63,7 +65,7 @@ object StatusApi {
   }
 
   def hash(g: GraphFrames): HashResponse =
-    HashResponse(DistributedChecksum.checksum(g), DistributedStateHash.stateHashHex(g))
+    HashResponse(DistributedChecksum.checksum(g), DistributedStateHash.merkleStateHashHex(g))
 
   /** Liveness: the store answers a trivial read. */
   def health(g: GraphFrames): Boolean =

@@ -140,16 +140,21 @@ object Canonical {
 
   // --- serialization ---
 
+  /** The 45-byte GRFX header, shared by the serializer, the streamed
+    * distributed hash and both Merkle twins.
+    */
+  def headerBytes(nextNodeId: Long, nNodes: Long, nEdges: Long, nProps: Long, checksum: Long): Array[Byte] =
+    ByteBuffer.allocate(4 + 1 + 8 * 5)
+      .put(Magic).put(Version)
+      .putLong(nextNodeId).putLong(nNodes).putLong(nEdges).putLong(nProps)
+      .putLong(checksum)
+      .array()
+
   def toBytes(c: CanonicalGraph): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    out.write(Magic)
-    out.writeByte(Version)
-    out.writeLong(c.nextNodeId)
-    out.writeLong(c.nodes.length.toLong)
-    out.writeLong(c.edges.length.toLong)
-    out.writeLong(c.properties.length.toLong)
-    out.writeLong(checksum(c))
+    out.write(headerBytes(c.nextNodeId, c.nodes.length.toLong, c.edges.length.toLong,
+      c.properties.length.toLong, checksum(c)))
     c.nodes.foreach(n => out.write(nodeBytes(n.id, n.entityId)))
     c.edges.foreach(e => out.write(edgeBytes(e.from, e.to, e.weight)))
     c.properties.foreach { case (n, a, v) => out.write(propBytes(n, a, v)) }
@@ -222,8 +227,8 @@ object Canonical {
       case Left(_) => false
     }
 
-  /** SHA-256 of the canonical bytes, lowercase hex — the state hash bound
-    * into certificates.
+  /** SHA-256 of the flat canonical bytes — retained as the integrity hash
+    * of the EXPORT payload (what you'd publish next to a .grfx file).
     */
   def stateHashHex(c: CanonicalGraph): String =
     MessageDigest.getInstance("SHA-256").digest(toBytes(c))
@@ -231,4 +236,65 @@ object Canonical {
 
   def stateHash(c: CanonicalGraph): Array[Byte] =
     MessageDigest.getInstance("SHA-256").digest(toBytes(c))
+
+  // --- Merkle state hash (SURVEY §4.3.6) ---
+  //
+  // The flat SHA-256 above is a sequential Merkle–Damgård chain: at 100 TB
+  // someone must stream every sorted row through one hasher (r03's certify
+  // path did exactly that through the driver NIC). The Merkle form is the
+  // scale path: rows are grouped into KEY-RANGE blocks (id div span — a
+  // function of the data, never of the partitioning), each block is
+  // SHA-256-hashed where the rows live, and the root digests the 45-byte
+  // header plus the ordered 32-byte leaf digests. Value is identical on a
+  // laptop and a 1000-executor cluster; only 32 B per non-empty block
+  // crosses the network.
+  //
+  // Leaf preimage: tag byte ++ block-key i64 BE ++ concatenated canonical
+  // row bytes in section sort order. Root preimage: header ++ node leaves
+  // (block asc) ++ edge leaves ++ prop leaves. Frozen by golden vectors in
+  // CanonicalSpec.
+
+  /** Rows per key-range block: node/property blocks span `MerkleBlockSpan`
+    * node ids, edge blocks span that many src ids. Part of the frozen spec
+    * (changing it changes every root).
+    */
+  val MerkleBlockSpan = 65536L
+
+  private final class LeafFold(root: MessageDigest, tag: Byte) {
+    private var block = Long.MinValue
+    private var leaf: MessageDigest = null
+    def add(blockKey: Long, rowBytes: Array[Byte]): Unit = {
+      if (blockKey != block || leaf == null) {
+        if (leaf != null) root.update(leaf.digest())
+        leaf = MessageDigest.getInstance("SHA-256")
+        leaf.update(tag)
+        leaf.update(ByteBuffer.allocate(8).putLong(blockKey).array())
+        block = blockKey
+      }
+      leaf.update(rowBytes)
+    }
+    def finish(): Unit = if (leaf != null) root.update(leaf.digest())
+  }
+
+  /** Driver twin of [[DistributedStateHash.merkleStateHash]] — same spec,
+    * computed by a sequential sweep of the sorted in-memory vectors.
+    */
+  def merkleStateHash(c: CanonicalGraph, span: Long = MerkleBlockSpan): Array[Byte] = {
+    val md = MessageDigest.getInstance("SHA-256")
+    md.update(headerBytes(c.nextNodeId, c.nodes.length.toLong, c.edges.length.toLong,
+      c.properties.length.toLong, checksum(c)))
+    val nf = new LeafFold(md, TagNode)
+    c.nodes.foreach(n => nf.add(Math.floorDiv(n.id, span), nodeBytes(n.id, n.entityId)))
+    nf.finish()
+    val ef = new LeafFold(md, TagEdge)
+    c.edges.foreach(e => ef.add(Math.floorDiv(e.from, span), edgeBytes(e.from, e.to, e.weight)))
+    ef.finish()
+    val pf = new LeafFold(md, TagProp)
+    c.properties.foreach { case (n, a, v) => pf.add(Math.floorDiv(n, span), propBytes(n, a, v)) }
+    pf.finish()
+    md.digest()
+  }
+
+  def merkleStateHashHex(c: CanonicalGraph, span: Long = MerkleBlockSpan): String =
+    merkleStateHash(c, span).map(b => f"$b%02x").mkString
 }

@@ -3,20 +3,84 @@ package graft.verify
 import graft.graph.GraphFrames
 import java.nio.ByteBuffer
 import java.security.MessageDigest
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.{col, expr}
 
-/** The cryptographic state hash computed from the distributed store with
-  * O(1) driver memory: the exact GRFX canonical byte stream (header +
-  * sorted rows) is fed incrementally into SHA-256 via sorted
-  * `toLocalIterator` — partitions arrive in range order, so the stream is
-  * byte-identical to `Canonical.toBytes` of the collected graph, without
-  * ever materializing the graph on the driver.
+/** Cryptographic state hashes computed from the distributed store.
   *
-  * This is the scale path SURVEY §7.3 flags: a sequential hash over a
-  * canonical stream. The executors do the sorting (range exchange); the
-  * driver only folds bytes. The commutative checksum in the header comes
-  * from [[DistributedChecksum]] (bit_xor aggregation — fully distributed).
+  * Two constructions:
+  *   - [[stateHash]] — the flat export hash: the exact GRFX canonical byte
+  *     stream (header + sorted rows) fed incrementally into SHA-256 via
+  *     sorted `toLocalIterator`. O(1) driver memory but O(N) rows through
+  *     the driver NIC — the integrity hash of an export payload, kept as
+  *     the spec cross-check for the Merkle form.
+  *   - [[merkleStateHash]] — the certify/scale path (SURVEY §4.3.6): rows
+  *     are hashed into key-range block digests IN EXECUTORS, and only
+  *     32 bytes per non-empty block reach the driver, which folds the
+  *     ordered leaves with the header into the root. Block boundaries are
+  *     a function of the data (id div span), never of the partitioning, so
+  *     the root is identical on any cluster size —
+  *     [[Canonical.merkleStateHash]] is the sequential twin and golden
+  *     vectors freeze the spec.
+  *
+  * The commutative checksum in the header comes from
+  * [[DistributedChecksum]] (bit_xor aggregation — fully distributed).
   */
 object DistributedStateHash {
+
+  def merkleStateHashHex(g: GraphFrames, span: Long = Canonical.MerkleBlockSpan): String =
+    merkleStateHash(g, span).map(b => f"$b%02x").mkString
+
+  def merkleStateHash(g: GraphFrames, span: Long = Canonical.MerkleBlockSpan): Array[Byte] = {
+    val md = MessageDigest.getInstance("SHA-256")
+    val nNodes = g.nodes.count()
+    val nEdges = g.edges.count()
+    val nProps = g.properties.count()
+    val checksum = DistributedChecksum.checksum(g)
+    md.update(Canonical.headerBytes(nNodes, nNodes, nEdges, nProps, checksum))
+
+    // per-section: colocate each key-range block (repartitionByRange keeps
+    // equal keys together), sort rows within partitions, hash each block
+    // where it lives, ship only (block, 32-byte digest) to the driver
+    def fold(df: DataFrame, keyCol: String, sortCols: Seq[String], tag: Byte)(
+        rowBytes: Row => Array[Byte]): Unit = {
+      val digests = df
+        .withColumn("__block", expr(s"$keyCol div ${span}L"))
+        .repartitionByRange(col("__block"))
+        .sortWithinPartitions(("__block" +: sortCols).map(col): _*)
+        .rdd
+        .mapPartitions { it =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+          var block = Long.MinValue
+          var leaf: MessageDigest = null
+          def close(): Unit = if (leaf != null) out += ((block, leaf.digest()))
+          it.foreach { r =>
+            val b = r.getLong(r.fieldIndex("__block"))
+            if (leaf == null || b != block) {
+              close()
+              leaf = MessageDigest.getInstance("SHA-256")
+              leaf.update(tag)
+              leaf.update(ByteBuffer.allocate(8).putLong(b).array())
+              block = b
+            }
+            leaf.update(rowBytes(r))
+          }
+          close()
+          out.iterator
+        }
+        .collect()
+        .sortBy(_._1)
+      digests.foreach { case (_, d) => md.update(d) }
+    }
+
+    fold(g.nodes, "node_id", Seq("node_id"), Canonical.TagNode)(r =>
+      Canonical.nodeBytes(r.getLong(0), r.getLong(1)))
+    fold(g.edges, "src", Seq("src", "dst"), Canonical.TagEdge)(r =>
+      Canonical.edgeBytes(r.getLong(0), r.getLong(1), r.getLong(2)))
+    fold(g.properties, "node_id", Seq("node_id", "attribute", "value"), Canonical.TagProp)(r =>
+      Canonical.propBytes(r.getLong(0), r.getString(1), r.getString(2)))
+    md.digest()
+  }
 
   def stateHashHex(g: GraphFrames): String =
     stateHash(g).map(b => f"$b%02x").mkString

@@ -119,6 +119,82 @@ class CanonicalSpec extends AnyFunSuite {
       Canonical.stateHashHex(Canonical.fromGraph(mem)))
   }
 
+  // independently recomputed in Python from the frozen spec (header ++
+  // ordered per-block leaf digests; leaf = SHA-256(tag ++ block i64 BE ++
+  // sorted row bytes)) — a consistent implementation bug on both twins
+  // cannot survive this pin
+  private val FrozenMerkleRoot =
+    "7d6002687f8e206755578013ea5ccf5f7eaa1e3be845f2ea834610fdb785f34d"
+  private val FrozenMerkleRootSpan2 =
+    "297d2f7d73fb1aad2b563c4acb2303f10b2bb15676a701997d4ac7d99a180858"
+
+  test("golden vector: Merkle state hash is frozen (default span and span=2)") {
+    val c = Canonical.fromGraph(fixture)
+    assert(Canonical.merkleStateHashHex(c) === FrozenMerkleRoot)
+    // span=2 splits the node section into two leaves — block boundaries are
+    // part of the spec, so the root must change
+    assert(Canonical.merkleStateHashHex(c, span = 2) === FrozenMerkleRootSpan2)
+  }
+
+  private def signalsFixture = {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val signals = Seq(
+      Signal(1, "name", "Alice"), Signal(1, "role", "engineer"),
+      Signal(2, "name", "Bob"), Signal(3, "kind", "svc"),
+      Signal(1, "knows", "Bob"), Signal(2, "knows", "Alice"))
+    val df = signals.zipWithIndex
+      .map { case (s, i) => (i.toLong, s.entityId, s.attribute, s.value) }
+      .toDF("seq", "entity_id", "attribute", "value")
+    val frames = GraphTables.build(GraphTables.validSignals(df))
+    val mem = new InMemoryGraph
+    Ingestor.ingestSequence(mem, signals)
+    (frames, mem)
+  }
+
+  test("distributed Merkle root equals the driver twin, incl. multi-block spans") {
+    val (frames, mem) = signalsFixture
+    val c = Canonical.fromGraph(mem)
+    assert(DistributedStateHash.merkleStateHashHex(frames) ===
+      Canonical.merkleStateHashHex(c))
+    // span=1: every row its own leaf — exercises block boundaries hard
+    assert(DistributedStateHash.merkleStateHashHex(frames, span = 1) ===
+      Canonical.merkleStateHashHex(c, span = 1))
+    assert(DistributedStateHash.merkleStateHashHex(frames, span = 2) ===
+      Canonical.merkleStateHashHex(c, span = 2))
+  }
+
+  test("Merkle root is invariant under the table partitioning") {
+    val (frames, mem) = signalsFixture
+    val expected = Canonical.merkleStateHashHex(Canonical.fromGraph(mem))
+    val reshaped = frames.copy(
+      nodes = frames.nodes.repartition(7),
+      edges = frames.edges.repartition(3),
+      properties = frames.properties.repartition(5))
+    assert(DistributedStateHash.merkleStateHashHex(reshaped) === expected)
+    val coalesced = frames.copy(
+      nodes = frames.nodes.coalesce(1),
+      edges = frames.edges.coalesce(1),
+      properties = frames.properties.coalesce(1))
+    assert(DistributedStateHash.merkleStateHashHex(coalesced) === expected)
+  }
+
+  test("Merkle parity holds for supplementary-plane strings") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val signals = Seq(
+      Signal(1, "tag", "😀"), Signal(1, "tag", ""),
+      Signal(2, "kind", "svc"))
+    val df = signals.zipWithIndex
+      .map { case (s, i) => (i.toLong, s.entityId, s.attribute, s.value) }
+      .toDF("seq", "entity_id", "attribute", "value")
+    val frames = GraphTables.build(GraphTables.validSignals(df))
+    val mem = new InMemoryGraph
+    Ingestor.ingestSequence(mem, signals)
+    assert(DistributedStateHash.merkleStateHashHex(frames) ===
+      Canonical.merkleStateHashHex(Canonical.fromGraph(mem)))
+  }
+
   test("import rejects bad magic, truncation, tampering and over-limit counts") {
     val bytes = Canonical.toBytes(Canonical.fromGraph(fixture))
 
