@@ -15,13 +15,27 @@ import java.util.concurrent.locks.ReentrantReadWriteLock
   *   POST /signal/retract      entity-pair decrement, 404 on missing
   *   POST /query               the query union -> response envelope
   *   POST /certify             query + GQC1 certificate (base64)
+  *   POST /export              canonical snapshot, base64 + checksum
   *   GET  /status /stage /hash /metrics /health
+  *
+  * Middleware, outer to inner as in the reference router
+  * (api/mod.rs:186-246): CORS (origins + GET/POST/OPTIONS preflight) ->
+  * rate limit (global token bucket, 429, /health exempt) -> Bearer auth
+  * (401, /health exempt, raw token also accepted, constant-time compare —
+  * auth.rs:37-98). Auth is off when `apiKey` is None and the limiter is
+  * off when `rateLimitPerSec` <= 0, matching the reference's
+  * enabled-if-configured layers.
   *
   * Concurrency: one ReentrantReadWriteLock around the session — many
   * readers, single writer, exactly the reference's `RwLock<Session>`
   * (api/mod.rs:62-67). JSON in/out is hand-rolled (flat, known shapes).
   */
-final class HttpFacade(session: GraftSession, port: Int = 0) {
+final class HttpFacade(
+    session: GraftSession,
+    port: Int = 0,
+    apiKey: Option[String] = None,
+    rateLimitPerSec: Int = 0,
+    corsOrigins: Seq[String] = Seq("*")) {
   import JsonCodec.{fields, jstr, long, longArray}
 
   private val lock = new ReentrantReadWriteLock()
@@ -54,9 +68,61 @@ final class HttpFacade(session: GraftSession, port: Int = 0) {
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
+    corsHeaders(ex)
     ex.sendResponseHeaders(code, bytes.length.toLong)
     val os = ex.getResponseBody
     os.write(bytes); os.close()
+  }
+
+  // ------------------------------------------------------------ middleware
+
+  private def corsHeaders(ex: HttpExchange): Unit = {
+    val origin = Option(ex.getRequestHeaders.getFirst("Origin"))
+    val allowed =
+      if (corsOrigins.contains("*")) Some("*")
+      else origin.filter(corsOrigins.contains)
+    allowed.foreach(o => ex.getResponseHeaders.set("Access-Control-Allow-Origin", o))
+  }
+
+  /** Preflight: the reference CORS layer answers OPTIONS itself with the
+    * allowed methods/headers (api/mod.rs:148-154).
+    */
+  private def preflight(ex: HttpExchange): Unit = {
+    corsHeaders(ex)
+    ex.getResponseHeaders.set("Access-Control-Allow-Methods", "GET, POST, OPTIONS")
+    ex.getResponseHeaders.set("Access-Control-Allow-Headers", "Content-Type, Authorization")
+    ex.sendResponseHeaders(204, -1L)
+  }
+
+  /** Global token bucket: capacity = rps, continuous refill — the role of
+    * the reference's governor direct limiter (middleware.rs:42-65).
+    */
+  private object rateLimiter {
+    private var tokens = rateLimitPerSec.toDouble
+    private var last = System.nanoTime()
+    def tryAcquire(): Boolean =
+      if (rateLimitPerSec <= 0) true
+      else synchronized {
+        val now = System.nanoTime()
+        tokens = math.min(rateLimitPerSec.toDouble,
+          tokens + (now - last) * 1e-9 * rateLimitPerSec)
+        last = now
+        if (tokens >= 1.0) { tokens -= 1.0; true } else false
+      }
+  }
+
+  /** Bearer auth (auth.rs:37-98): raw token accepted too; constant-time
+    * compare so the key can't be timed out byte by byte.
+    */
+  private def authorized(ex: HttpExchange): Boolean = apiKey match {
+    case None => true
+    case Some(expected) =>
+      Option(ex.getRequestHeaders.getFirst("Authorization")).exists { header =>
+        val provided = if (header.startsWith("Bearer ")) header.substring(7) else header
+        java.security.MessageDigest.isEqual(
+          provided.getBytes(StandardCharsets.UTF_8),
+          expected.getBytes(StandardCharsets.UTF_8))
+      }
   }
 
   private def readBody(ex: HttpExchange): Either[String, String] = {
@@ -65,9 +131,18 @@ final class HttpFacade(session: GraftSession, port: Int = 0) {
     else Right(new String(bytes, StandardCharsets.UTF_8))
   }
 
-  private def handle(method: String)(f: String => (Int, String))(ex: HttpExchange): Unit =
+  /** `open` routes (/health) bypass rate limiting and auth — the reference
+    * keeps the health check out of both layers (api/mod.rs:211-213).
+    */
+  private def handle(method: String, open: Boolean = false)(f: String => (Int, String))(ex: HttpExchange): Unit =
     try {
-      if (ex.getRequestMethod != method)
+      if (ex.getRequestMethod == "OPTIONS")
+        preflight(ex)
+      else if (!open && !rateLimiter.tryAcquire())
+        respond(ex, 429, """{"error":"too many requests"}""")
+      else if (!open && !authorized(ex))
+        respond(ex, 401, """{"error":"unauthorized"}""")
+      else if (ex.getRequestMethod != method)
         respond(ex, 405, """{"error":"method not allowed"}""")
       else readBody(ex) match {
         case Left(err) => respond(ex, 413, s"""{"error":${jstr(err)}}""")
@@ -189,6 +264,17 @@ final class HttpFacade(session: GraftSession, port: Int = 0) {
       }
     } _)
 
+    // the reference export handler (api/mod.rs:222, handlers.rs:505-535):
+    // snapshot under the read lock, canonical bytes base64'd + the
+    // commutative checksum alongside — the import side enforces limits
+    server.createContext("/export", handle("POST") { _ =>
+      reading {
+        val c = graft.verify.Canonical.fromGraph(session.graph)
+        val b64 = Base64.getEncoder.encodeToString(graft.verify.Canonical.toBytes(c))
+        (200, s"""{"success":true,"data":${jstr(b64)},"checksum":${graft.verify.Canonical.checksum(c)}}""")
+      }
+    } _)
+
     server.createContext("/status", handle("GET") { _ =>
       reading {
         val s = StatusApi.status(session)
@@ -220,7 +306,7 @@ final class HttpFacade(session: GraftSession, port: Int = 0) {
       }
     } _)
 
-    server.createContext("/health", handle("GET") { _ =>
+    server.createContext("/health", handle("GET", open = true) { _ =>
       reading { (200, s"""{"healthy":${StatusApi.health(session)}}""") }
     } _)
   }

@@ -188,8 +188,13 @@ object GraftCli {
         }
         seeded.flatMap { s =>
           val port = flagMap.get("port").flatMap(_.toIntOption).getOrElse(0)
+          // security config: flag first, then env — the reference reads
+          // KREMIS_API_KEY / KREMIS_RATE_LIMIT the same way (config.rs)
+          val apiKey = flagMap.get("api-key").orElse(sys.env.get("GRAFT_API_KEY"))
+          val rps = flagMap.get("rate-limit").orElse(sys.env.get("GRAFT_RATE_LIMIT"))
+            .flatMap(_.toIntOption).getOrElse(0)
           try {
-            val facade = new graft.api.HttpFacade(s, port) // binds here
+            val facade = new graft.api.HttpFacade(s, port, apiKey = apiKey, rateLimitPerSec = rps) // binds here
             facade.start()
             val out = s"""{"serving":true,"port":${facade.boundPort}}"""
             if (flagMap.get("block").forall(_ == "true")) {

@@ -133,4 +133,99 @@ class HttpFacadeSpec extends AnyFunSuite {
       assert(post(c, s"$base/signals", """{"signals":[{"entity_id": "x"}]}""").statusCode === 400)
     }
   }
+
+  // --- export (api_tests.rs test_export_empty_graph/test_export_populated_graph) ---
+
+  test("export returns canonical base64 that re-imports to the same graph") {
+    withServer { (c, base) =>
+      // empty graph exports too
+      val empty = post(c, s"$base/export", "")
+      assert(empty.statusCode === 200 && empty.body.contains(""""success":true"""))
+
+      post(c, s"$base/signals",
+        """{"signals":[{"entity_id": 1, "attribute": "k", "value": "a"},
+          |{"entity_id": 2, "attribute": "k", "value": "b"}]}""".stripMargin)
+      val resp = post(c, s"$base/export", "")
+      assert(resp.statusCode === 200)
+      val b64 = """"data":"([^"]+)"""".r.findFirstMatchIn(resp.body).get.group(1)
+      val checksum = """"checksum":(-?\d+)""".r.findFirstMatchIn(resp.body).get.group(1).toLong
+      val parsed = graft.verify.Canonical.fromBytes(Base64.getDecoder.decode(b64))
+      assert(parsed.isRight)
+      val g = parsed.toOption.get
+      assert(g.nodes.length === 2 && g.edges.length === 1)
+      assert(graft.verify.Canonical.checksum(g) === checksum)
+    }
+  }
+
+  // --- middleware (api_tests.rs auth/CORS/rate-limit cases) ---
+
+  private def withAuthServer(key: String)(f: (HttpClient, String) => Unit): Unit = {
+    val facade = new HttpFacade(new GraftSession(), apiKey = Some(key))
+    facade.start()
+    try f(HttpClient.newHttpClient(), s"http://127.0.0.1:${facade.boundPort}")
+    finally facade.stop()
+  }
+
+  private def getAuth(c: HttpClient, url: String, auth: Option[String]): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(url)).GET()
+    auth.foreach(a => b.header("Authorization", a))
+    c.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  test("auth: bearer and raw tokens pass, wrong/missing/empty/prefix-only get 401, health bypasses") {
+    withAuthServer("test-secret-key") { (c, base) =>
+      assert(getAuth(c, s"$base/status", Some("Bearer test-secret-key")).statusCode === 200)
+      assert(getAuth(c, s"$base/status", Some("test-secret-key")).statusCode === 200)
+      assert(getAuth(c, s"$base/status", Some("Bearer wrong-key")).statusCode === 401)
+      assert(getAuth(c, s"$base/status", None).statusCode === 401)
+      assert(getAuth(c, s"$base/status", Some("")).statusCode === 401)
+      assert(getAuth(c, s"$base/status", Some("Bearer ")).statusCode === 401)
+      // health is exempt (load balancer contract, auth.rs:47-50)
+      assert(getAuth(c, s"$base/health", None).statusCode === 200)
+      // writes are gated too
+      assert(post(c, s"$base/signal", """{"entity_id": 1, "attribute": "k", "value": "v"}""")
+        .statusCode === 401)
+    }
+  }
+
+  test("rate limit: burst over the bucket gets 429, health is exempt") {
+    val facade = new HttpFacade(new GraftSession(), rateLimitPerSec = 3)
+    facade.start()
+    try {
+      val c = HttpClient.newHttpClient()
+      val base = s"http://127.0.0.1:${facade.boundPort}"
+      val codes = (1 to 10).map(_ => get(c, s"$base/status").statusCode)
+      assert(codes.count(_ == 200) >= 3 && codes.contains(429))
+      assert((1 to 10).forall(_ => get(c, s"$base/health").statusCode == 200))
+    } finally facade.stop()
+  }
+
+  test("CORS: allowed origin echoed, preflight answers methods and headers") {
+    withServer { (c, base) =>
+      val r = get(c, s"$base/health")
+      assert(r.headers.firstValue("Access-Control-Allow-Origin").orElse("") === "*")
+      val pre = c.send(HttpRequest.newBuilder(URI.create(s"$base/query"))
+        .method("OPTIONS", HttpRequest.BodyPublishers.noBody())
+        .header("Origin", "http://example.com").build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(pre.statusCode === 204)
+      assert(pre.headers.firstValue("Access-Control-Allow-Methods").orElse("").contains("POST"))
+      assert(pre.headers.firstValue("Access-Control-Allow-Headers").orElse("").contains("Authorization"))
+    }
+
+    // origin allow-list: only configured origins are echoed
+    val facade = new HttpFacade(new GraftSession(), corsOrigins = Seq("http://ok.example"))
+    facade.start()
+    try {
+      val c = HttpClient.newHttpClient()
+      val base = s"http://127.0.0.1:${facade.boundPort}"
+      def originGet(o: String) =
+        c.send(HttpRequest.newBuilder(URI.create(s"$base/health"))
+          .GET().header("Origin", o).build(), HttpResponse.BodyHandlers.ofString())
+      assert(originGet("http://ok.example").headers
+        .firstValue("Access-Control-Allow-Origin").orElse("") === "http://ok.example")
+      assert(originGet("http://evil.example").headers
+        .firstValue("Access-Control-Allow-Origin").orElse("") === "")
+    } finally facade.stop()
+  }
 }

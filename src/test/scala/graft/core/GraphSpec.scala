@@ -45,6 +45,8 @@ class GraphSpec extends AnyFunSuite {
     g.insertEdge(999L, a, 5L) // missing src
     assert(g.edgeCount === 0)
     g.incrementEdge(a, 999L) // same for increment
+    g.incrementEdge(999L, a)
+    g.incrementEdge(998L, 999L) // both endpoints missing (graph.rs:1453-1457)
     assert(g.edgeCount === 0)
   }
 

@@ -77,4 +77,30 @@ class GraphIngestSpec extends AnyFunSuite {
     assert(r === Left(graft.core.GraftError.PropertyLimitExceeded(
       0L, graft.core.Limits.MaxPropertiesPerNode)))
   }
+
+  test("cap counts earlier rows of the same batch; exactly-at-cap and dups at cap commit") {
+    // the redb txn sees its own earlier writes (redb_graph.rs:289-318):
+    // a batch's prefix counts toward the cap, crossing it aborts the whole
+    // batch, landing exactly on it commits, and idempotent re-inserts of
+    // existing pairs never grow the node so they pass even at the cap
+    val cap = graft.core.Limits.MaxPropertiesPerNode
+    val g0 = GraphTables.build(GraphTables.validSignals(df(batch1))) // node 0 holds name + knows
+    val toCap = (1 to cap - 2).map(i => Signal(1L, "attr", s"v$i"))
+    val atCap = GraphIngest.ingestBatch(g0, df(toCap)).toOption.get
+    assert(atCap.properties.filter(org.apache.spark.sql.functions.col("node_id") === 0L)
+      .count() === cap.toLong)
+
+    // one new distinct pair mid-batch crosses the cap: atomic abort — the
+    // valid rows around it (incl. another entity's) must not land either
+    val crossing = Seq(Signal(2L, "extra", "ok"), Signal(1L, "attr", "overflow"),
+      Signal(2L, "extra2", "ok"))
+    assert(GraphIngest.ingestBatch(atCap, df(crossing)) ===
+      Left(graft.core.GraftError.PropertyLimitExceeded(0L, cap)))
+
+    // duplicates of stored pairs at the cap are idempotent, not rejected
+    val dups = Seq(Signal(1L, "attr", "v1"), Signal(1L, "name", "Alice"))
+    val after = GraphIngest.ingestBatch(atCap, df(dups)).toOption.get
+    assert(after.properties.filter(org.apache.spark.sql.functions.col("node_id") === 0L)
+      .count() === cap.toLong)
+  }
 }

@@ -224,4 +224,15 @@ class CanonicalSpec extends AnyFunSuite {
     assert(g.edgeCount === 2)
     assert(g.getProperties(0L).toOption.get === Vector(("name", "alpha")))
   }
+
+  test("import clamps a tampered next_node_id above the max imported id") {
+    // graph.rs:1502-1533: a crafted payload declares next_node_id=0 while
+    // nodes 0..2 exist; a subsequent insert must not collide
+    val c = Canonical.fromGraph(fixture)
+    val tampered = c.copy(nextNodeId = 0L)
+    val (g, _) = Canonical.importCanonical(tampered)
+    assert(g.currentNextNodeId > c.nodes.map(_.id).max)
+    val fresh = g.insertNode(999L)
+    assert(!c.nodes.map(_.id).contains(fresh))
+  }
 }
