@@ -189,10 +189,40 @@ object GraphPack {
         .orderBy("depth", "node_id")
     },
 
-    // ---- integrity: commutative distributed checksum (no SQL oracle —
-    // FNV-1a row hashes aren't DuckDB-expressible; parity with the
-    // driver-side canonical checksum is asserted in CanonicalSpec) ----
-    QDef("g19_state_checksum", None) { (s, dir) =>
+    // ---- integrity: commutative distributed checksum. The oracle
+    // recomputes FNV-1a64 over every tagged canonical row byte-for-byte in
+    // SQL (rows as hex strings, a recursive CTE folding hex pairs with the
+    // wrapping multiply in HUGEINT, XOR-reduced, re-signed) — so the
+    // custom Fnv1a64Expr + bit_xor pipeline is gated end-to-end, not just
+    // spec-checked against the driver twin ----
+    QDef("g19_state_checksum", oracle("""
+      , rows AS (
+        SELECT lower('4e' || lpad(to_hex(node_id), 16, '0')
+                          || lpad(to_hex(entity_id), 16, '0')) AS hx FROM nodes
+        UNION ALL
+        SELECT lower('45' || lpad(to_hex(src), 16, '0') || lpad(to_hex(dst), 16, '0')
+                          || lpad(to_hex(weight), 16, '0')) FROM edges
+        UNION ALL
+        SELECT lower('50' || lpad(to_hex(node_id), 16, '0')
+                          || lpad(to_hex(strlen(attribute)), 8, '0') || hex(encode(attribute))
+                          || lpad(to_hex(strlen(value)), 8, '0') || hex(encode(value))) FROM props
+      ),
+      fnv AS (
+        SELECT hx, 0 AS i, CAST(14695981039346656037 AS UBIGINT) AS h FROM rows
+        UNION ALL
+        SELECT hx, i + 1,
+          CAST(((xor(h, CAST((strpos('0123456789abcdef', substr(hx, 2*i+1, 1)) - 1) * 16
+                     + strpos('0123456789abcdef', substr(hx, 2*i+2, 1)) - 1 AS UBIGINT)))::HUGEINT
+                * 1099511628211) % 18446744073709551616 AS UBIGINT)
+        FROM fnv WHERE i < strlen(hx) // 2
+      ),
+      folded AS (SELECT bit_xor(h) AS x FROM fnv WHERE i = strlen(hx) // 2)
+      SELECT (SELECT count(*) FROM nodes) AS node_count,
+             (SELECT count(*) FROM edges) AS edge_count,
+             (SELECT count(*) FROM props) AS property_count,
+             CAST(CASE WHEN x >= 9223372036854775808 THEN x::HUGEINT - 18446744073709551616
+                       ELSE x::HUGEINT END AS BIGINT) AS checksum
+      FROM folded""")) { (s, dir) =>
       graft.verify.DistributedChecksum.summary(GraphTables.forDir(s, dir))
     }
   )
