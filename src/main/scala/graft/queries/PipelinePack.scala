@@ -106,6 +106,44 @@ object PipelinePack {
       .filter(col("jaccard") >= JaccardThreshold)
   }
 
+  /** Exact n-gram Jaccard similarity pairs via the shingle inverted
+    * index: docs meet ONLY through an equi-join on a shared shingle (any
+    * pair with J >= t shares one, so recall is 1.0 by construction at any
+    * threshold — unlike d03's MinHash banding, which is probabilistic and
+    * tuned for the high-similarity regime). The cost profile differs too:
+    * no signature pass, but hot shingles fan out candidates — at 100 TB
+    * the standard prefix-filtering mitigation is `dfCap`, dropping
+    * shingles appearing in more than that many docs FROM CANDIDATE
+    * GENERATION only (the Jaccard itself still counts them), trading
+    * bounded recall loss on pairs that share nothing rarer. The gated
+    * entry runs uncapped (exact), matching the exhaustive oracle.
+    */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double, dfCap: Option[Long] = None): DataFrame = {
+    val sh = shingles(docs)
+    val candidateShingles = dfCap match {
+      case None => sh
+      case Some(cap) =>
+        val hot = sh.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") > cap).select("g")
+        sh.join(hot, Seq("g"), "left_anti")
+    }
+    val cands = candidateShingles.as("x").join(candidateShingles.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_i"), col("y.doc_id").as("doc_j"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shJ = sh.select(col("doc_id").as("dj"), col("g").as("gj"))
+    val inter = cands
+      .join(sh.withColumnRenamed("doc_id", "doc_i").withColumnRenamed("g", "gi"), "doc_i")
+      .join(shJ, col("doc_j") === col("dj") && col("gi") === col("gj"))
+      .groupBy("doc_i", "doc_j").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_i"), col("n").as("ni")), "doc_i")
+      .join(sizes.select(col("doc_id").as("doc_j"), col("n").as("nj")), "doc_j")
+      .select(col("doc_i"), col("doc_j"),
+        (col("inter").cast("double") / (col("ni") + col("nj") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** 60-bit SimHash over tokens, built from md5 bits so the plain-Scala
     * test twin can reproduce it bit-for-bit (no engine-private hash).
     */
@@ -189,6 +227,27 @@ object PipelinePack {
       WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5
       ORDER BY doc_i, doc_j""")) { (s, dir) =>
       nearDupPairs(Tables.documents(s, dir)).orderBy("doc_i", "doc_j")
+    },
+
+    // ---- near-dup: exact n-gram Jaccard via the shingle inverted index
+    // (recall 1.0 at any threshold — here 0.3, below d03's banding range) ----
+    QDef("d10_ngram_jaccard", Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      idx AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) i FROM tok),
+      sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM idx),
+      pairs AS (
+        SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS inter
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+      SELECT p.doc_i, p.doc_j,
+             CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) AS jaccard
+      FROM pairs p
+        JOIN sizes sa ON sa.doc_id = p.doc_i
+        JOIN sizes sb ON sb.doc_id = p.doc_j
+      WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.3
+      ORDER BY doc_i, doc_j""")) { (s, dir) =>
+      ngramJaccardPairs(Tables.documents(s, dir), threshold = 0.3).orderBy("doc_i", "doc_j")
     },
 
     // ---- text statistics (pure projections — no shuffle) ----

@@ -57,6 +57,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("exact n-gram Jaccard equals brute force; dfCap prunes candidates only") {
+    val docs = graft.Tables.documents(spark, dir)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = pairs(PipelinePack.ngramJaccardPairs(docs, 0.3))
+
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def sh(t: String): Set[String] = t.split(' ').sliding(3).map(_.mkString(" ")).toSet
+    val expected = (for {
+      (i, ti) <- texts; (j, tj) <- texts if i < j
+      si = sh(ti); sj = sh(tj)
+      inter = (si & sj).size
+      jac = inter.toDouble / (si.size + sj.size - inter)
+      if jac >= 0.3
+    } yield (i, j, jac)).toSet
+    assert(expected.nonEmpty, "fixture should contain similar pairs at 0.3")
+    assert(got === expected)
+
+    // the scale knob: a DF cap may only LOSE pairs (candidate pruning),
+    // never change a score, and a cap above every DF changes nothing
+    val capped = pairs(PipelinePack.ngramJaccardPairs(docs, 0.3, dfCap = Some(2)))
+    assert(capped.subsetOf(got))
+    assert(pairs(PipelinePack.ngramJaccardPairs(docs, 0.3, dfCap = Some(1000000L))) === got)
+  }
+
   test("near-dup pins nothing in executor storage and reuses the shingle exchange") {
     val docs = graft.Tables.documents(spark, dir)
     // other suites sharing this session cache legitimately (BFS edge
