@@ -32,28 +32,24 @@ object DistributedStateHash {
     merkleStateHash(g, span).map(b => f"$b%02x").mkString
 
   def merkleStateHash(g: GraphFrames, span: Long = Canonical.MerkleBlockSpan): Array[Byte] = {
-    val md = MessageDigest.getInstance("SHA-256")
-    val nNodes = g.nodes.count()
-    val nEdges = g.edges.count()
-    val nProps = g.properties.count()
-    val checksum = DistributedChecksum.checksum(g)
-    md.update(Canonical.headerBytes(nNodes, nNodes, nEdges, nProps, checksum))
-
     // per-section: colocate each key-range block (repartitionByRange keeps
     // equal keys together), sort rows within partitions, hash each block
-    // where it lives, ship only (block, 32-byte digest) to the driver
+    // where it lives, ship only (block, 32-byte digest, row count) to the
+    // driver — the section counts the header needs ride along with the
+    // leaves, so each table is scanned exactly once
     def fold(df: DataFrame, keyCol: String, sortCols: Seq[String], tag: Byte)(
-        rowBytes: Row => Array[Byte]): Unit = {
+        rowBytes: Row => Array[Byte]): (Array[(Long, Array[Byte])], Long) = {
       val digests = df
         .withColumn("__block", expr(s"$keyCol div ${span}L"))
         .repartitionByRange(col("__block"))
         .sortWithinPartitions(("__block" +: sortCols).map(col): _*)
         .rdd
         .mapPartitions { it =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte], Long)]
           var block = Long.MinValue
+          var rows = 0L
           var leaf: MessageDigest = null
-          def close(): Unit = if (leaf != null) out += ((block, leaf.digest()))
+          def close(): Unit = if (leaf != null) out += ((block, leaf.digest(), rows))
           it.foreach { r =>
             val b = r.getLong(r.fieldIndex("__block"))
             if (leaf == null || b != block) {
@@ -62,23 +58,31 @@ object DistributedStateHash {
               leaf.update(tag)
               leaf.update(ByteBuffer.allocate(8).putLong(b).array())
               block = b
+              rows = 0L
             }
             leaf.update(rowBytes(r))
+            rows += 1L
           }
           close()
           out.iterator
         }
         .collect()
-        .sortBy(_._1)
-      digests.foreach { case (_, d) => md.update(d) }
+      (digests.map(d => (d._1, d._2)).sortBy(_._1), digests.map(_._3).sum)
     }
 
-    fold(g.nodes, "node_id", Seq("node_id"), Canonical.TagNode)(r =>
+    val (nodeLeaves, nNodes) = fold(g.nodes, "node_id", Seq("node_id"), Canonical.TagNode)(r =>
       Canonical.nodeBytes(r.getLong(0), r.getLong(1)))
-    fold(g.edges, "src", Seq("src", "dst"), Canonical.TagEdge)(r =>
+    val (edgeLeaves, nEdges) = fold(g.edges, "src", Seq("src", "dst"), Canonical.TagEdge)(r =>
       Canonical.edgeBytes(r.getLong(0), r.getLong(1), r.getLong(2)))
-    fold(g.properties, "node_id", Seq("node_id", "attribute", "value"), Canonical.TagProp)(r =>
+    val (propLeaves, nProps) = fold(g.properties, "node_id", Seq("node_id", "attribute", "value"), Canonical.TagProp)(r =>
       Canonical.propBytes(r.getLong(0), r.getString(1), r.getString(2)))
+
+    val md = MessageDigest.getInstance("SHA-256")
+    md.update(Canonical.headerBytes(nNodes, nNodes, nEdges, nProps,
+      DistributedChecksum.checksum(g)))
+    nodeLeaves.foreach { case (_, d) => md.update(d) }
+    edgeLeaves.foreach { case (_, d) => md.update(d) }
+    propLeaves.foreach { case (_, d) => md.update(d) }
     md.digest()
   }
 
