@@ -120,22 +120,28 @@ object PipelinePack {
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double, dfCap: Option[Long] = None): DataFrame = {
     val sh = shingles(docs)
-    val candidateShingles = dfCap match {
-      case None => sh
-      case Some(cap) =>
-        val hot = sh.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") > cap).select("g")
-        sh.join(hot, Seq("g"), "left_anti")
-    }
-    val cands = candidateShingles.as("x").join(candidateShingles.as("y"),
-        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_i"), col("y.doc_id").as("doc_j"))
-      .distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val shJ = sh.select(col("doc_id").as("dj"), col("g").as("gj"))
-    val inter = cands
-      .join(sh.withColumnRenamed("doc_id", "doc_i").withColumnRenamed("g", "gi"), "doc_i")
-      .join(shJ, col("doc_j") === col("dj") && col("gi") === col("gj"))
-      .groupBy("doc_i", "doc_j").agg(count(lit(1)).as("inter"))
+    // intersection counts straight off the inverted-index equi-join: each
+    // shared shingle contributes one joined row, so groupBy-count IS the
+    // intersection — no candidate materialization or verify re-join
+    def interOf(index: DataFrame): DataFrame =
+      index.select(col("doc_id").as("doc_i"), col("g"))
+        .join(index.select(col("doc_id").as("doc_j"), col("g")), "g")
+        .filter(col("doc_i") < col("doc_j"))
+        .groupBy("doc_i", "doc_j").agg(count(lit(1)).as("inter"))
+    val inter = dfCap match {
+      case None => interOf(sh)
+      case Some(cap) =>
+        // capped: hot shingles are dropped from CANDIDATE GENERATION only,
+        // so the exact intersection must be recounted on the survivors
+        val hot = sh.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") > cap).select("g")
+        val cands = interOf(sh.join(hot, Seq("g"), "left_anti")).select("doc_i", "doc_j")
+        val shJ = sh.select(col("doc_id").as("dj"), col("g").as("gj"))
+        cands
+          .join(sh.withColumnRenamed("doc_id", "doc_i").withColumnRenamed("g", "gi"), "doc_i")
+          .join(shJ, col("doc_j") === col("dj") && col("gi") === col("gj"))
+          .groupBy("doc_i", "doc_j").agg(count(lit(1)).as("inter"))
+    }
     inter
       .join(sizes.select(col("doc_id").as("doc_i"), col("n").as("ni")), "doc_i")
       .join(sizes.select(col("doc_id").as("doc_j"), col("n").as("nj")), "doc_j")
