@@ -37,15 +37,23 @@ object PipelinePack {
   /** token array (the corpus is single-space separated). */
   private val toks: Column = split(col("text"), " ")
 
+  /** 3-gram word shingles per document, duplicates kept: (doc_id, g).
+    * The token array is projected ONCE before the transform — referencing
+    * `split(text)` inside the lambda re-splits the document per shingle
+    * element (quadratic in document length).
+    */
+  private def shingleBag(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), toks.as("ts"))
+      .select(
+        col("doc_id"),
+        explode(when(size(col("ts")) >= 3,
+          expr("transform(sequence(0, size(ts) - 3), " +
+            "i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))"))
+          .otherwise(array().cast("array<string>"))).as("g"))
+
   /** Distinct 3-gram word shingles per document: (doc_id, g). */
   private def shingles(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      explode(when(size(toks) >= 3,
-        expr("transform(sequence(0, size(split(text, ' ')) - 3), " +
-          "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], split(text, ' ')[i+2]))"))
-        .otherwise(array().cast("array<string>"))).as("g"))
-      .distinct()
+    shingleBag(docs).distinct()
 
   private val MinHashes = 128
   private val Bands = 32
@@ -314,13 +322,16 @@ object PipelinePack {
         .orderBy("doc_id")
     },
 
-    // ---- document fingerprint: min shingle digest (rolling-hash family) ----
+    // ---- document fingerprint: min shingle digest (rolling-hash family).
+    // min() is insensitive to duplicates, so the shingle DISTINCT (a full
+    // shuffle of the exploded table) is skipped: the explode feeds a
+    // map-side partial min and only per-doc partials cross the wire ----
     QDef("d07_fingerprint", Some("""
       WITH tok AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
       idx AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) i FROM tok),
       sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM idx)
       SELECT doc_id, min(md5(g)) AS fingerprint FROM sh GROUP BY doc_id ORDER BY doc_id""")) { (s, dir) =>
-      shingles(Tables.documents(s, dir))
+      shingleBag(Tables.documents(s, dir))
         .groupBy("doc_id").agg(min(md5(col("g"))).as("fingerprint"))
         .orderBy("doc_id")
     },
