@@ -138,15 +138,24 @@ object AnnPack {
       emb.filter(col("vec_id") < NumCentroids)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb")))
 
-    // 1. nearest-cell assignment, keeping the member→centroid angle
+    // 1. nearest-cell assignment, keeping the member→centroid angle.
+    // The explicit isNotNull matches the null-filter the verify join's
+    // `ia < ib` predicate infers on its branch — without it the branches
+    // canonicalize differently and the shared exchange is not reused.
     val wAssign = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))
-    val assigned = emb.crossJoin(centroids)
+    val assigned = emb.filter(col("vec_id").isNotNull).crossJoin(centroids)
       .select(col("vec_id"), col("embedding"), col("c_id"),
         cosine(col("embedding"), col("c_emb")).as("c_cos"))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("c_id").as("cell"),
         clampAcos(col("c_cos")).as("theta"))
+      // one exchange all consumers share: the radii aggregate and both
+      // verify-join sides reuse this shuffle instead of re-running the
+      // vectors x centroids assignment per branch (ReuseExchange; the
+      // ExplainSpec guard pins it) — and it co-partitions the per-cell
+      // joins below on their key
+      .repartition(col("cell"))
 
     // 2. per-cell angular radius (tiny: one row per cell)
     val radii = assigned.groupBy("cell").agg(max(col("theta")).as("radius"))

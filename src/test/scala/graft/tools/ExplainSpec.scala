@@ -1,0 +1,59 @@
+package graft.tools
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape guards for the scale-critical pipeline operators: the
+  * assertions encode what PLANS.md promises (candidates through equi-joins,
+  * the only nested-loop term over broadcast centroids, no vector-table
+  * cartesian product).
+  */
+class ExplainSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** The FINAL adaptive plan (after execution), where exchange reuse is
+    * resolved — the initial plan prints every consumer's copy of a shared
+    * subtree.
+    */
+  private def planOf(name: String): String = {
+    val q = (graft.queries.AnnPack.defs ++ graft.queries.PipelinePack.defs)
+      .find(_.name == name).getOrElse(fail(s"no qdef $name"))
+    val df = q.run(spark, dir)
+    df.collect()
+    // AdaptiveSparkPlan.toString prints Final AND Initial sections; reuse
+    // is only resolved in the final one
+    val s = df.queryExecution.executedPlan.toString
+    val i = s.indexOf("== Initial Plan ==")
+    if (i >= 0) s.substring(0, i) else s
+  }
+
+  test("e04: every nested-loop term is centroid-bounded; vector work is shared") {
+    val plan = planOf("e04_cosine_near_dup_blocked")
+    // scale invariant: vector rows only meet other vector rows through
+    // equi-joins. Nested-loop terms are allowed ONLY against a broadcast
+    // of the centroid subset (vec_id < NumCentroids) — each BNLJ's build
+    // side must be that filtered scan (directly or via ReusedExchange).
+    // ≤3 instances: the full-width assignment (shared by all verify-join
+    // sides via ReusedExchange), its column-pruned twin feeding the radii
+    // aggregate, and the centroid x centroid pair prune.
+    val nested = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(nested <= 3, s"vector x centroid assignment re-executed:\n$plan")
+    assert(plan.contains("ReusedExchange"), s"no exchange sharing in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian product in:\n$plan")
+    assert("LessThan\\(vec_id,".r.findAllIn(plan).nonEmpty,
+      s"centroid bound not pushed to the broadcast scan:\n$plan")
+  }
+
+  test("d10: candidates come from shuffle equi-joins, never a product") {
+    val plan = planOf("d10_ngram_jaccard")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in:\n$plan")
+  }
+
+  test("d03: banded candidates are equi-joins, never a product") {
+    val plan = planOf("d03_minhash_near_dup")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in:\n$plan")
+  }
+}
