@@ -41,6 +41,27 @@ object ExtensionsPack {
         .crossJoin(deduped.agg(count(lit(1)).as("n_distinct")))
     },
 
+    // batch twin of EventsStream.sessionized (built-in session_window);
+    // the oracle re-derives gap sessions with lag + running sum. A session
+    // ends at last event + gap, and a new one starts when the inter-event
+    // gap reaches the 10-minute gap exactly (Spark merges only OVERLAPPING
+    // [ts, ts+gap) windows — hence >= in the oracle's split condition).
+    QDef("s03_session_windows", Some("""
+      WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      m AS (SELECT user_id, ts,
+              CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w >= INTERVAL '10 minutes' THEN 1 ELSE 0 END AS new_s
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      s AS (SELECT user_id, ts,
+              sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+            FROM m)
+      SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL '10 minutes' AS session_end,
+             count(*) AS n_events
+      FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""")) { (s, dir) =>
+      EventsStream.sessionized(Tables.events(s, dir))
+        .orderBy("user_id", "session_start")
+    },
+
     QDef("m01_media_meta", Some("""
       SELECT doc_id,
              CASE WHEN doc_id % 3 = 0 THEN 'png'

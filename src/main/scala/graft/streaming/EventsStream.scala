@@ -49,8 +49,65 @@ object EventsStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Gap-based session windows per user via the built-in `session_window`
+    * (declarative — Catalyst merges overlapping [ts, ts+gap) intervals and
+    * the streaming state store handles session merge/eviction under the
+    * watermark; no hand-rolled state). A session's end is last event + gap;
+    * a new session starts when the inter-event gap reaches `gap` exactly.
+    */
+  def sessionized(
+      events: DataFrame,
+      gap: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"),
+        col("n_events"))
+
   final case class UserEvent(userId: Long, ts: Timestamp, eventType: String)
   final case class UserActivity(userId: Long, nEvents: Long, lastType: String)
+  final case class UserSession(userId: Long, start: Timestamp, end: Timestamp, nEvents: Long)
+
+  /** Closed sessions via flatMapGroupsWithState — the custom-state twin of
+    * [[sessionized]] for when per-session logic outgrows what the built-in
+    * can express (e.g. emitting only COMPLETED sessions, or carrying
+    * arbitrary per-session payload). Sessions close when a later event for
+    * the same user arrives at or past the gap; the open session stays in
+    * state. State per key is one open session — bounded by the active-key
+    * set (with an event-time timeout in production for abandoned keys).
+    */
+  def closedSessions(events: Dataset[UserEvent], gapMs: Long = 600000L): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[UserSession, UserSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[UserEvent], state: GroupState[UserSession]) =>
+          val ts = batch.map(_.ts.getTime).toSeq.sorted
+          var open = state.getOption
+          val closed = Seq.newBuilder[UserSession]
+          ts.foreach { t =>
+            open match {
+              case Some(s) if t - s.end.getTime < gapMs =>
+                open = Some(s.copy(
+                  end = new Timestamp(math.max(s.end.getTime, t)),
+                  nEvents = s.nEvents + 1))
+              case Some(s) =>
+                closed += s
+                open = Some(UserSession(userId, new Timestamp(t), new Timestamp(t), 1L))
+              case None =>
+                open = Some(UserSession(userId, new Timestamp(t), new Timestamp(t), 1L))
+            }
+          }
+          open.foreach(state.update)
+          closed.result().iterator
+      }
+  }
 
   /** Custom keyed state: running per-user activity via mapGroupsWithState
     * (the KeyValueGroupedDataset extension point for state Spark's

@@ -106,4 +106,56 @@ class StreamingSpec extends AnyFunSuite {
       assert(streaming === batch)
     } finally query.stop()
   }
+
+  test("session_window merges across batches and matches the batch twin") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val all = Seq(
+      StreamEvent(1, t(1), 10, "click", 1.0),
+      StreamEvent(2, t(5), 10, "click", 1.0),  // within 10 min of t(1): same session
+      StreamEvent(3, t(30), 10, "view", 1.0),  // gap 25 min: new session
+      StreamEvent(4, t(2), 11, "view", 1.0))
+    val input = MemoryStream[StreamEvent]
+    val query = EventsStream.sessionized(input.toDF())
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // split mid-session: t(5) arrives a batch after t(1) and must MERGE
+      input.addData(all(0), all(3)); query.processAllAvailable()
+      input.addData(all(1), all(2)); query.processAllAvailable()
+      def sessions(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000,
+          r.getTimestamp(2).getTime / 60000, r.getLong(3))).toSet
+      val streaming = sessions(spark.table("sess_test"))
+      assert(streaming === Set(
+        (10L, 1L, 15L, 2L),   // t(1)+t(5) merged, end = t(5)+10
+        (10L, 30L, 40L, 1L),
+        (11L, 2L, 12L, 1L)))
+      assert(streaming === sessions(EventsStream.sessionized(all.toDF())))
+    } finally query.stop()
+  }
+
+  test("flatMapGroupsWithState emits closed sessions, keeps the open one in state") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventsStream.UserEvent]
+    val query = EventsStream.closedSessions(input.toDS())
+      .writeStream.format("memory").queryName("closed_sess_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        EventsStream.UserEvent(10, t(1), "click"),
+        EventsStream.UserEvent(10, t(5), "click"))
+      query.processAllAvailable()
+      // nothing closed yet: one open session in state
+      assert(spark.table("closed_sess_test").isEmpty)
+      input.addData(EventsStream.UserEvent(10, t(30), "view"))
+      query.processAllAvailable()
+      // the 25-minute gap closes session [t1, t5] with 2 events
+      val closed = spark.table("closed_sess_test").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000,
+          r.getTimestamp(2).getTime / 60000, r.getLong(3))).toSet
+      assert(closed === Set((10L, 1L, 5L, 2L)))
+    } finally query.stop()
+  }
 }
