@@ -1,0 +1,36 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed persistence for the co-located-join pattern.
+  *
+  * At 100 TB the edge table's dominant access paths all key on `src`
+  * (neighbor scans, BFS frontier joins, out-degree aggregation, edge
+  * composition). Writing it bucketed+sorted by `src` moves that shuffle
+  * from EVERY query to the single write: each bucket file is a fixed hash
+  * slice of the key space, Spark records the bucket spec in the catalog,
+  * and any groupBy/join on `src` reads the table as already
+  * hash-partitioned — the plans contain no Exchange for that key
+  * (BucketedTablesSpec pins this). The same discipline applied to two
+  * tables bucketed the same way gives shuffle-free equi-joins between
+  * them.
+  */
+object BucketedTables {
+
+  /** Write `edges` bucketed and sorted by `src`. Bucket count is a
+    * capacity knob: buckets ~= (table size / healthy partition size); it
+    * must match across tables that want shuffle-free joins with each
+    * other.
+    */
+  def writeEdgesBucketed(edges: DataFrame, table: String, buckets: Int = 8): Unit =
+    edges.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, "src")
+      .sortBy("src", "dst")
+      .saveAsTable(table)
+
+  def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
+
+  def drop(spark: SparkSession, table: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+}

@@ -1,0 +1,51 @@
+package graft.sources
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The co-located-join contract: a table bucketed by `src` answers
+  * src-keyed aggregations and equi-joins with NO shuffle exchange — the
+  * write paid the partitioning once.
+  */
+class BucketedTablesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    val i = s.indexOf("== Initial Plan ==")
+    if (i >= 0) s.substring(0, i) else s
+  }
+
+  test("src-keyed aggregation and self-join read buckets with zero exchanges") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L, 2L), (0L, 2L, 1L), (1L, 2L, 5L), (2L, 0L, 3L), (3L, 1L, 1L))
+      .toDF("src", "dst", "weight")
+    BucketedTables.writeEdgesBucketed(edges, "bucketed_edges_spec", buckets = 4)
+    try {
+      val b = BucketedTables.read(spark, "bucketed_edges_spec")
+
+      // out-degree: groupBy on the bucket key needs no exchange
+      val deg = b.groupBy("src").count()
+      assert(!finalPlan(deg).contains("Exchange hashpartitioning"),
+        s"bucketed groupBy still shuffles:\n${finalPlan(deg)}")
+      assert(deg.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+        Set((0L, 2L), (1L, 1L), (2L, 1L), (3L, 1L)))
+
+      // co-located self-join on src: both sides report the bucket
+      // partitioning, so the sort-merge join plans without any shuffle
+      // (the merge hint keeps the tiny fixture from being broadcast, which
+      // would dodge the partitioning question entirely)
+      val selfJoin = b.as("a").hint("merge").join(b.as("b").hint("merge"), "src")
+        .select($"src", $"a.dst".as("d1"), $"b.dst".as("d2"))
+      assert(!finalPlan(selfJoin).contains("Exchange hashpartitioning"),
+        s"bucketed self-join still shuffles:\n${finalPlan(selfJoin)}")
+      assert(selfJoin.count() === 7L) // 2*2 + 1 + 1 + 1
+
+      // control: the same merge join on the unbucketed frame DOES shuffle —
+      // proving the assertion above is load-bearing
+      val plain = edges.as("a").hint("merge").join(edges.as("b").hint("merge"), "src")
+      assert(finalPlan(plain).contains("Exchange hashpartitioning"))
+    } finally BucketedTables.drop(spark, "bucketed_edges_spec")
+  }
+}
