@@ -130,13 +130,32 @@ object GraftCli {
         } yield renderResponse(SparkQueryApi.execute(new SparkGraphSession(g), req))
 
       case Seq("export", file) =>
+        // --format=canonical (default) | json — the reference's two export
+        // encodings (cli/commands.rs:818-836: canonical postcard bytes or
+        // serde of SerializableGraph)
         for {
+          format <- flagMap.getOrElse("format", "canonical") match {
+            case f @ ("canonical" | "json") => Right(f)
+            case other => Left(s"unknown export format: $other (use: canonical, json)")
+          }
           g <- loadDb(spark, db)
           mem <- collectGraph(g)
         } yield {
-          val bytes = Canonical.toBytes(Canonical.fromGraph(mem))
+          val c = Canonical.fromGraph(mem)
+          val bytes = format match {
+            case "canonical" => Canonical.toBytes(c)
+            case "json" =>
+              val nodes = c.nodes.map(n => s"""{"id":${n.id},"entity":${n.entityId}}""")
+                .mkString("[", ",", "]")
+              val edges = c.edges.map(e => s"[${e.from},${e.to},${e.weight}]")
+                .mkString("[", ",", "]")
+              val props = c.properties.map { case (n, a, v) => s"[$n,${jstr(a)},${jstr(v)}]" }
+                .mkString("[", ",", "]")
+              (s"""{"nodes":$nodes,"edges":$edges,"next_node_id":${c.nextNodeId},""" +
+                s""""properties":$props}""").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          }
           Files.write(Paths.get(file), bytes)
-          s"""{"exported":${jstr(file)},"bytes":${bytes.length}}"""
+          s"""{"exported":${jstr(file)},"format":${jstr(format)},"bytes":${bytes.length}}"""
         }
 
       case Seq("import", file) =>

@@ -53,6 +53,16 @@ class GraftCliSpec extends AnyFunSuite {
     assert(run("import", exportFile, s"--database=$db2").isRight)
     val hashAfter = run("hash", s"--database=$db2").toOption.get
     assert(hashAfter === hashBefore)
+
+    // json export (reference cli/commands.rs:824-829): full graph as a
+    // readable document; unknown formats error
+    val jsonFile = s"$work/graph.json"
+    assert(run("export", jsonFile, "--format=json", s"--database=$db").isRight)
+    val json = Files.readString(java.nio.file.Paths.get(jsonFile))
+    assert(json.contains(""""nodes":[{"id":0,"entity":1}""") &&
+      json.contains(""""next_node_id":2""") &&
+      json.contains("""[0,"name","Alice"]"""), json)
+    assert(run("export", jsonFile, "--format=xml", s"--database=$db").isLeft)
   }
 
   test("server command binds, seeds from the database, and answers") {
