@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for every left row, the single most recent right row of the
+  * same key with `rightTs <= leftTs` (the time-series point-in-time
+  * lookup Spark has no built-in for).
+  *
+  * Composed from existing operators — union + keyed window with a
+  * last-non-null carry-forward — rather than a custom SparkPlan: both
+  * sides hash-shuffle ONCE on the key, the window sorts within
+  * partitions, and the carried right columns ride the sort. That is
+  * exactly the work a dedicated sort-merge as-of operator would do, so
+  * there is nothing for a custom physical node to save; at 100 TB the one
+  * exchange per side is the floor for any key-matched join, and skewed
+  * keys stay per-key independent under the window.
+  *
+  * Contract: right rows must be unique per (keys, rightTs) — as-of
+  * matching is ambiguous otherwise (pre-aggregate the right side to make
+  * the timestamp a key). Right value column names must not collide with
+  * left column names. Ties `rightTs == leftTs` match (inclusive),
+  * mirroring DuckDB's `ASOF JOIN ... ON r.ts <= l.ts`. Left rows with no
+  * prior right row keep null right columns (left-outer semantics); the
+  * matched timestamp is exposed as `asof_<rightTs>`.
+  */
+object AsOfJoin {
+
+  def asof(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String): DataFrame = {
+    val rightVals = right.columns.filterNot(c => keys.contains(c) || c == rightTs).toSeq
+    val leftOnly = left.columns.filterNot(keys.contains).toSeq
+
+    // one aligned shape for both sides: left rows carry null right-values,
+    // right rows carry null left-values; __side sorts a right row BEFORE a
+    // left row at the same instant, making equal-timestamp matches inclusive
+    val lSel = keys.map(col) ++ leftOnly.map(col) ++ Seq(
+      col(leftTs).as("__t"), lit(1).as("__side"),
+      lit(null).cast(right.schema(rightTs).dataType).as("__rts")) ++
+      rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c"))
+    val rSel = keys.map(col) ++
+      leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++ Seq(
+      col(rightTs).as("__t"), lit(0).as("__side"), col(rightTs).as("__rts")) ++
+      rightVals.map(c => col(c).as(s"__r_$c"))
+    val unioned = left.select(lSel: _*).unionByName(right.select(rSel: _*))
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = (Seq("__rts") ++ rightVals.map(c => s"__r_$c")).foldLeft(unioned)(
+      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+
+    carried
+      .filter(col("__side") === 1)
+      .select((keys ++ leftOnly).map(col) ++
+        Seq(col("__rts").as(s"asof_$rightTs")) ++
+        rightVals.map(c => col(s"__r_$c").as(c)): _*)
+  }
+}

@@ -62,6 +62,28 @@ object ExtensionsPack {
         .orderBy("user_id", "session_start")
     },
 
+    // as-of join (graft.operators.AsOfJoin): every click matched to the
+    // user's most recent purchase at or before it — DuckDB's native ASOF
+    // LEFT JOIN is the oracle, so the inclusive-tie and no-match-null
+    // semantics are gated, not just spec'd. Purchases are pre-aggregated
+    // per (user, ts) to satisfy the right-side uniqueness contract.
+    QDef("q22_asof_join", Some("""
+      WITH a AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+                 WHERE event_type = 'click'),
+      b AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, max(value) AS purchase_value
+            FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      SELECT a.user_id, a.ts, b.pts AS asof_pts, b.purchase_value
+      FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND b.pts <= a.ts
+      ORDER BY a.user_id, a.ts""")) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click").select(col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("pts"))
+        .agg(max(col("value")).as("purchase_value"))
+      graft.operators.AsOfJoin.asof(clicks, purchases, Seq("user_id"), "ts", "pts")
+        .orderBy("user_id", "ts")
+    },
+
     QDef("m01_media_meta", Some("""
       SELECT doc_id,
              CASE WHEN doc_id % 3 = 0 THEN 'png'

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** As-of semantics pinned on a hand-checked fixture: most-recent-at-or-
+  * before matching, inclusive ties, left-outer nulls before any right row,
+  * per-key isolation, and the single-shuffle plan shape.
+  */
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("matches the latest right row at or before each left timestamp") {
+    import spark.implicits._
+    val quotes = Seq( // (key, qts, px)
+      (1L, 10L, 1.0), (1L, 20L, 2.0), (1L, 30L, 3.0),
+      (2L, 15L, 9.0)).toDF("k", "qts", "px")
+    val trades = Seq( // (key, ts)
+      (1L, 5L),   // before any quote -> null
+      (1L, 20L),  // tie -> inclusive match at 20
+      (1L, 25L),  // between -> 20
+      (1L, 99L),  // after all -> 30
+      (2L, 16L),  // other key sees only its own quotes
+      (3L, 50L)   // key with no right rows at all -> null
+    ).toDF("k", "ts")
+
+    val got = AsOfJoin.asof(trades, quotes, Seq("k"), "ts", "qts")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3)))
+      .toSet
+    assert(got === Set(
+      (1L, 5L, -1L, -1.0),
+      (1L, 20L, 20L, 2.0),
+      (1L, 25L, 20L, 2.0),
+      (1L, 99L, 30L, 3.0),
+      (2L, 16L, 15L, 9.0),
+      (3L, 50L, -1L, -1.0)))
+  }
+
+  test("plans one exchange per side and no join node at all") {
+    import spark.implicits._
+    val quotes = (1 to 100).map(i => (i.toLong % 5, i.toLong, i * 1.0)).toDF("k", "qts", "px")
+    val trades = (1 to 100).map(i => (i.toLong % 5, i.toLong + 1)).toDF("k", "ts")
+    val df = AsOfJoin.asof(trades, quotes, Seq("k"), "ts", "qts")
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    val plan = { val i = s.indexOf("== Initial Plan =="); if (i >= 0) s.substring(0, i) else s }
+    // the union shuffles once on the key; the window sorts in place —
+    // there is no join operator and no second exchange
+    assert(!plan.contains("Join"), s"unexpected join node:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, s"extra shuffles:\n$plan")
+  }
+}
