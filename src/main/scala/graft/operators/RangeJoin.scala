@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range (interval-containment) join: left rows with a point value
+  * matched to right rows with `[lo, hi)` intervals on the same key.
+  *
+  * Spark plans a raw `l.v >= r.lo && l.v < r.hi` predicate as a
+  * nested-loop join — quadratic per key. The standard scale shape is
+  * BINNING: each interval is exploded to the fixed-width bins it covers,
+  * each point owns exactly one bin, and the match becomes an EQUI-join on
+  * (keys, bin) followed by the exact containment filter. A point's single
+  * bin meets every interval covering that bin, so the rewrite loses
+  * nothing (exact, not approximate); cost is the equi-join plus
+  * interval-span/binSize explosion rows on the right. Pick `binSize` near
+  * the typical interval length: spans then explode to O(1) bins while
+  * bins stay selective.
+  */
+object RangeJoin {
+
+  /** `valueCol` (left) and `loCol`/`hiCol` (right) must be long-valued and
+    * in the same unit; `hi` is exclusive and must be > `lo`. Overlapping
+    * intervals yield one output row per covering interval, exactly like
+    * the inequality join they replace.
+    */
+  def binned(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      loCol: String,
+      hiCol: String,
+      binSize: Long): DataFrame = {
+    require(binSize > 0, "binSize must be positive")
+    // SQL `div` truncates toward zero, which equals floor for the
+    // non-negative units (epoch micros etc.) this operator is for
+    val l = left.withColumn("__bin", expr(s"CAST($valueCol AS BIGINT) div ${binSize}L"))
+    val r = right.withColumn("__bin",
+      explode(sequence(expr(s"CAST($loCol AS BIGINT) div ${binSize}L"),
+        expr(s"(CAST($hiCol AS BIGINT) - 1) div ${binSize}L"))))
+    l.join(r, keys :+ "__bin")
+      .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
+      .drop("__bin")
+  }
+}

@@ -84,6 +84,38 @@ object ExtensionsPack {
         .orderBy("user_id", "ts")
     },
 
+    // range join (graft.operators.RangeJoin): every event assigned to the
+    // session interval containing it. The oracle is the raw inequality
+    // join over the same session derivation — the binned equi-join rewrite
+    // must reproduce it exactly.
+    QDef("q23_range_join_sessions", Some("""
+      WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      m AS (SELECT user_id, ts,
+              CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w >= INTERVAL '10 minutes' THEN 1 ELSE 0 END AS new_s
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      s AS (SELECT user_id, ts,
+              sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+            FROM m),
+      sess AS (SELECT user_id, min(ts) AS session_start,
+                      max(ts) + INTERVAL '10 minutes' AS session_end
+               FROM s GROUP BY user_id, sid)
+      SELECT e.user_id, e.ts, x.session_start
+      FROM e JOIN sess x ON e.user_id = x.user_id
+        AND e.ts >= x.session_start AND e.ts < x.session_end
+      ORDER BY 1, 2, 3""")) { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
+        .withColumn("v", unix_micros(col("ts")))
+      val sess = EventsStream.sessionized(Tables.events(s, dir))
+        .select(col("user_id"), col("session_start"),
+          unix_micros(col("session_start")).as("lo"),
+          unix_micros(col("session_end")).as("hi"))
+      graft.operators.RangeJoin.binned(ev, sess, Seq("user_id"), "v", "lo", "hi",
+          binSize = 3600000000L) // 1-hour bins vs 10-minute-gap sessions
+        .select(col("user_id"), col("ts"), col("session_start"))
+        .orderBy("user_id", "ts", "session_start")
+    },
+
     QDef("m01_media_meta", Some("""
       SELECT doc_id,
              CASE WHEN doc_id % 3 = 0 THEN 'png'

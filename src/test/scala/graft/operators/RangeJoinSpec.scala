@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Binned range join: boundary semantics, multi-bin spans, overlap
+  * multiplicity, parity with the inequality join it replaces, and the
+  * no-nested-loop plan shape.
+  */
+class RangeJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("containment boundaries, multi-bin spans and overlaps match the inequality join") {
+    import spark.implicits._
+    val points = Seq((1L, 0L), (1L, 10L), (1L, 19L), (1L, 20L), (1L, 35L), (2L, 10L))
+      .toDF("k", "v")
+    val intervals = Seq(
+      (1L, 10L, 20L, "a"),  // [10,20): hits 10 and 19, not 20
+      (1L, 15L, 40L, "b"),  // overlaps a; spans several size-8 bins
+      (1L, 0L, 100L, "c"),  // covers everything on key 1
+      (2L, 0L, 5L, "d"))    // wrong range for the key-2 point
+      .toDF("k", "lo", "hi", "tag")
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("k", "v", "tag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+    val got = rows(RangeJoin.binned(points, intervals, Seq("k"), "v", "lo", "hi", binSize = 8))
+    val expected = rows(points.join(intervals, Seq("k"))
+      .filter($"v" >= $"lo" && $"v" < $"hi"))
+    assert(got === expected)
+    // spot-check the boundary rows explicitly
+    assert(got.contains((1L, 10L, "a")) && got.contains((1L, 19L, "a")))
+    assert(!got.contains((1L, 20L, "a"))) // hi is exclusive
+    assert(got.contains((1L, 35L, "b")) && got.contains((1L, 0L, "c")))
+    assert(!got.exists(_._1 == 2L)) // key-2 point is outside its only interval
+  }
+
+  test("plans as an equi-join — no nested loop, no cartesian product") {
+    import spark.implicits._
+    val points = (1 to 200).map(i => (i.toLong % 3, i.toLong)).toDF("k", "v")
+    val intervals = (0 to 20).map(i => (i.toLong % 3, i * 10L, i * 10L + 15L)).toDF("k", "lo", "hi")
+    val df = RangeJoin.binned(points, intervals, Seq("k"), "v", "lo", "hi", binSize = 10)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    val plan = { val i = s.indexOf("== Initial Plan =="); if (i >= 0) s.substring(0, i) else s }
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to a product:\n$plan")
+  }
+}
