@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** K-minimum-values distinct-count sketch as a typed, MERGEABLE
+  * `Aggregator` — the theta-sketch family's simplest member.
+  *
+  * State is the k smallest distinct hash values seen; two states merge by
+  * keeping the k smallest of their union (associative + commutative, so
+  * Spark's partial aggregation applies and only k longs per partition
+  * cross the wire, whatever the cardinality). With hashes uniform on
+  * [0, 2^60) the estimator is the classic (k-1) * 2^60 / kth_min; when
+  * fewer than k distinct values exist the sketch IS the distinct set and
+  * the count is exact.
+  *
+  * Everything here is deterministic — the hash is md5-derived (the same
+  * 15-hex-char prefix the SimHash path uses), the buffer is sorted, and
+  * the estimate is integer arithmetic — so the whole sketch is
+  * reproducible in SQL and the driver oracle gates it exactly, which a
+  * randomized-seed sketch could never offer.
+  */
+object KmvSketch {
+
+  /** Hash space: 15 hex chars = 60 bits. */
+  val HashSpace: Long = 1L << 60
+
+  final case class Result(kthMin: Long, estDistinct: Long)
+
+  /** Pure estimator, shared by the Aggregator and the specs. */
+  def estimate(k: Int, sorted: Seq[Long]): Result =
+    if (sorted.length < k) Result(-1L, sorted.length.toLong)
+    else {
+      val kth = math.max(sorted(k - 1), 1L)
+      Result(kth, (BigInt(k - 1) * BigInt(HashSpace) / BigInt(kth)).toLong)
+    }
+
+  /** Merge two ascending distinct sequences keeping the k smallest. */
+  def mergeK(k: Int, a: Seq[Long], b: Seq[Long]): Seq[Long] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Long](k)
+    var (i, j) = (0, 0)
+    while (out.length < k && (i < a.length || j < b.length)) {
+      val next =
+        if (i >= a.length) { val v = b(j); j += 1; v }
+        else if (j >= b.length) { val v = a(i); i += 1; v }
+        else if (a(i) < b(j)) { val v = a(i); i += 1; v }
+        else if (a(i) > b(j)) { val v = b(j); j += 1; v }
+        else { val v = a(i); i += 1; j += 1; v } // equal: consume both once
+      if (out.isEmpty || out.last != next) out += next
+    }
+    out.toSeq
+  }
+
+  final case class Buf(values: Seq[Long])
+
+  final class KmvAggregator(k: Int) extends Aggregator[Long, Buf, Result] {
+    require(k >= 2, "k must be >= 2")
+    override def zero: Buf = Buf(Vector.empty)
+    override def reduce(buf: Buf, h: Long): Buf = Buf(mergeK(k, buf.values, Seq(h)))
+    override def merge(a: Buf, b: Buf): Buf = Buf(mergeK(k, a.values, b.values))
+    override def finish(buf: Buf): Result = estimate(k, buf.values)
+    override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+    override def outputEncoder: Encoder[Result] = Encoders.product[Result]
+  }
+}

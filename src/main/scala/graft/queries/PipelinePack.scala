@@ -264,6 +264,36 @@ object PipelinePack {
       ngramJaccardPairs(Tables.documents(s, dir), threshold = 0.3).orderBy("doc_i", "doc_j")
     },
 
+    // ---- KMV distinct-count sketch (functions.KmvSketch): mergeable
+    // typed Aggregator, k longs per partition whatever the cardinality.
+    // The md5-derived hash + integer estimator make the sketch fully
+    // deterministic, so DuckDB re-derives kth-min AND the estimate
+    // exactly — an oracle-gated approximate operator. ----
+    QDef("d11_kmv_distinct_sketch", Some("""
+      WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+      h AS (SELECT DISTINCT CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h FROM tok),
+      n AS (SELECT count(*) AS n_exact FROM h),
+      kth AS (SELECT max(h) AS kth FROM (SELECT h FROM h ORDER BY h LIMIT 16))
+      SELECT 16 AS k,
+             CASE WHEN n_exact < 16 THEN -1 ELSE kth END AS kth_min,
+             CASE WHEN n_exact < 16 THEN n_exact
+                  ELSE CAST((15::HUGEINT * 1152921504606846976::HUGEINT)
+                            // greatest(kth, 1) AS BIGINT) END AS est_distinct,
+             n_exact AS exact_distinct
+      FROM kth, n""")) { (s, dir) =>
+      import s.implicits._
+      val k = 16 // the synthetic corpus has a 31-word vocabulary; k=16 exercises the estimator
+      val hashes = Tables.documents(s, dir)
+        .select(explode(toks).as("tok"))
+        .select(conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+      val sketch = hashes.as[Long]
+        .select(new graft.functions.KmvSketch.KmvAggregator(k).toColumn)
+        .select(col("kthMin").as("kth_min"), col("estDistinct").as("est_distinct"))
+      sketch
+        .crossJoin(hashes.agg(countDistinct(col("h")).as("exact_distinct")))
+        .select(lit(k.toLong).as("k"), col("kth_min"), col("est_distinct"), col("exact_distinct"))
+    },
+
     // ---- text statistics (pure projections — no shuffle) ----
     QDef("d04_token_stats", Some("""
       SELECT doc_id,

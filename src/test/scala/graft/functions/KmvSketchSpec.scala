@@ -1,0 +1,55 @@
+package graft.functions
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** KMV sketch laws: exactness below k, merge associativity/commutativity,
+  * estimator accuracy on uniform hashes, and partitioning invariance of
+  * the distributed aggregation.
+  */
+class KmvSketchSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("below k distinct values the sketch is the exact distinct count") {
+    val r = KmvSketch.estimate(256, (1L to 100L))
+    assert(r === KmvSketch.Result(-1L, 100L))
+  }
+
+  test("mergeK keeps the k smallest of the union, deduplicated, any merge order") {
+    val rnd = new Random(7)
+    val a = Seq.fill(500)(rnd.nextLong(1L << 60)).distinct.sorted
+    val b = Seq.fill(500)(rnd.nextLong(1L << 60)).distinct.sorted
+    val c = Seq.fill(500)(rnd.nextLong(1L << 60)).distinct.sorted
+    val k = 64
+    val expected = (a ++ b ++ c).distinct.sorted.take(k)
+    val abc = KmvSketch.mergeK(k, KmvSketch.mergeK(k, a.take(k), b.take(k)), c.take(k))
+    val cba = KmvSketch.mergeK(k, c.take(k), KmvSketch.mergeK(k, b.take(k), a.take(k)))
+    assert(abc === expected && cba === expected)
+  }
+
+  test("estimator lands within the k=256 error envelope on uniform hashes") {
+    val rnd = new Random(42)
+    val n = 20000
+    val values = Seq.fill(n)(rnd.nextLong(1L << 60)).distinct
+    val r = KmvSketch.estimate(256, values.sorted.take(256))
+    // stderr ~ 1/sqrt(k-1) ~ 6.3%; 4 sigma leaves flake probability ~0
+    assert(math.abs(r.estDistinct - values.length).toDouble / values.length < 0.25,
+      s"estimate ${r.estDistinct} too far from ${values.length}")
+  }
+
+  test("distributed aggregation is partitioning-invariant and matches the driver fold") {
+    import spark.implicits._
+    val rnd = new Random(3)
+    val data = Seq.fill(5000)(rnd.nextLong(1L << 60))
+    val k = 128
+    val expected = KmvSketch.estimate(k, data.distinct.sorted.take(k))
+    def run(parts: Int) = {
+      val r = spark.createDataset(data).repartition(parts)
+        .select(new KmvSketch.KmvAggregator(k).toColumn).head()
+      (r.kthMin, r.estDistinct)
+    }
+    assert(run(1) === (expected.kthMin, expected.estDistinct))
+    assert(run(7) === (expected.kthMin, expected.estDistinct))
+  }
+}
