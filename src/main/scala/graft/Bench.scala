@@ -45,20 +45,32 @@ object Bench {
       try force(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
 
-    var errors = Map.empty[String, String]
+    var failures = Map.empty[String, String]
     val Passes = 3
+    // (name, seconds, succeeded): a failed pass's fast-fail duration must
+    // not enter the median — mixing a 0.1s exception with 5s successes
+    // reports a bogus 0.1s for a query that also shows as errored
     val samples = (1 to Passes).flatMap { _ =>
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try force(fn(spark, sfDir))
-        catch { case e: Throwable =>
-          errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-        }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { force(fn(spark, sfDir)); true }
+          catch { case e: Throwable =>
+            failures += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            false
+          }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
       }
     }
+    // a query is an error only when NO pass succeeded; its elapsed time
+    // still counts so a broken query can't make the bench look faster
+    val errors = failures.filter { case (name, _) =>
+      !samples.exists { case (n, _, ok) => n == name && ok }
+    }
     val results = ordered.map { case (name, _) =>
-      val ts = samples.collect { case (`name`, t) => t }.sorted
+      val good = samples.collect { case (`name`, t, true) => t }.sorted
+      val ts = if (good.nonEmpty) good
+        else samples.collect { case (`name`, t, _) => t }.sorted
       name -> ts(ts.length / 2)
     }
 

@@ -17,6 +17,9 @@ import org.apache.spark.sql.SparkSession
   *   - session timezone pinned to UTC for deterministic date arithmetic.
   */
 object Sessions {
+  private val WarehouseDir =
+    s"${System.getProperty("java.io.tmpdir")}/graft-warehouse-${java.util.UUID.randomUUID()}"
+
   def builder(cpus: String): SparkSession.Builder =
     SparkSession.builder()
       .master(s"local[$cpus]")
@@ -24,8 +27,10 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      // bucketed tables (sources.BucketedTables) land here, not in $PWD
-      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+      // bucketed tables (sources.BucketedTables) land here, not in $PWD;
+      // per-process unique so concurrent runs (bench + tests, parallel CI)
+      // can't overwrite or drop each other's managed tables
+      .config("spark.sql.warehouse.dir", WarehouseDir)
       .config("spark.ui.enabled", "false")
 
   /** Build-or-reuse with the env-provided parallelism. The default matches

@@ -78,10 +78,15 @@ final class HttpFacade(
 
   private def corsHeaders(ex: HttpExchange): Unit = {
     val origin = Option(ex.getRequestHeaders.getFirst("Origin"))
-    val allowed =
-      if (corsOrigins.contains("*")) Some("*")
-      else origin.filter(corsOrigins.contains)
-    allowed.foreach(o => ex.getResponseHeaders.set("Access-Control-Allow-Origin", o))
+    if (corsOrigins.contains("*"))
+      ex.getResponseHeaders.set("Access-Control-Allow-Origin", "*")
+    else {
+      // the allow-origin value depends on the request's Origin header, so
+      // caches must be told not to serve one origin's response to another
+      ex.getResponseHeaders.set("Vary", "Origin")
+      origin.filter(corsOrigins.contains)
+        .foreach(o => ex.getResponseHeaders.set("Access-Control-Allow-Origin", o))
+    }
   }
 
   /** Preflight: the reference CORS layer answers OPTIONS itself with the

@@ -56,7 +56,12 @@ object KmvSketch {
   final class KmvAggregator(k: Int) extends Aggregator[Long, Buf, Result] {
     require(k >= 2, "k must be >= 2")
     override def zero: Buf = Buf(Vector.empty)
-    override def reduce(buf: Buf, h: Long): Buf = Buf(mergeK(k, buf.values, Seq(h)))
+    override def reduce(buf: Buf, h: Long): Buf =
+      // steady-state fast path: a full sketch rejects anything >= its max
+      // without the O(k) merge walk — this is what makes per-row cost O(1)
+      // at high cardinality
+      if (buf.values.length == k && h >= buf.values.last) buf
+      else Buf(mergeK(k, buf.values, Seq(h)))
     override def merge(a: Buf, b: Buf): Buf = Buf(mergeK(k, a.values, b.values))
     override def finish(buf: Buf): Result = estimate(k, buf.values)
     override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]

@@ -36,29 +36,34 @@ object AsOfJoin {
     val rightVals = right.columns.filterNot(c => keys.contains(c) || c == rightTs).toSeq
     val leftOnly = left.columns.filterNot(keys.contains).toSeq
 
-    // one aligned shape for both sides: left rows carry null right-values,
-    // right rows carry null left-values; __side sorts a right row BEFORE a
-    // left row at the same instant, making equal-timestamp matches inclusive
+    // one aligned shape for both sides: left rows carry a null right
+    // struct, right rows carry null left-values; __side sorts a right row
+    // BEFORE a left row at the same instant, making equal-timestamp
+    // matches inclusive. The right row travels as ONE struct with ONE
+    // last(ignoreNulls) — carrying columns independently would let a NULL
+    // in one right column splice in that column's value from an OLDER
+    // right row, fabricating a tuple that exists nowhere on the right.
+    val rStruct = struct(col(rightTs).as("__ts") +: rightVals.map(col): _*)
     val lSel = keys.map(col) ++ leftOnly.map(col) ++ Seq(
       col(leftTs).as("__t"), lit(1).as("__side"),
-      lit(null).cast(right.schema(rightTs).dataType).as("__rts")) ++
-      rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c"))
+      lit(null).cast(right.select(rStruct).schema.head.dataType).as("__r"))
     val rSel = keys.map(col) ++
       leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++ Seq(
-      col(rightTs).as("__t"), lit(0).as("__side"), col(rightTs).as("__rts")) ++
-      rightVals.map(c => col(c).as(s"__r_$c"))
-    val unioned = left.select(lSel: _*).unionByName(right.select(rSel: _*))
+      col(rightTs).as("__t"), lit(0).as("__side"), rStruct.as("__r"))
+    // a right row with no timestamp cannot be "most recent at or before"
+    // anything — drop it rather than let it sort first and shadow nothing
+    val unioned = left.select(lSel: _*)
+      .unionByName(right.filter(col(rightTs).isNotNull).select(rSel: _*))
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = (Seq("__rts") ++ rightVals.map(c => s"__r_$c")).foldLeft(unioned)(
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    val carried = unioned.withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
 
     carried
       .filter(col("__side") === 1)
       .select((keys ++ leftOnly).map(col) ++
-        Seq(col("__rts").as(s"asof_$rightTs")) ++
-        rightVals.map(c => col(s"__r_$c").as(c)): _*)
+        Seq(col("__r.__ts").as(s"asof_$rightTs")) ++
+        rightVals.map(c => col(s"__r.$c").as(c)): _*)
   }
 }

@@ -88,24 +88,32 @@ object EventsStream {
       .flatMapGroupsWithState[UserSession, UserSession](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (userId: Long, batch: Iterator[UserEvent], state: GroupState[UserSession]) =>
-          val ts = batch.map(_.ts.getTime).toSeq.sorted
-          var open = state.getOption
-          val closed = Seq.newBuilder[UserSession]
-          ts.foreach { t =>
-            open match {
-              case Some(s) if t - s.end.getTime < gapMs =>
-                open = Some(s.copy(
-                  end = new Timestamp(math.max(s.end.getTime, t)),
-                  nEvents = s.nEvents + 1))
-              case Some(s) =>
-                closed += s
-                open = Some(UserSession(userId, new Timestamp(t), new Timestamp(t), 1L))
-              case None =>
-                open = Some(UserSession(userId, new Timestamp(t), new Timestamp(t), 1L))
-            }
-          }
-          open.foreach(state.update)
-          closed.result().iterator
+          // sessionize THIS batch's (sorted) events first, then merge the
+          // resulting intervals with the open session as intervals —
+          // event-at-a-time folding against a single open session would
+          // mis-handle out-of-order arrivals (a late event must be able to
+          // extend a session backwards, and two late events must be able
+          // to form their own session together)
+          val batchSessions = batch.map(_.ts.getTime).toSeq.sorted
+            .foldLeft(List.empty[UserSession]) {
+              case (s :: rest, t) if t - s.end.getTime < gapMs =>
+                s.copy(end = new Timestamp(t), nEvents = s.nEvents + 1) :: rest
+              case (acc, t) =>
+                UserSession(userId, new Timestamp(t), new Timestamp(t), 1L) :: acc
+            }.reverse
+          val merged = (state.getOption.toList ++ batchSessions)
+            .sortBy(_.start.getTime)
+            .foldLeft(List.empty[UserSession]) {
+              case (s :: rest, n) if n.start.getTime - s.end.getTime < gapMs =>
+                s.copy(
+                  end = new Timestamp(math.max(s.end.getTime, n.end.getTime)),
+                  nEvents = s.nEvents + n.nEvents) :: rest
+              case (acc, n) => n :: acc
+            }.reverse
+          // everything but the latest interval can no longer grow under
+          // bounded disorder; the latest stays open in state
+          merged.lastOption.foreach(state.update)
+          merged.dropRight(1).iterator
       }
   }
 

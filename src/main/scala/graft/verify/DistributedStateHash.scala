@@ -39,8 +39,11 @@ object DistributedStateHash {
     // leaves, so each table is scanned exactly once
     def fold(df: DataFrame, keyCol: String, sortCols: Seq[String], tag: Byte)(
         rowBytes: Row => Array[Byte]): (Array[(Long, Array[Byte])], Long) = {
+      // floor division, matching the driver twin's Math.floorDiv — SQL
+      // `div` truncates toward zero, which would put a negative key in a
+      // different block than the sequential twin and fork the root
       val digests = df
-        .withColumn("__block", expr(s"$keyCol div ${span}L"))
+        .withColumn("__block", expr(s"($keyCol - pmod($keyCol, ${span}L)) div ${span}L"))
         .repartitionByRange(col("__block"))
         .sortWithinPartitions(("__block" +: sortCols).map(col): _*)
         .rdd

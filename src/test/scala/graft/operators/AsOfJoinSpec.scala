@@ -39,6 +39,21 @@ class AsOfJoinSpec extends AnyFunSuite {
       (3L, 50L, -1L, -1.0)))
   }
 
+  test("a null right value never splices in an older row's value") {
+    import spark.implicits._
+    // the matched row (qts=20) has px=NULL; the output must report that
+    // null, not px=1.0 from the older qts=10 row
+    val quotes = Seq((1L, 10L, Some(1.0)), (1L, 20L, None)).toDF("k", "qts", "px")
+    val trades = Seq((1L, 25L)).toDF("k", "ts")
+    val got = AsOfJoin.asof(trades, quotes, Seq("k"), "ts", "qts").collect().head
+    assert(got.getLong(2) === 20L && got.isNullAt(3))
+    // and right rows with a null timestamp are ignored entirely
+    val nullTs = Seq((Some(1L), None: Option[Long], Some(9.0)), (Some(1L), Some(10L), Some(1.0)))
+      .toDF("k", "qts", "px")
+    val got2 = AsOfJoin.asof(trades, nullTs, Seq("k"), "ts", "qts").collect().head
+    assert(got2.getLong(2) === 10L && got2.getDouble(3) === 1.0)
+  }
+
   test("plans one exchange per side and no join node at all") {
     import spark.implicits._
     val quotes = (1 to 100).map(i => (i.toLong % 5, i.toLong, i * 1.0)).toDF("k", "qts", "px")

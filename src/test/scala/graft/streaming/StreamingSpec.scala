@@ -158,4 +158,35 @@ class StreamingSpec extends AnyFunSuite {
       assert(closed === Set((10L, 1L, 5L, 2L)))
     } finally query.stop()
   }
+
+  test("closed sessions handle out-of-order batches: backward extension and late pairs") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventsStream.UserEvent]
+    val query = EventsStream.closedSessions(input.toDS())
+      .writeStream.format("memory").queryName("late_sess_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(EventsStream.UserEvent(10, t(60), "a"))
+      query.processAllAvailable()
+      // two late events 50+ min earlier form their OWN session together,
+      // and one of them extends nothing of the open [60,60] session
+      input.addData(
+        EventsStream.UserEvent(10, t(2), "late"),
+        EventsStream.UserEvent(10, t(8), "late"))
+      query.processAllAvailable()
+      // a slightly-late event within gap of the open session's start
+      // extends it backwards rather than opening a bogus session
+      input.addData(EventsStream.UserEvent(10, t(55), "late"))
+      query.processAllAvailable()
+      input.addData(EventsStream.UserEvent(10, t(120), "closer"))
+      query.processAllAvailable()
+      val closed = spark.table("late_sess_test").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000,
+          r.getTimestamp(2).getTime / 60000, r.getLong(3))).toSet
+      assert(closed === Set(
+        (10L, 2L, 8L, 2L),    // the late pair, closed once 120 arrived... via merge ordering
+        (10L, 55L, 60L, 2L))) // backward-extended open session, closed by 120
+    } finally query.stop()
+  }
 }

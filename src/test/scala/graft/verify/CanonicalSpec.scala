@@ -2,7 +2,7 @@ package graft.verify
 
 import graft.SparkTestSession
 import graft.core._
-import graft.graph.GraphTables
+import graft.graph.{GraphFrames, GraphTables}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Canonical export: roundtrip, frozen golden bytes, commutative checksum
@@ -177,6 +177,29 @@ class CanonicalSpec extends AnyFunSuite {
       edges = frames.edges.coalesce(1),
       properties = frames.properties.coalesce(1))
     assert(DistributedStateHash.merkleStateHashHex(coalesced) === expected)
+  }
+
+  test("Merkle parity holds for negative keys (floor vs truncating division)") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    // -65537 lands in block -2 under floorDiv but -1 under SQL `div`'s
+    // truncation — both sides must use floor or the roots fork. nextNodeId
+    // is max id + 1 = 2 on both sides (dense-id header convention).
+    val c = Canonical.CanonicalGraph(
+      nextNodeId = 2L,
+      nodes = Vector(Node(-65537L, 100L), Node(1L, 101L)),
+      edges = Vector(Edge(-65537L, 1L, 5L)),
+      properties = Vector((-65537L, "a", "v")))
+    val frames = GraphFrames(
+      signals = Seq.empty[(Long, Long, String, String)]
+        .toDF("seq", "entity_id", "attribute", "value"),
+      nodes = Seq((-65537L, 100L), (1L, 101L)).toDF("node_id", "entity_id"),
+      edges = Seq((-65537L, 1L, 5L)).toDF("src", "dst", "weight"),
+      properties = Seq((-65537L, "a", "v")).toDF("node_id", "attribute", "value"))
+    assert(DistributedStateHash.merkleStateHashHex(frames) ===
+      Canonical.merkleStateHashHex(c))
+    assert(DistributedStateHash.merkleStateHashHex(frames, span = 3) ===
+      Canonical.merkleStateHashHex(c, span = 3))
   }
 
   test("Merkle parity holds for supplementary-plane strings") {
