@@ -76,6 +76,37 @@ object Multimodal {
       .toDF("doc_id", "features")
   }
 
+  /** Resize: shrink a payload to a fixed target size by evenly-strided
+    * byte sampling — the stub standing in for a real image resampler
+    * (swap the body for a codec call; the partition-batched plumbing,
+    * metadata recompute and schema are production form). Output metadata
+    * carries the clamped target dims; payloads shorter than the target
+    * pass through whole.
+    */
+  def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val target = targetW * targetH
+    media.select(col("doc_id"), col("media"), col("meta.width"), col("meta.height"))
+      .as[(Long, Array[Byte], Int, Int)]
+      .mapPartitions { rows =>
+        // per-partition resampler init would go here
+        rows.map { case (id, payload, w, h) =>
+          val n = math.min(payload.length, target)
+          val out = new Array[Byte](n)
+          var i = 0
+          while (i < n) {
+            // evenly-strided pick over the source, same rule as frame
+            // offsets: src index = floor(len * i / n)
+            out(i) = payload((payload.length.toLong * i / math.max(n, 1)).toInt)
+            i += 1
+          }
+          (id, math.min(w, targetW), math.min(h, targetH), out)
+        }
+      }
+      .toDF("doc_id", "out_w", "out_h", "resized")
+  }
+
   /** Frame sampling: split a payload into n evenly-spaced fixed-size
     * "frames" (byte slices standing in for decoded video frames), emitted
     * as one row per frame with its offset.

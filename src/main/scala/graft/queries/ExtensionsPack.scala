@@ -166,6 +166,35 @@ object ExtensionsPack {
     // the payload end), so the gated projection is integer-only and DuckDB
     // re-derives it exactly; the binary slices themselves stay
     // spec-covered in MultimodalSpec.
+    // resize: evenly-strided byte resampling to a 16x16-byte target. The
+    // stride rule (src = len*i/n) is pure integer arithmetic, so DuckDB
+    // reassembles the exact resized payload and the md5 gates it
+    // byte-for-byte — clamped dims and length included.
+    QDef("m04_resize", Some("""
+      WITH d AS (SELECT doc_id, text, strlen(text) AS len,
+                        least(strlen(text), 256) AS n FROM documents),
+      idx AS (SELECT doc_id, n, len, text, unnest(range(0, n)) AS i FROM d),
+      ch AS (SELECT doc_id, i,
+                    substr(text, CAST((len * i) // greatest(n, 1) AS BIGINT) + 1, 1) AS c
+             FROM idx)
+      SELECT d.doc_id,
+             least(d.doc_id % 640 + 1, 16) AS out_w,
+             least(d.doc_id % 480 + 1, 16) AS out_h,
+             d.n AS n_bytes,
+             md5(coalesce(string_agg(ch.c, '' ORDER BY ch.i), '')) AS resized_md5
+      FROM d LEFT JOIN ch ON ch.doc_id = d.doc_id
+      GROUP BY d.doc_id, d.n
+      ORDER BY d.doc_id""")) { (s, dir) =>
+      Multimodal.resize(Multimodal.mediaFromDocuments(Tables.documents(s, dir)),
+          targetW = 16, targetH = 16)
+        .select(col("doc_id"),
+          col("out_w").cast("long").as("out_w"),
+          col("out_h").cast("long").as("out_h"),
+          octet_length(col("resized")).cast("long").as("n_bytes"),
+          md5(col("resized")).as("resized_md5"))
+        .orderBy("doc_id")
+    },
+
     QDef("m03_frame_sample", Some("""
       WITH d AS (SELECT doc_id, strlen(text) AS len FROM documents),
       n AS (SELECT doc_id, len, least(4, greatest(len // 32, 1)) AS nf FROM d),

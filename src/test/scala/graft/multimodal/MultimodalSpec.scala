@@ -46,4 +46,19 @@ class MultimodalSpec extends AnyFunSuite {
       assert(fs.forall(_._4.length <= 32))
     }
   }
+
+  test("resize strided-samples to the target, passes short payloads whole") {
+    val resized = Multimodal.resize(media, targetW = 16, targetH = 16).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getAs[Array[Byte]](3).toVector))).toMap
+    val expected = media.select("doc_id", "media").collect()
+      .map { r =>
+        val id = r.getLong(0); val payload = r.getAs[Array[Byte]](1)
+        val n = math.min(payload.length, 256)
+        val out = (0 until n).map(i => payload((payload.length.toLong * i / math.max(n, 1)).toInt))
+        id -> ((math.min((id % 640 + 1).toInt, 16), math.min((id % 480 + 1).toInt, 16), out.toVector))
+      }.toMap
+    assert(resized === expected)
+    assert(resized.values.forall(_._3.length <= 256))
+  }
 }
