@@ -11,17 +11,18 @@ import org.apache.spark.sql.functions.{expr, struct, xxhash64}
   *     round-to-round timings are comparable;
   *   - one untimed warm-up pass (JVM/JIT, codegen cache, parquet footers)
   *     so the first timed query doesn't eat ~10s of cold-start;
-  *   - per-query MEDIAN of 3 timed passes: r03's driver artifact recorded a
-  *     7x outlier on q13 from machine contention that vanished on rerun —
-  *     a median absorbs one bad pass per query (passes are interleaved by
-  *     pass, not by query, so a contention burst hits each query at most
-  *     once);
+  *   - per-query MEDIAN of 3 timed passes, over SUCCESSFUL passes only:
+  *     r03's driver artifact recorded a 7x outlier on q13 from machine
+  *     contention that vanished on rerun — a median absorbs one bad pass
+  *     per query (passes are interleaved by pass, not by query, so a
+  *     contention burst hits each query at most once), and a failed
+  *     pass's fast-fail duration must not masquerade as a timing;
   *   - the action is a hash-aggregate over ALL columns (xxhash64 of the row
   *     struct), so Spark cannot prune the projection the way `.count()`
   *     allows — wide selects pay their real cost;
-  *   - failures are loud: recorded per-query in an `errors` map and the
-  *     elapsed time still counts (a broken query must not make the bench
-  *     look faster).
+  *   - failures are loud: a query with zero successful passes lands in
+  *     `errors` (its elapsed time still counts), and intermittent
+  *     failures land in `flaky` with the pass count.
   */
 object Bench {
   private def force(df: DataFrame): Unit = {
@@ -62,10 +63,15 @@ object Bench {
         (name, (System.nanoTime() - t0) / 1e9, ok)
       }
     }
-    // a query is an error only when NO pass succeeded; its elapsed time
-    // still counts so a broken query can't make the bench look faster
+    // a query is an error only when NO pass succeeded; intermittent
+    // failures stay loud in a separate `flaky` map so a
+    // resource-marginal query can't pass as healthy
     val errors = failures.filter { case (name, _) =>
       !samples.exists { case (n, _, ok) => n == name && ok }
+    }
+    val flaky = (failures -- errors.keys).map { case (name, msg) =>
+      val failed = samples.count { case (n, _, ok) => n == name && !ok }
+      name -> s"$failed/$Passes passes failed: $msg"
     }
     val results = ordered.map { case (name, _) =>
       val good = samples.collect { case (`name`, t, true) => t }.sorted
@@ -82,8 +88,9 @@ object Bench {
       } + "\""
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val flk = flaky.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flk,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

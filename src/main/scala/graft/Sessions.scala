@@ -17,8 +17,21 @@ import org.apache.spark.sql.SparkSession
   *   - session timezone pinned to UTC for deterministic date arithmetic.
   */
 object Sessions {
-  private val WarehouseDir =
-    s"${System.getProperty("java.io.tmpdir")}/graft-warehouse-${java.util.UUID.randomUUID()}"
+  private val WarehouseDir = {
+    val dir = java.nio.file.Paths
+      .get(System.getProperty("java.io.tmpdir"), s"graft-warehouse-${java.util.UUID.randomUUID()}")
+    // per-process dirs would otherwise accumulate across runs; clean up on
+    // exit (best-effort — a kill -9 leaves the dir, same as any tmp file)
+    sys.addShutdownHook {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).forEach(rm(_))
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      try rm(dir) catch { case _: Throwable => () }
+    }
+    dir.toString
+  }
 
   def builder(cpus: String): SparkSession.Builder =
     SparkSession.builder()

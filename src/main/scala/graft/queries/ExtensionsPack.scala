@@ -166,6 +166,19 @@ object ExtensionsPack {
     // the payload end), so the gated projection is integer-only and DuckDB
     // re-derives it exactly; the binary slices themselves stay
     // spec-covered in MultimodalSpec.
+    QDef("m03_frame_sample", Some("""
+      WITH d AS (SELECT doc_id, strlen(text) AS len FROM documents),
+      n AS (SELECT doc_id, len, least(4, greatest(len // 32, 1)) AS nf FROM d),
+      x AS (SELECT doc_id, len, nf, unnest(range(0, nf)) AS frame FROM n),
+      o AS (SELECT doc_id, frame, (len * frame) // nf AS off, len FROM x)
+      SELECT doc_id, frame, off AS "offset", least(off + 32, len) - off AS n_bytes
+      FROM o ORDER BY doc_id, frame""")) { (s, dir) =>
+      Multimodal.frameSample(Multimodal.mediaFromDocuments(Tables.documents(s, dir)), frames = 4)
+        .select(col("doc_id"), col("frame").cast("long").as("frame"), col("offset"),
+          octet_length(col("frame_bytes")).cast("long").as("n_bytes"))
+        .orderBy("doc_id", "frame")
+    },
+
     // resize: evenly-strided byte resampling to a 16x16-byte target. The
     // stride rule (src = len*i/n) is pure integer arithmetic, so DuckDB
     // reassembles the exact resized payload and the md5 gates it
@@ -194,18 +207,5 @@ object ExtensionsPack {
           md5(col("resized")).as("resized_md5"))
         .orderBy("doc_id")
     },
-
-    QDef("m03_frame_sample", Some("""
-      WITH d AS (SELECT doc_id, strlen(text) AS len FROM documents),
-      n AS (SELECT doc_id, len, least(4, greatest(len // 32, 1)) AS nf FROM d),
-      x AS (SELECT doc_id, len, nf, unnest(range(0, nf)) AS frame FROM n),
-      o AS (SELECT doc_id, frame, (len * frame) // nf AS off, len FROM x)
-      SELECT doc_id, frame, off AS "offset", least(off + 32, len) - off AS n_bytes
-      FROM o ORDER BY doc_id, frame""")) { (s, dir) =>
-      Multimodal.frameSample(Multimodal.mediaFromDocuments(Tables.documents(s, dir)), frames = 4)
-        .select(col("doc_id"), col("frame").cast("long").as("frame"), col("offset"),
-          octet_length(col("frame_bytes")).cast("long").as("n_bytes"))
-        .orderBy("doc_id", "frame")
-    }
   )
 }

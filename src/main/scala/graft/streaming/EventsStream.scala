@@ -72,36 +72,49 @@ object EventsStream {
   final case class UserEvent(userId: Long, ts: Timestamp, eventType: String)
   final case class UserActivity(userId: Long, nEvents: Long, lastType: String)
   final case class UserSession(userId: Long, start: Timestamp, end: Timestamp, nEvents: Long)
+  final case class SessionsState(maxSeenMs: Long, open: Seq[UserSession])
 
   /** Closed sessions via flatMapGroupsWithState — the custom-state twin of
     * [[sessionized]] for when per-session logic outgrows what the built-in
     * can express (e.g. emitting only COMPLETED sessions, or carrying
-    * arbitrary per-session payload). Sessions close when a later event for
-    * the same user arrives at or past the gap; the open session stays in
-    * state. State per key is one open session — bounded by the active-key
-    * set (with an event-time timeout in production for abandoned keys).
+    * arbitrary per-session payload).
+    *
+    * Disorder discipline mirrors a per-key event-time watermark: the key's
+    * max seen event time minus `latenessMs` is the horizon. Events older
+    * than the horizon are DROPPED (emitting them would fabricate split
+    * sessions); a session interval stays open — and mergeable by late
+    * events, including backwards extension — until the horizon passes its
+    * end + gap, at which point nothing admissible can touch it and it is
+    * emitted exactly once. State per key is the open-interval list, at
+    * most ~latenessMs/gapMs entries.
     */
-  def closedSessions(events: Dataset[UserEvent], gapMs: Long = 600000L): Dataset[UserSession] = {
+  def closedSessions(
+      events: Dataset[UserEvent],
+      gapMs: Long = 600000L,
+      latenessMs: Long = 600000L): Dataset[UserSession] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.userId)
-      .flatMapGroupsWithState[UserSession, UserSession](
+      .flatMapGroupsWithState[SessionsState, UserSession](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        (userId: Long, batch: Iterator[UserEvent], state: GroupState[UserSession]) =>
-          // sessionize THIS batch's (sorted) events first, then merge the
-          // resulting intervals with the open session as intervals —
-          // event-at-a-time folding against a single open session would
-          // mis-handle out-of-order arrivals (a late event must be able to
-          // extend a session backwards, and two late events must be able
-          // to form their own session together)
-          val batchSessions = batch.map(_.ts.getTime).toSeq.sorted
+        (userId: Long, batch: Iterator[UserEvent], state: GroupState[SessionsState]) =>
+          val st = state.getOption.getOrElse(SessionsState(Long.MinValue, Vector.empty))
+          val ts = batch.map(_.ts.getTime).toSeq.sorted
+          val maxSeen = math.max(st.maxSeenMs, ts.lastOption.getOrElse(Long.MinValue))
+          val horizon = if (maxSeen == Long.MinValue) Long.MinValue else maxSeen - latenessMs
+          // sessionize the admissible batch events, then merge the
+          // resulting intervals with the open ones — event-at-a-time
+          // folding would mis-handle out-of-order arrivals (a late event
+          // must extend a session backwards, and two late events must be
+          // able to form their own session together)
+          val batchSessions = ts.filter(_ >= horizon)
             .foldLeft(List.empty[UserSession]) {
               case (s :: rest, t) if t - s.end.getTime < gapMs =>
                 s.copy(end = new Timestamp(t), nEvents = s.nEvents + 1) :: rest
               case (acc, t) =>
                 UserSession(userId, new Timestamp(t), new Timestamp(t), 1L) :: acc
             }.reverse
-          val merged = (state.getOption.toList ++ batchSessions)
+          val merged = (st.open.toList ++ batchSessions)
             .sortBy(_.start.getTime)
             .foldLeft(List.empty[UserSession]) {
               case (s :: rest, n) if n.start.getTime - s.end.getTime < gapMs =>
@@ -110,10 +123,9 @@ object EventsStream {
                   nEvents = s.nEvents + n.nEvents) :: rest
               case (acc, n) => n :: acc
             }.reverse
-          // everything but the latest interval can no longer grow under
-          // bounded disorder; the latest stays open in state
-          merged.lastOption.foreach(state.update)
-          merged.dropRight(1).iterator
+          val (closed, open) = merged.partition(s => horizon >= s.end.getTime + gapMs)
+          state.update(SessionsState(maxSeen, open.toVector))
+          closed.iterator
       }
   }
 

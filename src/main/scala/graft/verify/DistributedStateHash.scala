@@ -41,9 +41,12 @@ object DistributedStateHash {
         rowBytes: Row => Array[Byte]): (Array[(Long, Array[Byte])], Long) = {
       // floor division, matching the driver twin's Math.floorDiv — SQL
       // `div` truncates toward zero, which would put a negative key in a
-      // different block than the sequential twin and fork the root
+      // different block than the sequential twin and fork the root. The
+      // quotient-correction form never overflows (a subtract-the-pmod
+      // form computes key-1 for key = Long.MinValue under some spans)
       val digests = df
-        .withColumn("__block", expr(s"($keyCol - pmod($keyCol, ${span}L)) div ${span}L"))
+        .withColumn("__block", expr(
+          s"($keyCol div ${span}L) - (CASE WHEN $keyCol % ${span}L < 0 THEN 1 ELSE 0 END)"))
         .repartitionByRange(col("__block"))
         .sortWithinPartitions(("__block" +: sortCols).map(col): _*)
         .rdd

@@ -159,34 +159,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
-  test("closed sessions handle out-of-order batches: backward extension and late pairs") {
+  test("closed sessions handle out-of-order batches within the lateness horizon") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
     val input = MemoryStream[EventsStream.UserEvent]
-    val query = EventsStream.closedSessions(input.toDS())
+    // 60-minute lateness: events up to an hour behind the key's max seen
+    // time are still admissible and must merge correctly
+    val query = EventsStream.closedSessions(input.toDS(), latenessMs = 3600000L)
       .writeStream.format("memory").queryName("late_sess_test")
       .outputMode(OutputMode.Append()).start()
     try {
       input.addData(EventsStream.UserEvent(10, t(60), "a"))
       query.processAllAvailable()
-      // two late events 50+ min earlier form their OWN session together,
-      // and one of them extends nothing of the open [60,60] session
-      input.addData(
-        EventsStream.UserEvent(10, t(2), "late"),
-        EventsStream.UserEvent(10, t(8), "late"))
+      // two late events, arriving in SEPARATE batches, form one session
+      input.addData(EventsStream.UserEvent(10, t(2), "late"))
       query.processAllAvailable()
-      // a slightly-late event within gap of the open session's start
-      // extends it backwards rather than opening a bogus session
+      input.addData(EventsStream.UserEvent(10, t(8), "late"))
+      query.processAllAvailable()
+      // a late event within gap of the open session's start extends it
+      // backwards rather than opening a bogus session
       input.addData(EventsStream.UserEvent(10, t(55), "late"))
       query.processAllAvailable()
-      input.addData(EventsStream.UserEvent(10, t(120), "closer"))
+      // nothing is closed yet: the horizon (maxSeen - 60min) has not
+      // passed any session's end + gap
+      assert(spark.table("late_sess_test").isEmpty)
+      input.addData(EventsStream.UserEvent(10, t(200), "closer"))
       query.processAllAvailable()
       val closed = spark.table("late_sess_test").collect()
         .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000,
           r.getTimestamp(2).getTime / 60000, r.getLong(3))).toSet
       assert(closed === Set(
-        (10L, 2L, 8L, 2L),    // the late pair, closed once 120 arrived... via merge ordering
-        (10L, 55L, 60L, 2L))) // backward-extended open session, closed by 120
+        (10L, 2L, 8L, 2L),    // the cross-batch late pair
+        (10L, 55L, 60L, 2L))) // backward-extended session
+    } finally query.stop()
+  }
+
+  test("closed sessions drop events beyond the lateness horizon instead of splitting") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventsStream.UserEvent]
+    val query = EventsStream.closedSessions(input.toDS()) // default 10-min lateness
+      .writeStream.format("memory").queryName("drop_sess_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(EventsStream.UserEvent(10, t(60), "a"))
+      query.processAllAvailable()
+      input.addData(EventsStream.UserEvent(10, t(2), "too-late")) // 58 min behind
+      query.processAllAvailable()
+      input.addData(EventsStream.UserEvent(10, t(120), "closer"))
+      query.processAllAvailable()
+      val closed = spark.table("drop_sess_test").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000,
+          r.getTimestamp(2).getTime / 60000, r.getLong(3))).toSet
+      // the inadmissible t(2) event is dropped — NOT emitted as a bogus
+      // singleton session
+      assert(closed === Set((10L, 60L, 60L, 1L)))
     } finally query.stop()
   }
 }
