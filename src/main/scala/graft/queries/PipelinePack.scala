@@ -294,6 +294,26 @@ object PipelinePack {
         .select(lit(k.toLong).as("k"), col("kth_min"), col("est_distinct"), col("exact_distinct"))
     },
 
+    // ---- deterministic train/val/test split: the assignment is a pure
+    // function of (doc_id, salt) via md5, so it is stable across runs,
+    // partitionings and engines — re-running the pipeline or adding new
+    // documents never moves an existing document between splits. 80/10/10
+    // over a 0..255 hash byte (cutoffs 204/230). No shuffle: a projection. ----
+    QDef("d12_stratified_split", Some("""
+      SELECT doc_id,
+             CASE WHEN b < 204 THEN 'train' WHEN b < 230 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split:v1'), 1, 2)) AS BIGINT) AS b
+            FROM documents)
+      ORDER BY doc_id""")) { (s, dir) =>
+      val b = conv(substring(md5(concat(col("doc_id").cast("string"), lit(":split:v1"))), 1, 2), 16, 10)
+        .cast("long")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        when(b < 204, "train").when(b < 230, "val").otherwise("test").as("split"))
+        .orderBy("doc_id")
+    },
+
     // ---- text statistics (pure projections — no shuffle) ----
     QDef("d04_token_stats", Some("""
       SELECT doc_id,
