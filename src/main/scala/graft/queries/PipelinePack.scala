@@ -123,8 +123,10 @@ object PipelinePack {
     * the standard prefix-filtering mitigation is `dfCap`, dropping
     * shingles appearing in more than that many docs FROM CANDIDATE
     * GENERATION only (the Jaccard itself still counts them), trading
-    * bounded recall loss on pairs that share nothing rarer. The gated
-    * entry runs uncapped (exact), matching the exhaustive oracle.
+    * bounded recall loss on pairs that share nothing rarer. Both
+    * configurations are oracle-gated: d10 runs uncapped against the
+    * exhaustive oracle; d10b runs the production capped path against an
+    * oracle applying the identical hot-shingle exclusion.
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double, dfCap: Option[Long] = None): DataFrame = {
     val sh = shingles(docs)
@@ -262,6 +264,43 @@ object PipelinePack {
       WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.3
       ORDER BY doc_i, doc_j""")) { (s, dir) =>
       ngramJaccardPairs(Tables.documents(s, dir), threshold = 0.3).orderBy("doc_i", "doc_j")
+    },
+
+    // ---- near-dup: the PRODUCTION configuration of the inverted-index
+    // join — prefix-filtering with dfCap. Shingles appearing in more than
+    // `cap` documents are dropped from CANDIDATE GENERATION only (at 100 TB
+    // a boilerplate shingle would otherwise fan the join out quadratically
+    // in its document frequency); the exact Jaccard is then recounted over
+    // ALL shingles of each surviving pair. The oracle applies the identical
+    // exclusion, so this gates the capped semantics exactly: a pair is
+    // reported iff it shares at least one sub-cap shingle AND its full
+    // Jaccard clears the threshold. ----
+    QDef("d10b_ngram_jaccard_capped", Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      idx AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) i FROM tok),
+      sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM idx),
+      df AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
+      cold AS (SELECT g FROM df WHERE df <= 5),
+      shc AS (SELECT sh.doc_id, sh.g FROM sh JOIN cold USING (g)),
+      cands AS (
+        SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+        FROM shc a JOIN shc b ON a.g = b.g AND a.doc_id < b.doc_id),
+      pairs AS (
+        SELECT c.doc_i, c.doc_j, count(*) AS inter
+        FROM cands c
+          JOIN sh a ON a.doc_id = c.doc_i
+          JOIN sh b ON b.doc_id = c.doc_j AND b.g = a.g
+        GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+      SELECT p.doc_i, p.doc_j,
+             CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) AS jaccard
+      FROM pairs p
+        JOIN sizes sa ON sa.doc_id = p.doc_i
+        JOIN sizes sb ON sb.doc_id = p.doc_j
+      WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.3
+      ORDER BY doc_i, doc_j""")) { (s, dir) =>
+      ngramJaccardPairs(Tables.documents(s, dir), threshold = 0.3, dfCap = Some(5L))
+        .orderBy("doc_i", "doc_j")
     },
 
     // ---- KMV distinct-count sketch (functions.KmvSketch): mergeable
