@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.QDef
+import graft.core.Limits
 import graft.graph.GraphTables
 import org.apache.spark.sql.functions._
 
@@ -179,6 +180,67 @@ object GraphPack {
 
     QDef("g18_traverse_dfs", None) { (s, dir) =>
       GraphTables.traverseDfs(GraphTables.forDir(s, dir), 0L, 2)
+    },
+
+    // ---- partial oracles for the budgeted algorithms: the exact answers
+    // above are defined by visit order + budget (not SQL-expressible), but
+    // their INVARIANTS are. Each validity entry derives a one-row summary
+    // from the real algorithm output joined against the distributed graph
+    // tables; the oracle states the invariant values. A broken DFS/path
+    // (wrong start, revisit, off-closure node, non-edge hop, orphan visit)
+    // flips a counter non-zero and the entry goes red. Set-EQUALITY with
+    // the BFS closure would be wrong: depth-limited DFS legitimately
+    // misses nodes first reached via a longer path (148 vs 150 at sf0.01),
+    // so containment is the strongest sound set claim. ----
+    QDef("g17b_strongest_path_validity", Some("""
+      SELECT CAST(0 AS BIGINT) AS bad_start, CAST(0 AS BIGINT) AS bad_end,
+             CAST(0 AS BIGINT) AS dup_nodes, CAST(0 AS BIGINT) AS broken_hops,
+             CAST(0 AS BIGINT) AS off_closure""")) { (s, dir) =>
+      val g = GraphTables.forDir(s, dir)
+      val path = GraphTables.strongestPath(g, 0L, 42L)
+      val closure = GraphTables.traverseBfs(g, 0L, Limits.MaxTraversalDepth).select("node_id")
+      // violation counts, not endpoint values: a NONEMPTY path must run
+      // 0 → 42, but "no path" is itself a valid (budget-defined) answer at
+      // some SFs, and then the correct output is empty — every counter 0.
+      val endpoints = path.agg(
+          min(struct(col("step"), col("node_id"))).getField("node_id").as("first_node"),
+          max(struct(col("step"), col("node_id"))).getField("node_id").as("last_node"),
+          (count(lit(1)) - countDistinct(col("node_id"))).as("dup_nodes"))
+        .select(
+          when(col("first_node").isNull || col("first_node") === 0L, 0L)
+            .otherwise(1L).as("bad_start"),
+          when(col("last_node").isNull || col("last_node") === 42L, 0L)
+            .otherwise(1L).as("bad_end"),
+          col("dup_nodes"))
+      // consecutive (step, step+1) pairs that are NOT an existing edge
+      val hops = path.as("a").join(path.as("b"), col("b.step") === col("a.step") + 1)
+        .select(col("a.node_id").as("src"), col("b.node_id").as("dst"))
+      val broken = hops.join(g.edges, Seq("src", "dst"), "left_anti")
+        .agg(count(lit(1)).as("broken_hops"))
+      val off = path.select("node_id").join(closure, Seq("node_id"), "left_anti")
+        .agg(count(lit(1)).as("off_closure"))
+      endpoints.crossJoin(broken).crossJoin(off)
+    },
+
+    QDef("g18b_traverse_dfs_validity", Some("""
+      SELECT CAST(0 AS BIGINT) AS starts_at, CAST(0 AS BIGINT) AS dup_nodes,
+             CAST(0 AS BIGINT) AS outside_closure, CAST(0 AS BIGINT) AS orphan_visits""")) { (s, dir) =>
+      val g = GraphTables.forDir(s, dir)
+      val visited = GraphTables.traverseDfs(g, 0L, 2)
+      val closure = GraphTables.traverseBfs(g, 0L, 2).select("node_id")
+      val head = visited.agg(
+        min(struct(col("step"), col("node_id"))).getField("node_id").as("starts_at"),
+        (count(lit(1)) - countDistinct(col("node_id"))).as("dup_nodes"))
+      val outside = visited.select("node_id").join(closure, Seq("node_id"), "left_anti")
+        .agg(count(lit(1)).as("outside_closure"))
+      // every non-start visit must have an in-edge from another visited node
+      val vn = visited.select("node_id")
+      val reachedFromVisited = g.edges.join(vn.withColumnRenamed("node_id", "src"), "src")
+        .select(col("dst").as("node_id")).distinct()
+      val orphans = visited.filter(col("step") > 0).select("node_id")
+        .join(reachedFromVisited, Seq("node_id"), "left_anti")
+        .agg(count(lit(1)).as("orphan_visits"))
+      head.crossJoin(outside).crossJoin(orphans)
     },
 
     // ---- the GraphX Pregel scale path, gated by the same recursive-CTE
