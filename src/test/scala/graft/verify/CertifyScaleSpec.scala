@@ -1,0 +1,88 @@
+package graft.verify
+
+import graft.SparkTestSession
+import graft.api.{ApiRequest, SparkQueryApi}
+import graft.graph.{GraphTables, SparkGraphSession}
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.GraftTestListenerBridge
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression guard for the certify/`/hash` scale property: the Merkle
+  * state hash ships only 32-byte per-block digests to the driver, never
+  * the canonical rows themselves. A future edit that silently reverts
+  * certify to the flat O(N)-rows-through-the-driver hash (or sneaks a
+  * `toLocalIterator`/row collect back onto the request path) multiplies
+  * driver-bound task-result bytes by the row volume and fails here.
+  *
+  * Measurement: a SparkListener summing `taskMetrics.resultSize` — the
+  * serialized bytes every task returns to the driver, which is exactly
+  * where collected rows travel. The suite runs in one forked JVM with
+  * sequential suites, so the counter sees only its own jobs.
+  */
+class CertifyScaleSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  // ~40k signals → ~100k canonical rows across the three sections: big
+  // enough that shipping rows to the driver is unmistakable in resultSize.
+  private lazy val frames = {
+    val n = 20000L
+    val df = spark.range(2 * n).select(
+      col("id").as("seq"),
+      pmod(col("id") * 2654435761L, lit(n)).as("entity_id"),
+      concat(lit("a"), pmod(col("id"), lit(7))).as("attribute"),
+      concat(lit("v"), pmod(col("id"), lit(997))).as("value"))
+    GraphTables.build(GraphTables.validSignals(df))
+  }
+
+  private def driverResultBytes(body: => Unit): Long = {
+    val sum = new AtomicLong
+    val l = new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null) sum.addAndGet(e.taskMetrics.resultSize)
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      GraftTestListenerBridge.waitUntilListenerBusEmpty(spark.sparkContext)
+    } finally spark.sparkContext.removeSparkListener(l)
+    sum.get
+  }
+
+  test("Merkle hash ships a small fraction of the flat hash's driver bytes") {
+    val g = frames
+    // materialize the derivation once so both measurements pay the same
+    // scan cost and the delta isolates row shipping
+    g.nodes.count(); g.edges.count(); g.properties.count()
+
+    val merkleBytes = driverResultBytes {
+      DistributedStateHash.merkleStateHash(g)
+    }
+    val flatBytes = driverResultBytes {
+      DistributedStateHash.stateHash(g)
+    }
+    // The flat hash streams every canonical row through the driver; the
+    // Merkle fold returns 32 B per non-empty block (3 blocks here) plus
+    // fixed per-task overhead. Factor 3 is far below the observed gap but
+    // firmly above task-overhead noise.
+    assert(merkleBytes * 3 < flatBytes,
+      s"certify-path hash shipped $merkleBytes B to the driver vs flat $flatBytes B — " +
+        "is a row collect back on the certify path?")
+  }
+
+  test("end-to-end certify stays block-digest-bounded") {
+    val session = new SparkGraphSession(frames)
+    val certifyBytes = driverResultBytes {
+      val r = SparkQueryApi.certify(session, ApiRequest.Lookup(5))
+      assert(r.isRight)
+    }
+    val flatBytes = driverResultBytes {
+      DistributedStateHash.stateHash(frames)
+    }
+    // certify = Merkle hash + a bounded touched-node evidence collect
+    // (a handful of rows for a Lookup), so the same factor must hold
+    assert(certifyBytes * 3 < flatBytes,
+      s"certify shipped $certifyBytes B to the driver vs flat hash $flatBytes B")
+  }
+}

@@ -1,0 +1,10 @@
+package org.apache.spark
+
+/** Test-only bridge: `SparkContext.listenerBus` is private[spark], but a
+  * deterministic listener-based measurement needs to drain the bus before
+  * reading its counters (posting is asynchronous).
+  */
+object GraftTestListenerBridge {
+  def waitUntilListenerBusEmpty(sc: SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+}
