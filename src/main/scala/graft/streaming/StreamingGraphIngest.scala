@@ -28,12 +28,15 @@ final class StreamingGraphIngest(initial: GraphFrames) {
   // only snapshots THIS class created may be unpersisted on supersession —
   // the initial frames may be shared (e.g. GraphTables.forDir cache)
   private var ownsCurrent = false
+  @volatile private var lastBatchId = Long.MinValue
   private val rejectedBatches = new java.util.concurrent.atomic.AtomicLong(0)
   private val committedBatches = new java.util.concurrent.atomic.AtomicLong(0)
+  private val replayedBatches = new java.util.concurrent.atomic.AtomicLong(0)
 
   def snapshot: GraphFrames = current
   def rejected: Long = rejectedBatches.get()
   def committed: Long = committedBatches.get()
+  def replaysSkipped: Long = replayedBatches.get()
 
   private def unpersistTables(g: GraphFrames): Unit = {
     g.nodes.unpersist(); g.edges.unpersist(); g.properties.unpersist()
@@ -71,15 +74,42 @@ final class StreamingGraphIngest(initial: GraphFrames) {
     }
   }
 
-  /** Wire a streaming signal source (seq, entity_id, attribute, value)
-    * into the ingest loop.
+  /** foreachBatch body with the standard batchId idempotence contract:
+    * after a checkpoint restart, Structured Streaming re-delivers any
+    * micro-batch whose offsets were logged but whose epoch never reached
+    * the commit log — re-ingesting it would duplicate every signal in the
+    * batch. Batch ids are monotonic per checkpoint, so `id <= lastBatchId`
+    * identifies a replay exactly; replays are counted and skipped. The id
+    * also advances past rejected batches — re-validating a deterministic
+    * rejection on replay would be harmless but would double-count it.
     */
-  def start(signals: DataFrame, queryName: String): StreamingQuery =
-    signals.writeStream
+  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    if (batchId <= lastBatchId) {
+      replayedBatches.incrementAndGet()
+      return
+    }
+    processBatch(batch)
+    lastBatchId = batchId
+  }
+
+  /** Wire a streaming signal source (seq, entity_id, attribute, value)
+    * into the ingest loop. With `checkpointDir` set the query's offsets
+    * and commits survive a stop: a restarted query resumes at the first
+    * unprocessed offset instead of re-reading the source, and the
+    * batchId guard above absorbs the one-batch replay a crash between
+    * offset-write and commit-write produces.
+    */
+  def start(
+      signals: DataFrame,
+      queryName: String,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val w = signals.writeStream
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) => processBatch(batch) }
-      .start()
+      .foreachBatch { (batch: DataFrame, batchId: Long) => processBatch(batch, batchId) }
+    checkpointDir.foreach(d => w.option("checkpointLocation", d))
+    w.start()
+  }
 }
 
 object StreamingGraphIngest {

@@ -1,0 +1,136 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import graft.core.{InMemoryGraph, Ingestor, Signal}
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.concurrent.TrieMap
+
+/** Checkpoint recovery: a stopped query restarted from its checkpoint
+  * neither loses nor duplicates work.
+  *
+  *   - graph ingest: the second run reads only post-stop offsets (no lost
+  *     commits, no re-ingest of run 1's batches), and the batchId guard
+  *     absorbs the replayed-epoch case a crash between offset-write and
+  *     commit-write produces;
+  *   - windowed aggregation: the state store recovers across the restart —
+  *     an event arriving after the restart increments the window counts
+  *     accumulated before it, and the final values equal the batch-mode
+  *     run over the full event set.
+  */
+class StreamingRecoverySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def df(signals: Seq[Signal], seq0: Long = 0L) = {
+    import spark.implicits._
+    signals.zipWithIndex
+      .map { case (s, i) => (seq0 + i, s.entityId, s.attribute, s.value) }
+      .toDF("seq", "entity_id", "attribute", "value")
+  }
+
+  private val batch1 = Seq(Signal(1, "name", "Alice"), Signal(2, "name", "Bob"))
+  private val batch2 = Seq(Signal(3, "name", "Kremis"), Signal(1, "works_on", "Kremis"))
+
+  test("a replayed micro-batch (same batchId) is skipped, not re-ingested") {
+    val ingest = StreamingGraphIngest.empty(spark)
+    ingest.processBatch(df(batch1), batchId = 0L)
+    // crash-between-offset-and-commit: the restarted query re-delivers id 0
+    ingest.processBatch(df(batch1), batchId = 0L)
+    ingest.processBatch(df(batch2, seq0 = 2L), batchId = 1L)
+    assert(ingest.committed === 2 && ingest.replaysSkipped === 1)
+
+    val mem = new InMemoryGraph
+    assert(Ingestor.ingestSequence(mem, batch1).isRight)
+    assert(Ingestor.ingestSequence(mem, batch2).isRight)
+    val g = ingest.snapshot
+    assert(g.nodes.orderBy("node_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === mem.allNodes.map(n => (n.id, n.entityId)))
+    assert(g.edges.orderBy("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      === mem.allEdges.map(e => (e.from, e.to, e.weight)))
+  }
+
+  test("graph ingest restarted from its checkpoint loses and duplicates nothing") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val checkpoint = Files.createTempDirectory("graft-ckpt-ingest").toString
+
+    val input = MemoryStream[(Long, Long, String, String)]
+    val ingest = StreamingGraphIngest.empty(spark)
+
+    input.addData(batch1.zipWithIndex.map { case (s, i) =>
+      (i.toLong, s.entityId, s.attribute, s.value) }: _*)
+    val run1 = ingest.start(
+      input.toDF().toDF("seq", "entity_id", "attribute", "value"),
+      "graph_ingest_recovery", Some(checkpoint))
+    try run1.awaitTermination(30000) finally run1.stop()
+    assert(ingest.committed === 1)
+
+    // stop → new data → RESTART the same checkpoint on the same state
+    input.addData(batch2.zipWithIndex.map { case (s, i) =>
+      (i.toLong + batch1.length, s.entityId, s.attribute, s.value) }: _*)
+    val run2 = ingest.start(
+      input.toDF().toDF("seq", "entity_id", "attribute", "value"),
+      "graph_ingest_recovery", Some(checkpoint))
+    try run2.awaitTermination(30000) finally run2.stop()
+
+    // run 2 committed exactly the new batch: nothing lost, nothing re-read
+    assert(ingest.committed === 2, s"committed ${ingest.committed}")
+    val mem = new InMemoryGraph
+    assert(Ingestor.ingestSequence(mem, batch1).isRight)
+    assert(Ingestor.ingestSequence(mem, batch2).isRight)
+    val g = ingest.snapshot
+    assert(g.nodes.orderBy("node_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === mem.allNodes.map(n => (n.id, n.entityId)))
+    assert(g.edges.orderBy("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      === mem.allEdges.map(e => (e.from, e.to, e.weight)))
+  }
+
+  test("windowed aggregation state survives a checkpoint restart") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val checkpoint = Files.createTempDirectory("graft-ckpt-window").toString
+
+    def t(min: Int) = Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "event_type", "value")
+
+    // Update-mode sink: latest emission per (window, type) wins — the final
+    // map equals the final counts iff the state store carried run 1's
+    // counts into run 2.
+    val results = TrieMap.empty[(Timestamp, String), (Long, Double)]
+    def run(): Unit = {
+      val q = EventsStream.windowedCounts(events)
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach { r =>
+            results((r.getTimestamp(0), r.getString(1))) = (r.getLong(2), r.getDouble(3))
+          }
+        }
+        .start()
+      try q.awaitTermination(30000) finally q.stop()
+    }
+
+    input.addData((1L, t(0), "click", 1.0), (2L, t(5), "click", 2.0))
+    run()
+    // restart: same window gets a third event, a fresh window opens
+    input.addData((3L, t(7), "click", 4.0), (4L, t(20), "view", 8.0))
+    run()
+
+    val expected = EventsStream.windowedCounts(
+      Seq((1L, t(0), "click", 1.0), (2L, t(5), "click", 2.0),
+        (3L, t(7), "click", 4.0), (4L, t(20), "view", 8.0))
+        .toDF("event_id", "ts", "event_type", "value"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(results.toMap === expected)
+    // the recovered window must show all 3 clicks, not a post-restart reset
+    val clickWindow = results.collect { case ((_, "click"), v) => v }
+    assert(clickWindow.toSeq === Seq((3L, 7.0)))
+  }
+}
