@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property fuzz for [[AsOfJoin]]: randomized keys / timestamps / nulls
+  * compared row-for-row against a naive sequential reference (per-key
+  * linear scan for the latest right row at or before each left
+  * timestamp). Samples are packed into disjoint key spaces so one
+  * distributed join exercises all of them — per-key isolation is itself
+  * part of the contract under test.
+  *
+  * Right rows are pre-aggregated to one per (key, ts) before the join,
+  * exactly as the operator's contract requires; a separate test pins the
+  * failure mode under contract violation (an arbitrary-but-existing right
+  * tuple, never a spliced one).
+  */
+class AsOfJoinFuzzSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  // (k, ts?) — key space 0..4 per sample to force collisions; ts range
+  // 0..20 to force exact ties with the right side; 1-in-10 null ts
+  private val genLeft: Gen[(Long, Option[Long])] = for {
+    k <- Gen.choose(0L, 4L)
+    ts <- Gen.frequency(9 -> Gen.choose(0L, 20L).map(Some(_)), 1 -> Gen.const(None))
+  } yield (k, ts)
+
+  // (k, qts?, px?, tag?) — key 5 exists only on the right; null qts rows
+  // must be ignored; null px/tag exercise the no-splice guarantee
+  private val genRight: Gen[(Long, Option[Long], Option[Double], Option[String])] = for {
+    k <- Gen.choose(0L, 5L)
+    qts <- Gen.frequency(9 -> Gen.choose(0L, 20L).map(Some(_)), 1 -> Gen.const(None))
+    px <- Gen.frequency(3 -> Gen.choose(0, 100).map(i => Some(i / 4.0)), 1 -> Gen.const(None))
+    tag <- Gen.frequency(3 -> Gen.oneOf("a", "b", "c").map(Some(_)), 1 -> Gen.const(None))
+  } yield (k, qts, px, tag)
+
+  private def sample[A](gen: Gen[A], n: Int, seed: Long): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(seed * 1000 + i)))
+
+  private def reference(
+      lefts: Seq[(Long, Option[Long], Long)],
+      rights: Seq[(Long, Long, Option[Double], Option[String])])
+      : Set[(Long, Option[Long], Long, Option[Long], Option[Double], Option[String])] =
+    lefts.map { case (k, ts, id) =>
+      val m = ts.flatMap(t =>
+        rights.filter(r => r._1 == k && r._2 <= t).sortBy(_._2).lastOption)
+      (k, ts, id, m.map(_._2), m.flatMap(_._3), m.flatMap(_._4))
+    }.toSet
+
+  test("40 random datasets match the sequential reference") {
+    import spark.implicits._
+    var nextId = 0L
+    val samples = (0 until 40).map { s =>
+      val nL = 1 + (s * 7) % 25
+      val nR = (s * 11) % 25 // includes empty right sides
+      val lefts = sample(genLeft, nL, s.toLong * 2).map { case (k, ts) =>
+        nextId += 1; (s * 16 + k, ts, nextId)
+      }
+      // contract: unique (k, qts) on the right — keep the first generated
+      val rights = sample(genRight, nR, s.toLong * 2 + 1)
+        .map { case (k, qts, px, tag) => (s * 16 + k, qts, px, tag) }
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      (lefts, rights)
+    }
+
+    val allLefts = samples.flatMap(_._1)
+    val allRights = samples.flatMap(_._2)
+    val expected = reference(
+      allLefts,
+      allRights.collect { case (k, Some(qts), px, tag) => (k, qts, px, tag) })
+
+    val leftDf = allLefts.toDF("k", "ts", "id")
+    val rightDf = allRights.toDF("k", "qts", "px", "tag")
+    val got = AsOfJoin.asof(leftDf, rightDf, Seq("k"), "ts", "qts")
+      .collect()
+      .map { r =>
+        (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          if (r.isNullAt(5)) None else Some(r.getString(5)))
+      }
+      .toSet
+
+    assert(got.size === allLefts.size, "as-of must emit exactly one row per left row")
+    assert(got === expected)
+  }
+
+  test("contract violation (duplicate right timestamps) still yields an existing right tuple") {
+    import spark.implicits._
+    // two right rows share (k=1, qts=10) with different values — out of
+    // contract. The match is allowed to be either, but must be ONE of
+    // them in full: never a splice like (10, 1.0, "b").
+    val rights = Seq((1L, 10L, 1.0, "a"), (1L, 10L, 2.0, "b"))
+    val rightDf = rights.toDF("k", "qts", "px", "tag")
+    val leftDf = Seq((1L, 15L)).toDF("k", "ts")
+    val rows = AsOfJoin.asof(leftDf, rightDf, Seq("k"), "ts", "qts").collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    val tuple = (r.getLong(0), r.getLong(2), r.getDouble(3), r.getString(4))
+    assert(Set((1L, 10L, 1.0, "a"), (1L, 10L, 2.0, "b")).contains(tuple))
+  }
+}
