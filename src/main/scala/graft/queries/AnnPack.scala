@@ -176,7 +176,52 @@ object AnnPack {
     (assigned, cellPairs)
   }
 
-  def cosineNearDupBlocked(emb: DataFrame, threshold: Double = 0.45): DataFrame = {
+  /** @param sameCellSalt grid-split factor for the same-cell self-join.
+    * The same-cell candidates key on `cell` alone, so a hot cluster
+    * holding x% of the corpus concentrates x²/2 of the pair work on one
+    * join key. With salt S, the self-join becomes a SxS grid: the left
+    * side keeps its bucket `sa = hash(id) % S` and is replicated across
+    * all `sb`, the right side symmetrically, and the join keys on
+    * (cell, sa, sb) — every pair still meets exactly once, at
+    * (sa(ia), sb(ib)), but the largest join key shrinks from 2·|cell|
+    * rows to 2·|cell|/S. The cost is S× replication of the same-cell
+    * join input (linear shuffle volume) — the standard trade for
+    * bounding the quadratic term on skewed clusters. 1 = unsalted.
+    */
+  /** Stage 4a, same-cell candidates: the self-join within each surviving
+    * same-cell pair. Exposed (like [[blockedCells]]) so the skew spec can
+    * measure exactly the join the salt targets.
+    */
+  private[queries] def sameCellCandidates(
+      assigned: DataFrame,
+      cellPairs: DataFrame,
+      sameCellSalt: Int): DataFrame = {
+    val va = assigned.select(col("vec_id").as("ia"), col("embedding").as("ea"), col("cell").as("cell_a"))
+    val vb = assigned.select(col("vec_id").as("ib"), col("embedding").as("eb"), col("cell").as("cell_b"))
+    val sameCellOnly = cellPairs.filter(col("cell_a") === col("cell_b")).select(col("cell_a"))
+    val joined =
+      if (sameCellSalt <= 1)
+        va.join(vb.withColumnRenamed("cell_b", "cell_a"), Seq("cell_a"))
+          .join(sameCellOnly, Seq("cell_a"))
+          .filter(col("ia") < col("ib"))
+      else {
+        val salts = array((0 until sameCellSalt).map(lit): _*)
+        val vaS = va.withColumn("__sa", pmod(hash(col("ia")), lit(sameCellSalt)))
+          .withColumn("__sb", explode(salts))
+        val vbS = vb.withColumnRenamed("cell_b", "cell_a")
+          .withColumn("__sb", pmod(hash(col("ib")), lit(sameCellSalt)))
+          .withColumn("__sa", explode(salts))
+        vaS.join(vbS, Seq("cell_a", "__sa", "__sb"))
+          .join(sameCellOnly, Seq("cell_a"))
+          .filter(col("ia") < col("ib"))
+      }
+    joined.select(col("ia"), col("ea"), col("ib"), col("eb"))
+  }
+
+  def cosineNearDupBlocked(
+      emb: DataFrame,
+      threshold: Double = 0.45,
+      sameCellSalt: Int = 1): DataFrame = {
     val (assigned, cellPairs) = blockedCells(emb, threshold)
 
     // 4. candidates via equi-joins through the surviving cell pairs
@@ -185,13 +230,9 @@ object AnnPack {
     val crossCell = va
       .join(cellPairs.filter(col("cell_a") =!= col("cell_b")), Seq("cell_a"))
       .join(vb, Seq("cell_b")) // orientation fixed by (min,max) cell: one row per pair
-    val sameCell = va
-      .join(vb.withColumnRenamed("cell_b", "cell_a"), Seq("cell_a"))
-      .join(cellPairs.filter(col("cell_a") === col("cell_b")).select(col("cell_a")), Seq("cell_a"))
-      .filter(col("ia") < col("ib"))
 
     crossCell.select(col("ia"), col("ea"), col("ib"), col("eb"))
-      .union(sameCell.select(col("ia"), col("ea"), col("ib"), col("eb")))
+      .union(sameCellCandidates(assigned, cellPairs, sameCellSalt))
       .filter(cosine(col("ea"), col("eb")) >= threshold)
       .select(least(col("ia"), col("ib")).as("id_a"), greatest(col("ia"), col("ib")).as("id_b"))
   }
@@ -250,6 +291,19 @@ object AnnPack {
       WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
       ORDER BY id_a, id_b""")) { (s, dir) =>
       cosineNearDupBlocked(embeddings(s, dir)).orderBy("id_a", "id_b")
+    },
+
+    // ---- e04b: the SKEW-HARDENED production configuration — same blocked
+    // design with the same-cell self-join grid-salted (S=8), so a hot
+    // cluster cannot concentrate its quadratic pair work on one join key.
+    // Gated against the same exhaustive oracle: salting is a pure
+    // repartitioning of the pair space, so the output is identical ----
+    QDef("e04b_cosine_near_dup_salted", Some("""
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+      ORDER BY id_a, id_b""")) { (s, dir) =>
+      cosineNearDupBlocked(embeddings(s, dir), sameCellSalt = 8).orderBy("id_a", "id_b")
     }
   )
 }

@@ -114,6 +114,125 @@ class AnnSpec extends AnyFunSuite {
     assert(surviving <= 40, s"expected >70% cell-pair pruning, got $surviving/136 surviving")
   }
 
+  test("salted same-cell join bounds per-key and per-task input on a skewed cluster") {
+    // One cluster holds 50% of the corpus, so its IVF cell concentrates
+    // half the vectors on ONE same-cell join key. The salted configuration
+    // (e04b) grid-splits that key; this pins both the correctness (salting
+    // is a pure repartitioning of the pair space) and the bound.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val centers = Array.fill(16)(Array.fill(dim)(rnd.nextGaussian()))
+    // seeds 0..15 define the cells; ids 16..315 pile onto cluster 0 (the
+    // hot cell); ids 316..615 spread over the other 15 clusters
+    val vecs: Seq[(Long, Seq[Float])] =
+      centers.zipWithIndex.map { case (c, i) => i.toLong -> c.map(_.toFloat).toSeq } ++
+        (16L until 316L).map { id =>
+          id -> centers(0).map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq
+        } ++
+        (316L until 616L).map { id =>
+          val c = centers(1 + (id % 15).toInt)
+          id -> c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq
+        }
+    val emb = vecs.toDF("vec_id", "embedding")
+
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dab = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val daa = a.map(x => x.toDouble * x.toDouble).sum
+      val dbb = b.map(x => x.toDouble * x.toDouble).sum
+      dab / math.sqrt(daa) / math.sqrt(dbb)
+    }
+    val expected = (for {
+      (i, vi) <- vecs; (j, vj) <- vecs if i < j && cos(vi, vj) >= 0.9
+    } yield (i, j)).toSet
+    assert(expected.size > 10000, s"hot cluster should be pair-dense (got ${expected.size})")
+
+    def maxTaskShuffleRecords(body: => Unit): Long = {
+      import java.util.concurrent.atomic.AtomicLong
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+      val max = new AtomicLong
+      val l = new SparkListener {
+        override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            max.getAndAccumulate(e.taskMetrics.shuffleReadMetrics.recordsRead, Math.max(_, _))
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        org.apache.spark.GraftTestListenerBridge.waitUntilListenerBusEmpty(spark.sparkContext)
+      } finally spark.sparkContext.removeSparkListener(l)
+      max.get
+    }
+
+    // Two toy-scale effects would hide the split from the task metrics:
+    // AQE coalescing merges the tiny partitions into a handful of tasks,
+    // and auto-broadcast turns the same-cell join into a BHJ whose probe
+    // side reads no shuffle at all. Disable both for the measurement —
+    // at 100 TB the same-cell sides are far past any broadcast threshold
+    // and coalesced partitions sit at the target size, so the shuffle
+    // join measured here is the plan that actually runs. The explicit
+    // broadcast() hints on centroids/cell-pairs are unaffected.
+    // ... and the test session's tiny reducer count (shuffle.partitions=4)
+    // would fold the 64 salted sub-keys right back into 4 tasks: salting
+    // pays only when reducers outnumber the key fan-out, which is the
+    // 100 TB configuration — use 64 reducers for the measurement.
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val broadcastKey = "spark.sql.autoBroadcastJoinThreshold"
+    val partitionsKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(coalesceKey)
+    val prevBroadcast = spark.conf.get(broadcastKey)
+    val prevPartitions = spark.conf.get(partitionsKey)
+    val (unsaltedMax, saltedMax) =
+      try {
+        spark.conf.set(coalesceKey, "false")
+        spark.conf.set(broadcastKey, "-1")
+        spark.conf.set(partitionsKey, "64")
+        val unsalted = AnnPack.cosineNearDupBlocked(emb, threshold = 0.9).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val salted = AnnPack.cosineNearDupBlocked(emb, threshold = 0.9, sameCellSalt = 8).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(unsalted === expected)
+        assert(salted === expected, "salting must not change the answer")
+        // measure the join the salt targets in isolation — in the full
+        // query the crossCell join and the cell-pair derivation ALSO read
+        // the hot cell's partition (linear per cell, not the quadratic
+        // hazard), and those identical reads mask this delta. The
+        // cell-pair list is 16 rows; pre-materialize it so the measured
+        // jobs contain only assignment + same-cell join.
+        val (assigned, cellPairs) = AnnPack.blockedCells(emb, threshold = 0.9)
+        val smallPairs = broadcast(
+          cellPairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+            .toDF("cell_a", "cell_b"))
+        val u = maxTaskShuffleRecords {
+          AnnPack.sameCellCandidates(assigned, smallPairs, 1).count()
+        }
+        val s = maxTaskShuffleRecords {
+          AnnPack.sameCellCandidates(assigned, smallPairs, 8).count()
+        }
+        (u, s)
+      } finally {
+        spark.conf.set(coalesceKey, prev)
+        spark.conf.set(broadcastKey, prevBroadcast)
+        spark.conf.set(partitionsKey, prevPartitions)
+      }
+    assert(saltedMax < unsaltedMax,
+      s"salted max per-task shuffle input $saltedMax should drop below unsalted $unsaltedMax")
+
+    // the scale-invariant bound: a task must read at least its largest
+    // join key, and salting shrinks the hottest key >=4x (2·|cell| rows
+    // unsalted -> 2·max-bucket with S=8)
+    val assigned = AnnPack.blockedCells(emb, threshold = 0.9)._1
+    val maxCell = assigned.groupBy("cell").count()
+      .agg(max("count")).head.getLong(0)
+    val maxBucket = assigned
+      .groupBy(col("cell"), pmod(hash(col("vec_id")), lit(8)).as("b")).count()
+      .agg(max("count")).head.getLong(0)
+    assert(maxCell >= 300, s"fixture must actually be skewed (hot cell $maxCell)")
+    assert(maxBucket * 4 <= maxCell,
+      s"largest salted join-key bucket $maxBucket vs hot cell $maxCell: expected >=4x split")
+  }
+
   test("IVF top-k recall against brute force is high at nprobe/cells = 1/4") {
     val emb = graft.Tables.embeddings(spark, dir)
     val bf = AnnPack.bruteForceTopK(emb).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
