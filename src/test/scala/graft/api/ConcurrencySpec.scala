@@ -1,0 +1,150 @@
+package graft.api
+
+import graft.core._
+import org.scalatest.funsuite.AnyFunSuite
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicBoolean
+
+/** Concurrent-session discipline, the reference's `RwLock<Session>`
+  * (api/mod.rs:62-67) exercised rather than asserted: N ingest threads and
+  * M query threads race against the real HTTP router, and reads must be
+  * linearizable snapshots — a batch POSTed to /signals is all-or-nothing
+  * from every reader's point of view, never a half-committed graph. The
+  * versioned-Parquet analogue (GraphPersistence's write-new-version +
+  * atomic CURRENT swap) gets the same treatment: loads racing saves must
+  * always see one complete committed version.
+  */
+class ConcurrencySpec extends AnyFunSuite {
+
+  private def post(c: HttpClient, url: String, body: String): HttpResponse[String] =
+    c.send(HttpRequest.newBuilder(URI.create(url))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def get(c: HttpClient, url: String): HttpResponse[String] =
+    c.send(HttpRequest.newBuilder(URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("facade readers never observe a half-committed ingest batch") {
+    val facade = new HttpFacade(new GraftSession())
+    facade.start()
+    val base = s"http://127.0.0.1:${facade.boundPort}"
+    val errors = new ConcurrentLinkedQueue[Throwable]()
+    val writersDone = new AtomicBoolean(false)
+
+    val Writers = 4
+    val Batches = 25
+    val K = 5 // properties per batch; readers must see 0 or K, never between
+    def entityOf(w: Int, b: Int): Long = 1000L + w * 1000L + b
+
+    try {
+      val writerThreads = (0 until Writers).map { w =>
+        new Thread(() =>
+          try {
+            val c = HttpClient.newHttpClient()
+            for (b <- 0 until Batches) {
+              val e = entityOf(w, b)
+              val tag = s"w$w-b$b"
+              val signals = (0 until K)
+                .map(i => s"""{"entity_id": $e, "attribute": "p$i", "value": "$tag"}""")
+                .mkString("""{"signals":[""", ",", "]}")
+              val r = post(c, s"$base/signals", signals)
+              assert(r.statusCode === 200, s"ingest failed: ${r.body}")
+            }
+          } catch { case t: Throwable => errors.add(t) })
+      }
+
+      val pathRe = """"path":\[(\d+)\]""".r
+      val propRe = """\["p\d","([^"]+)"\]""".r
+      val readerThreads = (0 until 4).map { r =>
+        new Thread(() =>
+          try {
+            val c = HttpClient.newHttpClient()
+            val rnd = new scala.util.Random(100 + r)
+            var iter = 0
+            // keep racing until every writer finished, then one last sweep
+            while (!writersDone.get() || iter == 0) {
+              iter += 1
+              val e = entityOf(rnd.nextInt(Writers), rnd.nextInt(Batches))
+              val lk = post(c, s"$base/query", s"""{"type": "lookup", "entity_id": $e}""")
+              assert(lk.statusCode === 200, s"lookup 500: ${lk.body}")
+              pathRe.findFirstMatchIn(lk.body).foreach { m =>
+                val node = m.group(1)
+                val pr = post(c, s"$base/query", s"""{"type": "properties", "node_id": $node}""")
+                assert(pr.statusCode === 200, s"properties 500: ${pr.body}")
+                val tags = propRe.findAllMatchIn(pr.body).map(_.group(1)).toSeq
+                assert(tags.size == 0 || tags.size == K,
+                  s"entity $e: saw ${tags.size} of $K batch properties — torn read: ${pr.body}")
+                assert(tags.distinct.size <= 1,
+                  s"entity $e: mixed batch tags in one snapshot: $tags")
+              }
+              if (iter % 16 == 0) {
+                assert(get(c, s"$base/status").statusCode === 200)
+                assert(get(c, s"$base/hash").statusCode === 200)
+              }
+            }
+          } catch { case t: Throwable => errors.add(t) })
+      }
+
+      (writerThreads ++ readerThreads).foreach(_.start())
+      writerThreads.foreach(_.join(60000))
+      writersDone.set(true)
+      readerThreads.foreach(_.join(60000))
+      assert(errors.isEmpty, s"concurrent failures: ${errors.peek()}")
+
+      // quiescent state: every batch fully applied
+      val c = HttpClient.newHttpClient()
+      for (w <- 0 until Writers; b <- 0 until Batches) {
+        val lk = post(c, s"$base/query", s"""{"type": "lookup", "entity_id": ${entityOf(w, b)}}""")
+        val node = pathRe.findFirstMatchIn(lk.body)
+          .getOrElse(fail(s"entity ${entityOf(w, b)} missing after join")).group(1)
+        val pr = post(c, s"$base/query", s"""{"type": "properties", "node_id": $node}""")
+        assert(propRe.findAllMatchIn(pr.body).size === K)
+      }
+    } finally facade.stop()
+  }
+
+  test("snapshot loads racing versioned saves always see one complete version") {
+    val spark = graft.SparkTestSession.spark
+    import graft.graph.{GraphPersistence, GraphTables}
+    import spark.implicits._
+
+    // version with n chain entities -> exactly (n nodes, n-1 edges,
+    // n properties); a read mixing two versions breaks the tuple
+    def framesOf(n: Int) = {
+      val df = (0 until n).map(i => (i.toLong, i + 1L, "a", s"v$n"))
+        .toDF("seq", "entity_id", "attribute", "value")
+      GraphTables.build(GraphTables.validSignals(df))
+    }
+    val sizes = Seq(10, 11, 12, 13)
+    val valid = sizes.map(n => (n.toLong, n - 1L, n.toLong)).toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-concurrent-persist").toString
+    GraphPersistence.save(framesOf(sizes.head), dir)
+
+    val errors = new ConcurrentLinkedQueue[Throwable]()
+    val saving = new AtomicBoolean(true)
+    val readers = (0 until 2).map { _ =>
+      new Thread(() =>
+        try {
+          var iter = 0
+          while (saving.get() || iter == 0) {
+            iter += 1
+            val g = GraphPersistence.load(spark, dir)
+            val tuple = (g.nodes.count(), g.edges.count(), g.properties.count())
+            Seq(g.nodes, g.edges, g.properties).foreach(_.unpersist())
+            assert(valid.contains(tuple),
+              s"torn snapshot: $tuple is no committed version's (nodes, edges, properties)")
+          }
+        } catch { case t: Throwable => errors.add(t) })
+    }
+    readers.foreach(_.start())
+    try sizes.tail.foreach(n => GraphPersistence.save(framesOf(n), dir))
+    finally saving.set(false)
+    readers.foreach(_.join(120000))
+    assert(errors.isEmpty, s"concurrent failures: ${errors.peek()}")
+    assert(GraphPersistence.currentVersion(dir) === Some("v" + sizes.size))
+  }
+}
