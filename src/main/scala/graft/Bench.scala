@@ -40,14 +40,21 @@ object Bench {
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
 
+    // Pass/warm-up knobs for the 10x scale rehearsal, where one pass of
+    // the quadratic verification baselines (e03) already dominates
+    // wall-clock. The driver's per-round runs use the defaults.
+    val Passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
+    val warmup = sys.env.get("SPARK_GRAFT_BENCH_WARMUP")
+      .flatMap(_.toIntOption).forall(_ > 0)
+
     // Warm-up: run the full suite once untimed. Errors here are ignored —
     // they'll be reported from the timed pass.
-    ordered.foreach { case (_, fn) =>
+    if (warmup) ordered.foreach { case (_, fn) =>
       try force(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
 
     var failures = Map.empty[String, String]
-    val Passes = 3
     // (name, seconds, succeeded): a failed pass's fast-fail duration must
     // not enter the median — mixing a 0.1s exception with 5s successes
     // reports a bogus 0.1s for a query that also shows as errored

@@ -60,25 +60,18 @@ object PipelinePack {
   private val RowsPerBand = MinHashes / Bands
   private val JaccardThreshold = 0.5
 
-  /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
-    * Returns (doc_i, doc_j, jaccard) for verified pairs above threshold.
+  /** The LSH candidate stage of [[nearDupPairs]]: distinct (doc_i, doc_j)
+    * pairs sharing any band signature. Exposed (like AnnPack's
+    * blockedCells) so the scale rehearsal can measure candidate growth
+    * directly — the shingle subtree it builds canonicalizes identically
+    * to nearDupPairs' own, so sharing is unchanged.
     */
-  def nearDupPairs(docs: DataFrame): DataFrame = {
-    // NOT persisted: the four consumers below (signatures, sizes, and the
-    // two sides of the verification join) share one canonicalized plan, so
-    // Catalyst's ReuseExchange computes the shingle explode + distinct
-    // shuffle once per action and the other consumers read its shuffle
-    // files (PipelineSpec pins both: the reused exchange in the plan and an
-    // empty block-manager cache). A `persist()` here pinned a copy of the
-    // shingle table in executor storage for the session lifetime per call —
-    // r03's leak — and shuffle files are already the spill-safe medium.
-    val sh = shingles(docs)
-
+  private[graft] def lshCandidates(docs: DataFrame): DataFrame = {
     // 128 minhashes per doc: hash each shingle STRING once (the expensive
     // part), then derive the hash family from the resulting long — 128
     // long-hashes per row instead of 128 string-hashes (~3x cheaper on
     // long shingle text at sf0.1+).
-    val hashed = sh.withColumn("h0", xxhash64(col("g")))
+    val hashed = shingles(docs).withColumn("h0", xxhash64(col("g")))
     val mhCols = (0 until MinHashes).map(i => min(xxhash64(lit(i), col("h0"))).as(s"mh_$i"))
     val sigs = hashed.groupBy("doc_id")
       .agg(mhCols.head, mhCols.tail: _*)
@@ -92,11 +85,27 @@ object PipelinePack {
       .toDF("doc_id", "band", "sig")
 
     // Candidates: docs sharing any band signature (equi-join, no product).
-    val cands = bands.as("x").join(bands.as("y"),
+    bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_i"), col("y.doc_id").as("doc_j"))
       .distinct()
+  }
+
+  /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
+    * Returns (doc_i, doc_j, jaccard) for verified pairs above threshold.
+    */
+  def nearDupPairs(docs: DataFrame): DataFrame = {
+    // NOT persisted: the four consumers below (signatures, sizes, and the
+    // two sides of the verification join) share one canonicalized plan, so
+    // Catalyst's ReuseExchange computes the shingle explode + distinct
+    // shuffle once per action and the other consumers read its shuffle
+    // files (PipelineSpec pins both: the reused exchange in the plan and an
+    // empty block-manager cache). A `persist()` here pinned a copy of the
+    // shingle table in executor storage for the session lifetime per call —
+    // r03's leak — and shuffle files are already the spill-safe medium.
+    val sh = shingles(docs)
+    val cands = lshCandidates(docs)
 
     // Exact verification on candidates only.
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))

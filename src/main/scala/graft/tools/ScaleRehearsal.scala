@@ -1,0 +1,88 @@
+package graft.tools
+
+import graft.{Sessions, SparkEntry, Tables}
+import org.apache.spark.sql.DataFrame
+
+/** 10x plan-stability rehearsal (PLANS.md addendum): runs the
+  * scale-critical operators against a [[ScaleUp]]-generated directory and
+  * asserts the plans keep the shapes the specs pin at small SF — the
+  * claim under test is not correctness (the small-SF oracles own that)
+  * but that 10x the data does not flip a broadcast into a shuffle, break
+  * exchange sharing, or bend a candidate pipeline toward quadratic.
+  *
+  * Prints one PASS/FAIL line per invariant plus a JSON summary; exits
+  * non-zero on any FAIL.
+  */
+object ScaleRehearsal {
+
+  /** Execute the dataframe distributed (no driver collect) and return the
+    * FINAL adaptive plan, where AQE's join-strategy and reuse decisions
+    * are resolved.
+    */
+  private def finalPlan(df: DataFrame): String = {
+    df.queryExecution.toRdd.count()
+    val s = df.queryExecution.executedPlan.toString
+    val i = s.indexOf("== Initial Plan ==")
+    if (i >= 0) s.substring(0, i) else s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.lift(0).getOrElse("/tmp/graft_sf1")
+    val baseDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val spark = Sessions.get()
+    var failures = List.empty[String]
+    def check(name: String)(cond: Boolean, detail: => String): Unit =
+      if (cond) println(s"PASS $name")
+      else { failures ::= name; println(s"FAIL $name: $detail") }
+
+    try {
+      // 1. as-of at 10x: still composed as union + keyed window — no join
+      // operator for AQE to re-strategize, and the hash-exchange count is
+      // IDENTICAL to the small-SF plan (q22 carries 2: the purchase
+      // pre-aggregation plus the union's keyed window; the raw operator's
+      // single-exchange shape is pinned by AsOfJoinSpec)
+      val asofPlan = finalPlan(SparkEntry.queries("q22_asof_join")(spark, dir))
+      val asofBase = finalPlan(SparkEntry.queries("q22_asof_join")(spark, baseDir))
+      def hashExchanges(p: String): Int = "Exchange hashpartitioning".r.findAllIn(p).size
+      check("asof_no_join")(!asofPlan.contains("Join"), asofPlan.take(1500))
+      check("asof_exchange_count_stable")(
+        hashExchanges(asofPlan) == hashExchanges(asofBase),
+        s"10x plan has ${hashExchanges(asofPlan)} hash exchanges vs base ${hashExchanges(asofBase)}")
+
+      // 2. e04 at 10x: the assignment exchange stays shared, nested-loop
+      // terms stay centroid-bounded, and no cartesian product appears
+      val e04Plan = finalPlan(SparkEntry.queries("e04_cosine_near_dup_blocked")(spark, dir))
+      check("e04_reused_exchange")(e04Plan.contains("ReusedExchange"), e04Plan.take(1500))
+      check("e04_no_cartesian")(!e04Plan.contains("CartesianProduct"), e04Plan.take(1500))
+      check("e04_centroid_bounded_bnlj")(
+        "BroadcastNestedLoopJoin".r.findAllIn(e04Plan).size <= 3, e04Plan.take(1500))
+
+      // 3. q02 at 10x: the dimension joins stay broadcast against the
+      // 10x fact side
+      val q02Plan = finalPlan(SparkEntry.queries("q02_revenue_by_nation")(spark, dir))
+      check("q02_dims_broadcast")(q02Plan.contains("BroadcastHashJoin"), q02Plan.take(1500))
+
+      // 4. d03 candidate growth: the scaled corpus is `factor` isomorphic
+      // token-disjoint copies, so LSH candidates must grow linearly with
+      // the copies (~factor x) and stay far under the pair space
+      val candBase = graft.queries.PipelinePack.lshCandidates(
+        Tables.documents(spark, baseDir)).count()
+      val nBig = Tables.documents(spark, dir).count()
+      val candBig = graft.queries.PipelinePack.lshCandidates(
+        Tables.documents(spark, dir)).count()
+      val ratio = candBig.toDouble / math.max(candBase, 1L)
+      val pairSpace = nBig * (nBig - 1) / 2
+      check("d03_candidates_linear")(ratio >= 8.0 && ratio <= 12.0,
+        s"candidates $candBase -> $candBig (x$ratio) — expected ~10x")
+      check("d03_candidates_subquadratic")(candBig * 100 < pairSpace,
+        s"$candBig candidates vs pair space $pairSpace")
+
+      println(s"""{"dir":"$dir","d03_cand_base":$candBase,"d03_cand_10x":$candBig,""" +
+        s""""d03_ratio":$ratio,"pair_space":$pairSpace,"failures":${failures.size}}""")
+      if (failures.nonEmpty) {
+        println(s"FAILURES: ${failures.reverse.mkString(", ")}")
+        sys.exit(1)
+      }
+    } finally spark.stop()
+  }
+}

@@ -1,0 +1,94 @@
+package graft.tools
+
+import graft.{Sessions, Tables}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthetic scale-up generator for the 10x plan rehearsal: writes a
+  * `factor`-times larger copy of a testdata directory by unioning
+  * key-shifted copies of every table (PLANS.md "10x rehearsal").
+  *
+  * The copies are ISOMORPHIC, not identical — a naive 10x duplication
+  * would corrupt exactly the statistics the scale rehearsal exists to
+  * stress:
+  *
+  *   - documents: every token is renamed per copy (`tok` -> `tok_<i>`).
+  *     Shingle/minhash/Jaccard structure is invariant under a bijective
+  *     token rename, so each copy carries the original's near-dup pair
+  *     set with shifted ids, and NO pairs form across copies. Plain
+  *     duplication would instead make every document a (factor-1)-way
+  *     exact duplicate — the dedup queries would measure an artifact.
+  *   - embeddings: each copy's vectors are circularly rotated by `i`
+  *     positions. A coordinate permutation is orthogonal, so within-copy
+  *     cosines are bit-preserved while cross-copy pairs decorrelate; the
+  *     ANN fixture keeps its geometry at 10x the rows. Query/centroid ids
+  *     (`vec_id < 16`) stay in copy 0, so the probe set stays fixed
+  *     against a 10x corpus.
+  *   - relational tables: fact and dimension keys shift in lockstep
+  *     (customer with orders.o_custkey, part/supplier with lineitem),
+  *     preserving join fan-in; nation/region stay fixed dimensions shared
+  *     by all copies, as a real multi-tenant scale-up would.
+  *   - events: event/user ids shift; timestamps keep their range, so the
+  *     stream is 10x denser over the same horizon and per-user session
+  *     structure repeats across disjoint user populations.
+  */
+object ScaleUp {
+
+  /** Inter-copy id stride — far above any key in the source tables. */
+  val Offset = 100000000L
+
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val factor = args.lift(2).flatMap(_.toIntOption).getOrElse(10)
+    val spark = Sessions.get()
+    try {
+      run(spark, src, dst, factor)
+      println(s"""{"scaled":"$dst","factor":$factor}""")
+    } finally spark.stop()
+  }
+
+  def run(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
+    require(factor >= 1 && factor < 64, s"factor $factor out of range (embedding rotation needs < dim)")
+
+    def write(name: String, df: DataFrame): Unit =
+      df.write.mode(SaveMode.Overwrite).parquet(s"$dst/$name.parquet")
+
+    def copies(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(i => f(df, i)).reduce(_ unionByName _)
+
+    def shifted(df: DataFrame, i: Int, keys: String*): DataFrame =
+      keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(Offset * i)))
+
+    // fixed dimensions, shared by every copy
+    write("region", Tables.load(spark, src, "region"))
+    write("nation", Tables.load(spark, src, "nation"))
+
+    write("customer", copies(Tables.load(spark, src, "customer"))(shifted(_, _, "c_custkey")))
+    write("supplier", copies(Tables.load(spark, src, "supplier"))(shifted(_, _, "s_suppkey")))
+    write("part", copies(Tables.load(spark, src, "part"))(shifted(_, _, "p_partkey")))
+    write("orders", copies(Tables.load(spark, src, "orders"))(
+      shifted(_, _, "o_orderkey", "o_custkey")))
+    write("lineitem", copies(Tables.load(spark, src, "lineitem"))(
+      shifted(_, _, "l_orderkey", "l_partkey", "l_suppkey")))
+    // raw read (ts stays the stored long) — Tables.events converts on load
+    write("events", copies(Tables.load(spark, src, "events"))(
+      shifted(_, _, "event_id", "user_id")))
+
+    write("documents", copies(Tables.load(spark, src, "documents")) { (df, i) =>
+      val d = shifted(df, i, "doc_id")
+      if (i == 0) d
+      else d
+        .withColumn("text", concat_ws(" ",
+          transform(split(col("text"), " "), t => concat(t, lit(s"_$i")))))
+        .withColumn("n_chars", length(col("text")))
+    })
+
+    write("embeddings", copies(Tables.load(spark, src, "embeddings")) { (df, i) =>
+      val d = shifted(df, i, "vec_id")
+      if (i == 0) d
+      else d.withColumn("embedding",
+        expr(s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), slice(embedding, 1, $i))"))
+    })
+  }
+}
