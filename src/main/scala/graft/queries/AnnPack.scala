@@ -132,10 +132,32 @@ object AnnPack {
     * member→centroid angles, per-cell angular radii, and the surviving
     * cell-pair list after the triangle-inequality prune. Exposed so the
     * spec can assert the prune's selectivity directly.
+    *
+    * @param numCells cell count; None = adaptive ~sqrt(N), clamped to
+    * [NumCentroids, 4096]. The same-cell quadratic term is N²/C and the
+    * cell-pair prune is C², so C ~ sqrt(N) keeps BOTH sub-quadratic as
+    * the corpus grows — a fixed C would let N²/C revert to quadratic at
+    * 100x. Exactness is independent of C (the prune is a sound bound at
+    * any cell count); only pruning power and work balance move. The
+    * tradeoff is corpus-dependent: cross-cell candidate generation
+    * replicates each row once per SURVIVING partner cell, which on a
+    * clustered corpus is the intra-cluster handful (independent of C, so
+    * larger C is a straight win against N²/C) but on an unclustered one
+    * approaches C itself — the gated entries pin C = NumCentroids for
+    * the deliberately uniform synthetic fixture, and AnnSpec demonstrates
+    * the adaptive win on a clustered one.
     */
-  private[queries] def blockedCells(emb: DataFrame, threshold: Double): (DataFrame, DataFrame) = {
+  private[queries] def blockedCells(
+      emb: DataFrame,
+      threshold: Double,
+      numCells: Option[Int] = None): (DataFrame, DataFrame) = {
+    val cells = numCells.getOrElse {
+      // one cheap count-only scan to size the codebook with the corpus
+      val n = emb.count()
+      math.min(4096L, math.max(NumCentroids.toLong, math.round(math.sqrt(n.toDouble)))).toInt
+    }
     val centroids = broadcast(
-      emb.filter(col("vec_id") < NumCentroids)
+      emb.filter(col("vec_id") < cells)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb")))
 
     // 1. nearest-cell assignment, keeping the member→centroid angle.
@@ -221,8 +243,9 @@ object AnnPack {
   def cosineNearDupBlocked(
       emb: DataFrame,
       threshold: Double = 0.45,
-      sameCellSalt: Int = 1): DataFrame = {
-    val (assigned, cellPairs) = blockedCells(emb, threshold)
+      sameCellSalt: Int = 1,
+      numCells: Option[Int] = None): DataFrame = {
+    val (assigned, cellPairs) = blockedCells(emb, threshold, numCells)
 
     // 4. candidates via equi-joins through the surviving cell pairs
     val va = assigned.select(col("vec_id").as("ia"), col("embedding").as("ea"), col("cell").as("cell_a"))
@@ -290,7 +313,8 @@ object AnnPack {
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
       ORDER BY id_a, id_b""")) { (s, dir) =>
-      cosineNearDupBlocked(embeddings(s, dir)).orderBy("id_a", "id_b")
+      cosineNearDupBlocked(embeddings(s, dir), numCells = Some(NumCentroids))
+        .orderBy("id_a", "id_b")
     },
 
     // ---- e04b: the SKEW-HARDENED production configuration — same blocked
@@ -303,7 +327,8 @@ object AnnPack {
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
       ORDER BY id_a, id_b""")) { (s, dir) =>
-      cosineNearDupBlocked(embeddings(s, dir), sameCellSalt = 8).orderBy("id_a", "id_b")
+      cosineNearDupBlocked(embeddings(s, dir), sameCellSalt = 8, numCells = Some(NumCentroids))
+        .orderBy("id_a", "id_b")
     }
   )
 }

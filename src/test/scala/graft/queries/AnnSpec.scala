@@ -108,10 +108,18 @@ class AnnSpec extends AnyFunSuite {
     assert(expected.size > 1000, s"clustered fixture should be dense (got ${expected.size})")
     assert(got === expected)
 
-    // the prune is real: of the 16*17/2 = 136 possible cell pairs, only the
-    // intra-cluster handful survives the triangle-inequality bound
-    val surviving = AnnPack.blockedCells(emb, threshold = 0.9)._2.count()
-    assert(surviving <= 40, s"expected >70% cell-pair pruning, got $surviving/136 surviving")
+    // the prune is real: of the C*(C+1)/2 possible cell pairs (adaptive
+    // C = sqrt(400) = 20 here, so 210), only the intra-cluster handful
+    // survives the triangle-inequality bound. This path runs the ADAPTIVE
+    // cell count (the clustered-corpus configuration, where partner cells
+    // stay intra-cluster so growing C only shrinks the N²/C term) — the
+    // gated entries pin C = 16 for the uniform synthetic fixture, where
+    // pruning cannot work and replication grows with C instead.
+    val (assigned, cellPairs) = AnnPack.blockedCells(emb, threshold = 0.9)
+    assert(assigned.select("cell").distinct().count() > AnnPack.NumCentroids,
+      "adaptive cell count should exceed the fixed floor on 400 vectors")
+    val surviving = cellPairs.count()
+    assert(surviving <= 40, s"expected >80% cell-pair pruning, got $surviving/210 surviving")
   }
 
   test("salted same-cell join bounds per-key and per-task input on a skewed cluster") {
@@ -188,9 +196,9 @@ class AnnSpec extends AnyFunSuite {
         spark.conf.set(coalesceKey, "false")
         spark.conf.set(broadcastKey, "-1")
         spark.conf.set(partitionsKey, "64")
-        val unsalted = AnnPack.cosineNearDupBlocked(emb, threshold = 0.9).collect()
+        val unsalted = AnnPack.cosineNearDupBlocked(emb, threshold = 0.9, numCells = Some(16)).collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
-        val salted = AnnPack.cosineNearDupBlocked(emb, threshold = 0.9, sameCellSalt = 8).collect()
+        val salted = AnnPack.cosineNearDupBlocked(emb, threshold = 0.9, sameCellSalt = 8, numCells = Some(16)).collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         assert(unsalted === expected)
         assert(salted === expected, "salting must not change the answer")
@@ -200,7 +208,7 @@ class AnnSpec extends AnyFunSuite {
         // hazard), and those identical reads mask this delta. The
         // cell-pair list is 16 rows; pre-materialize it so the measured
         // jobs contain only assignment + same-cell join.
-        val (assigned, cellPairs) = AnnPack.blockedCells(emb, threshold = 0.9)
+        val (assigned, cellPairs) = AnnPack.blockedCells(emb, threshold = 0.9, numCells = Some(16))
         val smallPairs = broadcast(
           cellPairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
             .toDF("cell_a", "cell_b"))
@@ -222,7 +230,7 @@ class AnnSpec extends AnyFunSuite {
     // the scale-invariant bound: a task must read at least its largest
     // join key, and salting shrinks the hottest key >=4x (2·|cell| rows
     // unsalted -> 2·max-bucket with S=8)
-    val assigned = AnnPack.blockedCells(emb, threshold = 0.9)._1
+    val assigned = AnnPack.blockedCells(emb, threshold = 0.9, numCells = Some(16))._1
     val maxCell = assigned.groupBy("cell").count()
       .agg(max("count")).head.getLong(0)
     val maxBucket = assigned
