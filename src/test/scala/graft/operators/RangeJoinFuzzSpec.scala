@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property fuzz for [[RangeJoin.binned]]: randomized points and
+  * (possibly overlapping, multi-bin-spanning) intervals compared
+  * pair-for-pair against the raw inequality semantics computed
+  * sequentially, across several bin sizes — binning must be invisible.
+  * Samples are packed into disjoint key spaces so one distributed join
+  * covers all of them (per-key isolation is part of the contract).
+  * Boundary discipline is in the generators: points land ON interval
+  * endpoints often (lo inclusive, hi exclusive), and bin size 1 and a
+  * bin size larger than most spans are both exercised.
+  */
+class RangeJoinFuzzSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val genPoint: Gen[(Long, Long)] = for {
+    k <- Gen.choose(0L, 3L)
+    v <- Gen.choose(0L, 60L)
+  } yield (k, v)
+
+  private val genInterval: Gen[(Long, Long, Long)] = for {
+    k <- Gen.choose(0L, 4L) // key 4: interval-only keys
+    lo <- Gen.choose(0L, 55L)
+    span <- Gen.frequency(3 -> Gen.choose(1L, 8L), 1 -> Gen.choose(9L, 40L))
+  } yield (k, lo, lo + span)
+
+  private def sample[A](gen: Gen[A], n: Int, seed: Long): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(seed * 1000 + i)))
+
+  test("30 random datasets match the inequality-join reference at bin sizes 1, 7, 64") {
+    import spark.implicits._
+    var nextId = 0L
+    val samples = (0 until 30).map { s =>
+      val pts = sample(genPoint, 1 + (s * 5) % 20, s.toLong * 2).map { case (k, v) =>
+        nextId += 1; (s * 8 + k, v, nextId)
+      }
+      val ivs = sample(genInterval, (s * 7) % 20, s.toLong * 2 + 1).map { case (k, lo, hi) =>
+        nextId += 1; (s * 8 + k, lo, hi, nextId)
+      }
+      (pts, ivs)
+    }
+    val pts = samples.flatMap(_._1)
+    val ivs = samples.flatMap(_._2)
+
+    val expected = (for {
+      (k, v, id) <- pts
+      (rk, lo, hi, rid) <- ivs if rk == k && v >= lo && v < hi
+    } yield (id, rid)).toSet
+    assert(expected.nonEmpty, "fuzz fixture should produce matches")
+
+    val left = pts.toDF("k", "v", "id")
+    val right = ivs.toDF("k", "lo", "hi", "rid")
+    for (binSize <- Seq(1L, 7L, 64L)) {
+      val got = RangeJoin.binned(left, right, Seq("k"), "v", "lo", "hi", binSize)
+        .select("id", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected, s"binSize=$binSize diverged from the inequality join")
+    }
+  }
+}
