@@ -169,6 +169,53 @@ object PipelinePack {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Dedup CLUSTERING: near-dup pairs closed into connected components,
+    * every document labeled with its component's minimum doc_id (the
+    * canonical representative a keep-one dedup retains). Pairs alone
+    * under-dedup: A~B and B~C with A!~C is one duplicate family, and
+    * pair-wise keep-first would keep two of the three.
+    *
+    * Components by iterative min-label propagation: each round, every
+    * node takes the min of its own and its neighbors' labels — one
+    * shuffle (groupBy) + one join per round, converging in
+    * O(component diameter) rounds. Near-dup families are dense and
+    * shallow (diameter a handful), so the round count stays small at any
+    * corpus size; adversarially long chains would call for the
+    * star-contraction variant, which trades more logic for O(log n)
+    * rounds. The iteration-state DataFrame is localCheckpoint'd per
+    * round — same lineage-cut discipline as [[graft.graph.GraphTables]]'
+    * BFS. Loud failure (not silent wrong answers) if the diameter guard
+    * is ever hit.
+    */
+  def nearDupClusters(docs: DataFrame, threshold: Double, dfCap: Option[Long] = None): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, threshold, dfCap).select("doc_i", "doc_j")
+    // materialize once: every propagation round reads the edge list, and
+    // recomputing the whole inverted-index join per round would dominate
+    val edges = pairs.select(col("doc_i").as("id"), col("doc_j").as("nb"))
+      .union(pairs.select(col("doc_j").as("id"), col("doc_i").as("nb")))
+      .localCheckpoint()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id")).localCheckpoint()
+    var converged = false
+    val MaxRounds = 100
+    var round = 0
+    while (!converged && round < MaxRounds) {
+      val nbMin = edges.join(
+          labels.select(col("doc_id").as("nb"), col("cluster_id").as("nb_label")), "nb")
+        .groupBy("id").agg(min("nb_label").as("nb_min"))
+      val next = labels.join(nbMin, labels("doc_id") === nbMin("id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
+        .filter(col("cluster_id") =!= col("prev")).isEmpty
+      labels = next
+      round += 1
+    }
+    require(converged, s"component diameter exceeded $MaxRounds propagation rounds")
+    labels
+  }
+
   /** 60-bit SimHash over tokens, built from md5 bits so the plain-Scala
     * test twin can reproduce it bit-for-bit (no engine-private hash).
     */
@@ -310,6 +357,37 @@ object PipelinePack {
       ORDER BY doc_i, doc_j""")) { (s, dir) =>
       ngramJaccardPairs(Tables.documents(s, dir), threshold = 0.3, dfCap = Some(5L))
         .orderBy("doc_i", "doc_j")
+    },
+
+    // ---- dedup clustering: the near-dup pairs closed into connected
+    // components (keep-one dedup needs the component, not the pair — a
+    // chain A~B~C is ONE duplicate family). The oracle re-derives the
+    // exact pair set, then computes the transitive closure as a
+    // recursive CTE and takes each document's minimum reachable id —
+    // exactly the fixpoint the min-label propagation converges to. ----
+    QDef("d13_dedup_clusters", Some("""
+      WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      idx AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) i FROM tok),
+      sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM idx),
+      prs AS (
+        SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS inter
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      dups AS (
+        SELECT p.doc_i, p.doc_j FROM prs p
+          JOIN sizes sa ON sa.doc_id = p.doc_i
+          JOIN sizes sb ON sb.doc_id = p.doc_j
+        WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.3),
+      e AS (SELECT doc_i AS a, doc_j AS b FROM dups
+            UNION ALL SELECT doc_j, doc_i FROM dups),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a)
+      SELECT id AS doc_id, min(r) AS cluster_id FROM reach
+      GROUP BY id ORDER BY doc_id""")) { (s, dir) =>
+      nearDupClusters(Tables.documents(s, dir), threshold = 0.3).orderBy("doc_id")
     },
 
     // ---- KMV distinct-count sketch (functions.KmvSketch): mergeable

@@ -102,6 +102,30 @@ class PipelineSpec extends AnyFunSuite {
       s"expected a reused exchange in:\n$plan")
   }
 
+  test("dedup clusters close pairs transitively: a chain is one family") {
+    import spark.implicits._
+    // a 5-link chain: doc k shares a 4-token run with doc k+1 only —
+    // adjacent Jaccard is exactly 2/10 = 0.2 (2 shared of 6+6 shingles),
+    // cleared at threshold 0.15 — while the chain ends share
+    // nothing — label propagation must walk the full diameter (the
+    // 3-doc closure case A~B~C with A!~C lives inside it), and two
+    // far-away docs must stay singleton clusters
+    val runs = (0 to 5).map(k => s"run${k}a run${k}b run${k}c run${k}d")
+    val chain = (0 until 5).map(k => (10L + k, runs(k) + " " + runs(k + 1)))
+    val docs = (chain ++ Seq((50L, "lonely text one entirely"), (60L, "other text two entirely")))
+      .toDF("doc_id", "text")
+
+    val got = PipelinePack.nearDupClusters(docs, threshold = 0.15).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (10L until 15L).map(_ -> 10L).toMap ++ Map(50L -> 50L, 60L -> 60L)
+    assert(got === expected)
+
+    // sanity on the premise: adjacent pairs only (no shortcut edges)
+    val pairs = PipelinePack.ngramJaccardPairs(docs, threshold = 0.15)
+      .select("doc_i", "doc_j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === (10L until 14L).map(k => (k, k + 1)).toSet)
+  }
+
   test("keep-first dedup keeps the lowest doc_id per normalized content") {
     import spark.implicits._
     val df = Seq(
