@@ -46,7 +46,7 @@ object Bench {
     val Passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
     val warmup = sys.env.get("SPARK_GRAFT_BENCH_WARMUP")
-      .flatMap(_.toIntOption).forall(_ > 0)
+      .forall(v => !Set("0", "false", "no", "off").contains(v.trim.toLowerCase))
 
     // Warm-up: run the full suite once untimed. Errors here are ignored —
     // they'll be reported from the timed pass.

@@ -29,6 +29,12 @@ final class StreamingGraphIngest(initial: GraphFrames) {
   // the initial frames may be shared (e.g. GraphTables.forDir cache)
   private var ownsCurrent = false
   @volatile private var lastBatchId = Long.MinValue
+  // the checkpoint lineage the batchId guard is valid for: batch ids are
+  // monotonic only within one checkpoint's lifetime, so a start() with no
+  // checkpoint (or a different one) must reset the guard — carrying it
+  // across lineages would misread a fresh query's batch 0..N as replays
+  // and silently drop real data
+  private var guardLineage: Option[String] = None
   private val rejectedBatches = new java.util.concurrent.atomic.AtomicLong(0)
   private val committedBatches = new java.util.concurrent.atomic.AtomicLong(0)
   private val replayedBatches = new java.util.concurrent.atomic.AtomicLong(0)
@@ -103,6 +109,14 @@ final class StreamingGraphIngest(initial: GraphFrames) {
       signals: DataFrame,
       queryName: String,
       checkpointDir: Option[String] = None): StreamingQuery = {
+    synchronized {
+      // same checkpoint dir -> same batch-id lineage: keep the guard so a
+      // crash-window replay after restart is still dropped. Anything else
+      // (no checkpoint, or a different dir) numbers batches from 0 again.
+      if (checkpointDir.isEmpty || checkpointDir != guardLineage)
+        lastBatchId = Long.MinValue
+      guardLineage = checkpointDir
+    }
     val w = signals.writeStream
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())

@@ -29,6 +29,9 @@ object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse("/tmp/graft_sf1")
     val baseDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    // must match the ScaleUp factor that produced `dir` — the candidate
+    // linearity band is factor +/- 20%
+    val factor = args.lift(2).flatMap(_.toIntOption).getOrElse(10)
     val spark = Sessions.get()
     var failures = List.empty[String]
     def check(name: String)(cond: Boolean, detail: => String): Unit =
@@ -72,8 +75,8 @@ object ScaleRehearsal {
         Tables.documents(spark, dir)).count()
       val ratio = candBig.toDouble / math.max(candBase, 1L)
       val pairSpace = nBig * (nBig - 1) / 2
-      check("d03_candidates_linear")(ratio >= 8.0 && ratio <= 12.0,
-        s"candidates $candBase -> $candBig (x$ratio) — expected ~10x")
+      check("d03_candidates_linear")(ratio >= factor * 0.8 && ratio <= factor * 1.2,
+        s"candidates $candBase -> $candBig (x$ratio) — expected ~${factor}x")
       check("d03_candidates_subquadratic")(candBig * 100 < pairSpace,
         s"$candBig candidates vs pair space $pairSpace")
 

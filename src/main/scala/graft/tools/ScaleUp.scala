@@ -12,7 +12,9 @@ import org.apache.spark.sql.functions._
   * would corrupt exactly the statistics the scale rehearsal exists to
   * stress:
   *
-  *   - documents: every token is renamed per copy (`tok` -> `tok_<i>`).
+  *   - documents: every token is renamed per copy (`tok` -> `c<i>_tok`,
+  *     fixed-width prefix on all copies so the rename is injective across
+  *     copies whatever the source tokens look like).
   *     Shingle/minhash/Jaccard structure is invariant under a bijective
   *     token rename, so each copy carries the original's near-dup pair
   *     set with shifted ids, and NO pairs form across copies. Plain
@@ -50,6 +52,11 @@ object ScaleUp {
 
   def run(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
     require(factor >= 1 && factor < 64, s"factor $factor out of range (embedding rotation needs < dim)")
+    // SaveMode.Overwrite deletes the target before the lazy scan of the
+    // same files completes — writing over the source would destroy it
+    require(java.nio.file.Paths.get(dst).toAbsolutePath.normalize !=
+      java.nio.file.Paths.get(src).toAbsolutePath.normalize,
+      s"dst must differ from src ($src): overwrite-while-reading corrupts the source")
 
     def write(name: String, df: DataFrame): Unit =
       df.write.mode(SaveMode.Overwrite).parquet(s"$dst/$name.parquet")
@@ -76,11 +83,14 @@ object ScaleUp {
       shifted(_, _, "event_id", "user_id")))
 
     write("documents", copies(Tables.load(spark, src, "documents")) { (df, i) =>
-      val d = shifted(df, i, "doc_id")
-      if (i == 0) d
-      else d
+      // fixed-width copy PREFIX on every token of EVERY copy (including
+      // copy 0): a suffix rename is not injective across copies when the
+      // source already contains suffixed tokens ("foo_1" in copy 0 would
+      // equal copy 1's renamed "foo", forging cross-copy shingles); with
+      // all copies prefixed, equal tokens imply the same copy
+      shifted(df, i, "doc_id")
         .withColumn("text", concat_ws(" ",
-          transform(split(col("text"), " "), t => concat(t, lit(s"_$i")))))
+          transform(split(col("text"), " "), t => concat(lit(f"c$i%02d_"), t))))
         .withColumn("n_chars", length(col("text")))
     })
 

@@ -74,4 +74,28 @@ class StreamingGraphIngestSpec extends AnyFunSuite {
     assert(ingest.committed >= 1)
     assert(ingest.snapshot.nodes.count() === 2)
   }
+
+  test("a second un-checkpointed query on the same ingest is not mistaken for a replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+
+    val ingest = StreamingGraphIngest.empty(spark)
+    val in1 = MemoryStream[(Long, Long, String, String)]
+    in1.addData((0L, 1L, "name", "a"), (1L, 2L, "name", "b"))
+    val q1 = ingest.start(in1.toDF().toDF("seq", "entity_id", "attribute", "value"), "fresh_q1")
+    try q1.awaitTermination(30000) finally q1.stop()
+    assert(ingest.snapshot.nodes.count() === 2)
+
+    // a NEW query (no checkpoint) numbers its batches from 0 again; the
+    // batchId guard is per checkpoint lineage, so this data must land —
+    // before the lineage reset it was silently dropped as a "replay"
+    val in2 = MemoryStream[(Long, Long, String, String)]
+    in2.addData((0L, 3L, "name", "c"), (1L, 4L, "name", "d"))
+    val q2 = ingest.start(in2.toDF().toDF("seq", "entity_id", "attribute", "value"), "fresh_q2")
+    try q2.awaitTermination(30000) finally q2.stop()
+    assert(ingest.replaysSkipped === 0)
+    assert(ingest.snapshot.nodes.count() === 4,
+      "second query's batches were dropped by a stale batchId guard")
+  }
 }
