@@ -64,8 +64,17 @@ object AnnPack {
     * nprobe nearest cells. Centroids are the vectors with
     * vec_id < NumCentroids — a deterministic sample standing in for a
     * k-means codebook (the assignment/probing plumbing is what scales).
+    *
+    * With `nprobe = NumCentroids` (probe every cell) the candidate set is
+    * the full corpus — each vector lives in exactly one cell, so the
+    * cells⋈probes equi-join pairs every vector with every query exactly
+    * once — and the result is bit-identical to [[bruteForceTopK]]. That
+    * exhaustive-probe configuration is what lets the brute-force equality
+    * oracle gate the assignment/probe/merge machinery (e02b); the
+    * production nprobe < cells configuration trades that exactness for a
+    * corpus-fraction scan and is gated by the recall spec instead.
     */
-  def ivfTopK(emb: DataFrame): DataFrame = {
+  def ivfTopK(emb: DataFrame, nprobe: Int = NProbe): DataFrame = {
     val centroids = broadcast(
       emb.filter(col("vec_id") < NumCentroids)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb")))
@@ -85,7 +94,7 @@ object AnnPack {
       .select(col("q_id"), col("q_emb"),
         col("c_id"), cosine(col("q_emb"), col("c_emb")).as("c_cos"))
       .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= NProbe)
+      .filter(col("rn") <= nprobe)
       .select(col("q_id"), col("q_emb"), col("c_id").as("cell"))
 
     // candidates = vectors in probed cells only (equi-join on cell)
@@ -277,10 +286,31 @@ object AnnPack {
       bruteForceTopK(embeddings(s, dir)).orderBy("q_id", "rank")
     },
 
-    // IVF is approximate by construction (recall measured in AnnSpec
-    // against the brute-force baseline) — no equality oracle.
+    // IVF at the production nprobe < cells is approximate by construction
+    // (recall measured in AnnSpec against the brute-force baseline) — no
+    // equality oracle for THIS configuration.
     QDef("e02_ann_ivf_topk", None) { (s, dir) =>
       ivfTopK(embeddings(s, dir)).orderBy("q_id", "rank")
+    },
+
+    // e02b gates the SAME IVF machinery exactly: probing all cells makes
+    // the candidate set the full corpus, so assignment + probe + per-cell
+    // scan + merge must reproduce the brute-force ranking bit-for-bit.
+    // An IVF bug (a vector lost in assignment, a cell skipped, a dup in
+    // the probe join) breaks this entry even when recall@10 looks fine.
+    QDef("e02b_ann_ivf_full_probe", Some(s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < $NumQueries),
+      scored AS (
+        SELECT q.q_id, e.vec_id,
+               list_cosine_similarity(e.embedding, q.q_emb) AS c
+        FROM embeddings e, q WHERE e.vec_id != q.q_id),
+      ranked AS (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rank
+        FROM scored)
+      SELECT q_id, rank, vec_id AS neighbor_id FROM ranked
+      WHERE rank <= $K ORDER BY q_id, rank""")) { (s, dir) =>
+      ivfTopK(embeddings(s, dir), nprobe = NumCentroids).orderBy("q_id", "rank")
     },
 
     // ---- embedding-cosine near-duplicate pairs ----

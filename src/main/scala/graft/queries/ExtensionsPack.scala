@@ -62,6 +62,24 @@ object ExtensionsPack {
         .orderBy("user_id", "session_start")
     },
 
+    // batch twin of EventsStream.clickAttribution — the stream-stream
+    // interval join (both sides watermarked, state bounded by the
+    // time-range predicate under readStream; StreamingSpec exercises the
+    // genuine two-stream form and its batch parity). The oracle is the
+    // raw inequality self-join with identical inclusive bounds.
+    QDef("s04_click_attribution", Some("""
+      SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+             epoch_us(CAST(c.ts AS TIMESTAMP)) - epoch_us(CAST(v.ts AS TIMESTAMP)) AS gap_micros
+      FROM events c JOIN events v
+        ON c.event_type = 'click' AND v.event_type = 'view'
+       AND v.user_id = c.user_id
+       AND CAST(v.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP)
+       AND CAST(v.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP) - INTERVAL '12 hours'
+      ORDER BY click_id, view_id""")) { (s, dir) =>
+      EventsStream.clickAttribution(Tables.events(s, dir))
+        .orderBy("click_id", "view_id")
+    },
+
     // as-of join (graft.operators.AsOfJoin): every click matched to the
     // user's most recent purchase at or before it — DuckDB's native ASOF
     // LEFT JOIN is the oracle, so the inclusive-tie and no-match-null

@@ -37,6 +37,21 @@ object PipelinePack {
   /** token array (the corpus is single-space separated). */
   private val toks: Column = split(col("text"), " ")
 
+  /** Max multiplicity of any element in a SORTED string array, as a pure
+    * codegen'd `aggregate` fold over adjacent runs — per-document term
+    * frequency without explode/groupBy, so the repetition signals below
+    * stay a projection (no shuffle) however large the corpus.
+    */
+  private def maxMultiplicity(sortedArr: Column): Column =
+    aggregate(
+      sortedArr,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc("prev"), acc("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+
   /** 3-gram word shingles per document, duplicates kept: (doc_id, g).
     * The token array is projected ONCE before the transform — referencing
     * `split(text)` inside the lambda re-splits the document per shingle
@@ -532,6 +547,53 @@ object PipelinePack {
         col("doc_id"),
         size(toksBpe).cast("long").as("n_bpe_tokens"),
         size(array_distinct(toksBpe)).cast("long").as("n_distinct_bpe"))
+        .orderBy("doc_id")
+    },
+
+    // ---- repetition quality signals (the Gopher/C4-style filters used to
+    // drop boilerplate and degenerate generations): most-frequent-word and
+    // most-frequent-bigram fractions, integer fixed-point like d05. The
+    // Spark side computes per-doc term frequency as a sort+fold over the
+    // token array (maxMultiplicity) — a pure projection, while the oracle
+    // re-derives it relationally via unnest + GROUP BY. ----
+    QDef("d14_repetition_signals", Some("""
+      WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+      wagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, max(c) AS maxw FROM wc GROUP BY 1),
+      tok AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+             FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) i FROM tok)),
+      bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+      bagg AS (SELECT doc_id, max(c) AS maxb, CAST(sum(c) AS BIGINT) AS nb FROM bc GROUP BY 1)
+      SELECT w.doc_id,
+             w.n AS n_words,
+             w.maxw AS top_word_count,
+             CAST((w.maxw * 1000000) // w.n AS BIGINT) AS top_word_millionths,
+             b.maxb AS top_bigram_count,
+             CAST((b.maxb * 1000000) // b.nb AS BIGINT) AS top_bigram_millionths
+      FROM wagg w JOIN bagg b ON w.doc_id = b.doc_id
+      ORDER BY w.doc_id""")) { (s, dir) =>
+      val ws = toks
+      // 1-based element_at; i ranges over bigram start offsets 0..n-2. The
+      // size>=2 guard keeps the fold total on degenerate one-word docs
+      // (which the oracle's inner join likewise excludes).
+      val bigrams = when(size(ws) >= 2,
+        transform(sequence(lit(0), size(ws) - 2),
+          i => concat(element_at(ws, i + 1), lit(" "), element_at(ws, i + 2))))
+        .otherwise(array().cast("array<string>"))
+      val nW = size(ws).cast("long")
+      val nB = (size(ws) - 1).cast("long")
+      val maxW = maxMultiplicity(array_sort(ws))
+      val maxB = maxMultiplicity(array_sort(bigrams))
+      Tables.documents(s, dir)
+        .filter(size(ws) >= 2)
+        .select(
+          col("doc_id"),
+          nW.as("n_words"),
+          maxW.as("top_word_count"),
+          (maxW * 1000000L).divide(nW).cast("long").as("top_word_millionths"),
+          maxB.as("top_bigram_count"),
+          (maxB * 1000000L).divide(nB).cast("long").as("top_bigram_millionths"))
         .orderBy("doc_id")
     }
   )

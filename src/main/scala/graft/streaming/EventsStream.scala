@@ -69,6 +69,40 @@ object EventsStream {
         col("sw.end").as("session_end"),
         col("n_events"))
 
+  /** Stream-stream interval join: attribute each click to the same user's
+    * view events in the preceding `horizon` (the classic attribution
+    * shape). Works identically over batch and streaming frames; under
+    * `readStream` BOTH sides are watermarked and the interval predicate
+    * (`view_ts ∈ [click_ts - horizon, click_ts]`) is what lets Spark
+    * bound join state — a view can be evicted once the view-side
+    * watermark passes `view_ts + horizon` (no click can reach back to
+    * it), and a click as soon as its watermark passes. Without the
+    * time-range condition the state store would have to keep every row
+    * ever seen; with it, state is proportional to (events within the
+    * horizon), independent of stream history.
+    *
+    * `gap_micros` is exact integer microsecond arithmetic on the µs-
+    * truncated timestamps both engines agree on (see Tables.events).
+    */
+  def clickAttribution(
+      events: DataFrame,
+      horizon: String = "12 hours",
+      watermark: String = "30 minutes"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    views.join(clicks,
+        col("user_id") === col("click_user") &&
+          col("view_ts") <= col("click_ts") &&
+          col("view_ts") >= col("click_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("click_id"), col("view_id"), col("user_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("gap_micros"))
+  }
+
   final case class UserEvent(userId: Long, ts: Timestamp, eventType: String)
   final case class UserActivity(userId: Long, nEvents: Long, lastType: String)
   final case class UserSession(userId: Long, start: Timestamp, end: Timestamp, nEvents: Long)

@@ -241,6 +241,17 @@ class AnnSpec extends AnyFunSuite {
       s"largest salted join-key bucket $maxBucket vs hot cell $maxCell: expected >=4x split")
   }
 
+  test("IVF probing all cells reproduces brute force exactly (ranks included)") {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val bf = AnnPack.bruteForceTopK(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = AnnPack.ivfTopK(emb, nprobe = AnnPack.NumCentroids)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full === bf,
+      "exhaustive-probe IVF must be bit-identical to brute force: " +
+        s"missing=${(bf -- full).take(5)} extra=${(full -- bf).take(5)}")
+  }
+
   test("IVF top-k recall against brute force is high at nprobe/cells = 1/4") {
     val emb = graft.Tables.embeddings(spark, dir)
     val bf = AnnPack.bruteForceTopK(emb).collect().map(r => (r.getLong(0), r.getLong(2))).toSet

@@ -107,6 +107,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("stream-stream interval join pairs clicks with in-horizon views across batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[StreamEvent]
+    // 1-hour horizon so in/out-of-horizon cases fit in minutes
+    val query = EventsStream.clickAttribution(input.toDF(), horizon = "1 hour")
+      .writeStream.format("memory").queryName("attr_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // views arrive in an EARLIER batch than the click that joins them —
+      // the join must buffer them in state across micro-batches
+      input.addData(
+        StreamEvent(1, t(10), 10, "view", 0.0),
+        StreamEvent(2, t(25), 10, "view", 0.0),
+        StreamEvent(3, t(20), 11, "view", 0.0)) // other user: never pairs
+      query.processAllAvailable()
+      input.addData(
+        StreamEvent(4, t(30), 10, "click", 0.0),  // pairs with views 1 and 2
+        StreamEvent(5, t(95), 10, "click", 0.0))  // 85 min after view 1: out of horizon; 70 min after view 2: out too
+      query.processAllAvailable()
+      input.addData(
+        StreamEvent(6, t(90), 10, "view", 0.0),
+        StreamEvent(7, t(96), 10, "click", 0.0))
+      query.processAllAvailable()
+      val pairs = spark.table("attr_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(pairs === Set(
+        (4L, 1L, 10L, 20L * 60000000L),
+        (4L, 2L, 10L, 5L * 60000000L),
+        // view 6 arrives a batch AFTER click 5 and must still pair — the
+        // click side is buffered in join state, not just the view side
+        (5L, 6L, 10L, 5L * 60000000L),
+        (7L, 6L, 10L, 6L * 60000000L)))
+      // batch parity: the same transform over a static frame
+      val all = Seq(
+        StreamEvent(1, t(10), 10, "view", 0.0), StreamEvent(2, t(25), 10, "view", 0.0),
+        StreamEvent(3, t(20), 11, "view", 0.0), StreamEvent(4, t(30), 10, "click", 0.0),
+        StreamEvent(5, t(95), 10, "click", 0.0), StreamEvent(6, t(90), 10, "view", 0.0),
+        StreamEvent(7, t(96), 10, "click", 0.0)).toDF()
+      val batch = EventsStream.clickAttribution(all, horizon = "1 hour").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(pairs === batch)
+    } finally query.stop()
+  }
+
   test("session_window merges across batches and matches the batch twin") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
