@@ -200,6 +200,61 @@ object GraphTables {
         expr("edge_count * 1000000L div node_count")).otherwise(0L)
         .as("density_millionths"))
 
+  /** Per-node triangle count over the UNDIRECTED simple graph (self-edges
+    * dropped, direction and weight ignored) — the graph-analytics
+    * companion to [[metrics]]; not a reference operator, part of the
+    * analytics extension surface.
+    *
+    * Uses the degree-ordered ("forward edge") algorithm: each undirected
+    * edge is directed from its lower-(degree, id) endpoint to the higher
+    * one, wedges are forward 2-paths, and a triangle is a wedge whose
+    * closing edge is also forward. Every triangle has exactly one
+    * orientation with r(a) < r(b) < r(c), so it is counted once — and the
+    * wedge join's fan-out per vertex is its FORWARD degree, which the
+    * (degree, id) order bounds by O(sqrt(edges)) even on power-law graphs
+    * where raw degree is unbounded. That bound on the hottest join key is
+    * what makes this the 100 TB-safe plan; equi-joins only, no enumeration
+    * of neighbor pairs on the driver.
+    */
+  def triangleCounts(g: GraphFrames): DataFrame = {
+    // localCheckpoint on `und` and `fwd` cuts the shared subtrees: `und`
+    // feeds the degree aggregate AND the orientation join, and `fwd` is
+    // self-joined THREE times — without the cut each consumer re-plans
+    // and re-executes the whole distinct/degree/orientation chain (3x the
+    // shuffles, and measurably dominated by stage overhead). The
+    // checkpoint is linear in |E| — the same materialization GraphX makes
+    // for its edge partitions.
+    val und = g.edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    val deg = und.select(col("u").as("node_id"))
+      .union(und.select(col("v").as("node_id")))
+      .groupBy("node_id").agg(count(lit(1)).as("deg"))
+    // forward orientation by the (deg, id) total order
+    val du = deg.select(col("node_id").as("u"), col("deg").as("du"))
+    val dv = deg.select(col("node_id").as("v"), col("deg").as("dv"))
+    val fwd = und.join(du, "u").join(dv, "v")
+      .select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          col("u")).otherwise(col("v")).as("lo"),
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          col("v")).otherwise(col("u")).as("hi"))
+      .localCheckpoint()
+    val e1 = fwd.select(col("lo").as("x"), col("hi").as("y"))
+    val e2 = fwd.select(col("lo").as("y"), col("hi").as("z"))
+    val e3 = fwd.select(col("lo").as("x"), col("hi").as("z"))
+    val tri = e1.join(e2, "y").join(e3, Seq("x", "z"))
+    val perNode = tri.select(col("x").as("node_id"))
+      .union(tri.select(col("y").as("node_id")))
+      .union(tri.select(col("z").as("node_id")))
+      .groupBy("node_id").agg(count(lit(1)).as("n_triangles"))
+    g.nodes.select(col("node_id"))
+      .join(perNode, Seq("node_id"), "left")
+      .select(col("node_id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
   // -----------------------------------------------------------------------
   // Traversals (graph.rs:580-716)
   // -----------------------------------------------------------------------

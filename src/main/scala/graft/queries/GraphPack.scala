@@ -251,6 +251,27 @@ object GraphPack {
         .orderBy("depth", "node_id")
     },
 
+    // ---- analytics extension: per-node triangle counts. The Spark side
+    // runs the degree-ordered forward-edge algorithm (hot-key bound
+    // O(sqrt(E)) on the wedge join); the oracle enumerates each triangle
+    // once in its id-sorted a<b<c orientation — orientation schemes differ,
+    // the triangle SET cannot, so the counts must agree exactly ----
+    QDef("g21_triangle_counts", oracle(""",
+      und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+              FROM edges WHERE src != dst),
+      tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM und e1
+                JOIN und e2 ON e2.u = e1.v
+                JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+      pern AS (SELECT a AS node_id FROM tri
+               UNION ALL SELECT b FROM tri
+               UNION ALL SELECT c FROM tri)
+      SELECT n.node_id, CAST(count(p.node_id) AS BIGINT) AS n_triangles
+      FROM nodes n LEFT JOIN pern p ON p.node_id = n.node_id
+      GROUP BY n.node_id ORDER BY n.node_id""")) { (s, dir) =>
+      GraphTables.triangleCounts(GraphTables.forDir(s, dir)).orderBy("node_id")
+    },
+
     // ---- integrity: commutative distributed checksum. The oracle
     // recomputes FNV-1a64 over every tagged canonical row byte-for-byte in
     // SQL (rows as hex strings, a recursive CTE folding hex pairs with the

@@ -338,6 +338,35 @@ object Relational {
         .orderBy("yr", "mo")
     },
 
+    // ---- q24: pivot (long→wide conditional aggregation). The values list
+    // is given EXPLICITLY — an open pivot runs a distinct-scan job on the
+    // driver to discover columns, which at 100 TB is a full extra pass and
+    // a nondeterministic schema; pinning the list keeps the plan a single
+    // groupBy with three filtered sums. Oracle = FILTER conditional
+    // aggregation, the relational spelling of the same thing. ----
+    QDef("q24_pivot_status_volume", Some("""
+      SELECT n_name,
+        CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'F'), 0) AS DOUBLE) AS vol_f,
+        CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'O'), 0) AS DOUBLE) AS vol_o,
+        CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'P'), 0) AS DOUBLE) AS vol_p
+      FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name""")) { (s, dir) =>
+      Tables.orders(s, dir)
+        // customer scales with sf — no broadcast hint (AQE decides); the
+        // nation dim is fixed-size and broadcast
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(coalesce(dsum(col("o_totalprice")), lit(0d)))
+        .withColumnRenamed("F", "vol_f")
+        .withColumnRenamed("O", "vol_o")
+        .withColumnRenamed("P", "vol_p")
+        .orderBy("n_name")
+    },
+
     // ---- q18: correlated-style per-group avg comparison (join vs subquery) ----
     QDef("q18_above_avg_parts", Some("""
       SELECT p_partkey, p_brand, p_retailprice FROM part

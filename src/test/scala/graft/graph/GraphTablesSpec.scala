@@ -171,4 +171,24 @@ class GraphTablesSpec extends AnyFunSuite {
     assert(GraphTables.traverseBfs(g, 999L, 2).isEmpty)
     assert(GraphTables.strongestPath(g, 999L, 0L).isEmpty)
   }
+
+  test("triangle counts: hand-checked graph with self-edge, reverse dup, isolate") {
+    import spark.implicits._
+    // undirected view: triangle {0,1,2}; square 2-3-4-5 with chord 3-5
+    // giving triangles {2,3,5} and {3,4,5}; a self-edge and a reverse
+    // duplicate that canonicalization must drop; node 6 isolated.
+    val edges = Seq(
+      (0L, 1L), (1L, 2L), (2L, 0L),
+      (2L, 3L), (3L, 4L), (4L, 5L), (5L, 2L),
+      (3L, 5L),
+      (1L, 1L), // self-edge: ignored
+      (2L, 1L)  // reverse duplicate of 1->2: one undirected edge
+    ).toDF("src", "dst").withColumn("weight", lit(1L))
+    val nodes = (0L to 6L).toDF("node_id").withColumn("entity_id", col("node_id"))
+    val g = GraphFrames(spark.emptyDataFrame, nodes, edges, spark.emptyDataFrame)
+    val counts = GraphTables.triangleCounts(g)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts === Map(
+      0L -> 1L, 1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 2L, 6L -> 0L))
+  }
 }
