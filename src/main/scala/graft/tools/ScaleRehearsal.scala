@@ -80,8 +80,51 @@ object ScaleRehearsal {
       check("d03_candidates_subquadratic")(candBig * 100 < pairSpace,
         s"$candBig candidates vs pair space $pairSpace")
 
+      // 5. s04 stream-stream interval join's batch twin at 10x: the
+      // user_id equi-key must keep the join a sort-merge/shuffled-hash
+      // join — the interval predicate must never degrade it to a
+      // nested-loop or cartesian plan
+      val s04Plan = finalPlan(SparkEntry.queries("s04_click_attribution")(spark, dir))
+      check("s04_equi_join_not_nested_loop")(
+        s04Plan.contains("Join") && !s04Plan.contains("CartesianProduct") &&
+          !s04Plan.contains("BroadcastNestedLoopJoin"),
+        s04Plan.take(1500))
+
+      // 6. g21 triangles at 10x: joins only (no cartesian), and the
+      // degree-ordered orientation keeps the wedge join's hottest key —
+      // the max FORWARD degree — within the O(sqrt E) bound that makes
+      // the plan skew-proof (vs raw degree, which a hub node can blow up)
+      import org.apache.spark.sql.functions._
+      val g21Plan = finalPlan(SparkEntry.queries("g21_triangle_counts")(spark, dir))
+      check("g21_no_cartesian")(!g21Plan.contains("CartesianProduct"), g21Plan.take(1500))
+      val g = graft.graph.GraphTables.forDir(spark, dir)
+      val und = g.edges.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+        .distinct()
+      val undN = und.count()
+      val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      val du = deg.select(col("n").as("u"), col("deg").as("du"))
+      val dv = deg.select(col("n").as("v"), col("deg").as("dv"))
+      val maxFwd = und.join(du, "u").join(dv, "v")
+        .select(when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          col("u")).otherwise(col("v")).as("lo"))
+        .groupBy("lo").agg(count(lit(1)).as("f"))
+        .agg(max("f")).head.getLong(0)
+      check("g21_forward_degree_sqrt_bound")(
+        maxFwd <= 2 * math.sqrt(2.0 * undN).ceil.toLong + 1,
+        s"max forward degree $maxFwd vs sqrt bound on $undN undirected edges")
+
+      // 7. d14 repetition signals: a pure projection — the only exchange
+      // in the plan is the final presentation sort (rangepartitioning);
+      // no hash exchange may appear at any corpus size
+      val d14Plan = finalPlan(SparkEntry.queries("d14_repetition_signals")(spark, dir))
+      check("d14_projection_only")(
+        !d14Plan.contains("Exchange hashpartitioning"), d14Plan.take(1500))
+
       println(s"""{"dir":"$dir","d03_cand_base":$candBase,"d03_cand_10x":$candBig,""" +
-        s""""d03_ratio":$ratio,"pair_space":$pairSpace,"failures":${failures.size}}""")
+        s""""d03_ratio":$ratio,"pair_space":$pairSpace,"g21_max_fwd":$maxFwd,""" +
+        s""""g21_und_edges":$undN,"failures":${failures.size}}""")
       if (failures.nonEmpty) {
         println(s"FAILURES: ${failures.reverse.mkString(", ")}")
         sys.exit(1)
