@@ -80,6 +80,23 @@ object ExtensionsPack {
         .orderBy("click_id", "view_id")
     },
 
+    // s05: the LEFT OUTER form — clicks with no in-horizon view survive
+    // with null view_id/gap (under streaming, the null is emitted exactly
+    // when the watermark closes the click's window; StreamingSpec drives
+    // that). Oracle = the same inequality join LEFT-preserved.
+    QDef("s05_click_attribution_outer", Some("""
+      SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+             epoch_us(CAST(c.ts AS TIMESTAMP)) - epoch_us(CAST(v.ts AS TIMESTAMP)) AS gap_micros
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ON v.user_id = c.user_id
+       AND CAST(v.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP)
+       AND CAST(v.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP) - INTERVAL '12 hours'
+      ORDER BY click_id, view_id""")) { (s, dir) =>
+      EventsStream.clickAttribution(Tables.events(s, dir), joinType = "left_outer")
+        .orderBy("click_id", "view_id")
+    },
+
     // as-of join (graft.operators.AsOfJoin): every click matched to the
     // user's most recent purchase at or before it — DuckDB's native ASOF
     // LEFT JOIN is the oracle, so the inclusive-tie and no-match-null

@@ -367,6 +367,27 @@ object Relational {
         .orderBy("n_name")
     },
 
+    // ---- q25: order statistics — exact interpolated percentile. Spark's
+    // `percentile` aggregates a value→count map, so memory is ∝ distinct
+    // values per group (fine for bounded-domain measures like quantity;
+    // for unbounded high-cardinality domains the 100 TB path is
+    // approx_percentile/t-digest, approximate by construction and so not
+    // oracle-gated). Both engines interpolate at rank (n-1)*p. ----
+    QDef("q25_quantiles", Some("""
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.5) AS med_qty,
+             quantile_cont(l_quantity, 0.95) AS p95_qty,
+             quantile_cont(l_extendedprice, 0.5) AS med_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("med_qty"),
+          expr("percentile(l_quantity, 0.95)").as("p95_qty"),
+          expr("percentile(l_extendedprice, 0.5)").as("med_price"))
+        .orderBy("l_returnflag")
+    },
+
     // ---- q18: correlated-style per-group avg comparison (join vs subquery) ----
     QDef("q18_above_avg_parts", Some("""
       SELECT p_partkey, p_brand, p_retailprice FROM part

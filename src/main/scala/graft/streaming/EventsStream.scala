@@ -84,10 +84,19 @@ object EventsStream {
     * `gap_micros` is exact integer microsecond arithmetic on the µs-
     * truncated timestamps both engines agree on (see Tables.events).
     */
+  /** @param joinType "inner" (default), or "left_outer" to preserve
+    * clicks with NO in-horizon view (null view_id/gap). Under streaming,
+    * an outer null result is emitted only when the watermark closes the
+    * click's window — no admissible view can arrive any more — which is
+    * exactly the point where the inner variant would evict the click from
+    * state; before that the result would be retractable, and append mode
+    * never retracts.
+    */
   def clickAttribution(
       events: DataFrame,
       horizon: String = "12 hours",
-      watermark: String = "30 minutes"): DataFrame = {
+      watermark: String = "30 minutes",
+      joinType: String = "inner"): DataFrame = {
     val views = events.filter(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
       .withWatermark("view_ts", watermark)
@@ -95,11 +104,14 @@ object EventsStream {
       .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
         col("ts").as("click_ts"))
       .withWatermark("click_ts", watermark)
-    views.join(clicks,
+    // clicks on the left so left_outer preserves the click side; user_id
+    // is projected from the preserved side (non-null on outer rows)
+    clicks.join(views,
         col("user_id") === col("click_user") &&
           col("view_ts") <= col("click_ts") &&
-          col("view_ts") >= col("click_ts") - expr(s"INTERVAL $horizon"))
-      .select(col("click_id"), col("view_id"), col("user_id"),
+          col("view_ts") >= col("click_ts") - expr(s"INTERVAL $horizon"),
+        joinType)
+      .select(col("click_id"), col("view_id"), col("click_user").as("user_id"),
         (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("gap_micros"))
   }
 

@@ -152,6 +152,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("left-outer interval join emits null attribution when the watermark closes the window") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[StreamEvent]
+    val query = EventsStream.clickAttribution(
+        input.toDF(), horizon = "1 hour", watermark = "10 minutes", joinType = "left_outer")
+      .writeStream.format("memory").queryName("outer_attr_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        StreamEvent(1, t(10), 10, "view", 0.0),
+        StreamEvent(2, t(30), 10, "click", 0.0), // pairs with view 1
+        StreamEvent(3, t(35), 11, "click", 0.0)) // user 11 has NO view
+      query.processAllAvailable()
+      val matched = spark.table("outer_attr_test").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2))).toSet
+      // the matched pair emits immediately; the unmatched click must NOT
+      // emit its null row yet — a view for user 11 could still arrive
+      assert(matched === Set((2L, 1L, 10L)))
+      // advance event time far past click 3 + horizon on BOTH branches —
+      // the global watermark is the min across the two watermark nodes,
+      // and a branch only advances on events that reach it, so a
+      // view-only batch would leave the click side (and the global
+      // watermark) stuck. The extra batch is needed because the watermark
+      // computed from batch N applies from batch N+1.
+      input.addData(
+        StreamEvent(4, t(120), 12, "view", 0.0),
+        StreamEvent(5, t(180), 13, "click", 0.0)) // u13: pending, window still open
+      query.processAllAvailable()
+      input.addData(StreamEvent(6, t(200), 14, "view", 0.0))
+      query.processAllAvailable()
+      val all = spark.table("outer_attr_test").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2))).toSet
+      assert(all === Set((2L, 1L, 10L), (3L, -1L, 11L)),
+        s"expected the null-attribution row for click 3 after watermark close, got $all")
+    } finally query.stop()
+  }
+
   test("session_window merges across batches and matches the batch twin") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
