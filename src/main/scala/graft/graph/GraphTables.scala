@@ -255,6 +255,81 @@ object GraphTables {
       .select(col("node_id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
 
+  /** Common-neighbor similarity over the undirected simple graph: for
+    * every node pair sharing at least one neighbor, the shared-neighbor
+    * count and the neighbor-set Jaccard (integer millionths, floor).
+    * The link-prediction companion to [[triangleCounts]].
+    *
+    * Plan: adjacency wedge join (two scans of the symmetrized edge list
+    * equi-joined on the shared neighbor) + one aggregate on the pair key,
+    * then two broadcast-size degree joins. The wedge fan-out is Σ deg(w)²
+    * over shared neighbors w — inherently quadratic in hub degree (no
+    * orientation trick applies: BOTH endpoints of a wedge are outputs
+    * here, unlike triangles where the closing edge filters). At 100 TB
+    * the standard mitigation is capping or sampling hub neighborhoods
+    * (the d10b dfCap pattern); `hubCap` applies it — wedges through
+    * neighbors with degree > cap are excluded from COUNTING, which
+    * changes semantics (documented, like d10b's) and is therefore gated
+    * as its own entry when used.
+    */
+  def commonNeighbors(g: GraphFrames, hubCap: Option[Long] = None): DataFrame = {
+    val und = g.edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .localCheckpoint() // consumed by adj (x2) and deg
+    val adj = und.select(col("u").as("n"), col("v").as("m"))
+      .union(und.select(col("v").as("n"), col("u").as("m")))
+    val deg = adj.groupBy(col("m").as("node")).agg(count(lit(1)).as("deg"))
+    val wedgeSrc = hubCap match {
+      case Some(cap) => adj.join(
+        deg.filter(col("deg") <= cap).select(col("node").as("n")), Seq("n"))
+      case None => adj
+    }
+    val pairs = wedgeSrc.as("x").join(wedgeSrc.as("y"), Seq("n"))
+      .filter(col("x.m") < col("y.m"))
+      .groupBy(col("x.m").as("id_a"), col("y.m").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    val da = deg.select(col("node").as("id_a"), col("deg").as("deg_a"))
+    val db = deg.select(col("node").as("id_b"), col("deg").as("deg_b"))
+    pairs.join(da, "id_a").join(db, "id_b")
+      .select(col("id_a"), col("id_b"), col("common"),
+        expr("common * 1000000 div (deg_a + deg_b - common)").as("jaccard_millionths"))
+  }
+
+  /** PageRank in deterministic integer fixed-point (millionths): every
+    * step is bigint multiply / floor-divide / sum, so the result is
+    * independent of partitioning and summation order — which is what
+    * makes a bit-exact cross-engine oracle possible (double-precision
+    * PageRank is NOT reproducible under Spark's nondeterministic
+    * float-sum order). Directed edges, weight-ignoring; damping 85/100;
+    * dangling mass leaks (documented — the classic simplification).
+    *
+    * pr0 = 1e6 div N; pr'(v) = (base*15 div 100) + (85 * Σ_{u→v}
+    * (pr(u) div outdeg(u))) div 100. Each iteration is one join on src +
+    * one aggregate on dst — the canonical iterate-shuffle shape — with a
+    * localCheckpoint per round so the plan does not grow with the
+    * iteration count.
+    */
+  def pageRank(g: GraphFrames, iterations: Int = 3): DataFrame = {
+    val n = math.max(g.nodes.count(), 1L)
+    val base = 1000000L / n
+    val outdeg = g.edges.groupBy("src").agg(count(lit(1)).as("od"))
+    var pr = g.nodes.select(col("node_id"), lit(base).as("pr"))
+    for (_ <- 1 to iterations) {
+      val contrib = g.edges.join(pr, col("node_id") === col("src"))
+        .join(outdeg, "src")
+        .select(col("dst"), expr("pr div od").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("contrib"))
+      pr = g.nodes.select(col("node_id"))
+        .join(contrib, col("node_id") === col("dst"), "left")
+        .select(col("node_id"),
+          (lit(base * 15 / 100) + expr("85 * coalesce(contrib, 0) div 100")).as("pr"))
+        .localCheckpoint()
+    }
+    pr.select(col("node_id"), col("pr").as("pr_millionths"))
+  }
+
   // -----------------------------------------------------------------------
   // Traversals (graph.rs:580-716)
   // -----------------------------------------------------------------------

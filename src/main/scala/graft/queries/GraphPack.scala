@@ -49,6 +49,20 @@ object GraphPack {
   private def oracle(body: String): Option[String] =
     Some(s"WITH RECURSIVE $T $body")
 
+  /** One unrolled PageRank iteration (g23): the SQL twin of the loop body
+    * in GraphTables.pageRank — per-source floor-divided contribution,
+    * damped integer recombination.
+    */
+  private def prIterSql(i: Int): String = s""",
+      c$i AS (SELECT e.dst, SUM(p.pr // o.od) AS contrib
+              FROM edges e JOIN p${i - 1} p ON p.node_id = e.src
+                JOIN od o ON o.src = e.src
+              GROUP BY e.dst),
+      p$i AS (SELECT n.node_id,
+                (SELECT b FROM base) * 15 // 100
+                  + 85 * COALESCE(c.contrib, 0) // 100 AS pr
+              FROM nodes n LEFT JOIN c$i c ON c.dst = n.node_id)"""
+
   /** BFS level-set CTE from a start node with depth bound and optional
     * weight filter (the recursive twin of GraphTables.traverseBfs).
     */
@@ -270,6 +284,39 @@ object GraphPack {
       FROM nodes n LEFT JOIN pern p ON p.node_id = n.node_id
       GROUP BY n.node_id ORDER BY n.node_id""")) { (s, dir) =>
       GraphTables.triangleCounts(GraphTables.forDir(s, dir)).orderBy("node_id")
+    },
+
+    // ---- analytics extension: common-neighbor similarity (link
+    // prediction). Oracle = the same wedge-join derivation relationally ----
+    QDef("g22_common_neighbors", oracle(""",
+      und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+              FROM edges WHERE src != dst),
+      adj AS (SELECT u AS n, v AS m FROM und UNION ALL SELECT v, u FROM und),
+      deg AS (SELECT m AS node, count(*) AS deg FROM adj GROUP BY m),
+      prs AS (SELECT x.m AS id_a, y.m AS id_b, count(*) AS common
+              FROM adj x JOIN adj y ON x.n = y.n AND x.m < y.m GROUP BY 1, 2)
+      SELECT p.id_a, p.id_b, p.common,
+             CAST((p.common * 1000000) // (a.deg + b.deg - p.common) AS BIGINT)
+               AS jaccard_millionths
+      FROM prs p JOIN deg a ON a.node = p.id_a JOIN deg b ON b.node = p.id_b
+      ORDER BY p.id_a, p.id_b""")) { (s, dir) =>
+      GraphTables.commonNeighbors(GraphTables.forDir(s, dir)).orderBy("id_a", "id_b")
+    },
+
+    // ---- analytics extension: PageRank, 3 iterations of deterministic
+    // integer fixed-point (bigint floor arithmetic is summation-order- and
+    // partitioning-independent, so the oracle can unroll the identical
+    // recurrence and match bit-for-bit — double-precision PageRank could
+    // not be gated this way) ----
+    QDef("g23_pagerank", oracle(""",
+      cnt AS (SELECT count(*) AS n FROM nodes),
+      base AS (SELECT (1000000 // n) AS b FROM cnt),
+      od AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+      p0 AS (SELECT node_id, (SELECT b FROM base) AS pr FROM nodes)""" +
+      (1 to 3).map(prIterSql).mkString + """
+      SELECT node_id, CAST(pr AS BIGINT) AS pr_millionths FROM p3
+      ORDER BY node_id""")) { (s, dir) =>
+      GraphTables.pageRank(GraphTables.forDir(s, dir), iterations = 3).orderBy("node_id")
     },
 
     // ---- integrity: commutative distributed checksum. The oracle

@@ -191,4 +191,56 @@ class GraphTablesSpec extends AnyFunSuite {
     assert(counts === Map(
       0L -> 1L, 1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 2L, 6L -> 0L))
   }
+
+  test("common neighbors: counts and Jaccard on the hand fixture; hubCap drops hub wedges") {
+    import spark.implicits._
+    val edges = Seq(
+      (0L, 1L), (1L, 2L), (2L, 0L),
+      (2L, 3L), (3L, 4L), (4L, 5L), (5L, 2L), (3L, 5L)
+    ).toDF("src", "dst").withColumn("weight", lit(1L))
+    val nodes = (0L to 5L).toDF("node_id").withColumn("entity_id", col("node_id"))
+    val g = GraphFrames(spark.emptyDataFrame, nodes, edges, spark.emptyDataFrame)
+    val got = GraphTables.commonNeighbors(g)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // neighborhoods: 0:{1,2} 1:{0,2} 2:{0,1,3,5} 3:{2,4,5} 4:{3,5} 5:{2,3,4}
+    assert(got((2L, 4L)) === ((2L, 500000L))) // share {3,5}; 2/(4+2-2)
+    assert(got((3L, 5L)) === ((2L, 500000L))) // share {2,4}; 2/(3+3-2)
+    assert(got((0L, 1L)) === ((1L, 333333L))) // share {2}; 1/3 floor
+    assert(got((2L, 3L)) === ((1L, 166666L))) // share {5}; 1/6 floor
+    assert(got.size === 13)
+    // hubCap 3 excludes wedges THROUGH node 2 (degree 4): pairs whose only
+    // shared neighbor is the hub disappear; pairs sharing sub-cap
+    // neighbors keep exactly those
+    val capped = GraphTables.commonNeighbors(g, hubCap = Some(3L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(!capped.contains((0L, 1L)), "only shared neighbor is the hub")
+    assert(capped((2L, 4L)) === 2L, "both shared neighbors are sub-cap")
+    assert(capped((3L, 5L)) === 1L, "hub neighbor 2 dropped, neighbor 4 kept")
+  }
+
+  test("pageRank fixed-point matches a plain-Scala recurrence twin exactly") {
+    import spark.implicits._
+    // directed: a 2-cycle, a feeder, a dangling sink, and a self-loop
+    val edgeList = Seq((0L, 1L), (1L, 0L), (2L, 0L), (2L, 3L), (4L, 4L))
+    val edges = edgeList.toDF("src", "dst").withColumn("weight", lit(1L))
+    val nodes = (0L to 4L).toDF("node_id").withColumn("entity_id", col("node_id"))
+    val g = GraphFrames(spark.emptyDataFrame, nodes, edges, spark.emptyDataFrame)
+    for (iters <- 1 to 3) {
+      val got = GraphTables.pageRank(g, iterations = iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // sequential twin of the documented recurrence
+      val n = 5L
+      val base = 1000000L / n
+      val outdeg = edgeList.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      var pr = (0L to 4L).map(_ -> base).toMap
+      for (_ <- 1 to iters) {
+        val contrib = edgeList
+          .groupBy(_._2).view
+          .mapValues(_.map { case (u, _) => pr(u) / outdeg(u) }.sum).toMap
+        pr = (0L to 4L).map(v =>
+          v -> (base * 15 / 100 + 85 * contrib.getOrElse(v, 0L) / 100)).toMap
+      }
+      assert(got === pr, s"iteration count $iters")
+    }
+  }
 }
