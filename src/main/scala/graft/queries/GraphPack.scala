@@ -303,6 +303,30 @@ object GraphPack {
       GraphTables.commonNeighbors(GraphTables.forDir(s, dir)).orderBy("id_a", "id_b")
     },
 
+    // ---- g22b: the hub-capped PRODUCTION configuration — wedges through
+    // shared neighbors of degree > 60 are excluded from counting (the
+    // wedge join's fan-out is quadratic in hub degree; at 100 TB a
+    // celebrity node would dominate it). The oracle applies the identical
+    // exclusion, so the capped semantics are gated exactly: common counts
+    // only sub-cap shared neighbors, Jaccard keeps the FULL degrees ----
+    QDef("g22b_common_neighbors_capped", oracle(""",
+      und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+              FROM edges WHERE src != dst),
+      adj AS (SELECT u AS n, v AS m FROM und UNION ALL SELECT v, u FROM und),
+      deg AS (SELECT m AS node, count(*) AS deg FROM adj GROUP BY m),
+      cold AS (SELECT node FROM deg WHERE deg <= 60),
+      adjc AS (SELECT a.n, a.m FROM adj a JOIN cold ON cold.node = a.n),
+      prs AS (SELECT x.m AS id_a, y.m AS id_b, count(*) AS common
+              FROM adjc x JOIN adjc y ON x.n = y.n AND x.m < y.m GROUP BY 1, 2)
+      SELECT p.id_a, p.id_b, p.common,
+             CAST((p.common * 1000000) // (a.deg + b.deg - p.common) AS BIGINT)
+               AS jaccard_millionths
+      FROM prs p JOIN deg a ON a.node = p.id_a JOIN deg b ON b.node = p.id_b
+      ORDER BY p.id_a, p.id_b""")) { (s, dir) =>
+      GraphTables.commonNeighbors(GraphTables.forDir(s, dir), hubCap = Some(60L))
+        .orderBy("id_a", "id_b")
+    },
+
     // ---- analytics extension: PageRank, 3 iterations of deterministic
     // integer fixed-point (bigint floor arithmetic is summation-order- and
     // partitioning-independent, so the oracle can unroll the identical
