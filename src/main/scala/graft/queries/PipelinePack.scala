@@ -70,6 +70,46 @@ object PipelinePack {
   private def shingles(docs: DataFrame): DataFrame =
     shingleBag(docs).distinct()
 
+  /** Distinct n-gram word shingles per document for arbitrary n —
+    * the [[shingleBag]] shape generalized (token array projected once;
+    * `slice` instead of per-position indexing).
+    */
+  private def grams(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), toks.as("ts"))
+      .select(
+        col("doc_id"),
+        explode(when(size(col("ts")) >= n,
+          expr(s"transform(sequence(0, size(ts) - $n), " +
+            s"i -> concat_ws(' ', slice(ts, i + 1, $n)))"))
+          .otherwise(array().cast("array<string>"))).as("g"))
+      .distinct()
+
+  /** Benchmark decontamination: training documents sharing at least one
+    * n-gram with any document of the held-out eval set, with the shared
+    * distinct-n-gram count per (train, eval) pair — the standard
+    * n-gram-overlap contamination check run before training. The eval
+    * set here is the deterministic `doc_id % evalMod == 0` slice (a
+    * stand-in for an external benchmark corpus; the operator only
+    * assumes SOME eval-membership predicate or table).
+    *
+    * Plan: inverted-index equi-join on the n-gram — at 100 TB the eval
+    * side (a benchmark suite) is tiny and broadcastable, so the check is
+    * one broadcast-hash join over the training corpus scan; the per-gram
+    * fan-out is df_train(g) x df_eval(g), with df_eval bounded by the
+    * eval corpus. No pair enumeration beyond actually-shared grams.
+    */
+  def decontaminationPairs(docs: DataFrame, n: Int = 5, evalMod: Long = 10L): DataFrame = {
+    val sh = grams(docs, n)
+    val ev = broadcast(
+      sh.filter(col("doc_id") % evalMod === 0)
+        .select(col("doc_id").as("eval_doc"), col("g")))
+    val tr = sh.filter(col("doc_id") % evalMod =!= 0)
+      .select(col("doc_id").as("train_doc"), col("g"))
+    tr.join(ev, "g")
+      .groupBy("train_doc", "eval_doc")
+      .agg(count(lit(1)).as("shared_ngrams"))
+  }
+
   private val MinHashes = 128
   private val Bands = 32
   private val RowsPerBand = MinHashes / Bands
@@ -595,6 +635,23 @@ object PipelinePack {
           maxB.as("top_bigram_count"),
           (maxB * 1000000L).divide(nB).cast("long").as("top_bigram_millionths"))
         .orderBy("doc_id")
+    },
+
+    // ---- benchmark decontamination: 5-gram overlap between the training
+    // slice and the held-out eval slice (doc_id % 10 == 0). The oracle
+    // re-derives the same inverted-index join relationally. ----
+    QDef("d15_decontamination", Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      idx AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) i FROM tok),
+      sh AS (SELECT DISTINCT doc_id,
+               ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4] AS g
+             FROM idx),
+      ev AS (SELECT doc_id AS eval_doc, g FROM sh WHERE doc_id % 10 = 0),
+      tr AS (SELECT doc_id AS train_doc, g FROM sh WHERE doc_id % 10 != 0)
+      SELECT tr.train_doc, ev.eval_doc, count(*) AS shared_ngrams
+      FROM tr JOIN ev ON tr.g = ev.g
+      GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, dir) =>
+      decontaminationPairs(Tables.documents(s, dir)).orderBy("train_doc", "eval_doc")
     }
   )
 }

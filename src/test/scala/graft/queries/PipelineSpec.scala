@@ -102,6 +102,30 @@ class PipelineSpec extends AnyFunSuite {
       s"expected a reused exchange in:\n$plan")
   }
 
+  test("decontamination equals a brute-force gram-set intersection; eval side broadcasts") {
+    val docs = graft.Tables.documents(spark, dir)
+    val dfOut = PipelinePack.decontaminationPairs(docs, n = 4, evalMod = 10L)
+    val got = dfOut.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    // sequential twin: distinct 4-gram sets per doc, pairwise intersect
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(' ').sliding(4)
+        .map(_.mkString(" ")).toSet)
+    val (ev, tr) = texts.partition(_._1 % 10 == 0)
+    val expected = (for {
+      (t, tg) <- tr; (e, eg) <- ev
+      shared = (tg & eg).size if shared > 0
+    } yield (t, e) -> shared.toLong).toMap
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture must actually contain contamination")
+    assert(got.keys.forall { case (t, e) => t % 10 != 0 && e % 10 == 0 })
+    // the eval side is the small one — the check must stay one broadcast
+    // join over the training scan
+    val plan = dfOut.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
   test("dedup clusters close pairs transitively: a chain is one family") {
     import spark.implicits._
     // a 5-link chain: doc k shares a 4-token run with doc k+1 only —
