@@ -216,6 +216,39 @@ object GraphTables {
     * what makes this the 100 TB-safe plan; equi-joins only, no enumeration
     * of neighbor pairs on the driver.
     */
+  /** Canonical undirected simple edge list of the signal graph:
+    * self-edges dropped, direction and weight ignored, one row per
+    * unordered pair as (u, v) with u < v. Shared by [[triangleCounts]],
+    * [[commonNeighbors]] and the scale rehearsal so the analytics
+    * operators and the invariants that measure them derive the SAME
+    * graph.
+    */
+  def undirectedSimpleEdges(g: GraphFrames): DataFrame =
+    g.edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+
+  /** Degree-ordered forward orientation of an undirected edge list: each
+    * edge directed from its lower-(degree, id) endpoint (`lo`) to the
+    * higher (`hi`). The max forward degree of ANY vertex under this
+    * orientation is O(sqrt E) — the bound [[triangleCounts]]' wedge join
+    * and the rehearsal invariant both rely on.
+    */
+  def forwardEdges(und: DataFrame): DataFrame = {
+    val deg = und.select(col("u").as("node_id"))
+      .union(und.select(col("v").as("node_id")))
+      .groupBy("node_id").agg(count(lit(1)).as("deg"))
+    val du = deg.select(col("node_id").as("u"), col("deg").as("du"))
+    val dv = deg.select(col("node_id").as("v"), col("deg").as("dv"))
+    val fwdIsUV =
+      col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    und.join(du, "u").join(dv, "v")
+      .select(
+        when(fwdIsUV, col("u")).otherwise(col("v")).as("lo"),
+        when(fwdIsUV, col("v")).otherwise(col("u")).as("hi"))
+  }
+
   def triangleCounts(g: GraphFrames): DataFrame = {
     // localCheckpoint on `und` and `fwd` cuts the shared subtrees: `und`
     // feeds the degree aggregate AND the orientation join, and `fwd` is
@@ -224,24 +257,8 @@ object GraphTables {
     // shuffles, and measurably dominated by stage overhead). The
     // checkpoint is linear in |E| — the same materialization GraphX makes
     // for its edge partitions.
-    val und = g.edges.filter(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
-      .distinct()
-      .localCheckpoint()
-    val deg = und.select(col("u").as("node_id"))
-      .union(und.select(col("v").as("node_id")))
-      .groupBy("node_id").agg(count(lit(1)).as("deg"))
-    // forward orientation by the (deg, id) total order
-    val du = deg.select(col("node_id").as("u"), col("deg").as("du"))
-    val dv = deg.select(col("node_id").as("v"), col("deg").as("dv"))
-    val fwd = und.join(du, "u").join(dv, "v")
-      .select(
-        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
-          col("u")).otherwise(col("v")).as("lo"),
-        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
-          col("v")).otherwise(col("u")).as("hi"))
-      .localCheckpoint()
+    val und = undirectedSimpleEdges(g).localCheckpoint()
+    val fwd = forwardEdges(und).localCheckpoint()
     val e1 = fwd.select(col("lo").as("x"), col("hi").as("y"))
     val e2 = fwd.select(col("lo").as("y"), col("hi").as("z"))
     val e3 = fwd.select(col("lo").as("x"), col("hi").as("z"))
@@ -273,10 +290,7 @@ object GraphTables {
     * as its own entry when used.
     */
   def commonNeighbors(g: GraphFrames, hubCap: Option[Long] = None): DataFrame = {
-    val und = g.edges.filter(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
-      .distinct()
+    val und = undirectedSimpleEdges(g)
       .localCheckpoint() // consumed by adj (x2) and deg
     val adj = und.select(col("u").as("n"), col("v").as("m"))
       .union(und.select(col("v").as("n"), col("u").as("m")))
@@ -314,7 +328,10 @@ object GraphTables {
   def pageRank(g: GraphFrames, iterations: Int = 3): DataFrame = {
     val n = math.max(g.nodes.count(), 1L)
     val base = 1000000L / n
+    // checkpointed like pr: being lazy, the aggregate would otherwise
+    // re-scan and re-shuffle the edge table inside EVERY iteration
     val outdeg = g.edges.groupBy("src").agg(count(lit(1)).as("od"))
+      .localCheckpoint()
     var pr = g.nodes.select(col("node_id"), lit(base).as("pr"))
     for (_ <- 1 to iterations) {
       val contrib = g.edges.join(pr, col("node_id") === col("src"))

@@ -334,7 +334,7 @@ object GraphPack {
     // not be gated this way) ----
     QDef("g23_pagerank", oracle(""",
       cnt AS (SELECT count(*) AS n FROM nodes),
-      base AS (SELECT (1000000 // n) AS b FROM cnt),
+      base AS (SELECT (1000000 // greatest(n, 1)) AS b FROM cnt),
       od AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
       p0 AS (SELECT node_id, (SELECT b FROM base) AS pr FROM nodes)""" +
       (1 to 3).map(prIterSql).mkString + """

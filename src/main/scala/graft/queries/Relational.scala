@@ -360,10 +360,15 @@ object Relational {
         .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
         .pivot("o_orderstatus", Seq("F", "O", "P"))
-        .agg(coalesce(dsum(col("o_totalprice")), lit(0d)))
+        .agg(dsum(col("o_totalprice")))
         .withColumnRenamed("F", "vol_f")
         .withColumnRenamed("O", "vol_o")
         .withColumnRenamed("P", "vol_p")
+        // a (nation, status) combo with no rows pivots to NULL — the fill
+        // must happen AFTER the pivot (a coalesce inside the agg runs in
+        // the pre-pivot phase, where absent combos have no row at all,
+        // and PivotFirst still fills the missing cell with NULL)
+        .na.fill(0d, Seq("vol_f", "vol_o", "vol_p"))
         .orderBy("n_name")
     },
 

@@ -97,18 +97,13 @@ object ScaleRehearsal {
       import org.apache.spark.sql.functions._
       val g21Plan = finalPlan(SparkEntry.queries("g21_triangle_counts")(spark, dir))
       check("g21_no_cartesian")(!g21Plan.contains("CartesianProduct"), g21Plan.take(1500))
+      // measured on the PRODUCTION derivation (GraphTables.forwardEdges),
+      // so the invariant tracks the orientation triangleCounts actually
+      // joins on — a private re-derivation here could silently diverge
       val g = graft.graph.GraphTables.forDir(spark, dir)
-      val und = g.edges.filter(col("src") =!= col("dst"))
-        .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
-        .distinct()
+      val und = graft.graph.GraphTables.undirectedSimpleEdges(g).localCheckpoint()
       val undN = und.count()
-      val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
-        .groupBy("n").agg(count(lit(1)).as("deg"))
-      val du = deg.select(col("n").as("u"), col("deg").as("du"))
-      val dv = deg.select(col("n").as("v"), col("deg").as("dv"))
-      val maxFwd = und.join(du, "u").join(dv, "v")
-        .select(when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
-          col("u")).otherwise(col("v")).as("lo"))
+      val maxFwd = graft.graph.GraphTables.forwardEdges(und)
         .groupBy("lo").agg(count(lit(1)).as("f"))
         .agg(max("f")).head.getLong(0)
       check("g21_forward_degree_sqrt_bound")(
