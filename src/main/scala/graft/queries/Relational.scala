@@ -27,6 +27,28 @@ object Relational {
 
   private def ts(s: String): Column = lit(s).cast("timestamp")
 
+  /** q24's body, exposed so the spec can feed a SPARSE fixture: a
+    * (nation, status) combo with no rows pivots to NULL, and the
+    * zero-fill must happen AFTER the pivot — a coalesce inside the agg
+    * runs in the pre-pivot phase, where the absent combo has no row at
+    * all, and PivotFirst still fills the missing cell with NULL.
+    */
+  private[queries] def pivotStatusVolume(
+      orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame =
+    orders
+      // customer scales with sf — no broadcast hint (AQE decides); the
+      // nation dim is fixed-size and broadcast
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(dsum(col("o_totalprice")))
+      .withColumnRenamed("F", "vol_f")
+      .withColumnRenamed("O", "vol_o")
+      .withColumnRenamed("P", "vol_p")
+      .na.fill(0d, Seq("vol_f", "vol_o", "vol_p"))
+      .orderBy("n_name")
+
   val defs: Seq[QDef] = Seq(
 
     // ---- q01: scan + filter + groupBy aggregate (TPC-H Q1 shape) ----
@@ -353,23 +375,7 @@ object Relational {
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
       GROUP BY n_name ORDER BY n_name""")) { (s, dir) =>
-      Tables.orders(s, dir)
-        // customer scales with sf — no broadcast hint (AQE decides); the
-        // nation dim is fixed-size and broadcast
-        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
-        .groupBy("n_name")
-        .pivot("o_orderstatus", Seq("F", "O", "P"))
-        .agg(dsum(col("o_totalprice")))
-        .withColumnRenamed("F", "vol_f")
-        .withColumnRenamed("O", "vol_o")
-        .withColumnRenamed("P", "vol_p")
-        // a (nation, status) combo with no rows pivots to NULL — the fill
-        // must happen AFTER the pivot (a coalesce inside the agg runs in
-        // the pre-pivot phase, where absent combos have no row at all,
-        // and PivotFirst still fills the missing cell with NULL)
-        .na.fill(0d, Seq("vol_f", "vol_o", "vol_p"))
-        .orderBy("n_name")
+      pivotStatusVolume(Tables.orders(s, dir), Tables.customer(s, dir), Tables.nation(s, dir))
     },
 
     // ---- q25: order statistics — exact interpolated percentile. Spark's

@@ -199,6 +199,49 @@ object EventsStream {
       }
   }
 
+  /** Per-user running activity via `transformWithState` — the Spark 4
+    * successor of mapGroupsWithState (StatefulProcessor + typed state
+    * handles + per-state TTL + timers). Semantics-identical twin of
+    * [[userActivity]] (the spec pins parity), written against the new
+    * API so the library exercises the extension point new state
+    * operators should target: state is a named ValueState handle (the
+    * handle layer is what adds TTL, list/map state and timers over what
+    * mapGroupsWithState could express). Requires the RocksDB state store
+    * provider (transformWithState needs multiple column families).
+    */
+  class ActivityProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, UserActivity] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var state: ValueState[UserActivity] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserActivity](
+        "activity", org.apache.spark.sql.Encoders.product[UserActivity], TTLConfig.NONE)
+    override def handleInputRows(
+        userId: Long,
+        batch: Iterator[UserEvent],
+        timerValues: TimerValues): Iterator[UserActivity] = {
+      val events = batch.toSeq.sortBy(e => (e.ts.getTime, e.eventType))
+      val prior = if (state.exists()) state.get() else UserActivity(userId, 0L, "")
+      val updated = UserActivity(
+        userId,
+        prior.nEvents + events.length,
+        events.lastOption.map(_.eventType).getOrElse(prior.lastType))
+      state.update(updated)
+      Iterator.single(updated)
+    }
+  }
+
+  /** [[userActivity]] through the transformWithState API. */
+  def userActivityTws(events: Dataset[UserEvent]): Dataset[UserActivity] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .transformWithState(
+        new ActivityProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Wire a streaming source through windowedCounts into a memory sink —
     * the readStream → transform → writeStream shape (used by the spec; in
     * production the sink would be a parquet/kafka writer with

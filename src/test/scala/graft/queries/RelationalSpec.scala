@@ -1,0 +1,31 @@
+package graft.queries
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Targeted edge-case pins for the relational pack beyond the DuckDB
+  * oracle, which can only exercise the combinations present in the
+  * fixtures.
+  */
+class RelationalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("pivot fills absent (nation, status) combos with 0.0, not NULL") {
+    import spark.implicits._
+    // BETA has no 'O' or 'P' orders; ALPHA has no 'P' — the oracle's
+    // COALESCE(..., 0) must be matched by a POST-pivot fill (an in-agg
+    // coalesce leaves the absent cells NULL; the driver gate only sees
+    // this on sparser data than the stock fixtures)
+    val orders = Seq(
+      (1L, 10L, "F", 100.0), (2L, 10L, "O", 50.0), (3L, 20L, "F", 30.0)
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val customer = Seq((10L, 1L), (20L, 2L)).toDF("c_custkey", "c_nationkey")
+    val nation = Seq((1L, "ALPHA"), (2L, "BETA")).toDF("n_nationkey", "n_name")
+    val rows = Relational.pivotStatusVolume(orders, customer, nation).collect()
+    assert(rows.forall(r => (1 to 3).forall(i => !r.isNullAt(i))),
+      s"pivot must never emit NULL cells: ${rows.mkString(", ")}")
+    val got = rows.map(r =>
+      (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got === Seq(("ALPHA", 100.0, 50.0, 0.0), ("BETA", 30.0, 0.0, 0.0)))
+  }
+}

@@ -81,6 +81,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("transformWithState twin matches mapGroupsWithState activity across batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // transformWithState requires the RocksDB provider (multiple column
+    // families); scope it to this query and restore after
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[EventsStream.UserEvent]
+    val query = EventsStream.userActivityTws(input.toDS())
+      .writeStream.format("memory").queryName("tws_activity_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        EventsStream.UserEvent(10, t(1), "click"),
+        EventsStream.UserEvent(10, t(2), "view"),
+        EventsStream.UserEvent(11, t(3), "signup"))
+      query.processAllAvailable()
+      input.addData(EventsStream.UserEvent(10, t(4), "purchase"))
+      query.processAllAvailable()
+      val last = spark.table("tws_activity_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+      // identical to what the mapGroupsWithState twin produces on the
+      // same batches (userActivity's spec above)
+      assert(last === Map(
+        10L -> ((10L, 3L, "purchase")),
+        11L -> ((11L, 1L, "signup"))))
+    } finally {
+      query.stop()
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("the streaming transform gives batch-identical results on the same data") {
     import spark.implicits._
     val events = Seq(
