@@ -269,6 +269,27 @@ object AnnPack {
       .select(least(col("ia"), col("ib")).as("id_a"), greatest(col("ia"), col("ib")).as("id_b"))
   }
 
+  /** Symmetric int8 quantization of an embedding column — the standard
+    * storage/serving compression for vector corpora (4x smaller than
+    * float32, dot products in integer SIMD on the serving side). Scale is
+    * per-vector 127/max|v| (so the largest component maps to ±127);
+    * output is posexploded to (vec_id, dim, q, scale) rows because the
+    * driver compare hashes scalar cells, not arrays. Every step is
+    * IEEE-double arithmetic (float widens exactly) + away-from-zero
+    * rounding, identical in both engines, so the oracle is bit-exact.
+    * A zero vector (max|v| = 0) quantizes to scale 0 / all-zero q by
+    * convention, mirrored in the oracle's CASE.
+    */
+  def int8Quantize(emb: DataFrame): DataFrame = {
+    val maxAbs = array_max(transform(col("embedding"), x => abs(x)))
+    emb
+      .select(col("vec_id"), col("embedding"),
+        when(maxAbs === 0f, lit(0d)).otherwise(lit(127.0) / maxAbs).as("scale"))
+      .select(col("vec_id"), col("scale"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").cast("long").as("dim"),
+        round(col("col") * col("scale")).cast("long").as("q"), col("scale"))
+  }
+
   val defs: Seq[QDef] = Seq(
 
     QDef("e01_ann_brute_topk", Some(s"""
@@ -311,6 +332,25 @@ object AnnPack {
       SELECT q_id, rank, vec_id AS neighbor_id FROM ranked
       WHERE rank <= $K ORDER BY q_id, rank""")) { (s, dir) =>
       ivfTopK(embeddings(s, dir), nprobe = NumCentroids).orderBy("q_id", "rank")
+    },
+
+    // ---- int8 quantization: per-vector symmetric scale, exploded rows ----
+    QDef("e05_int8_quantize", Some("""
+      WITH s AS (
+        -- the max|v| must be CAST to DOUBLE before dividing: DuckDB's
+        -- decimal-literal / FLOAT stays FLOAT, while Spark widens the
+        -- float max to double — same value, different division precision
+        SELECT vec_id, embedding,
+               CASE WHEN list_max(list_transform(embedding, x -> abs(x))) = 0
+                    THEN CAST(0 AS DOUBLE)
+                    ELSE 127.0 / CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+               END AS scale
+        FROM embeddings),
+      u AS (SELECT vec_id, scale, embedding, unnest(range(1, len(embedding) + 1)) AS i FROM s)
+      SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+             CAST(round(embedding[i] * scale) AS BIGINT) AS q, scale
+      FROM u ORDER BY vec_id, dim""")) { (s, dir) =>
+      int8Quantize(embeddings(s, dir)).orderBy("vec_id", "dim")
     },
 
     // ---- embedding-cosine near-duplicate pairs ----

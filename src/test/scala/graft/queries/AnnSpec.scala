@@ -241,6 +241,24 @@ class AnnSpec extends AnyFunSuite {
       s"largest salted join-key bucket $maxBucket vs hot cell $maxCell: expected >=4x split")
   }
 
+  test("int8 quantization: |q| <= 127 and dequantized error within half a step") {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val rows = AnnPack.int8Quantize(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, _, q, _) => q >= -127 && q <= 127 })
+    val orig = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    rows.foreach { case (id, dim, q, scale) =>
+      val v = orig(id)(dim.toInt).toDouble
+      assert(scale > 0, s"fixture has no zero vectors; vec $id")
+      // round(v*scale) is within 0.5 of v*scale, so dequantized q/scale
+      // is within half a quantization step of the original
+      assert(math.abs(q / scale - v) <= 0.5 / scale + 1e-12,
+        s"vec $id dim $dim: q=$q scale=$scale v=$v")
+    }
+  }
+
   test("IVF probing all cells reproduces brute force exactly (ranks included)") {
     val emb = graft.Tables.embeddings(spark, dir)
     val bf = AnnPack.bruteForceTopK(emb)
