@@ -110,8 +110,11 @@ class PipelineSpec extends AnyFunSuite {
 
     // sequential twin: distinct 4-gram sets per doc, pairwise intersect
     val texts = docs.select("doc_id", "text").collect()
-      .map(r => r.getLong(0) -> r.getString(1).split(' ').sliding(4)
-        .filter(_.length == 4) // sliding yields one SHORT window on <4-token docs; grams() emits none
+      // split(" ", -1) keeps trailing empty tokens like Spark's split();
+      // sliding yields one SHORT window on <4-token docs where grams()
+      // emits none — hence the length filter
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).sliding(4)
+        .filter(_.length == 4)
         .map(_.mkString(" ")).toSet)
     val (ev, tr) = texts.partition(_._1 % 10 == 0)
     val expected = (for {

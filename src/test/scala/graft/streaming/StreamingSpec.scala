@@ -91,10 +91,13 @@ class StreamingSpec extends AnyFunSuite {
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val input = MemoryStream[EventsStream.UserEvent]
-    val query = EventsStream.userActivityTws(input.toDS())
-      .writeStream.format("memory").queryName("tws_activity_test")
-      .outputMode(OutputMode.Update()).start()
+    // start() inside the try: a failed start must still restore the
+    // provider conf for the rest of the shared session
+    var query: org.apache.spark.sql.streaming.StreamingQuery = null
     try {
+      query = EventsStream.userActivityTws(input.toDS())
+        .writeStream.format("memory").queryName("tws_activity_test")
+        .outputMode(OutputMode.Update()).start()
       input.addData(
         EventsStream.UserEvent(10, t(1), "click"),
         EventsStream.UserEvent(10, t(2), "view"),
@@ -111,7 +114,7 @@ class StreamingSpec extends AnyFunSuite {
         10L -> ((10L, 3L, "purchase")),
         11L -> ((11L, 1L, "signup"))))
     } finally {
-      query.stop()
+      if (query != null) query.stop()
       prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
     }
   }
