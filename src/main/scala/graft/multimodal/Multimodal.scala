@@ -83,6 +83,39 @@ object Multimodal {
     * carries the clamped target dims; payloads shorter than the target
     * pass through whole.
     */
+  /** Per-frame signal energy over the payload: bytes (unsigned) framed
+    * into `frameBytes`-sample windows, each reduced to sample count, sum
+    * of squares (the audio-energy / silence-detection primitive) and
+    * peak. Unlike [[stubDecode]] this is REAL byte math, not a stub —
+    * energy over raw samples needs no codec. Integer arithmetic
+    * throughout, so the oracle re-derives it exactly. Same
+    * partition-wise batch shape as [[decodeFeatures]]; output is one row
+    * per (doc, frame) — the shape a VAD/silence filter consumes.
+    */
+  def frameEnergy(media: DataFrame, frameBytes: Int = 32): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          payload.grouped(frameBytes).zipWithIndex.map { case (frame, idx) =>
+            var energy = 0L
+            var peak = 0L
+            var i = 0
+            while (i < frame.length) {
+              val v = (frame(i) & 0xff).toLong
+              energy += v * v
+              if (v > peak) peak = v
+              i += 1
+            }
+            (id, idx.toLong, frame.length.toLong, energy, peak)
+          }
+        }
+      }
+      .toDF("doc_id", "frame", "n_samples", "energy", "peak")
+  }
+
   def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._

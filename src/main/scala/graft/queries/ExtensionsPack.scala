@@ -242,5 +242,25 @@ object ExtensionsPack {
           md5(col("resized")).as("resized_md5"))
         .orderBy("doc_id")
     },
+
+    // m05: per-frame energy/peak over the raw payload bytes — real
+    // integer byte math (no codec needed), 32-byte frames. The oracle
+    // re-derives every sample via ascii() on the same text bytes the
+    // media payload encodes.
+    QDef("m05_frame_energy", Some("""
+      WITH d AS (SELECT doc_id, text, strlen(text) AS len FROM documents),
+      idx AS (SELECT doc_id, text, unnest(range(0, len)) AS i FROM d),
+      b AS (SELECT doc_id, i // 32 AS frame,
+                   ascii(substr(text, CAST(i AS BIGINT) + 1, 1)) AS v
+            FROM idx)
+      SELECT doc_id, CAST(frame AS BIGINT) AS frame,
+             count(*) AS n_samples,
+             CAST(SUM(v * v) AS BIGINT) AS energy,
+             CAST(MAX(v) AS BIGINT) AS peak
+      FROM b GROUP BY doc_id, frame
+      ORDER BY doc_id, frame""")) { (s, dir) =>
+      Multimodal.frameEnergy(Multimodal.mediaFromDocuments(Tables.documents(s, dir)))
+        .orderBy("doc_id", "frame")
+    },
   )
 }

@@ -61,4 +61,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(resized === expected)
     assert(resized.values.forall(_._3.length <= 256))
   }
+
+  test("frame energy: exact integer recompute incl. the short trailing frame") {
+    val got = Multimodal.frameEnergy(media, frameBytes = 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val expected = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .flatMap { r =>
+        val id = r.getLong(0)
+        r.getString(1).getBytes("UTF-8").grouped(32).zipWithIndex.map { case (f, i) =>
+          val vs = f.map(b => (b & 0xff).toLong)
+          (id, i.toLong) -> ((f.length.toLong, vs.map(v => v * v).sum, vs.max))
+        }
+      }.toMap
+    assert(got === expected)
+    // the corpus guarantees at least one non-multiple-of-32 payload, so
+    // the trailing short frame path is actually exercised
+    assert(expected.exists { case (_, (n, _, _)) => n < 32 })
+  }
 }
