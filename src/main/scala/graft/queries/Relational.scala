@@ -399,6 +399,28 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // ---- q26: RANGE-frame window — events per user in the trailing hour
+    // (the sliding-window-count primitive rate limiters and burst
+    // detectors use). ROWS frames count physical rows; RANGE frames bound
+    // by the ORDER BY VALUE and include ties, which is the semantics both
+    // engines share. Spark's rangeBetween needs a numeric sort key, so
+    // the frame is expressed over epoch microseconds in both. ----
+    QDef("q26_trailing_hour_counts", Some("""
+      SELECT user_id, event_id,
+             count(*) OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+               AS n_last_hour
+      FROM events ORDER BY user_id, event_id""")) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+        .rangeBetween(-3600000000L, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+        .select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("n_last_hour"))
+        .orderBy("user_id", "event_id")
+    },
+
     // ---- q18: correlated-style per-group avg comparison (join vs subquery) ----
     QDef("q18_above_avg_parts", Some("""
       SELECT p_partkey, p_brand, p_retailprice FROM part

@@ -218,6 +218,57 @@ class GraphTablesSpec extends AnyFunSuite {
     assert(capped((3L, 5L)) === 1L, "hub neighbor 2 dropped, neighbor 4 kept")
   }
 
+  test("random graphs: triangles, common neighbors and pageRank match sequential twins") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val genEdges: Gen[List[(Long, Long)]] = Gen.listOfN(60, for {
+      s <- Gen.chooseNum(0L, 14L); d <- Gen.chooseNum(0L, 14L)
+    } yield (s, d))
+    for (seed <- 0 until 4) {
+      val edgeList = genEdges.apply(Gen.Parameters.default, Seed(seed.toLong)).get.distinct
+      val nodes = (0L to 14L).toDF("node_id").withColumn("entity_id", col("node_id"))
+      val edges = edgeList.toDF("src", "dst").withColumn("weight", lit(1L))
+      val g = GraphFrames(spark.emptyDataFrame, nodes, edges, spark.emptyDataFrame)
+
+      // sequential adjacency (undirected simple view)
+      val und = edgeList.filter { case (s, d) => s != d }
+        .map { case (s, d) => (math.min(s, d), math.max(s, d)) }.toSet
+      val nbr = (0L to 14L).map(v =>
+        v -> und.collect { case (a, b) if a == v => b; case (a, b) if b == v => a }).toMap
+
+      val tri = GraphTables.triangleCounts(g)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val triExp = (0L to 14L).map { v =>
+        v -> und.toSeq.count { case (a, b) =>
+          a != v && b != v && nbr(v).contains(a) && nbr(v).contains(b) }.toLong
+      }.toMap
+      assert(tri === triExp, s"seed $seed triangles")
+
+      val cn = GraphTables.commonNeighbors(g)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+      val cnExp = (for {
+        a <- 0L to 14L; b <- a + 1 to 14L
+        common = (nbr(a).toSet & nbr(b).toSet).size if common > 0
+      } yield (a, b) -> ((common.toLong,
+        common.toLong * 1000000L / (nbr(a).size + nbr(b).size - common)))).toMap
+      assert(cn === cnExp, s"seed $seed common neighbors")
+
+      val pr = GraphTables.pageRank(g, iterations = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val base = 1000000L / 15L
+      val outdeg = edgeList.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      var prSeq = (0L to 14L).map(_ -> base).toMap
+      for (_ <- 1 to 3) {
+        val contrib = edgeList.groupBy(_._2).view
+          .mapValues(_.map { case (u, _) => prSeq(u) / outdeg(u) }.sum).toMap
+        prSeq = (0L to 14L).map(v =>
+          v -> (base * 15 / 100 + 85 * contrib.getOrElse(v, 0L) / 100)).toMap
+      }
+      assert(pr === prSeq, s"seed $seed pageRank")
+    }
+  }
+
   test("pageRank fixed-point matches a plain-Scala recurrence twin exactly") {
     import spark.implicits._
     // directed: a 2-cycle, a feeder, a dangling sink, and a self-loop
