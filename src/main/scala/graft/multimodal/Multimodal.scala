@@ -76,13 +76,6 @@ object Multimodal {
       .toDF("doc_id", "features")
   }
 
-  /** Resize: shrink a payload to a fixed target size by evenly-strided
-    * byte sampling — the stub standing in for a real image resampler
-    * (swap the body for a codec call; the partition-batched plumbing,
-    * metadata recompute and schema are production form). Output metadata
-    * carries the clamped target dims; payloads shorter than the target
-    * pass through whole.
-    */
   /** Per-frame signal energy over the payload: bytes (unsigned) framed
     * into `frameBytes`-sample windows, each reduced to sample count, sum
     * of squares (the audio-energy / silence-detection primitive) and
@@ -116,6 +109,13 @@ object Multimodal {
       .toDF("doc_id", "frame", "n_samples", "energy", "peak")
   }
 
+  /** Resize: shrink a payload to a fixed target size by evenly-strided
+    * byte sampling — the stub standing in for a real image resampler
+    * (swap the body for a codec call; the partition-batched plumbing,
+    * metadata recompute and schema are production form). Output metadata
+    * carries the clamped target dims; payloads shorter than the target
+    * pass through whole.
+    */
   def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._

@@ -245,8 +245,10 @@ object ExtensionsPack {
 
     // m05: per-frame energy/peak over the raw payload bytes — real
     // integer byte math (no codec needed), 32-byte frames. The oracle
-    // re-derives every sample via ascii() on the same text bytes the
-    // media payload encodes.
+    // re-derives every sample via ascii() on the source text; like m04's
+    // substr/strlen oracle this equates characters with payload bytes,
+    // valid because the corpus is pure ASCII (the m02 premise) — a
+    // non-ASCII doc would need an octet-level oracle instead.
     QDef("m05_frame_energy", Some("""
       WITH d AS (SELECT doc_id, text, strlen(text) AS len FROM documents),
       idx AS (SELECT doc_id, text, unnest(range(0, len)) AS i FROM d),
