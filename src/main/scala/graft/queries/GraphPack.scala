@@ -304,17 +304,25 @@ object GraphPack {
     },
 
     // ---- g22b: the hub-capped PRODUCTION configuration — wedges through
-    // shared neighbors of degree > 60 are excluded from counting (the
+    // shared neighbors above the cap are excluded from counting (the
     // wedge join's fan-out is quadratic in hub degree; at 100 TB a
-    // celebrity node would dominate it). The oracle applies the identical
-    // exclusion, so the capped semantics are gated exactly: common counts
+    // celebrity node would dominate it). The cap is the LOWER MEDIAN of
+    // the degree distribution, derived from the data in-plan (a fixed
+    // constant was vacuous on this dense fixture — every degree exceeded
+    // 60, so the gate compared empty to empty; round-5 advice). The
+    // oracle re-derives the identical integer cap (2·cum ≥ tot over the
+    // degree histogram) and applies the identical exclusion, so the
+    // capped semantics are gated exactly AND non-vacuously: common counts
     // only sub-cap shared neighbors, Jaccard keeps the FULL degrees ----
     QDef("g22b_common_neighbors_capped", oracle(""",
       und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
               FROM edges WHERE src != dst),
       adj AS (SELECT u AS n, v AS m FROM und UNION ALL SELECT v, u FROM und),
       deg AS (SELECT m AS node, count(*) AS deg FROM adj GROUP BY m),
-      cold AS (SELECT node FROM deg WHERE deg <= 60),
+      hist AS (SELECT deg, count(*) AS c FROM deg GROUP BY deg),
+      cm AS (SELECT deg, sum(c) OVER (ORDER BY deg) AS cum, sum(c) OVER () AS tot FROM hist),
+      cap AS (SELECT min(deg) AS cap FROM cm WHERE cum * 2 >= tot),
+      cold AS (SELECT node FROM deg, cap WHERE deg <= cap),
       adjc AS (SELECT a.n, a.m FROM adj a JOIN cold ON cold.node = a.n),
       prs AS (SELECT x.m AS id_a, y.m AS id_b, count(*) AS common
               FROM adjc x JOIN adjc y ON x.n = y.n AND x.m < y.m GROUP BY 1, 2)
@@ -323,7 +331,7 @@ object GraphPack {
                AS jaccard_millionths
       FROM prs p JOIN deg a ON a.node = p.id_a JOIN deg b ON b.node = p.id_b
       ORDER BY p.id_a, p.id_b""")) { (s, dir) =>
-      GraphTables.commonNeighbors(GraphTables.forDir(s, dir), hubCap = Some(60L))
+      GraphTables.commonNeighbors(GraphTables.forDir(s, dir), capAtMedianDegree = true)
         .orderBy("id_a", "id_b")
     },
 

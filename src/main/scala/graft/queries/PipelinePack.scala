@@ -92,20 +92,41 @@ object PipelinePack {
     * stand-in for an external benchmark corpus; the operator only
     * assumes SOME eval-membership predicate or table).
     *
-    * Plan: inverted-index equi-join on the n-gram — at 100 TB the eval
-    * side (a benchmark suite) is tiny and broadcastable, so the check is
-    * one broadcast-hash join over the training corpus scan; the per-gram
-    * fan-out is df_train(g) x df_eval(g), with df_eval bounded by the
-    * eval corpus. No pair enumeration beyond actually-shared grams.
+    * Plan: inverted-index equi-join on the n-gram. The production shape
+    * takes the eval set as its OWN (external, benchmark-sized) table —
+    * [[decontaminationAgainst]] — where the eval side is genuinely tiny
+    * and the explicit broadcast makes the check one broadcast-hash join
+    * over the training corpus scan; the per-gram fan-out is
+    * df_train(g) x df_eval(g), with df_eval bounded by the eval corpus.
+    * This fixture-only overload stands in for the external table with the
+    * deterministic `doc_id % evalMod == 0` slice — 1/evalMod of the
+    * corpus's distinct n-grams, NOT benchmark-sized — so it deliberately
+    * carries no broadcast hint: the slice scales with the corpus and a
+    * forced broadcast would blow past the driver at 100 TB. AQE picks the
+    * join strategy from the slice's actual size instead.
     */
   def decontaminationPairs(docs: DataFrame, n: Int = 5, evalMod: Long = 10L): DataFrame = {
     val sh = grams(docs, n)
-    val ev = broadcast(
-      sh.filter(col("doc_id") % evalMod === 0)
-        .select(col("doc_id").as("eval_doc"), col("g")))
-    val tr = sh.filter(col("doc_id") % evalMod =!= 0)
-      .select(col("doc_id").as("train_doc"), col("g"))
-    tr.join(ev, "g")
+    decontaminationAgainst(
+      sh.filter(col("doc_id") % evalMod =!= 0),
+      sh.filter(col("doc_id") % evalMod === 0),
+      broadcastEval = false)
+  }
+
+  /** The production entry point: training-corpus n-grams checked against
+    * an EXTERNAL eval-set n-gram table (doc_id, g). A benchmark suite is
+    * a few thousand documents whatever the corpus size, so its distinct
+    * n-grams broadcast; pass `broadcastEval = false` when the eval side
+    * is corpus-derived (or just large) and AQE should choose.
+    */
+  def decontaminationAgainst(
+      trainGrams: DataFrame,
+      evalGrams: DataFrame,
+      broadcastEval: Boolean = true): DataFrame = {
+    val ev0 = evalGrams.select(col("doc_id").as("eval_doc"), col("g"))
+    val ev = if (broadcastEval) broadcast(ev0) else ev0
+    trainGrams.select(col("doc_id").as("train_doc"), col("g"))
+      .join(ev, "g")
       .groupBy("train_doc", "eval_doc")
       .agg(count(lit(1)).as("shared_ngrams"))
   }

@@ -382,20 +382,24 @@ object Relational {
     // `percentile` aggregates a value→count map, so memory is ∝ distinct
     // values per group (fine for bounded-domain measures like quantity;
     // for unbounded high-cardinality domains the 100 TB path is
-    // approx_percentile/t-digest, approximate by construction and so not
-    // oracle-gated). Both engines interpolate at rank (n-1)*p. ----
+    // approx_percentile/t-digest, approximate by construction and gated
+    // by its rank-error bound instead — q27). Both engines interpolate at
+    // rank (n-1)*p, but neither pins the interpolation's floating-point
+    // evaluation order ((1-f)*a+f*b vs a+f*(b-a)), so the gate compares a
+    // bounded-precision projection — millionths, the d05/g23 convention —
+    // rather than raw doubles whose last ulp is formula-dependent. ----
     QDef("q25_quantiles", Some("""
       SELECT l_returnflag,
-             quantile_cont(l_quantity, 0.5) AS med_qty,
-             quantile_cont(l_quantity, 0.95) AS p95_qty,
-             quantile_cont(l_extendedprice, 0.5) AS med_price
+             CAST(round(quantile_cont(l_quantity, 0.5) * 1000000) AS BIGINT) AS med_qty_millionths,
+             CAST(round(quantile_cont(l_quantity, 0.95) * 1000000) AS BIGINT) AS p95_qty_millionths,
+             CAST(round(quantile_cont(l_extendedprice, 0.5) * 1000000) AS BIGINT) AS med_price_millionths
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
         .agg(
-          expr("percentile(l_quantity, 0.5)").as("med_qty"),
-          expr("percentile(l_quantity, 0.95)").as("p95_qty"),
-          expr("percentile(l_extendedprice, 0.5)").as("med_price"))
+          round(expr("percentile(l_quantity, 0.5)") * 1000000L).cast("long").as("med_qty_millionths"),
+          round(expr("percentile(l_quantity, 0.95)") * 1000000L).cast("long").as("p95_qty_millionths"),
+          round(expr("percentile(l_extendedprice, 0.5)") * 1000000L).cast("long").as("med_price_millionths"))
         .orderBy("l_returnflag")
     },
 

@@ -216,6 +216,14 @@ class GraphTablesSpec extends AnyFunSuite {
     assert(!capped.contains((0L, 1L)), "only shared neighbor is the hub")
     assert(capped((2L, 4L)) === 2L, "both shared neighbors are sub-cap")
     assert(capped((3L, 5L)) === 1L, "hub neighbor 2 dropped, neighbor 4 kept")
+    // the gated g22b config: cap derived as the lower median of the degree
+    // distribution {2,2,2,3,3,4} = 2, so only wedges through the three
+    // degree-2 nodes (0, 1, 4) count — NON-vacuous on any distribution,
+    // unlike a fixed constant on a graph where every degree exceeds it
+    val med = GraphTables.commonNeighbors(g, capAtMedianDegree = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(med === Map((1L, 2L) -> 1L, (0L, 2L) -> 1L, (3L, 5L) -> 1L),
+      "median cap 2 keeps exactly the wedges through nodes 0, 1, 4")
   }
 
   test("random graphs: triangles, common neighbors and pageRank match sequential twins") {
