@@ -154,6 +154,59 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs === (10L until 14L).map(k => (k, k + 1)).toSet)
   }
 
+  test("dedup clusters: 320-doc near-dup chain converges in O(log n) rounds") {
+    import spark.implicits._
+    // Template-drift shape: doc k = tokens [10k, 10k+30) of one long
+    // distinct-token stream, so consecutive docs share 20 tokens
+    // (Jaccard 18/38 ≈ 0.47 ≥ 0.3) and docs two apart share 10
+    // (8/48 ≈ 0.17 < 0.3) — a pure 320-link chain, diameter 319. Round
+    // 5's min-label propagation was O(diameter) with a 100-round guard
+    // and COULD NOT finish this fixture; star contraction must close it
+    // in logarithmic rounds.
+    val n = 320
+    val docs = (0 until n).map { k =>
+      (k.toLong, (10 * k until 10 * k + 30).map(i => s"w$i").mkString(" "))
+    }.toDF("doc_id", "text")
+
+    val pairs = PipelinePack.ngramJaccardPairs(docs, threshold = 0.3)
+      .select("doc_i", "doc_j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === (0L until (n - 1).toLong).map(k => (k, k + 1)).toSet,
+      "premise: adjacent pairs only — the component is a pure chain")
+
+    val (labels, rounds) = PipelinePack.connectedComponents(
+      docs.select(col("doc_id")), PipelinePack.ngramJaccardPairs(docs, threshold = 0.3)
+        .select("doc_i", "doc_j"))
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (0 until n).map(k => k.toLong -> 0L).toMap,
+      "the whole chain is one family labeled by its minimum")
+    val bound = 2 * (math.log(n.toDouble) / math.log(2)).ceil.toInt + 2
+    assert(rounds <= bound, s"expected O(log n) convergence: $rounds rounds > bound $bound")
+  }
+
+  test("connected components match a sequential union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 5) {
+      val nNodes = 30
+      val edges = Seq.fill(40)((rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+      val nodesDf = (0 until nNodes).map(_.toLong).toDF("doc_id")
+      val pairsDf = edges.toDF("doc_i", "doc_j")
+      val (labels, _) = PipelinePack.connectedComponents(nodesDf, pairsDf)
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      // sequential union-find twin
+      val parent = Array.tabulate(nNodes)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt)); if (ra != rb) parent(ra) = rb
+      }
+      val roots = (0 until nNodes).groupBy(find).map { case (_, ms) => ms.map(_.toLong) }
+      val expected = roots.flatMap(ms => ms.map(_ -> ms.min)).toMap
+      assert(got === expected, s"trial $trial: labels diverge from union-find")
+    }
+  }
+
   test("keep-first dedup keeps the lowest doc_id per normalized content") {
     import spark.implicits._
     val df = Seq(
