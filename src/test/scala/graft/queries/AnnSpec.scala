@@ -122,6 +122,45 @@ class AnnSpec extends AnyFunSuite {
     assert(surviving <= 40, s"expected >80% cell-pair pruning, got $surviving/210 surviving")
   }
 
+  test("clustered fixture: wide threshold margin, cells align with clusters, prune bites") {
+    import org.apache.spark.sql.functions._
+    val cv = AnnPack.clusteredEmbeddings(graft.Tables.embeddings(spark, dir))
+      .localCheckpoint() // consumed four times below
+    val t = AnnPack.ClusteredThreshold
+
+    // 1. the gate does not ride on float parity: Spark and DuckDB cosines
+    // differ by up to ~2e-7 (measured, round 6), so no pair may sit
+    // anywhere near the threshold. The derived corpus is deterministic,
+    // so this one assertion holds for every run of the gate.
+    val a = cv.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = cv.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    val cosines = a.crossJoin(broadcast(b)).filter(col("ia") < col("ib"))
+      .select(AnnPack.cosine(col("ea"), col("eb")).as("c"))
+    assert(cosines.filter(abs(col("c") - t) < 0.02).isEmpty,
+      s"no pair cosine may lie within 0.02 of the gate threshold $t")
+
+    // 2. blocked output equals the exhaustive recompute on this corpus
+    val brute = a.crossJoin(broadcast(b)).filter(col("ia") < col("ib"))
+      .filter(AnnPack.cosine(col("ea"), col("eb")) >= t)
+      .select(least(col("ia"), col("ib")).as("id_a"), greatest(col("ia"), col("ib")).as("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = AnnPack.cosineNearDupBlocked(cv, threshold = t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked === brute)
+    assert(brute.size > 10000, s"the replicated clusters should be dense (got ${brute.size})")
+
+    // 3. the adaptive cell count matches the corpus's cluster granularity
+    // and the triangle-inequality prune drops most cell pairs — this is
+    // the mechanism behind e04c's measured wall-time win over e03c
+    val (assigned, cellPairs) = AnnPack.blockedCells(cv, threshold = t)
+    val cells = assigned.select("cell").distinct().count()
+    assert(cells > AnnPack.NumCentroids, "adaptive count must exceed the floor here")
+    val total = cells * (cells + 1) / 2
+    val surviving = cellPairs.count()
+    assert(surviving * 3 <= total,
+      s"expected most cell pairs pruned, got $surviving of $total surviving")
+  }
+
   test("salted same-cell join bounds per-key and per-task input on a skewed cluster") {
     // One cluster holds 50% of the corpus, so its IVF cell concentrates
     // half the vectors on ONE same-cell join key. The salted configuration
