@@ -8,13 +8,15 @@ import org.apache.spark.sql.types._
   * metadata, decoded / feature-extracted / frame-sampled in partition-wise
   * batches.
   *
-  * The Spark-side shape is real and tested — schema, partition-preserving
-  * mapPartitions batches, deterministic outputs. The codec itself is a
-  * STUB: this container has no image/audio libraries, so `decodeFeatures`
-  * derives a deterministic fake feature vector from the payload bytes
-  * (clearly marked below). Swapping in a real decoder changes only the
-  * body of [[stubDecode]] — batch shape, schema and partitioning are
-  * production form.
+  * The image path is a REAL codec: payloads are genuine PNGs (encoded by
+  * the JDK's `javax.imageio` — no external library needed) and
+  * [[decodeImage]] / [[decodeFeatures]] run a real bytes→pixels decode in
+  * partition-wise batches. Because [[pngMediaFromDocuments]] renders each
+  * image from a pure integer function of (doc_id, x, y) and PNG is
+  * lossless, the decoded pixels are independently re-derivable in SQL —
+  * which is what lets a DuckDB oracle gate the full encode→decode
+  * roundtrip (m02/m06). The byte-level operators (frame sampling, strided
+  * resize, frame energy) are payload-agnostic byte math and stay as such.
   */
 object Multimodal {
 
@@ -45,24 +47,104 @@ object Multimodal {
         (col("doc_id") % 480 + 1).cast("int").as("height"),
         (length(col("text")) * 10L).as("duration_ms")).as("meta"))
 
-  /** STUB DECODER — deterministic fake: a real implementation would hand
-    * the byte buffer to an image/audio codec here. Features are a folded
-    * byte histogram, normalized; stable across runs and partitionings.
+  /** Deterministic pixel function for the PNG fixtures: channel values of
+    * pixel (x, y) of document `id` — pure integer arithmetic so a SQL
+    * oracle can re-derive every pixel without a codec.
     */
-  def stubDecode(payload: Array[Byte]): Array[Float] = {
-    val acc = new Array[Long](FeatureDim)
-    var i = 0
-    while (i < payload.length) {
-      acc(payload(i) & (FeatureDim - 1)) += 1
-      i += 1
-    }
-    val n = math.max(payload.length, 1)
-    acc.map(c => c.toFloat / n)
+  private[multimodal] def pixel(id: Long, x: Int, y: Int): (Int, Int, Int) = (
+    ((id * 31 + x * 7 + y * 13) % 256).toInt,
+    ((id * 17 + x * 3 + y * 29) % 256).toInt,
+    ((id * 53 + x * 11 + y * 5) % 256).toInt)
+
+  private[multimodal] def dims(id: Long): (Int, Int) =
+    ((id % 13 + 4).toInt, (id % 11 + 4).toInt)
+
+  /** A media table of GENUINE PNG payloads, one per document: dimensions
+    * and pixels are pure functions of doc_id, encoded with the JDK's
+    * ImageIO. The payload bytes are real compressed PNG — downstream
+    * decoders exercise an actual codec, and since PNG is lossless the
+    * decoded raster equals [[pixel]] exactly, which the oracles re-derive
+    * relationally. Encoding happens partition-wise (one encoder context
+    * per partition, rows streamed through — the batch shape a 100 TB
+    * media pipeline uses).
+    */
+  def pngMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false) // in-memory, no temp files
+        ids.map { id =>
+          val (w, h) = dims(id)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val (r, g, b) = pixel(id, x, y)
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray, w, h)
+        }
+      }
+      .toDF("doc_id", "media", "width", "height")
+      .select(col("doc_id"), col("media"),
+        struct(lit("png").as("format"), col("width"), col("height"),
+          lit(0L).as("duration_ms")).as("meta"))
   }
 
-  /** Feature extraction over partition-wise batches: one decoder instance
-    * per partition (the expensive init a real codec needs), rows streamed
-    * through it — the mapPartitions twin of a pandas_udf iterator batch.
+  /** REAL image decode over partition-wise batches: ImageIO bytes→raster,
+    * reduced to integer metadata (dims, per-channel sums, a
+    * position-weighted checksum over raster order) that a relational
+    * oracle recomputes from [[pixel]] exactly. An undecodable payload
+    * fails loudly — silent nulls would let a corrupt corpus pass.
+    */
+  def decodeImage(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, payload) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          require(img != null, s"undecodable image payload for doc $id")
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sumR, sumG, sumB, checksum) = (0L, 0L, 0L, 0L)
+          var i = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff
+              val g = (rgb >> 8) & 0xff
+              val b = rgb & 0xff
+              sumR += r; sumG += g; sumB += b
+              checksum += (i + 1).toLong * (r + 256L * g + 65536L * b)
+              i += 1
+              x += 1
+            }
+            y += 1
+          }
+          (id, w.toLong, h.toLong, (w.toLong * h), sumR, sumG, sumB, checksum)
+        }
+      }
+      .toDF("doc_id", "width", "height", "n_pixels", "sum_r", "sum_g", "sum_b", "pixel_checksum")
+  }
+
+  /** Feature extraction with a REAL decode: ImageIO bytes→pixels, then a
+    * FeatureDim-bin histogram over all channel bytes, normalized. One
+    * decoder context per partition, rows streamed through it — the
+    * mapPartitions twin of a pandas_udf iterator batch. Emits the channel
+    * byte count alongside so consumers (and the m02 gate) can recover the
+    * exact integer counts from the float features.
     */
   def decodeFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -70,10 +152,28 @@ object Multimodal {
     media.select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition decoder init would go here
-        rows.map { case (id, payload) => (id, stubDecode(payload)) }
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, payload) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          require(img != null, s"undecodable image payload for doc $id")
+          val acc = new Array[Long](FeatureDim)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              acc(((rgb >> 16) & 0xff) & (FeatureDim - 1)) += 1
+              acc(((rgb >> 8) & 0xff) & (FeatureDim - 1)) += 1
+              acc((rgb & 0xff) & (FeatureDim - 1)) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val n = 3L * img.getWidth * img.getHeight
+          (id, n, acc.map(c => c.toFloat / n))
+        }
       }
-      .toDF("doc_id", "features")
+      .toDF("doc_id", "n_channel_bytes", "features")
   }
 
   /** Per-frame signal energy over the payload: bytes (unsigned) framed

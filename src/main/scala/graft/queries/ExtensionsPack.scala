@@ -172,28 +172,65 @@ object ExtensionsPack {
         .orderBy("doc_id")
     },
 
-    // The decode stub's folded byte histogram IS SQL-expressible (the corpus
-    // is ASCII, so DuckDB's per-character codepoints are the payload bytes).
-    // The gated projection recovers the integer byte counts from the float
-    // features (count = round(value * n_bytes) — exact for n < 2^24), so the
-    // compare is integer-only; the raw array<float> form stays spec-covered
-    // in MultimodalSpec (a float-array column can't be sorted/hashed by the
-    // driver's pandas compare — r03's one red row).
+    // m02: feature extraction through a REAL codec — the payloads are
+    // genuine ImageIO-encoded PNGs and decodeFeatures runs an actual
+    // bytes→pixels decode before histogramming the channel bytes. The
+    // oracle never touches the codec: it re-derives every channel value
+    // from the pure (doc_id, x, y) pixel function the fixture renders —
+    // PNG is lossless, so decode must reproduce it exactly, and any
+    // encode/decode bug breaks the compare. The gated projection recovers
+    // the integer channel counts from the float features (count =
+    // round(value * n) — exact for n < 2^24); the raw array<float> form
+    // stays spec-covered in MultimodalSpec (a float-array column can't be
+    // sorted/hashed by the driver's pandas compare — r03's one red row).
     QDef("m02_media_features", Some(s"""
-      WITH dims AS (SELECT doc_id, unnest(range(0, ${Multimodal.FeatureDim})) AS dim FROM documents),
-      pos AS (SELECT doc_id, text, unnest(range(1, strlen(text) + 1)) AS i FROM documents),
-      cnt AS (SELECT doc_id, ascii(substr(text, i, 1)) % ${Multimodal.FeatureDim} AS dim, count(*) AS c
-              FROM pos GROUP BY 1, 2)
-      SELECT d.doc_id, d.dim, COALESCE(c.c, 0) AS byte_count
+      WITH d AS (SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h FROM documents),
+      px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM d),
+      xy AS (SELECT doc_id, i % w AS x, i // w AS y FROM px),
+      ch AS (SELECT doc_id,
+               unnest([(doc_id * 31 + x * 7 + y * 13) % 256,
+                       (doc_id * 17 + x * 3 + y * 29) % 256,
+                       (doc_id * 53 + x * 11 + y * 5) % 256]) AS v
+             FROM xy),
+      cnt AS (SELECT doc_id, v % ${Multimodal.FeatureDim} AS dim, count(*) AS c
+              FROM ch GROUP BY 1, 2),
+      dims AS (SELECT doc_id, unnest(range(0, ${Multimodal.FeatureDim})) AS dim FROM documents)
+      SELECT d.doc_id, d.dim, COALESCE(c.c, 0) AS channel_count
       FROM dims d LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.dim = d.dim
       ORDER BY d.doc_id, d.dim""")) { (s, dir) =>
-      val media = Multimodal.mediaFromDocuments(Tables.documents(s, dir))
-      Multimodal.decodeFeatures(media)
-        .select(col("doc_id"), posexplode(col("features")).as(Seq("dim", "value")))
-        .join(media.select(col("doc_id"), octet_length(col("media")).cast("long").as("n")), Seq("doc_id"))
+      Multimodal.decodeFeatures(
+          Multimodal.pngMediaFromDocuments(Tables.documents(s, dir)))
+        .select(col("doc_id"), col("n_channel_bytes"),
+          posexplode(col("features")).as(Seq("dim", "value")))
         .select(col("doc_id"), col("dim").cast("long").as("dim"),
-          round(col("value") * greatest(col("n"), lit(1L))).cast("long").as("byte_count"))
+          round(col("value") * col("n_channel_bytes")).cast("long").as("channel_count"))
         .orderBy("doc_id", "dim")
+    },
+
+    // m06: the decode roundtrip gated end-to-end — real PNG bytes through
+    // ImageIO back to pixels, reduced to integer metadata (dims, channel
+    // sums, a position-weighted raster checksum). The oracle regenerates
+    // the raster from the same pure pixel function relationally; checksum
+    // terms are ≤ 224·2^24, well inside BIGINT.
+    QDef("m06_png_decode", Some("""
+      WITH d AS (SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h FROM documents),
+      px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM d),
+      c AS (SELECT doc_id, w, h, i,
+              (doc_id * 31 + (i % w) * 7 + (i // w) * 13) % 256 AS r,
+              (doc_id * 17 + (i % w) * 3 + (i // w) * 29) % 256 AS g,
+              (doc_id * 53 + (i % w) * 11 + (i // w) * 5) % 256 AS b
+            FROM px)
+      SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             count(*) AS n_pixels,
+             CAST(sum(r) AS BIGINT) AS sum_r,
+             CAST(sum(g) AS BIGINT) AS sum_g,
+             CAST(sum(b) AS BIGINT) AS sum_b,
+             CAST(sum((i + 1) * (r + 256 * g + 65536 * b)) AS BIGINT) AS pixel_checksum
+      FROM c GROUP BY doc_id, w, h
+      ORDER BY doc_id""")) { (s, dir) =>
+      Multimodal.decodeImage(
+          Multimodal.pngMediaFromDocuments(Tables.documents(s, dir)))
+        .orderBy("doc_id")
     },
 
     // Frame sampling is pure offset arithmetic over the payload length

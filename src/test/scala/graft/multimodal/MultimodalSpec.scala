@@ -18,20 +18,68 @@ class MultimodalSpec extends AnyFunSuite {
     assert(media.schema.simpleString === Multimodal.mediaSchema.simpleString)
   }
 
-  test("stub decode is deterministic and matches a direct recompute") {
-    val a = Multimodal.decodeFeatures(media).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toVector).toMap
-    val b = Multimodal.decodeFeatures(media).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toVector).toMap
-    assert(a === b)
-    assert(a.values.forall(_.length === Multimodal.FeatureDim))
+  private def pngMedia = Multimodal.pngMediaFromDocuments(graft.Tables.documents(spark, dir))
 
-    val texts = graft.Tables.documents(spark, dir).select("doc_id", "text").collect()
-      .map(r => r.getLong(0) -> r.getString(1))
-    val expected = texts.map { case (id, text) =>
-      id -> Multimodal.stubDecode(text.getBytes("UTF-8")).toVector
-    }.toMap
-    assert(a === expected)
+  test("png payloads are genuine PNGs and decode back to the generative raster") {
+    val rows = pngMedia.select("doc_id", "media").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1))
+    assert(rows.nonEmpty)
+    // PNG magic: every payload is a real compressed image, not raw bytes
+    val magic = Array(0x89, 0x50, 0x4e, 0x47).map(_.toByte)
+    assert(rows.forall { case (_, b) => b.take(4).sameElements(magic) })
+
+    // decode a sample locally with ImageIO (independent of the Spark path)
+    // and compare pixel-for-pixel against the generative function
+    rows.take(5).foreach { case (id, payload) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      val (w, h) = Multimodal.dims(id)
+      assert((img.getWidth, img.getHeight) === ((w, h)))
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        val got = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+        assert(got === Multimodal.pixel(id, x, y), s"pixel ($x,$y) of doc $id")
+      }
+    }
+  }
+
+  test("decodeImage metadata matches a sequential recompute of the pixel function") {
+    val got = Multimodal.decodeImage(pngMedia).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    val ids = graft.Tables.documents(spark, dir).select("doc_id").collect().map(_.getLong(0))
+    ids.foreach { id =>
+      val (w, h) = Multimodal.dims(id)
+      var (sr, sg, sb, ck) = (0L, 0L, 0L, 0L)
+      var i = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = Multimodal.pixel(id, x, y)
+        sr += r; sg += g; sb += b
+        ck += (i + 1).toLong * (r + 256L * g + 65536L * b)
+        i += 1
+      }
+      assert(got(id) === ((w.toLong, h.toLong, w.toLong * h, sr, sg, sb, ck)), s"doc $id")
+    }
+  }
+
+  test("decodeFeatures is deterministic and matches the channel histogram twin") {
+    val a = Multimodal.decodeFeatures(pngMedia).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Float](2).toVector))).toMap
+    val b = Multimodal.decodeFeatures(pngMedia).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Float](2).toVector))).toMap
+    assert(a === b)
+    assert(a.values.forall(_._2.length === Multimodal.FeatureDim))
+    a.foreach { case (id, (n, feats)) =>
+      val (w, h) = Multimodal.dims(id)
+      assert(n === 3L * w * h)
+      val acc = new Array[Long](Multimodal.FeatureDim)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b2) = Multimodal.pixel(id, x, y)
+        acc(r % Multimodal.FeatureDim) += 1
+        acc(g % Multimodal.FeatureDim) += 1
+        acc(b2 % Multimodal.FeatureDim) += 1
+      }
+      assert(feats === acc.map(c => c.toFloat / n).toVector, s"doc $id")
+    }
   }
 
   test("frame sampling emits bounded, offset-ordered slices per document") {
