@@ -403,6 +403,59 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // ---- q27: approx_percentile VALIDITY, gated g17b-style. The t-digest/
+    // GK sketch is the 100 TB path for unbounded-domain quantiles (exact
+    // percentile() memory is ∝ distinct values); its answer is approximate
+    // by construction, so the gate pins the GUARANTEE instead of the
+    // value: the returned element's rank interval [lo+1, hi] must
+    // intersect [(p−ε)n, (p+ε)n] (ε = 1/accuracy), and the result must be
+    // an actual element of the column. One scan computes both probes'
+    // rank stats (broadcast of a 2-row probe table); the oracle is the
+    // recomputed constant — any violation flips a counter. ----
+    QDef("q27_approx_percentile_validity", Some("""
+      SELECT CAST(2 AS BIGINT) AS n_probes, CAST(0 AS BIGINT) AS rank_violations,
+             CAST(0 AS BIGINT) AS non_member""")) { (s, dir) =>
+      val eps = 0.001 // accuracy 1000
+      val li = Tables.lineitem(s, dir).select(col("l_extendedprice").as("x"))
+      val probes = li
+        .agg(expr("approx_percentile(x, array(0.5D, 0.95D), 1000)").as("vs"))
+        .select(posexplode(col("vs")).as(Seq("i", "v")))
+        .select(element_at(array(lit(0.5), lit(0.95)), col("i") + 1).as("p"), col("v"))
+      li.crossJoin(broadcast(probes))
+        .groupBy("p", "v")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("x") < col("v"), 1L).otherwise(0L)).as("lo"),
+          sum(when(col("x") <= col("v"), 1L).otherwise(0L)).as("hi"),
+          sum(when(col("x") === col("v"), 1L).otherwise(0L)).as("eq"))
+        .select(
+          // rank interval of v must intersect the guaranteed band,
+          // padded by 1 for the rank-definition off-by-one
+          when(col("lo") + 1 <= (col("p") + eps) * col("n") + 1 &&
+               col("hi") >= (col("p") - eps) * col("n") - 1, 0L).otherwise(1L)
+            .as("viol"),
+          when(col("eq") === 0, 1L).otherwise(0L).as("nonmem"))
+        .agg(count(lit(1)).as("n_probes"), sum(col("viol")).as("rank_violations"),
+          sum(col("nonmem")).as("non_member"))
+    },
+
+    // ---- q28: grouped quantiles — per-nation p95 account balance, the
+    // most common real-user order-statistics ask after q25. Exact
+    // interpolated percentile per group, gated on the q25 millionths
+    // fixed-point projection; the 25-row nation dim broadcasts. ----
+    QDef("q28_grouped_p95", Some("""
+      SELECT n_name,
+             CAST(round(quantile_cont(c_acctbal, 0.95) * 1000000) AS BIGINT) AS p95_acctbal_millionths
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name""")) { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(expr("percentile(c_acctbal, 0.95)") * 1000000L).cast("long")
+          .as("p95_acctbal_millionths"))
+        .orderBy("n_name")
+    },
+
     // ---- q26: RANGE-frame window — events per user in the trailing hour
     // (the sliding-window-count primitive rate limiters and burst
     // detectors use). ROWS frames count physical rows; RANGE frames bound
