@@ -4,6 +4,7 @@ import graft.core._
 import org.scalatest.funsuite.AnyFunSuite
 import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.util.Base64
 import java.util.concurrent.ConcurrentLinkedQueue
 import java.util.concurrent.atomic.AtomicBoolean
 
@@ -103,6 +104,90 @@ class ConcurrencySpec extends AnyFunSuite {
         val pr = post(c, s"$base/query", s"""{"type": "properties", "node_id": $node}""")
         assert(propRe.findAllMatchIn(pr.body).size === K)
       }
+    } finally facade.stop()
+  }
+
+  test("certificates under racing ingest always bind a committed snapshot's state hash") {
+    import graft.verify.{Canonical, QueryCertificate}
+    // The reference's single-writer honesty guarantee (api/mod.rs:62-67)
+    // under real concurrency: /certify computes its Merkle state hash
+    // under the same read lock as the query it certifies, so a returned
+    // certificate must bind EXACTLY the graph state the answer came from
+    // — never a half-applied batch, never a state newer than the answer.
+    // With a single writer posting batches in order, the committed states
+    // are precisely the batch prefixes; a sequential twin session replays
+    // them to enumerate every legal state hash up front, and every
+    // certificate returned while certify calls race the writer must carry
+    // one of them. A hash outside the set is a torn or blended snapshot.
+    val Batches = 40
+    val K = 4
+    def sigs(b: Int): Seq[Signal] =
+      (0 until K).map(i => Signal(9000L + b * 10L + i, s"q$i", s"cb$b"))
+
+    val twin = new GraftSession()
+    val committed = scala.collection.mutable.Set[Seq[Byte]](
+      Canonical.merkleStateHash(Canonical.fromGraph(twin.graph)).toSeq)
+    (0 until Batches).foreach { b =>
+      assert(twin.ingestSequence(sigs(b)).isRight)
+      committed += Canonical.merkleStateHash(Canonical.fromGraph(twin.graph)).toSeq
+    }
+    assert(committed.size === Batches + 1, "each prefix state must hash distinctly")
+
+    val facade = new HttpFacade(new GraftSession())
+    facade.start()
+    val base = s"http://127.0.0.1:${facade.boundPort}"
+    val errors = new ConcurrentLinkedQueue[Throwable]()
+    val writerDone = new AtomicBoolean(false)
+    val certRe = """"certificate":"([^"]+)"""".r
+
+    try {
+      val writer = new Thread(() =>
+        try {
+          val c = HttpClient.newHttpClient()
+          for (b <- 0 until Batches) {
+            val body = sigs(b)
+              .map(s => s"""{"entity_id": ${s.entityId}, "attribute": "${s.attribute}", "value": "${s.value}"}""")
+              .mkString("""{"signals":[""", ",", "]}")
+            val r = post(c, s"$base/signals", body)
+            assert(r.statusCode === 200, s"ingest failed: ${r.body}")
+          }
+        } catch { case t: Throwable => errors.add(t) })
+
+      val certifiers = (0 until 3).map { _ =>
+        new Thread(() =>
+          try {
+            val c = HttpClient.newHttpClient()
+            var iter = 0
+            while (!writerDone.get() || iter == 0) {
+              iter += 1
+              val r = post(c, s"$base/certify", """{"type": "lookup", "entity_id": 9000}""")
+              assert(r.statusCode === 200, s"certify 500: ${r.body}")
+              val b64 = certRe.findFirstMatchIn(r.body)
+                .getOrElse(fail(s"no certificate in: ${r.body}")).group(1)
+              val cert = QueryCertificate.fromCanonicalBytes(Base64.getDecoder.decode(b64))
+                .fold(e => fail(s"unparseable certificate: ${e.message}"), identity)
+              assert(committed.contains(cert.stateHash.toSeq),
+                "certificate state hash matches no committed prefix state — torn/blended snapshot")
+            }
+          } catch { case t: Throwable => errors.add(t) })
+      }
+
+      (writer +: certifiers).foreach(_.start())
+      writer.join(60000)
+      writerDone.set(true)
+      certifiers.foreach(_.join(60000))
+      assert(errors.isEmpty, s"concurrent failures: ${errors.peek()}")
+
+      // quiescent: the final certificate binds exactly the full-prefix state
+      val r = post(HttpClient.newHttpClient(), s"$base/certify",
+        """{"type": "lookup", "entity_id": 9000}""")
+      val b64 = certRe.findFirstMatchIn(r.body).get.group(1)
+      val cert = QueryCertificate.fromCanonicalBytes(Base64.getDecoder.decode(b64))
+        .toOption.get
+      val fullTwin = new GraftSession()
+      (0 until Batches).foreach(b => fullTwin.ingestSequence(sigs(b)))
+      assert(cert.stateHash.toSeq ===
+        Canonical.merkleStateHash(Canonical.fromGraph(fullTwin.graph)).toSeq)
     } finally facade.stop()
   }
 
