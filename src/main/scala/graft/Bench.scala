@@ -86,6 +86,17 @@ object Bench {
         else samples.collect { case (`name`, t, _) => t }.sorted
       name -> ts(ts.length / 2)
     }
+    // per-entry run-to-run spread ((max-min)/median over successful
+    // passes): suite timings at sf0.1 carry ±15% contention noise
+    // (PLANS.md), and round-over-round verdicts need to tell a real
+    // regression from a pass that drew a noisy neighbor — r5's flagged
+    // 1.5-1.6x entries were exactly this ambiguity (VERDICT r5 #2)
+    val spreads = ordered.map { case (name, _) =>
+      val good = samples.collect { case (`name`, t, true) => t }
+      val s = if (good.length < 2) 0.0
+        else (good.max - good.min) / good.sorted.apply(good.length / 2)
+      name -> math.round(s * 1000) / 1000.0
+    }
 
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -94,10 +105,11 @@ object Bench {
         case c => c.toString
       } + "\""
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val sp = spreads.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val flk = flaky.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flk,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"errors":$errs,"flaky":$flk,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
