@@ -240,8 +240,12 @@ object AnnPack {
     val bound = math.acos(threshold) + 1e-9
     val ga = cellGeo.select(col("cell").as("cell_a"), col("radius").as("r_a"), col("c_emb").as("ca"))
     val gb = cellGeo.select(col("cell").as("cell_b"), col("radius").as("r_b"), col("c_emb").as("cb"))
+    // the explicit hint on ga makes the centroids x centroids product a
+    // BroadcastNestedLoopJoin BY CONSTRUCTION — when the input has no
+    // size statistics (e.g. a checkpointed derivation), the planner
+    // would otherwise fall back to CartesianProduct
     val cellPairs = broadcast(
-      ga.crossJoin(gb) // centroids x centroids: quadratic over CELLS only
+      broadcast(ga).crossJoin(gb) // centroids x centroids: quadratic over CELLS only
         .filter(col("cell_a") <= col("cell_b"))
         .filter(clampAcos(cosine(col("ca"), col("cb"))) - col("r_a") - col("r_b") <= bound)
         .select(col("cell_a"), col("cell_b")))

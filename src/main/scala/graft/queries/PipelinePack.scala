@@ -281,9 +281,14 @@ object PipelinePack {
     * Invariants per Kiveris et al.: both operations preserve connected
     * components; every edge (a, b) produced has a < b; the fixpoint is a
     * star forest centered at component minima. Convergence is detected
-    * by edge-set equality between consecutive rounds (exact set compare:
-    * count + except — no hash shortcut that could stop early on a
-    * collision and return silently wrong labels).
+    * by a one-row aggregate signature (count + order-independent
+    * bit_xor of edge hashes) rather than a count+except set compare —
+    * one cheap action per round instead of two jobs. A hash collision
+    * could in principle stop the loop early, but the stop is SAFE either
+    * way: every round preserves components exactly, so IF the final edge
+    * set passes the star-forest validation below, the labels are correct
+    * regardless of when we stopped — and if it does not, the require
+    * fails loudly. No silent wrong answer is reachable.
     */
   private[graft] def connectedComponents(
       nodes: DataFrame,
@@ -297,7 +302,16 @@ object PipelinePack {
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint()
-    var converged = e.isEmpty // no edges: every node is its own component
+    // order-independent signature of a canonical edge set: equal sets
+    // always produce equal signatures, so a changed set never reads as
+    // converged; see the collision note above for the converse direction
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L)).as("x")).head
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = signature(e)
+    var converged = sig._1 == 0L // no edges: every node is its own component
     // star contraction halves the worst-case structure each alternation;
     // 64 rounds covers any component a 64-bit id space can hold, so
     // hitting the guard means a bug, not a big input
@@ -328,7 +342,9 @@ object PipelinePack {
         .distinct()
         .select(col("na").as("a"), col("nb").as("b"))
         .localCheckpoint()
-      converged = next.count() == e.count() && next.except(e).isEmpty
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
       e = next
       round += 1
     }
@@ -731,6 +747,31 @@ object PipelinePack {
       FROM tr JOIN ev ON tr.g = ev.g
       GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, dir) =>
       decontaminationPairs(Tables.documents(s, dir)).orderBy("train_doc", "eval_doc")
+    },
+
+    // ---- d15b: the PRODUCTION decontamination shape — the eval set as
+    // its own (benchmark-sized) table, explicitly broadcast. The fixture
+    // stands a 20-document slice in for the external benchmark suite; at
+    // 100 TB the training corpus scales but the eval side stays a few
+    // thousand documents, so the check remains one broadcast-hash join
+    // over the training scan (PipelineSpec pins the plan). d15 keeps the
+    // corpus-derived mod-slice configuration where AQE chooses. ----
+    QDef("d15b_decontamination_external", Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      idx AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) i FROM tok),
+      sh AS (SELECT DISTINCT doc_id,
+               ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4] AS g
+             FROM idx),
+      ev AS (SELECT doc_id AS eval_doc, g FROM sh WHERE doc_id < 20),
+      tr AS (SELECT doc_id AS train_doc, g FROM sh WHERE doc_id >= 20)
+      SELECT tr.train_doc, ev.eval_doc, count(*) AS shared_ngrams
+      FROM tr JOIN ev ON tr.g = ev.g
+      GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, dir) =>
+      val sh = grams(Tables.documents(s, dir), 5)
+      decontaminationAgainst(
+          sh.filter(col("doc_id") >= 20),
+          sh.filter(col("doc_id") < 20))
+        .orderBy("train_doc", "eval_doc")
     }
   )
 }

@@ -139,15 +139,27 @@ class AnnSpec extends AnyFunSuite {
     assert(cosines.filter(abs(col("c") - t) < 0.02).isEmpty,
       s"no pair cosine may lie within 0.02 of the gate threshold $t")
 
-    // 2. blocked output equals the exhaustive recompute on this corpus
+    // 2. blocked output equals the exhaustive recompute on this corpus,
+    // and its executed plan keeps the e04 shape: candidates only ever
+    // meet through equi-joins (no cartesian), with the one quadratic
+    // term a centroid-bounded broadcast nested loop
     val brute = a.crossJoin(broadcast(b)).filter(col("ia") < col("ib"))
       .filter(AnnPack.cosine(col("ea"), col("eb")) >= t)
       .select(least(col("ia"), col("ib")).as("id_a"), greatest(col("ia"), col("ib")).as("id_b"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val blocked = AnnPack.cosineNearDupBlocked(cv, threshold = t).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blockedDf = AnnPack.cosineNearDupBlocked(cv, threshold = t)
+    val blocked = blockedDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(blocked === brute)
     assert(brute.size > 10000, s"the replicated clusters should be dense (got ${brute.size})")
+    // final adaptive plan only — the trailing "Initial Plan" section
+    // repeats every subtree pre-reuse and would inflate the counts
+    val planFull = blockedDf.queryExecution.executedPlan.toString
+    val plan = {
+      val i = planFull.indexOf("== Initial Plan ==")
+      if (i >= 0) planFull.substring(0, i) else planFull
+    }
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 3, plan.take(1200))
 
     // 3. the adaptive cell count matches the corpus's cluster granularity
     // and the triangle-inequality prune drops most cell pairs — this is

@@ -124,10 +124,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === expected)
     assert(got.nonEmpty, "fixture must actually contain contamination")
     assert(got.keys.forall { case (t, e) => t % 10 != 0 && e % 10 == 0 })
-    // the eval side is the small one — the check must stay one broadcast
-    // join over the training scan
+    // the mod-slice configuration carries NO broadcast hint (the slice
+    // scales with the corpus — r5 advice); at this tiny SF AQE still
+    // picks broadcast on its own, which is exactly the point
     val plan = dfOut.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    // the PRODUCTION shape (external benchmark-sized eval table) hints
+    // the broadcast explicitly: one broadcast-hash join over the
+    // training scan at any corpus size
+    val sh = docs.select(org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")).as("g"))
+    val prod = PipelinePack.decontaminationAgainst(
+      sh.filter("doc_id >= 20"), sh.filter("doc_id < 20"))
+    prod.collect()
+    val prodPlan = prod.queryExecution.executedPlan.toString
+    assert(prodPlan.contains("BroadcastHashJoin"), prodPlan.take(800))
   }
 
   test("dedup clusters close pairs transitively: a chain is one family") {
