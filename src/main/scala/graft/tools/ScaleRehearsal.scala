@@ -60,6 +60,15 @@ object ScaleRehearsal {
       check("e04_centroid_bounded_bnlj")(
         "BroadcastNestedLoopJoin".r.findAllIn(e04Plan).size <= 3, e04Plan.take(1500))
 
+      // 2b. e04c (clustered corpus, adaptive cells) at 10x: same shape
+      // contract as e04 — candidates through equi-joins only, the one
+      // quadratic term centroid-bounded; the corpus derivation must not
+      // push AQE into a cartesian at 150k vectors
+      val e04cPlan = finalPlan(SparkEntry.queries("e04c_cosine_near_dup_clustered")(spark, dir))
+      check("e04c_no_cartesian")(!e04cPlan.contains("CartesianProduct"), e04cPlan.take(1500))
+      check("e04c_centroid_bounded_bnlj")(
+        "BroadcastNestedLoopJoin".r.findAllIn(e04cPlan).size <= 3, e04cPlan.take(1500))
+
       // 3. q02 at 10x: the dimension joins stay broadcast against the
       // 10x fact side
       val q02Plan = finalPlan(SparkEntry.queries("q02_revenue_by_nation")(spark, dir))
