@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Misra-Gries frequent-items ("heavy hitters") summary as a typed,
+  * MERGEABLE `Aggregator` — the d11 KMV pattern applied to the
+  * frequent-items problem (reference tracks per-edge signal counts the
+  * same way a term-frequency pass would; this is the sketch form that
+  * survives a 100 TB stream).
+  *
+  * State is at most k (item, counter) pairs. The single-item update is
+  * the classic Misra-Gries step (increment if tracked, insert if room,
+  * otherwise decrement every counter); two summaries merge by summing
+  * counters and, if more than k items survive, subtracting the (k+1)-th
+  * largest counter from all and dropping the non-positive remainder
+  * (Agarwal et al., "Mergeable Summaries", PODS'12). Both operations
+  * maintain the invariant
+  *
+  *   true_count - N/(k+1)  <=  est  <=  true_count
+  *
+  * for EVERY item (absent => est 0), independent of partitioning and
+  * merge order. Counter VALUES are merge-order dependent — so the gated
+  * entry (d17) checks the order-invariant guarantee (no heavy item
+  * missing, every estimate inside the band), g17b-style, rather than
+  * raw counters.
+  *
+  * Only k pairs per partition cross the wire, whatever the stream
+  * cardinality; per-row cost is O(1) amortized (the O(k) decrement
+  * pays for k prior O(1) inserts).
+  */
+object FreqSketch {
+
+  final case class Summary(items: Map[String, Long])
+
+  /** Classic single-item Misra-Gries update. */
+  def update(k: Int, m: Map[String, Long], x: String): Map[String, Long] =
+    m.get(x) match {
+      case Some(c) => m.updated(x, c + 1L)
+      case None if m.size < k => m.updated(x, 1L)
+      case None =>
+        // decrement all; drop zeros (at least one counter was 1 only if
+        // min == 1, otherwise all survive smaller)
+        m.flatMap { case (i, c) => if (c > 1L) Some(i -> (c - 1L)) else None }
+    }
+
+  /** Mergeable-summaries combine: sum, then offset by the (k+1)-th
+    * largest counter when over capacity.
+    */
+  def mergeSummaries(k: Int, a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+    val summed = b.foldLeft(a) { case (acc, (i, c)) =>
+      acc.updated(i, acc.getOrElse(i, 0L) + c)
+    }
+    if (summed.size <= k) summed
+    else {
+      val kth = summed.valuesIterator.toArray.sorted(Ordering[Long].reverse)(k)
+      summed.flatMap { case (i, c) => if (c > kth) Some(i -> (c - kth)) else None }
+    }
+  }
+
+  final class MisraGriesAggregator(k: Int)
+      extends Aggregator[String, Summary, Summary] {
+    require(k >= 1, "k must be >= 1")
+    override def zero: Summary = Summary(Map.empty)
+    override def reduce(buf: Summary, x: String): Summary =
+      Summary(update(k, buf.items, x))
+    override def merge(a: Summary, b: Summary): Summary =
+      Summary(mergeSummaries(k, a.items, b.items))
+    override def finish(buf: Summary): Summary = buf
+    override def bufferEncoder: Encoder[Summary] = Encoders.product[Summary]
+    override def outputEncoder: Encoder[Summary] = Encoders.product[Summary]
+  }
+}

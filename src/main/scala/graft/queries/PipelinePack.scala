@@ -402,6 +402,28 @@ object PipelinePack {
       SELECT doc_id, CAST($recon AS BIGINT) AS simhash FROM bits ORDER BY doc_id"""
   }
 
+  /** Email / dotted-quad patterns shared by the Spark entry and the DuckDB
+    * oracle (d16). Plain character classes + bounded quantifiers only, so
+    * Java regex and RE2 match identically. Declared before [[defs]] — the
+    * oracle SQL interpolates them at object init.
+    */
+  private val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val Ipv4Pat = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII scrub over any (doc_id, text-like) frame: per-row email and
+    * dotted-quad counts plus the redacted text. A pure projection — both
+    * regex ops are codegen'd, so the pass is shuffle-free at any corpus
+    * size. Patterns are lowercase (the corpus's canonical form); a
+    * mixed-case deployment would case-fold first, d01-style.
+    */
+  def piiRedact(df: DataFrame, textCol: String): DataFrame =
+    df.select(
+      col("doc_id"),
+      regexp_count(col(textCol), lit(EmailPat)).cast("long").as("n_emails"),
+      regexp_count(col(textCol), lit(Ipv4Pat)).cast("long").as("n_ips"),
+      regexp_replace(regexp_replace(col(textCol), EmailPat, "<EMAIL>"),
+        Ipv4Pat, "<IP>").as("redacted"))
+
   val defs: Seq[QDef] = Seq(
 
     // ---- exact dedup: hash-groupBy keep-first ----
@@ -772,6 +794,96 @@ object PipelinePack {
           sh.filter(col("doc_id") >= 20),
           sh.filter(col("doc_id") < 20))
         .orderBy("train_doc", "eval_doc")
+    },
+
+    // ---- d16: PII redaction (email + IPv4), the scrubbing pass every
+    // training corpus gets before release. Pure projection — regexp_count
+    // and regexp_replace are codegen'd, no shuffle at any corpus size. The
+    // synthetic corpus is a 31-word vocabulary with no PII at all, so the
+    // entry derives a deterministic PII-bearing augmentation in-plan
+    // (e03c-style: both engines re-derive it bit-identically) — 2 emails +
+    // 1 dotted-quad for doc_id % 3 != 0, nothing for the rest, gating both
+    // the match and the no-op paths on real data. Patterns stick to plain
+    // character classes so Java regex (Spark) and RE2 (DuckDB) agree. ----
+    QDef("d16_pii_redaction", Some(s"""
+      WITH aug AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN text
+                    ELSE text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail-' ||
+                         CAST(doc_id % 7 AS VARCHAR) || '.example.com or admin' ||
+                         CAST(doc_id AS VARCHAR) || '@example.org from 10.' ||
+                         CAST(doc_id % 200 AS VARCHAR) || '.' || CAST(doc_id % 250 AS VARCHAR) ||
+                         '.' || CAST(doc_id % 100 AS VARCHAR)
+               END AS aug
+        FROM documents)
+      SELECT doc_id,
+             len(regexp_extract_all(aug, '$EmailPat')) AS n_emails,
+             len(regexp_extract_all(aug, '$Ipv4Pat')) AS n_ips,
+             regexp_replace(regexp_replace(aug, '$EmailPat', '<EMAIL>', 'g'),
+                            '$Ipv4Pat', '<IP>', 'g') AS redacted
+      FROM aug ORDER BY doc_id""")) { (s, dir) =>
+      val idStr = col("doc_id").cast("string")
+      val pii = concat(
+        lit(" contact user"), idStr, lit("@mail-"), (col("doc_id") % 7).cast("string"),
+        lit(".example.com or admin"), idStr, lit("@example.org from 10."),
+        (col("doc_id") % 200).cast("string"), lit("."), (col("doc_id") % 250).cast("string"),
+        lit("."), (col("doc_id") % 100).cast("string"))
+      piiRedact(
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            when(col("doc_id") % 3 === 0, col("text"))
+              .otherwise(concat(col("text"), pii)).as("aug")),
+        "aug")
+        .orderBy("doc_id")
+    },
+
+    // ---- d17: frequent-items (heavy hitters) via a mergeable Misra-Gries
+    // Aggregator — the vocabulary/boilerplate census a 100 TB corpus can't
+    // run as an exact groupBy when the token space is unbounded. Counter
+    // values are merge-order dependent, so the gate is the ORDER-INVARIANT
+    // guarantee, g17b-style: over a deterministically skewed stream (the 3
+    // head words kept intact, the tail fragmented by doc_id % 97 into
+    // ~2,700 keys >> k=64 counters, so eviction genuinely fires), every
+    // true-heavy item (count*k > N) must be present and every estimate
+    // must sit in [true - N/(k+1), true]. The oracle re-derives N and the
+    // true-heavy count relationally and pins both violation counters at 0;
+    // FreqSketchSpec covers adversarial merge orders and the lossy regime
+    // against a plain-Scala twin. ----
+    QDef("d17_heavy_hitters", Some("""
+      WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      s AS (SELECT CASE WHEN w IN ('join', 'hash', 'row') THEN w
+                        ELSE w || '#' || CAST(doc_id % 97 AS VARCHAR) END AS t FROM w),
+      c AS (SELECT t, count(*) AS c FROM s GROUP BY 1),
+      n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c)
+      SELECT CAST(64 AS BIGINT) AS k,
+             n.n AS n_tokens,
+             CAST((SELECT count(*) FROM c WHERE c.c * 64 > n.n) AS BIGINT) AS n_true_heavy,
+             CAST(0 AS BIGINT) AS missing_heavy,
+             CAST(0 AS BIGINT) AS est_violations
+      FROM n""")) { (s, dir) =>
+      import s.implicits._
+      val k = 64
+      val derived = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(toks).as("w"))
+        .select(when(col("w").isin("join", "hash", "row"), col("w"))
+          .otherwise(concat(col("w"), lit("#"), (col("doc_id") % 97).cast("string"))).as("t"))
+      val exact = derived.groupBy("t").agg(count(lit(1)).as("c"))
+      val sketch = derived.select(col("t")).as[String]
+        .select(new graft.functions.FreqSketch.MisraGriesAggregator(k).toColumn)
+        .select(explode(col("items")).as(Seq("item", "est")))
+      val tot = exact.agg(sum(col("c")).cast("long").as("n"))
+      exact.join(broadcast(sketch), col("t") === col("item"), "left")
+        .crossJoin(broadcast(tot))
+        .agg(
+          max(col("n")).as("n_tokens"),
+          sum(when(col("c") * k > col("n"), 1L).otherwise(0L)).as("n_true_heavy"),
+          sum(when(col("c") * k > col("n") && col("item").isNull, 1L).otherwise(0L))
+            .as("missing_heavy"),
+          sum(when(col("item").isNotNull &&
+            (col("est") > col("c") || (col("c") - col("est")) * (k + 1) > col("n")), 1L)
+            .otherwise(0L)).as("est_violations"))
+        .select(lit(k.toLong).as("k"), col("n_tokens"), col("n_true_heavy"),
+          col("missing_heavy"), col("est_violations"))
     }
   )
 }

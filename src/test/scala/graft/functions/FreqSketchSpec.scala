@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** Misra-Gries laws: exactness below k, the presence + error-band
+  * guarantee in the lossy regime under adversarial merge orders, and the
+  * invariant that a summary never overcounts. The d17 entry gates the
+  * same guarantee end-to-end in Spark against the DuckDB-recomputed
+  * exact counts; this spec covers the regimes and merge shapes the
+  * fixture can't reach.
+  */
+class FreqSketchSpec extends AnyFunSuite {
+
+  private def runStream(k: Int, xs: Seq[String]): Map[String, Long] =
+    xs.foldLeft(Map.empty[String, Long])((m, x) => FreqSketch.update(k, m, x))
+
+  private def exact(xs: Seq[String]): Map[String, Long] =
+    xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+  private def assertGuarantee(k: Int, xs: Seq[String], sk: Map[String, Long]): Unit = {
+    val n = xs.length.toLong
+    val ex = exact(xs)
+    assert(sk.size <= k, s"summary exceeded $k counters: ${sk.size}")
+    ex.foreach { case (item, c) =>
+      val est = sk.getOrElse(item, 0L)
+      assert(est <= c, s"$item overcounted: est $est > true $c")
+      assert((c - est) * (k + 1) <= n, s"$item undercounted past N/(k+1): est $est, true $c, N $n")
+      if (c * (k + 1) > n)
+        assert(sk.contains(item), s"heavy item $item (count $c of $n) missing")
+    }
+    sk.keys.foreach(i => assert(ex.contains(i), s"phantom item $i"))
+  }
+
+  test("below k distinct items the summary is the exact frequency table") {
+    val xs = Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(7)("c")
+    val sk = runStream(8, new Random(1).shuffle(xs))
+    assert(sk === Map("a" -> 50L, "b" -> 30L, "c" -> 7L))
+  }
+
+  test("lossy regime keeps every heavy item inside the error band") {
+    val rnd = new Random(42)
+    // 3 heavy items over a 500-key tail, k=16 — heavy threshold N/17
+    val heavy = Seq("x", "y", "z").flatMap(Seq.fill(400)(_))
+    val tail = Seq.fill(1500)(s"t${rnd.nextInt(500)}")
+    val xs = rnd.shuffle(heavy ++ tail)
+    assertGuarantee(16, xs, runStream(16, xs))
+  }
+
+  test("guarantee survives adversarial merge orders and skewed partition splits") {
+    val rnd = new Random(7)
+    val heavy = Seq("h1", "h2").flatMap(Seq.fill(600)(_))
+    val xs = rnd.shuffle(heavy ++ Seq.fill(2000)(s"t${rnd.nextInt(300)}"))
+    val k = 12
+    // partitions of wildly different sizes, merged left-fold, right-fold
+    // and pairwise-tree — counter values may differ, the guarantee may not
+    val parts = Seq(xs.take(7), xs.slice(7, 1200), xs.slice(1200, 1210), xs.drop(1210))
+      .map(runStream(k, _))
+    val leftFold = parts.reduceLeft(FreqSketch.mergeSummaries(k, _, _))
+    val rightFold = parts.reduceRight(FreqSketch.mergeSummaries(k, _, _))
+    val tree = FreqSketch.mergeSummaries(k,
+      FreqSketch.mergeSummaries(k, parts(0), parts(1)),
+      FreqSketch.mergeSummaries(k, parts(2), parts(3)))
+    Seq(leftFold, rightFold, tree).foreach(assertGuarantee(k, xs, _))
+  }
+
+  test("merge of two exact summaries below capacity is exact addition") {
+    val a = runStream(32, Seq("a", "a", "b"))
+    val b = runStream(32, Seq("b", "c"))
+    assert(FreqSketch.mergeSummaries(32, a, b) === Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
+  }
+}

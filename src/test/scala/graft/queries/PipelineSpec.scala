@@ -233,4 +233,22 @@ class PipelineSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).sorted
     assert(kept.toSeq === Seq(3L, 7L))
   }
+
+  test("pii redaction handles boundary positions, multiples and clean text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a@b.co starts and ends x.y@z-1.example.org"), // start + end of string
+      (2L, "two hosts 1.2.3.4 and 255.255.255.255 here"),
+      (3L, "no pii in this perfectly ordinary sentence"),
+      (4L, "mixed bob_smith+tag@mail.co at 10.0.0.1"),
+      (5L, "dots 1.2.3 are not an address nor is v1.2.3.x4")) // quad needs 4 digit groups
+      .toDF("doc_id", "text")
+    val got = PipelinePack.piiRedact(df, "text").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got(0) === ((1L, 2L, 0L, "<EMAIL> starts and ends <EMAIL>")))
+    assert(got(1) === ((2L, 0L, 2L, "two hosts <IP> and <IP> here")))
+    assert(got(2) === ((3L, 0L, 0L, "no pii in this perfectly ordinary sentence")))
+    assert(got(3) === ((4L, 1L, 1L, "mixed <EMAIL> at <IP>")))
+    assert(got(4) === ((5L, 0L, 0L, "dots 1.2.3 are not an address nor is v1.2.3.x4")))
+  }
 }
