@@ -4,7 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.{expr, struct, xxhash64}
 
 /** Benchmark main. Prints ONE JSON line:
-  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  * `{"metric":"total","value":N,"unit":"sec","sf":...,"tier":...,
+  *   "skipped":[...],"errors":{},"flaky":{},"spread":{...},"queries":{...}}`.
   *
   * Harness rules (VERDICT r01 "What's wrong" #2/#3, r03 bench hygiene):
   *   - deterministic query order (sorted by name) so run-to-run and
@@ -38,7 +39,23 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.get()
 
+    // Bench tiers (round-6 verdict #1): `production` skips the deliberate
+    // quadratic comparator baselines (QDef.comparator) so large-SF
+    // rehearsals pay only production plans — never silently: every skipped
+    // entry is named on stderr AND in the JSON's `skipped` list. Any other
+    // value (or unset) runs the full suite, comparators included.
+    val tier = sys.env.get("SPARK_GRAFT_BENCH_TIER").map(_.trim.toLowerCase)
+      .filter(_.nonEmpty).getOrElse("full")
+    val skipped: Seq[String] =
+      if (tier == "production") SparkEntry.comparatorEntries.toSeq.sorted
+      else Seq.empty
+    if (skipped.nonEmpty)
+      System.err.println(
+        s"[bench] tier=production: skipping ${skipped.size} comparator " +
+          s"entries: ${skipped.mkString(", ")}")
+
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => skipped.contains(name) }
 
     // Pass/warm-up knobs for the 10x scale rehearsal, where one pass of
     // the quadratic verification baselines (e03) already dominates
@@ -80,11 +97,15 @@ object Bench {
       val failed = samples.count { case (n, _, ok) => n == name && !ok }
       name -> s"$failed/$Passes passes failed: $msg"
     }
+    // medians rounded to ms: raw doubles printed 17 significant digits
+    // each, which quadrupled the JSON line and let the driver's tail
+    // capture truncate it mid-map (round-6 verdict #3) — sub-ms precision
+    // is noise at these timings anyway
     val results = ordered.map { case (name, _) =>
       val good = samples.collect { case (`name`, t, true) => t }.sorted
       val ts = if (good.nonEmpty) good
         else samples.collect { case (`name`, t, _) => t }.sorted
-      name -> ts(ts.length / 2)
+      name -> math.round(ts(ts.length / 2) * 1000) / 1000.0
     }
     // per-entry run-to-run spread ((max-min)/median over successful
     // passes): suite timings at sf0.1 carry ±15% contention noise
@@ -108,8 +129,13 @@ object Bench {
     val sp = spreads.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val flk = flaky.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"errors":$errs,"flaky":$flk,"sf":"$sfDir"}""")
+    val skp = skipped.map(jstr).mkString("[", ",", "]")
+    val total = math.round(results.map(_._2).sum * 1000) / 1000.0
+    // field order is load-bearing: the driver's tail capture keeps the END
+    // of the stream, and r6's artifact lost the medians because `queries`
+    // led the line — the per-entry medians now close the object so a
+    // truncated capture still ends with them (verdict r6 #3/#4)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","tier":${jstr(tier)},"skipped":$skp,"errors":$errs,"flaky":$flk,"spread":$sp,"queries":$qs}""")
     spark.stop()
   }
 }

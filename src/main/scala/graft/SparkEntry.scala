@@ -27,4 +27,10 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = maps._2
+
+  /** Names of deliberate quadratic comparator baselines (see [[QDef]]):
+    * always verified at correctness SF, skipped by the bench's
+    * production tier so scale rehearsals stay affordable. */
+  def comparatorEntries: Set[String] =
+    packs.filter(_.comparator).map(_.name).toSet
 }

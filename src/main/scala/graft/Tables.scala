@@ -42,10 +42,20 @@ object Tables {
   * equivalent ANSI SQL for the driver's DuckDB oracle. Column names/aliases
   * must match between the two — the oracle compare hashes values after
   * sorting columns by name.
+  *
+  * `comparator` marks deliberate verification-grade baselines (all-pairs
+  * near-dup, uncapped wedge joins, worst-case-fixture configurations)
+  * whose cost is quadratic BY DESIGN: they stay fully oracle-gated at
+  * correctness SF, but the bench's production tier
+  * (`SPARK_GRAFT_BENCH_TIER=production`) skips them — loudly, by name —
+  * so large-SF rehearsals pay the production plans, not the comparators
+  * those plans are measured against (round-6 verdict #1: the comparator
+  * tier was 282s of the 475s sf1 run and extrapolates to hours at sf10).
   */
 final case class QDef(
     name: String,
-    oracle: Option[String])(
+    oracle: Option[String],
+    comparator: Boolean = false)(
     val run: (SparkSession, String) => DataFrame)
 
 object QDef {
