@@ -42,17 +42,29 @@ object Bench {
     // Bench tiers (round-6 verdict #1): `production` skips the deliberate
     // quadratic comparator baselines (QDef.comparator) so large-SF
     // rehearsals pay only production plans — never silently: every skipped
-    // entry is named on stderr AND in the JSON's `skipped` list. Any other
-    // value (or unset) runs the full suite, comparators included.
+    // entry is named on stderr AND in the JSON's `skipped` list. Only
+    // `full` (the default) and `production` are accepted; anything else —
+    // a typo like `prod` — fails fast rather than silently running the
+    // comparator tier for hours at sf10 (round-7 advice).
     val tier = sys.env.get("SPARK_GRAFT_BENCH_TIER").map(_.trim.toLowerCase)
       .filter(_.nonEmpty).getOrElse("full")
+    if (tier != "full" && tier != "production")
+      sys.error(s"SPARK_GRAFT_BENCH_TIER must be 'full' or 'production', got '$tier'")
     val skipped: Seq[String] =
       if (tier == "production") SparkEntry.comparatorEntries.toSeq.sorted
       else Seq.empty
-    if (skipped.nonEmpty)
+    if (tier == "production") {
+      // An empty comparator set under tier=production means the flags were
+      // lost — exactly the silent no-op that shipped in round 7 (every QDef
+      // defaulted comparator=false, so "production" skipped nothing and the
+      // skip log never fired). Fail loudly instead of benching quadratics.
+      if (skipped.isEmpty)
+        sys.error("tier=production found zero comparator entries — " +
+          "QDef.comparator flags lost? (round-7 verdict #1)")
       System.err.println(
         s"[bench] tier=production: skipping ${skipped.size} comparator " +
           s"entries: ${skipped.mkString(", ")}")
+    }
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => skipped.contains(name) }
@@ -135,7 +147,19 @@ object Bench {
     // of the stream, and r6's artifact lost the medians because `queries`
     // led the line — the per-entry medians now close the object so a
     // truncated capture still ends with them (verdict r6 #3/#4)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","tier":${jstr(tier)},"skipped":$skp,"errors":$errs,"flaky":$flk,"spread":$sp,"queries":$qs}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","tier":${jstr(tier)},"skipped":$skp,"errors":$errs,"flaky":$flk,"spread":$sp,"queries":$qs}"""
+    println(line)
+    // stdout is a lossy channel (the driver keeps only the tail of the
+    // stream — r7's artifact lost ~27 medians to the front clip), so the
+    // full JSON is ALSO written to a file that can be committed. Path
+    // override via SPARK_GRAFT_BENCH_OUT for named rehearsal artifacts.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"BENCH_local_${new java.io.File(sfDir).getName}_$tier.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not persist JSON to $outPath: $e")
+    }
     spark.stop()
   }
 }

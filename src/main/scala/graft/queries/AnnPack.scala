@@ -498,7 +498,7 @@ object AnnPack {
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
-      ORDER BY id_a, id_b""")) { (s, dir) =>
+      ORDER BY id_a, id_b"""), comparator = true) { (s, dir) =>
       val emb = embeddings(s, dir)
       val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
       val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
@@ -551,7 +551,8 @@ object AnnPack {
     // nearest pair cosine is asserted by AnnSpec (engines differ by up to
     // ~2e-7 — see clusteredOracleSql's note), so the gate does not ride
     // on float parity. ----
-    QDef("e03c_cosine_near_dup_clustered_baseline", Some(clusteredOracleSql)) { (s, dir) =>
+    QDef("e03c_cosine_near_dup_clustered_baseline", Some(clusteredOracleSql),
+        comparator = true) { (s, dir) =>
       val cv = clusteredEmbeddings(embeddings(s, dir))
       val a = cv.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
       val b = cv.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))

@@ -299,7 +299,7 @@ object GraphPack {
              CAST((p.common * 1000000) // (a.deg + b.deg - p.common) AS BIGINT)
                AS jaccard_millionths
       FROM prs p JOIN deg a ON a.node = p.id_a JOIN deg b ON b.node = p.id_b
-      ORDER BY p.id_a, p.id_b""")) { (s, dir) =>
+      ORDER BY p.id_a, p.id_b"""), comparator = true) { (s, dir) =>
       GraphTables.commonNeighbors(GraphTables.forDir(s, dir)).orderBy("id_a", "id_b")
     },
 

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract pins on the [[SparkEntry]] registry itself.
+  *
+  * The comparator-set pin is the test whose absence let round 7 ship a
+  * no-op: `QDef.comparator` defaulted false everywhere, so
+  * `SPARK_GRAFT_BENCH_TIER=production` silently skipped nothing (round-7
+  * verdict #1). Pinning the EXACT set means adding a comparator without
+  * updating this spec — or losing a flag in a refactor — fails the build.
+  */
+class SparkEntrySpec extends AnyFunSuite {
+
+  test("comparatorEntries is exactly the quarantined quadratic baselines") {
+    assert(SparkEntry.comparatorEntries === Set(
+      "e03_cosine_near_dup",
+      "e03c_cosine_near_dup_clustered_baseline",
+      "g22_common_neighbors"))
+  }
+
+  test("every comparator entry has a faster gated production twin") {
+    // the tier may only skip entries whose semantics remain gated through
+    // a production-path twin in the same registry — a comparator with no
+    // twin would mean production rehearsals lose its coverage entirely
+    val twins = Map(
+      "e03_cosine_near_dup" -> Seq("e04_cosine_near_dup_blocked", "e04b_cosine_near_dup_salted"),
+      "e03c_cosine_near_dup_clustered_baseline" -> Seq("e04c_cosine_near_dup_clustered"),
+      "g22_common_neighbors" -> Seq("g22b_common_neighbors_capped"))
+    assert(twins.keySet === SparkEntry.comparatorEntries)
+    for ((c, ts) <- twins; t <- ts) {
+      assert(SparkEntry.queries.contains(t), s"twin $t of comparator $c missing")
+      assert(SparkEntry.oracleSql.contains(t), s"twin $t of comparator $c ungated")
+    }
+  }
+
+  test("every oracle key has a queries entry") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracleSql keys without queries: $orphans")
+  }
+}
