@@ -305,6 +305,11 @@ object GraphTables {
       g: GraphFrames,
       hubCap: Option[Long] = None,
       capAtMedianDegree: Boolean = false): DataFrame = {
+    // the two caps are alternatives, not composable: an explicit hubCap
+    // used to silently win over capAtMedianDegree, so a caller asking for
+    // the data-derived cap could get a fixed one instead (round-6 advice)
+    require(hubCap.isEmpty || !capAtMedianDegree,
+      "pass either hubCap or capAtMedianDegree, not both")
     val und = undirectedSimpleEdges(g)
       .localCheckpoint() // consumed by adj (x2) and deg
     val adj = und.select(col("u").as("n"), col("v").as("m"))

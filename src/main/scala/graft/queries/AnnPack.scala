@@ -194,9 +194,11 @@ object AnnPack {
     * replicates each row once per SURVIVING partner cell, which on a
     * clustered corpus is the intra-cluster handful (independent of C, so
     * larger C is a straight win against N²/C) but on an unclustered one
-    * approaches C itself — the gated entries pin C = NumCentroids for
-    * the deliberately uniform synthetic fixture, and AnnSpec demonstrates
-    * the adaptive win on a clustered one.
+    * approaches C itself. The adaptive sizing is the DEFAULT every gated
+    * entry runs (e04/e04b/e04c — round-6 verdict #7: the production rule
+    * must be the measured one, even on the uniform fixture where it is
+    * not the flattering configuration); AnnSpec demonstrates the win on
+    * a clustered corpus.
     */
   private[queries] def blockedCells(
       emb: DataFrame,
@@ -517,7 +519,7 @@ object AnnPack {
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
       ORDER BY id_a, id_b""")) { (s, dir) =>
-      cosineNearDupBlocked(embeddings(s, dir), numCells = Some(NumCentroids))
+      cosineNearDupBlocked(embeddings(s, dir)) // adaptive ~sqrt(N) cells
         .orderBy("id_a", "id_b")
     },
 
@@ -531,7 +533,7 @@ object AnnPack {
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
       ORDER BY id_a, id_b""")) { (s, dir) =>
-      cosineNearDupBlocked(embeddings(s, dir), sameCellSalt = 8, numCells = Some(NumCentroids))
+      cosineNearDupBlocked(embeddings(s, dir), sameCellSalt = 8) // adaptive cells
         .orderBy("id_a", "id_b")
     },
 

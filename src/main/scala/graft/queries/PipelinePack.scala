@@ -403,12 +403,21 @@ object PipelinePack {
   }
 
   /** Email / dotted-quad patterns shared by the Spark entry and the DuckDB
-    * oracle (d16). Plain character classes + bounded quantifiers only, so
-    * Java regex and RE2 match identically. Declared before [[defs]] — the
-    * oracle SQL interpolates them at object init.
+    * oracle (d16). Character classes, bounded quantifiers, ordered
+    * alternation and ASCII `\b` only — constructs Java regex (Spark) and
+    * RE2 (DuckDB) evaluate identically, both leftmost-first. Declared
+    * before [[defs]] — the oracle SQL interpolates them at object init.
+    *
+    * The quad is octet-range-checked (0–255, no leading zeros) and
+    * word-boundary-anchored on both ends, so digit runs that merely look
+    * dotted ("999.1.2.3", "1234.5.6.7", a "256." octet) are neither
+    * counted nor redacted — the unanchored form matched INSIDE them,
+    * redacting 3 digits of a 4-digit number and leaving fragments that
+    * read as missed PII (round-6 advice).
     */
   private val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  private val Ipv4Pat = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  private val Ipv4Octet = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+  private val Ipv4Pat = s"\\b($Ipv4Octet\\.){3}$Ipv4Octet\\b"
 
   /** PII scrub over any (doc_id, text-like) frame: per-row email and
     * dotted-quad counts plus the redacted text. A pure projection — both

@@ -321,6 +321,67 @@ class AnnSpec extends AnyFunSuite {
         s"missing=${(bf -- full).take(5)} extra=${(full -- bf).take(5)}")
   }
 
+  test("e02c rank boundaries carry a cosine margin >> cross-engine float divergence") {
+    // The e02c driver gate hashes integer hit counts derived from FOUR
+    // row_number boundaries (cell assignment rn=1, probe rn<=NProbe,
+    // IVF candidate rank<=K, brute rank<=K). Spark computes cosines in
+    // double, DuckDB's list_cosine_similarity accumulates in float —
+    // measured divergence up to ~2e-7. If any boundary's cosine gap were
+    // inside that band, the gate would flip on float parity, not
+    // semantics (round-6 advice). This pins every gap at the CORRECTNESS
+    // SF (sf0.01, where the driver gate runs) to >= 50x that divergence,
+    // so a fixture/threshold change that erodes the margin fails HERE,
+    // loudly, instead of as an unexplained driver hash mismatch.
+    // Measured gaps on the current fixture: 2.3e-4 / 1.1e-3 / 1.1e-3 /
+    // 1.7e-4 — ~850x divergence at the tightest.
+    val Margin = 1e-5
+    val vecs = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var ab = 0d; var aa = 0d; var bb = 0d; var i = 0
+      while (i < a.length) {
+        ab += a(i).toDouble * b(i).toDouble
+        aa += a(i).toDouble * a(i).toDouble
+        bb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      ab / math.sqrt(aa) / math.sqrt(bb)
+    }
+    val cent = vecs.take(AnnPack.NumCentroids).map(_._2)
+    val qs = vecs.take(AnnPack.NumQueries)
+    def sortedDesc(xs: Array[Double]): Array[Double] = xs.sorted.reverse
+    // boundary 1: per-vector best vs 2nd-best centroid
+    val g1 = vecs.map { case (_, v) =>
+      val s = sortedDesc(cent.map(c => cos(v, c))); s(0) - s(1)
+    }.min
+    // boundary 2: per-query NProbe-th vs (NProbe+1)-th centroid
+    val g2 = qs.map { case (_, q) =>
+      val s = sortedDesc(cent.map(c => cos(q, c)))
+      s(AnnPack.NProbe - 1) - s(AnnPack.NProbe)
+    }.min
+    // boundary 3: per-query brute rank-K vs K+1 (excluding self)
+    val g3 = qs.map { case (qid, q) =>
+      val s = sortedDesc(vecs.collect { case (id, v) if id != qid => cos(q, v) })
+      s(AnnPack.K - 1) - s(AnnPack.K)
+    }.min
+    // boundary 4: per-query IVF-candidate rank-K vs K+1 (probed cells only)
+    val assign = vecs.map { case (id, v) =>
+      id -> cent.map(c => cos(v, c)).zipWithIndex.maxBy { case (c, i) => (c, -i) }._2
+    }.toMap
+    val g4 = qs.map { case (qid, q) =>
+      val probed = cent.map(c => cos(q, c)).zipWithIndex
+        .sortBy { case (c, i) => (-c, i) }.take(AnnPack.NProbe).map(_._2).toSet
+      val s = sortedDesc(vecs.collect {
+        case (id, v) if id != qid && probed(assign(id)) => cos(q, v)
+      })
+      if (s.length > AnnPack.K) s(AnnPack.K - 1) - s(AnnPack.K) else 1d
+    }.min
+    for ((g, nm) <- Seq(g1 -> "assignment", g2 -> "probe", g3 -> "brute@K", g4 -> "ivf@K"))
+      assert(g > Margin, s"e02c $nm boundary gap $g within float-parity band")
+  }
+
   test("IVF top-k recall against brute force is high at nprobe/cells = 1/4") {
     val emb = graft.Tables.embeddings(spark, dir)
     val bf = AnnPack.bruteForceTopK(emb).collect().map(r => (r.getLong(0), r.getLong(2))).toSet

@@ -241,7 +241,9 @@ class PipelineSpec extends AnyFunSuite {
       (2L, "two hosts 1.2.3.4 and 255.255.255.255 here"),
       (3L, "no pii in this perfectly ordinary sentence"),
       (4L, "mixed bob_smith+tag@mail.co at 10.0.0.1"),
-      (5L, "dots 1.2.3 are not an address nor is v1.2.3.x4")) // quad needs 4 digit groups
+      (5L, "dots 1.2.3 are not an address nor is v1.2.3.x4"), // quad needs 4 digit groups
+      (6L, "bad quads 999.1.2.3 and 256.1.1.1 and 1234.5.6.7 stay whole"),
+      (7L, "edge octets 0.0.0.0 and 250.199.99.9 but not 025.1.1.1"))
       .toDF("doc_id", "text")
     val got = PipelinePack.piiRedact(df, "text").orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
@@ -250,5 +252,10 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(2) === ((3L, 0L, 0L, "no pii in this perfectly ordinary sentence")))
     assert(got(3) === ((4L, 1L, 1L, "mixed <EMAIL> at <IP>")))
     assert(got(4) === ((5L, 0L, 0L, "dots 1.2.3 are not an address nor is v1.2.3.x4")))
+    // out-of-range octets and digit runs must stay untouched end-to-end —
+    // the unanchored pattern used to redact 3 digits OUT OF THE MIDDLE of
+    // "1234.5.6.7890"-style runs (round-6 advice)
+    assert(got(5) === ((6L, 0L, 0L, "bad quads 999.1.2.3 and 256.1.1.1 and 1234.5.6.7 stay whole")))
+    assert(got(6) === ((7L, 0L, 2L, "edge octets <IP> and <IP> but not 025.1.1.1")))
   }
 }
