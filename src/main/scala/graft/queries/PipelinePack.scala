@@ -245,6 +245,39 @@ object PipelinePack {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** The template-duplicated twin of the documents corpus: a fixed
+    * 16-word boilerplate footer appended to doc_id % 10 < 3 (30% of
+    * docs) — the "same signup footer on a third of the crawl" regime
+    * where an uncapped shingle inverted index self-destructs: each of
+    * the footer's ~14 trigrams has df = 0.3N, so candidate generation
+    * fans out 14·(0.3N)²/2 joined rows — quadratic work growing as N²,
+    * almost all of it for pairs similar ONLY through the footer (average
+    * docs land near J ≈ 0.13; short docs cross 0.3, the classic
+    * boilerplate false-dup). The capped path drops exactly those
+    * shingles from candidate generation (natural shingle df tops out at
+    * 25 at sf0.1, the footer at ~1500, so TemplateDfCap = 100 separates
+    * them with a wide margin at every SF), paying ~13x fewer joined
+    * rows; the pairs it loses are precisely the footer-only ones
+    * (PipelineSpec pins that). Derived in-plan with doc_id arithmetic +
+    * string concat only, so the DuckDB oracle re-derives it
+    * bit-identically (e03c discipline).
+    */
+  private[queries] val TemplateFooter: String =
+    "standard legal footer all rights reserved unsubscribe here privacy " +
+      "policy terms apply contact support for help today"
+  private[queries] val TemplateDfCap = 100L
+  private[queries] def templateDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 10 < 3, concat(col("text"), lit(" " + TemplateFooter)))
+        .otherwise(col("text")).as("text"))
+
+  /** The same derivation as a DuckDB CTE body (SELECT doc_id, text). */
+  private val templateDocsSql: String = s"""
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 < 3 THEN text || ' $TemplateFooter'
+                  ELSE text END AS text
+      FROM documents"""
+
   /** Dedup CLUSTERING: near-dup pairs closed into connected components,
     * every document labeled with its component's minimum doc_id (the
     * canonical representative a keep-one dedup retains). Pairs alone
@@ -537,6 +570,68 @@ object PipelinePack {
       WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.3
       ORDER BY doc_i, doc_j""")) { (s, dir) =>
       ngramJaccardPairs(Tables.documents(s, dir), threshold = 0.3, dfCap = Some(5L))
+        .orderBy("doc_i", "doc_j")
+    },
+
+    // ---- d10c/d10d: the corpus regime the dfCap EXISTS for (round-6
+    // verdict #2: d10b's cap had no fixture where it wins — on the
+    // organic corpus it only added a recount join). See [[templateDocs]]:
+    // 30% of docs share a boilerplate footer whose ~14 hot shingles fan
+    // the uncapped candidate join out ~13x for pairs that all fail the
+    // threshold. d10c is the capped PRODUCTION path; d10d the uncapped
+    // baseline on the identical corpus — a deliberate quadratic
+    // comparator (bench tier skips it at scale). Both are gated on
+    // exhaustive DuckDB recomputes applying the identical exclusion, and
+    // PipelineSpec pins that the cap is non-vacuous (footer df >> cap)
+    // and that its recall loss is exactly the boilerplate-only pairs. ----
+    QDef("d10c_jaccard_template_capped", Some(s"""
+      WITH aug AS ($templateDocsSql),
+      tok AS (SELECT doc_id, string_split(text, ' ') ws FROM aug),
+      idx AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) i FROM tok),
+      sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM idx),
+      df AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
+      cold AS (SELECT g FROM df WHERE df <= $TemplateDfCap),
+      shc AS (SELECT sh.doc_id, sh.g FROM sh JOIN cold USING (g)),
+      cands AS (
+        SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+        FROM shc a JOIN shc b ON a.g = b.g AND a.doc_id < b.doc_id),
+      pairs AS (
+        SELECT c.doc_i, c.doc_j, count(*) AS inter
+        FROM cands c
+          JOIN sh a ON a.doc_id = c.doc_i
+          JOIN sh b ON b.doc_id = c.doc_j AND b.g = a.g
+        GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+      SELECT p.doc_i, p.doc_j,
+             CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) AS jaccard
+      FROM pairs p
+        JOIN sizes sa ON sa.doc_id = p.doc_i
+        JOIN sizes sb ON sb.doc_id = p.doc_j
+      WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.3
+      ORDER BY doc_i, doc_j""")) { (s, dir) =>
+      ngramJaccardPairs(templateDocs(Tables.documents(s, dir)),
+        threshold = 0.3, dfCap = Some(TemplateDfCap))
+        .orderBy("doc_i", "doc_j")
+    },
+
+    QDef("d10d_jaccard_template_uncapped", Some(s"""
+      WITH aug AS ($templateDocsSql),
+      tok AS (SELECT doc_id, string_split(text, ' ') ws FROM aug),
+      idx AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) i FROM tok),
+      sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM idx),
+      pairs AS (
+        SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS inter
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+      SELECT p.doc_i, p.doc_j,
+             CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) AS jaccard
+      FROM pairs p
+        JOIN sizes sa ON sa.doc_id = p.doc_i
+        JOIN sizes sb ON sb.doc_id = p.doc_j
+      WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.3
+      ORDER BY doc_i, doc_j"""), comparator = true) { (s, dir) =>
+      ngramJaccardPairs(templateDocs(Tables.documents(s, dir)), threshold = 0.3)
         .orderBy("doc_i", "doc_j")
     },
 

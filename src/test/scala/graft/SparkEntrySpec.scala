@@ -14,6 +14,7 @@ class SparkEntrySpec extends AnyFunSuite {
 
   test("comparatorEntries is exactly the quarantined quadratic baselines") {
     assert(SparkEntry.comparatorEntries === Set(
+      "d10d_jaccard_template_uncapped",
       "e03_cosine_near_dup",
       "e03c_cosine_near_dup_clustered_baseline",
       "g22_common_neighbors"))
@@ -24,6 +25,7 @@ class SparkEntrySpec extends AnyFunSuite {
     // a production-path twin in the same registry — a comparator with no
     // twin would mean production rehearsals lose its coverage entirely
     val twins = Map(
+      "d10d_jaccard_template_uncapped" -> Seq("d10c_jaccard_template_capped"),
       "e03_cosine_near_dup" -> Seq("e04_cosine_near_dup_blocked", "e04b_cosine_near_dup_salted"),
       "e03c_cosine_near_dup_clustered_baseline" -> Seq("e04c_cosine_near_dup_clustered"),
       "g22_common_neighbors" -> Seq("g22b_common_neighbors_capped"))

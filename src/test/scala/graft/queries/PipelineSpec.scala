@@ -83,6 +83,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs(PipelinePack.ngramJaccardPairs(docs, 0.3, dfCap = Some(1000000L))) === got)
   }
 
+  test("template corpus: dfCap is non-vacuous, loses only footer-only pairs, prunes >5x volume") {
+    val docs = PipelinePack.templateDocs(graft.Tables.documents(spark, dir))
+    def sh(t: String): Set[String] = t.split(' ').sliding(3).map(_.mkString(" ")).toSet
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1))
+
+    // the footer's shingles really are hot (df >> cap) while organic
+    // shingles stay cold — the separation the cap rides on
+    val df = texts.toSeq.flatMap { case (_, t) => sh(t).toSeq }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val footerGrams = PipelinePack.TemplateFooter.split(' ').sliding(3).map(_.mkString(" ")).toSet
+    footerGrams.foreach { g =>
+      assert(df(g) > PipelinePack.TemplateDfCap,
+        s"footer shingle '$g' df=${df(g)} not above cap — fixture regression")
+    }
+
+    // join volume = sum over shingles of df*(df-1)/2; the cap must buy a
+    // real reduction (the entire point of d10c vs d10d)
+    def volume(m: Iterable[Int]): Double = m.map(d => d.toDouble * (d - 1) / 2).sum
+    val all = volume(df.values)
+    val coldVol = volume(df.collect { case (_, d) if d <= PipelinePack.TemplateDfCap => d })
+    assert(all / coldVol > 5.0, s"cap prunes only ${all / coldVol}x of $all joined rows")
+
+    // the exclusion's recall loss is EXACTLY the boilerplate-only pairs:
+    // every pair the cap drops shares no cold shingle (similar only via
+    // the footer — the classic boilerplate false-dup a dedup pipeline
+    // WANTS excluded), and every pair sharing at least one cold shingle
+    // survives with an identical score
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = pairs(PipelinePack.ngramJaccardPairs(docs, 0.3, dfCap = Some(PipelinePack.TemplateDfCap)))
+    val uncapped = pairs(PipelinePack.ngramJaccardPairs(docs, 0.3))
+    assert(capped.subsetOf(uncapped))
+    assert(capped.nonEmpty, "organic near-dups must survive the cap")
+    val shOf = texts.toMap.map { case (id, t) => id -> sh(t) }
+    val coldSet = df.collect { case (g, d) if d <= PipelinePack.TemplateDfCap => g }.toSet
+    (uncapped -- capped).foreach { case (i, j, _) =>
+      assert((shOf(i) & shOf(j) & coldSet).isEmpty,
+        s"pair ($i,$j) shares a cold shingle but was dropped by the cap")
+    }
+    assert((uncapped -- capped).nonEmpty,
+      "fixture should demonstrate the boilerplate-only exclusion non-vacuously")
+  }
+
   test("near-dup pins nothing in executor storage and reuses the shingle exchange") {
     val docs = graft.Tables.documents(spark, dir)
     // other suites sharing this session cache legitimately (BFS edge
