@@ -304,13 +304,24 @@ object GraphTables {
   def commonNeighbors(
       g: GraphFrames,
       hubCap: Option[Long] = None,
+      capAtMedianDegree: Boolean = false): DataFrame =
+    commonNeighborsFromEdges(undirectedSimpleEdges(g), hubCap, capAtMedianDegree)
+
+  /** [[commonNeighbors]] over an explicit canonical undirected simple
+    * edge list (u < v, no loops, no dups) — lets synthetic graphs (the
+    * g22c/g22d power-law fixture) run the identical capped machinery
+    * without routing through a signal-log-derived [[GraphFrames]].
+    */
+  def commonNeighborsFromEdges(
+      edges: DataFrame,
+      hubCap: Option[Long] = None,
       capAtMedianDegree: Boolean = false): DataFrame = {
     // the two caps are alternatives, not composable: an explicit hubCap
     // used to silently win over capAtMedianDegree, so a caller asking for
     // the data-derived cap could get a fixed one instead (round-6 advice)
     require(hubCap.isEmpty || !capAtMedianDegree,
       "pass either hubCap or capAtMedianDegree, not both")
-    val und = undirectedSimpleEdges(g)
+    val und = edges
       .localCheckpoint() // consumed by adj (x2) and deg
     val adj = und.select(col("u").as("n"), col("v").as("m"))
       .union(und.select(col("v").as("n"), col("u").as("m")))

@@ -78,6 +78,25 @@ object GraphPack {
     lv AS (SELECT node_id, min(depth) AS depth FROM r GROUP BY node_id)"""
   }
 
+  /** Deterministic skewed graph for g22c/g22d: N = 40·|V(events graph)|
+    * nodes; chain edges i—i+1 plus sqrt-attachment edges i—floor(sqrt(i))
+    * (i >= 2), canonicalized to the (u < v) simple undirected form
+    * [[GraphTables.commonNeighborsFromEdges]] expects. Pure integer/IEEE
+    * arithmetic — floor(sqrt(i)) is exact in double for i < 2^52 — so the
+    * DuckDB oracle re-derives the identical edge set.
+    */
+  private[graft] def powerLawEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val n = GraphTables.forDir(s, dir).nodes.count() * 40
+    val chain = s.range(0, n - 1)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+    val attach = s.range(2, n)
+      .select(floor(sqrt(col("id").cast("double"))).cast("long").as("a"), col("id").as("b"))
+    chain.union(attach)
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+  }
+
   val defs: Seq[QDef] = Seq(
 
     // ---- the graph tables themselves (ingest derivation) ----
@@ -332,6 +351,71 @@ object GraphPack {
       FROM prs p JOIN deg a ON a.node = p.id_a JOIN deg b ON b.node = p.id_b
       ORDER BY p.id_a, p.id_b""")) { (s, dir) =>
       GraphTables.commonNeighbors(GraphTables.forDir(s, dir), capAtMedianDegree = true)
+        .orderBy("id_a", "id_b")
+    },
+
+    // ---- g22c/g22d: the graph regime the median-degree cap EXISTS for
+    // (round-6 verdict #3: g22b's win was shown only in an uncommitted
+    // rehearsal — the events graph is dense and uniform, so the cap
+    // merely held parity there). A deterministic skewed graph, derived
+    // in-plan by BOTH engines from pure integer arithmetic: N = 40·|V|
+    // nodes, a chain i—i+1 (floor degree 3 for everyone) plus
+    // sqrt-attachment i—floor(sqrt(i)) (hub m collects ~2m children, max
+    // degree ~2·sqrt(N) — a heavy tail the chain keeps non-vacuous:
+    // median degree lands at 3, so ~all leaves stay sub-cap). Wedge
+    // volume: hubs carry ~(8/3)·N^1.5 uncapped vs ~9N capped — 19x at
+    // sf0.01, growing as sqrt(N) with scale (~110x at sf1), which is
+    // exactly the celebrity-node blowup the cap fences off at 100 TB.
+    // g22c is the capped PRODUCTION path; g22d the uncapped quadratic
+    // baseline, comparator-flagged so the production bench tier skips
+    // it. Both oracles re-derive the graph, the integer median cap, and
+    // the capped counts relationally. ----
+    QDef("g22c_common_neighbors_powerlaw", oracle(""",
+      pln AS (SELECT 40 * count(*) AS n FROM nodes),
+      pe AS (
+        SELECT i AS a, i + 1 AS b
+        FROM (SELECT unnest(range(0, (SELECT n FROM pln) - 1)) AS i)
+        UNION ALL
+        SELECT CAST(floor(sqrt(CAST(i AS DOUBLE))) AS BIGINT) AS a, i AS b
+        FROM (SELECT unnest(range(2, (SELECT n FROM pln))) AS i)),
+      und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM pe WHERE a != b),
+      adj AS (SELECT u AS n, v AS m FROM und UNION ALL SELECT v, u FROM und),
+      deg AS (SELECT m AS node, count(*) AS deg FROM adj GROUP BY m),
+      hist AS (SELECT deg, count(*) AS c FROM deg GROUP BY deg),
+      cm AS (SELECT deg, sum(c) OVER (ORDER BY deg) AS cum, sum(c) OVER () AS tot FROM hist),
+      cap AS (SELECT min(deg) AS cap FROM cm WHERE cum * 2 >= tot),
+      cold AS (SELECT node FROM deg, cap WHERE deg <= cap),
+      adjc AS (SELECT a.n, a.m FROM adj a JOIN cold ON cold.node = a.n),
+      prs AS (SELECT x.m AS id_a, y.m AS id_b, count(*) AS common
+              FROM adjc x JOIN adjc y ON x.n = y.n AND x.m < y.m GROUP BY 1, 2)
+      SELECT p.id_a, p.id_b, p.common,
+             CAST((p.common * 1000000) // (a.deg + b.deg - p.common) AS BIGINT)
+               AS jaccard_millionths
+      FROM prs p JOIN deg a ON a.node = p.id_a JOIN deg b ON b.node = p.id_b
+      ORDER BY p.id_a, p.id_b""")) { (s, dir) =>
+      GraphTables.commonNeighborsFromEdges(powerLawEdges(s, dir), capAtMedianDegree = true)
+        .orderBy("id_a", "id_b")
+    },
+
+    QDef("g22d_common_neighbors_powerlaw_uncapped", oracle(""",
+      pln AS (SELECT 40 * count(*) AS n FROM nodes),
+      pe AS (
+        SELECT i AS a, i + 1 AS b
+        FROM (SELECT unnest(range(0, (SELECT n FROM pln) - 1)) AS i)
+        UNION ALL
+        SELECT CAST(floor(sqrt(CAST(i AS DOUBLE))) AS BIGINT) AS a, i AS b
+        FROM (SELECT unnest(range(2, (SELECT n FROM pln))) AS i)),
+      und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM pe WHERE a != b),
+      adj AS (SELECT u AS n, v AS m FROM und UNION ALL SELECT v, u FROM und),
+      deg AS (SELECT m AS node, count(*) AS deg FROM adj GROUP BY m),
+      prs AS (SELECT x.m AS id_a, y.m AS id_b, count(*) AS common
+              FROM adj x JOIN adj y ON x.n = y.n AND x.m < y.m GROUP BY 1, 2)
+      SELECT p.id_a, p.id_b, p.common,
+             CAST((p.common * 1000000) // (a.deg + b.deg - p.common) AS BIGINT)
+               AS jaccard_millionths
+      FROM prs p JOIN deg a ON a.node = p.id_a JOIN deg b ON b.node = p.id_b
+      ORDER BY p.id_a, p.id_b"""), comparator = true) { (s, dir) =>
+      GraphTables.commonNeighborsFromEdges(powerLawEdges(s, dir))
         .orderBy("id_a", "id_b")
     },
 

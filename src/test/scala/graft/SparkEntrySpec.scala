@@ -17,7 +17,8 @@ class SparkEntrySpec extends AnyFunSuite {
       "d10d_jaccard_template_uncapped",
       "e03_cosine_near_dup",
       "e03c_cosine_near_dup_clustered_baseline",
-      "g22_common_neighbors"))
+      "g22_common_neighbors",
+      "g22d_common_neighbors_powerlaw_uncapped"))
   }
 
   test("every comparator entry has a faster gated production twin") {
@@ -28,7 +29,8 @@ class SparkEntrySpec extends AnyFunSuite {
       "d10d_jaccard_template_uncapped" -> Seq("d10c_jaccard_template_capped"),
       "e03_cosine_near_dup" -> Seq("e04_cosine_near_dup_blocked", "e04b_cosine_near_dup_salted"),
       "e03c_cosine_near_dup_clustered_baseline" -> Seq("e04c_cosine_near_dup_clustered"),
-      "g22_common_neighbors" -> Seq("g22b_common_neighbors_capped"))
+      "g22_common_neighbors" -> Seq("g22b_common_neighbors_capped"),
+      "g22d_common_neighbors_powerlaw_uncapped" -> Seq("g22c_common_neighbors_powerlaw"))
     assert(twins.keySet === SparkEntry.comparatorEntries)
     for ((c, ts) <- twins; t <- ts) {
       assert(SparkEntry.queries.contains(t), s"twin $t of comparator $c missing")

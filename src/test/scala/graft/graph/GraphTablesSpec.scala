@@ -226,6 +226,39 @@ class GraphTablesSpec extends AnyFunSuite {
       "median cap 2 keeps exactly the wedges through nodes 0, 1, 4")
   }
 
+  test("power-law fixture: heavy tail is real, median cap prunes >10x wedge volume") {
+    // the g22c/g22d graph: chain + sqrt-attachment over N = 40·|V|. The
+    // quantitative claim the gated pair rides on — hubs dominate the
+    // uncapped wedge volume, the in-plan median cap removes them — is
+    // pinned here as arithmetic over the degree distribution, not as a
+    // wall-time anecdote.
+    // sf0.01 (N = 6000): where the driver gate runs; the prune ratio
+    // grows as sqrt(N) (7x at sf0.001, 19x here, ~110x at sf1)
+    val edges = graft.queries.GraphPack.powerLawEdges(spark, "/root/testdata/sf0.01")
+    val degs = edges.select(col("u").as("n")).union(edges.select(col("v").as("n")))
+      .groupBy("n").count().collect().map(_.getLong(1))
+    val n = degs.length.toLong
+    val maxDeg = degs.max
+    assert(maxDeg > 2 * math.sqrt(n.toDouble).toLong,
+      s"no heavy tail: maxDeg=$maxDeg for n=$n")
+    val sorted = degs.sorted
+    val median = sorted((n / 2 - 1).toInt) // lower median
+    assert(median <= 3, s"median degree $median — cap would keep hubs")
+    def wedges(ds: Iterable[Long]): Double = ds.map(d => d.toDouble * (d - 1) / 2).sum
+    val ratio = wedges(degs) / wedges(degs.filter(_ <= median))
+    assert(ratio > 10.0, s"median cap prunes only ${ratio}x")
+    // capped output: nonempty, and per-pair common counts never exceed
+    // the uncapped ones (the cap only removes wedges)
+    val capped = GraphTables.commonNeighborsFromEdges(edges, capAtMedianDegree = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val full = GraphTables.commonNeighborsFromEdges(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(capped.nonEmpty)
+    capped.foreach { case (k, c) =>
+      assert(full.contains(k) && c <= full(k), s"pair $k capped=$c full=${full.get(k)}")
+    }
+  }
+
   test("random graphs: triangles, common neighbors and pageRank match sequential twins") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
