@@ -66,8 +66,19 @@ object Bench {
           s"entries: ${skipped.mkString(", ")}")
     }
 
+    // iteration knob: SPARK_GRAFT_BENCH_ONLY=a,b,c times just those
+    // entries (after tier filtering). Unknown names fail fast — a typo
+    // must not silently time an empty suite.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        sys.error(s"SPARK_GRAFT_BENCH_ONLY names unknown entries: ${unknown.mkString(", ")}")
+    }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => skipped.contains(name) }
+      .filter { case (name, _) => only.forall(_.contains(name)) }
 
     // Pass/warm-up knobs for the 10x scale rehearsal, where one pass of
     // the quadratic verification baselines (e03) already dominates

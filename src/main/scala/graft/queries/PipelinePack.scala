@@ -224,25 +224,52 @@ object PipelinePack {
         .join(index.select(col("doc_id").as("doc_j"), col("g")), "g")
         .filter(col("doc_i") < col("doc_j"))
         .groupBy("doc_i", "doc_j").agg(count(lit(1)).as("inter"))
-    val inter = dfCap match {
-      case None => interOf(sh)
+    def jaccardOf(inter: Column, ni: Column, nj: Column): Column =
+      inter.cast("double") / (ni + nj - inter)
+    dfCap match {
+      case None =>
+        interOf(sh)
+          .join(sizes.select(col("doc_id").as("doc_i"), col("n").as("ni")), "doc_i")
+          .join(sizes.select(col("doc_id").as("doc_j"), col("n").as("nj")), "doc_j")
+          .select(col("doc_i"), col("doc_j"),
+            jaccardOf(col("inter"), col("ni"), col("nj")).as("jaccard"))
+          .filter(col("jaccard") >= threshold)
       case Some(cap) =>
         // capped: hot shingles are dropped from CANDIDATE GENERATION only,
-        // so the exact intersection must be recounted on the survivors
+        // but the exact intersection still counts them. It decomposes as
+        // |shared cold| + |shared hot|, and the full Jaccard is bounded
+        // above by substituting min(|hot_i|, |hot_j|) for the (unknown)
+        // shared-hot count — Jaccard is monotonically increasing in the
+        // intersection. So: count cold intersections off the capped index
+        // join (that count IS the cold term — no recount), join per-doc
+        // sizes and hot-list sizes, prune every pair whose upper bound
+        // misses the threshold, and recount the exact hot term only for
+        // the survivors. The candidate table (|pairs sharing a cold
+        // shingle|, ~1.2M at sf0.1 on the template corpus) never flows
+        // into a per-shingle recount — only the handful of bound-passing
+        // pairs do, which is what makes the cap a wall-clock win and not
+        // just a join-volume one.
         val hot = sh.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") > cap).select("g")
-        val cands = interOf(sh.join(hot, Seq("g"), "left_anti")).select("doc_i", "doc_j")
-        val shJ = sh.select(col("doc_id").as("dj"), col("g").as("gj"))
-        cands
-          .join(sh.withColumnRenamed("doc_id", "doc_i").withColumnRenamed("g", "gi"), "doc_i")
-          .join(shJ, col("doc_j") === col("dj") && col("gi") === col("gj"))
-          .groupBy("doc_i", "doc_j").agg(count(lit(1)).as("inter"))
+        val coldInter = interOf(sh.join(hot, Seq("g"), "left_anti"))
+        val shHot = sh.join(hot, Seq("g"), "left_semi")
+        val hotN = shHot.groupBy("doc_id").agg(count(lit(1)).as("hn"))
+        val hmax = least(coalesce(col("hni"), lit(0L)), coalesce(col("hnj"), lit(0L)))
+        val bounded = coldInter
+          .join(sizes.select(col("doc_id").as("doc_i"), col("n").as("ni")), "doc_i")
+          .join(sizes.select(col("doc_id").as("doc_j"), col("n").as("nj")), "doc_j")
+          .join(hotN.select(col("doc_id").as("doc_i"), col("hn").as("hni")), Seq("doc_i"), "left")
+          .join(hotN.select(col("doc_id").as("doc_j"), col("hn").as("hnj")), Seq("doc_j"), "left")
+          .filter(jaccardOf(col("inter") + hmax, col("ni"), col("nj")) >= threshold)
+        val hotInter = bounded.select("doc_i", "doc_j")
+          .join(shHot.select(col("doc_id").as("doc_i"), col("g")), "doc_i")
+          .join(shHot.select(col("doc_id").as("doc_j"), col("g")), Seq("doc_j", "g"))
+          .groupBy("doc_i", "doc_j").agg(count(lit(1)).as("hot_inter"))
+        bounded.join(hotInter, Seq("doc_i", "doc_j"), "left")
+          .select(col("doc_i"), col("doc_j"),
+            jaccardOf(col("inter") + coalesce(col("hot_inter"), lit(0L)),
+              col("ni"), col("nj")).as("jaccard"))
+          .filter(col("jaccard") >= threshold)
     }
-    inter
-      .join(sizes.select(col("doc_id").as("doc_i"), col("n").as("ni")), "doc_i")
-      .join(sizes.select(col("doc_id").as("doc_j"), col("n").as("nj")), "doc_j")
-      .select(col("doc_i"), col("doc_j"),
-        (col("inter").cast("double") / (col("ni") + col("nj") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
   }
 
   /** The template-duplicated twin of the documents corpus: a fixed
