@@ -126,9 +126,36 @@ object ScaleRehearsal {
       check("d14_projection_only")(
         !d14Plan.contains("Exchange hashpartitioning"), d14Plan.take(1500))
 
+      // 8. certify / state-hash at 10x (round-6 verdict #6): the Merkle
+      // state hash must stay driver-light — leaves are hashed in
+      // executors and only 32 bytes per non-empty key-range block cross
+      // to the driver. Leaf count is bounded by the data (3 sections x
+      // ceil(maxKey/span) blocks), NEVER by row count or partitioning:
+      // at a billion nodes and the production span that is ~0.5 MB of
+      // driver ingress where the flat export hash would stream every row.
+      val span = graft.verify.Canonical.MerkleBlockSpan
+      val t0 = System.nanoTime()
+      val (root, leaves) = graft.verify.DistributedStateHash.merkleStateHashWithStats(g, span)
+      val hashSecs = (System.nanoTime() - t0) / 1e9
+      val nNodes10x = g.nodes.count()
+      val leafBound = 3 * (nNodes10x / span + 2)
+      val driverBytes = leaves * 32
+      check("certify_merkle_leaves_bounded")(leaves > 0 && leaves <= leafBound,
+        s"$leaves leaves vs bound $leafBound (span $span, $nNodes10x nodes)")
+      check("certify_root_well_formed")(root.length == 32, s"${root.length} bytes")
+      // multi-block config: a span that forces many leaves must still
+      // respect the same bound — the fold's block boundaries are a
+      // function of ids, so shrinking the span only multiplies leaves
+      val (_, leavesFine) = graft.verify.DistributedStateHash.merkleStateHashWithStats(g, 1024L)
+      check("certify_merkle_many_blocks")(
+        leavesFine > leaves && leavesFine <= 3 * (nNodes10x / 1024L + 2),
+        s"$leavesFine fine leaves vs ${3 * (nNodes10x / 1024L + 2)}")
+
       println(s"""{"dir":"$dir","d03_cand_base":$candBase,"d03_cand_10x":$candBig,""" +
         s""""d03_ratio":$ratio,"pair_space":$pairSpace,"g21_max_fwd":$maxFwd,""" +
-        s""""g21_und_edges":$undN,"failures":${failures.size}}""")
+        s""""g21_und_edges":$undN,"certify_leaves":$leaves,""" +
+        s""""certify_driver_bytes":$driverBytes,"certify_hash_secs":$hashSecs,""" +
+        s""""certify_leaves_span1024":$leavesFine,"failures":${failures.size}}""")
       if (failures.nonEmpty) {
         println(s"FAILURES: ${failures.reverse.mkString(", ")}")
         sys.exit(1)

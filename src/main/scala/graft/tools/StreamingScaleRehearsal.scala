@@ -1,0 +1,197 @@
+package graft.tools
+
+import graft.{Sessions, Tables}
+import graft.streaming.EventsStream
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming state-size rehearsal (round-6 verdict #5): runs the s03
+  * session-window and s05 outer-attribution queries under the RocksDB
+  * state store against a `factor`x event stream replayed in event-time
+  * order, and asserts from `StreamingQueryProgress.stateOperators` that
+  * state rows track the LIVE working set (open sessions / join rows
+  * within the watermark + interval horizon), not total input — the
+  * invariant that makes both queries runnable forever at 100 TB/day:
+  * input grows without bound, state must not.
+  *
+  * Mechanics: the scaled events are written as one parquet file per
+  * event-time chunk (ascending modification times), then consumed by a
+  * file-source stream with maxFilesPerTrigger=1, so each micro-batch
+  * advances the watermark by one chunk and eviction actually runs —
+  * `processAllAvailable` over a single unordered file would test nothing.
+  *
+  * Prints PASS/FAIL per invariant plus one JSON line with the per-batch
+  * (cumulative input, state rows) curves; non-zero exit on any FAIL.
+  * Optional second JSON copy to SPARK_GRAFT_STREHEARSAL_OUT.
+  */
+object StreamingScaleRehearsal {
+
+  val Offset = 100000000L
+
+  /** Write `factor` id-shifted copies of the events table (same time
+    * horizon — denser stream, disjoint users) as `chunks` single-file
+    * parquet chunks in event-time order. Returns (streamDir, totalRows).
+    */
+  def prepareChunks(
+      spark: SparkSession,
+      srcDir: String,
+      work: String,
+      factor: Int,
+      chunks: Int): (String, Long) = {
+    val ev = Tables.events(spark, srcDir)
+      .select("event_id", "user_id", "event_type", "ts", "value")
+    val scaled = (0 until factor).map(i => ev
+        .withColumn("event_id", col("event_id") + lit(Offset * i))
+        .withColumn("user_id", col("user_id") + lit(Offset * i)))
+      .reduce(_ unionByName _)
+    val b = scaled.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val width = (hi - lo) / chunks + 1
+    val withChunk = scaled
+      .withColumn("__chunk", ((unix_micros(col("ts")) - lo) / width).cast("int"))
+      .localCheckpoint() // one derivation, `chunks` filtered writes
+
+    val streamDir = java.nio.file.Paths.get(work, "stream")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    java.nio.file.Files.createDirectories(streamDir)
+    var total = 0L
+    (0 until chunks).foreach { i =>
+      val tmp = s"$work/tmp_chunk_$i"
+      val part = withChunk.filter(col("__chunk") === i).drop("__chunk")
+        .sort("ts") // within-chunk order: realistic arrival, tighter state
+      part.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+      total += spark.read.parquet(tmp).count()
+      val src = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      // sequential moves => strictly ascending modification times, the
+      // order FileStreamSource replays under maxFilesPerTrigger=1
+      java.nio.file.Files.move(src, streamDir.resolve(f"chunk_$i%05d.parquet"))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+    (streamDir.toString, total)
+  }
+
+  /** Run `build(stream)` to completion over the chunked dir, one file per
+    * micro-batch, and return the per-batch curve as (cumulative input
+    * rows, state rows summed over stateful operators).
+    */
+  def runWithCurve(
+      spark: SparkSession,
+      streamDir: String,
+      work: String,
+      name: String)(build: DataFrame => DataFrame): Seq[(Long, Long)] = {
+    val schema = spark.read.parquet(streamDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir)
+    val q = build(stream).writeStream
+      .format("noop")
+      .queryName(name)
+      .option("checkpointLocation", s"$work/ckpt_$name")
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .start()
+    try {
+      q.awaitTermination()
+    } finally if (q.isActive) q.stop()
+    // AvailableNow + awaitTermination: every chunk processed, then the
+    // query stops on its own; recentProgress holds one entry per batch
+    // (spark.sql.streaming.numRecentProgressUpdates >= chunk count is
+    // asserted by the caller via curve length)
+    var cum = 0L
+    q.recentProgress.toIndexedSeq.map { p =>
+      cum += p.numInputRows
+      val state = Option(p.stateOperators).map(_.map(_.numRowsTotal).sum).getOrElse(0L)
+      (cum, state)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val work = args.lift(1).getOrElse("/tmp/graft_stream10")
+    val factor = args.lift(2).flatMap(_.toIntOption).getOrElse(10)
+    val chunks = args.lift(3).flatMap(_.toIntOption).getOrElse(48)
+    val spark = Sessions.get()
+    // the production state store for large state: RocksDB keeps state off
+    // the executor heap and checkpoints incrementally (changelog), so
+    // state size is bounded by disk, not JVM heap
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", (chunks + 16).toString)
+
+    var failures = List.empty[String]
+    def check(name: String)(cond: Boolean, detail: => String): Unit =
+      if (cond) println(s"PASS $name")
+      else { failures ::= name; println(s"FAIL $name: $detail") }
+
+    try {
+      val (streamDir, total) = prepareChunks(spark, srcDir, work, factor, chunks)
+      val spanMicros = {
+        val b = spark.read.parquet(streamDir)
+          .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+        b.getLong(1) - b.getLong(0)
+      }
+
+      // ---- s03: session windows (gap 10m, watermark 30m). Live state at
+      // a batch boundary = sessions in the watermark+gap horizon PLUS the
+      // current batch's rows: the watermark only advances BETWEEN
+      // micro-batches, so nothing ingested in batch i is evictable until
+      // batch i+1. The bound is therefore horizon + one batch (at
+      // production trigger intervals of seconds-to-minutes the batch term
+      // vanishes; here each chunk spans span/chunks of event time). The
+      // claim that matters for 100 TB/day: neither term grows with
+      // cumulative input.
+      val s03Curve = runWithCurve(spark, streamDir, work, "s03_rehearsal")(
+        EventsStream.sessionized(_))
+      val s03Max = s03Curve.map(_._2).max
+      val horizonS03 = (30 + 10) * 60L * 1000000L
+      val steadyS03 = math.max(1L, (total.toDouble * horizonS03 / spanMicros).toLong)
+      val batchRows = total / chunks
+      check("s03_batches_cover_chunks")(s03Curve.length >= chunks,
+        s"${s03Curve.length} progress entries < $chunks chunks")
+      check("s03_state_tracks_horizon_plus_batch")(s03Max <= 4 * (steadyS03 + batchRows),
+        s"max state $s03Max vs 4x(steady $steadyS03 + batch $batchRows) " +
+          s"(horizon 40m of ${spanMicros / 86400000000L}d)")
+      check("s03_state_not_input")(s03Max * 10 <= total,
+        s"max state $s03Max vs total input $total")
+
+      // ---- s05: outer click attribution (interval 12h, watermark 30m).
+      // Live state = views within click-horizon + watermark (12.5h) plus
+      // clicks within watermark, plus (as above) the current batch on
+      // both sides — the interval predicate is what lets Spark evict;
+      // without it state would equal history. Note the join scans the
+      // source twice (views/clicks branches), so the curve's cumulative
+      // numInputRows is 2x total; bounds are against actual event rows.
+      val s05Curve = runWithCurve(spark, streamDir, work, "s05_rehearsal")(
+        EventsStream.clickAttribution(_, joinType = "left_outer"))
+      val s05Max = s05Curve.map(_._2).max
+      val horizonS05 = (12 * 60 + 30 + 30) * 60L * 1000000L
+      val steadyS05 = math.max(1L, (total.toDouble * horizonS05 / spanMicros).toLong)
+      check("s05_batches_cover_chunks")(s05Curve.length >= chunks,
+        s"${s05Curve.length} progress entries < $chunks chunks")
+      check("s05_state_tracks_horizon_plus_batch")(s05Max <= 4 * (steadyS05 + batchRows),
+        s"max state $s05Max vs 4x(steady $steadyS05 + batch $batchRows)")
+      check("s05_state_not_input")(s05Max * 10 <= total,
+        s"max state $s05Max vs total input $total")
+
+      def curveJson(c: Seq[(Long, Long)]): String =
+        c.map { case (in, st) => s"[$in,$st]" }.mkString("[", ",", "]")
+      val json =
+        s"""{"src":"$srcDir","factor":$factor,"chunks":$chunks,"total_rows":$total,""" +
+          s""""span_days":${spanMicros / 86400000000L},""" +
+          s""""s03_max_state":$s03Max,"s03_steady_estimate":$steadyS03,""" +
+          s""""s05_max_state":$s05Max,"s05_steady_estimate":$steadyS05,""" +
+          s""""s03_curve":${curveJson(s03Curve)},"s05_curve":${curveJson(s05Curve)},""" +
+          s""""failures":${failures.size}}"""
+      println(json)
+      sys.env.get("SPARK_GRAFT_STREHEARSAL_OUT").foreach { p =>
+        java.nio.file.Files.write(java.nio.file.Paths.get(p), (json + "\n").getBytes("UTF-8"))
+      }
+      if (failures.nonEmpty) {
+        println(s"FAILURES: ${failures.reverse.mkString(", ")}")
+        sys.exit(1)
+      }
+    } finally spark.stop()
+  }
+}

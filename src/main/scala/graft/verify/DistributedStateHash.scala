@@ -31,7 +31,18 @@ object DistributedStateHash {
   def merkleStateHashHex(g: GraphFrames, span: Long = Canonical.MerkleBlockSpan): String =
     merkleStateHash(g, span).map(b => f"$b%02x").mkString
 
-  def merkleStateHash(g: GraphFrames, span: Long = Canonical.MerkleBlockSpan): Array[Byte] = {
+  def merkleStateHash(g: GraphFrames, span: Long = Canonical.MerkleBlockSpan): Array[Byte] =
+    merkleStateHashWithStats(g, span)._1
+
+  /** (root, non-empty leaf blocks) — the leaf count is the certify
+    * rehearsal's observable: driver ingress is exactly 32 bytes per leaf
+    * (plus an 8-byte block id and row count), independent of row volume,
+    * so a billion-node graph at the production span ships ~0.5 MB to the
+    * driver where the flat [[stateHash]] would stream every row.
+    */
+  def merkleStateHashWithStats(
+      g: GraphFrames,
+      span: Long = Canonical.MerkleBlockSpan): (Array[Byte], Long) = {
     // per-section: colocate each key-range block (repartitionByRange keeps
     // equal keys together), sort rows within partitions, hash each block
     // where it lives, ship only (block, 32-byte digest, row count) to the
@@ -89,7 +100,7 @@ object DistributedStateHash {
     nodeLeaves.foreach { case (_, d) => md.update(d) }
     edgeLeaves.foreach { case (_, d) => md.update(d) }
     propLeaves.foreach { case (_, d) => md.update(d) }
-    md.digest()
+    (md.digest(), (nodeLeaves.length + edgeLeaves.length + propLeaves.length).toLong)
   }
 
   def stateHashHex(g: GraphFrames): String =
