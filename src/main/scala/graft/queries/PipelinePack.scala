@@ -443,24 +443,79 @@ object PipelinePack {
     agg.select(col("doc_id"), sim.as("simhash"))
   }
 
-  /** DuckDB twin of [[simhash]], generated: bit i of the 60-bit token hash
-    * lives in hex-nibble i/4 (char position 15 - i/4 of the 15-char md5
-    * prefix, least-significant nibble rightmost); per-plane ±1 sums and the
+  /** DuckDB CTE chain re-deriving [[simhash]] as a relation `sh(doc_id,
+    * simhash)`, generated: bit i of the 60-bit token hash lives in
+    * hex-nibble i/4 (char position 15 - i/4 of the 15-char md5 prefix,
+    * least-significant nibble rightmost); per-plane ±1 sums and the
     * sign-bit reconstruction mirror the Spark aggregation exactly.
+    * Shared by the d08 oracle and the d18 near-dup oracle.
     */
-  private[queries] val simhashOracleSql: String = {
+  private[queries] val simhashCteSql: String = {
     val bitSums = (0 until 60).map { i =>
       val nib = s"(instr('0123456789abcdef', substr(hx, ${15 - i / 4}, 1)) - 1)"
       s"sum(CASE WHEN (($nib >> ${i % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS b_$i"
     }.mkString(", ")
     val recon = (0 until 60).map(i =>
       s"CASE WHEN b_$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
-    s"""
-      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
       h AS (SELECT doc_id, substr(md5(tok), 1, 15) AS hx FROM tok),
-      bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
-      SELECT doc_id, CAST($recon AS BIGINT) AS simhash FROM bits ORDER BY doc_id"""
+      bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+      sh AS (SELECT doc_id, CAST($recon AS BIGINT) AS simhash FROM bits)"""
   }
+
+  /** DuckDB twin of [[simhash]] (see [[simhashCteSql]]). */
+  private[queries] val simhashOracleSql: String =
+    s"WITH $simhashCteSql SELECT doc_id, simhash FROM sh ORDER BY doc_id"
+
+  /** SimHash near-dup block index: 6 blocks of 10 bits, all C(6,3)=20
+    * 3-block combinations as 30-bit join keys (the table scheme of Manku,
+    * Jain & Sarma, "Detecting Near-Duplicates for Web Crawling", WWW'07
+    * §3). A pair at Hamming distance ≤ 3 differs in at most 3 blocks, so
+    * some combination of 3 UNtouched blocks matches exactly — recall 1.0
+    * by pigeonhole, no scan of the Hamming ball. 30-bit keys are the
+    * scale lever: bucket collision probability for unrelated docs is
+    * ~2^-30, so candidate volume stays ~linear at billions of documents
+    * where naive 4x15-bit banding (collision ~2^-15) fans out
+    * quadratically in corpus size.
+    */
+  private val SimhashCombos: Seq[Seq[Int]] =
+    (0 until 6).combinations(3).map(_.toSeq).toSeq
+
+  /** Banded candidate generation + exact Hamming verify over an existing
+    * `(doc_id, simhash)` relation. Split out from [[simhashNearDup]] so
+    * specs can feed hand-crafted hash fixtures (engineered block-level
+    * difference patterns) straight into the index machinery.
+    */
+  def simhashNearDupFromHashes(sh: DataFrame, maxHam: Int): DataFrame = {
+    require(maxHam <= 3, s"3-of-6 block index guarantees recall only to Hamming 3, got $maxHam")
+    val entries = SimhashCombos.zipWithIndex.map { case (combo, cid) =>
+      val key = combo.zipWithIndex.map { case (b, pos) =>
+        shiftleft(shiftright(col("simhash"), 10 * b).bitwiseAND(lit(1023L)), 10 * pos)
+      }.reduce(_ bitwiseOR _)
+      struct(lit(cid).as("cid"), key.cast("long").as("key"))
+    }
+    val indexed = sh.select(col("doc_id"), col("simhash"),
+        explode(array(entries: _*)).as("e"))
+      .select(col("doc_id"), col("simhash"), col("e.cid").as("cid"), col("e.key").as("key"))
+    // equi-join on (combo, 30-bit key); a pair surfaces once per matching
+    // combo (≤ 20 times) → distinct before the verify. simhash is a
+    // function of doc_id, so carrying both hashes through the distinct
+    // does not widen the key — and saves two join-backs.
+    val a = indexed.select(col("cid"), col("key"),
+      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = indexed.select(col("cid"), col("key"),
+      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("cid", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast("long"))
+      .filter(col("hamming") <= maxHam)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** SimHash near-duplicate pairs at Hamming distance ≤ `maxHam` (≤ 3). */
+  def simhashNearDup(docs: DataFrame, maxHam: Int = 3): DataFrame =
+    simhashNearDupFromHashes(simhash(docs), maxHam)
 
   /** Email / dotted-quad patterns shared by the Spark entry and the DuckDB
     * oracle (d16). Character classes, bounded quantifiers, ordered
@@ -821,6 +876,24 @@ object PipelinePack {
     // PipelineSpec). The 60 bit-plane SQL is generated, not hand-written. ----
     QDef("d08_simhash", Some(simhashOracleSql)) { (s, dir) =>
       simhash(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
+    // ---- SimHash near-dup join (d18): the Hamming-ball dedup scale path
+    // that d08's fingerprint exists for. Candidates come from the 3-of-6
+    // block index (see [[simhashNearDupFromHashes]] — Manku et al. WWW'07;
+    // recall 1.0 at Hamming ≤ 3 by pigeonhole, ~2^-30 false-candidate
+    // rate), then an exact bit_count verify on candidates only. The
+    // oracle is the exhaustive all-pairs recompute over the identical
+    // DuckDB simhash derivation — banded must equal brute force exactly.
+    // The organic corpus carries real ≤3 pairs (13 at sf0.01). ----
+    QDef("d18_simhash_near_dup", Some(s"""
+      WITH $simhashCteSql
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      ORDER BY doc_a, doc_b""")) { (s, dir) =>
+      simhashNearDup(Tables.documents(s, dir), maxHam = 3).orderBy("doc_a", "doc_b")
     },
 
     // ---- BPE-ish regex tokenization (runs of letters / digits / other,

@@ -38,6 +38,70 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("simhash near-dup (3-of-6 block index) equals brute force end to end") {
+    val docs = graft.Tables.documents(spark, dir)
+    val got = PipelinePack.simhashNearDup(docs, maxHam = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val sh = PipelinePack.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val expected = (for {
+      (i, si) <- sh; (j, sj) <- sh if i < j
+      ham = java.lang.Long.bitCount(si ^ sj)
+      if ham <= 3
+    } yield (i, j, ham.toLong)).toSet
+    assert(got === expected)
+  }
+
+  test("simhash block index: pigeonhole recall and exact Hamming filter") {
+    import spark.implicits._
+    // Engineered block-level difference patterns against a fixed base:
+    //   id 1  base
+    //   id 2  == base                       (distance 0 — always found)
+    //   id 3  1 bit flipped in block 0      (distance 1)
+    //   id 4  3 bits across blocks 0,2,5    (distance 3 — the guarantee
+    //         boundary: exactly one clean 3-combo, {1,3,4}, remains)
+    //   id 5  4 bits inside block 1         (candidate via any combo
+    //         avoiding block 1, but Hamming 4 > 3 — verify must drop it)
+    //   id 6  4 bits across blocks 0,1,2,3  (vs base: every 3-combo hits
+    //         a dirty block when paired with... still has clean {4,5}+
+    //         one of {0..3}? no — needs 3 clean blocks and only {4,5}
+    //         are clean → not even a candidate; excluded either way)
+    val base = 0x0ABCDEF123456L & ((1L << 60) - 1)
+    def flip(h: Long, bits: Seq[Int]): Long = bits.foldLeft(h)((x, b) => x ^ (1L << b))
+    val rows = Seq(
+      1L -> base,
+      2L -> base,
+      3L -> flip(base, Seq(5)),
+      4L -> flip(base, Seq(3, 25, 57)),
+      5L -> flip(base, Seq(11, 13, 16, 19)),
+      6L -> flip(base, Seq(2, 12, 22, 32)))
+    val sh = rows.toDF("doc_id", "simhash")
+    val got = PipelinePack.simhashNearDupFromHashes(sh, maxHam = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = (for {
+      (i, si) <- rows; (j, sj) <- rows if i < j
+      ham = java.lang.Long.bitCount(si ^ sj)
+      if ham <= 3
+    } yield (i, j, ham.toLong)).toSet
+    // the fixture must actually exercise the boundary cases
+    assert(expected.contains((1L, 4L, 3L)), "distance-3 pair present")
+    assert(rows.toMap.apply(5L) != rows.toMap.apply(1L))
+    assert(!expected.exists(p => p._1 == 5L || p._2 == 5L || p._1 == 6L || p._2 == 6L),
+      "distance-4 variants excluded from expectation")
+    assert(got === expected)
+  }
+
+  test("simhash near-dup plan: equi-join candidate generation, never a product") {
+    val docs = graft.Tables.documents(spark, dir)
+    val plan = PipelinePack.simhashNearDup(docs, maxHam = 3)
+      .queryExecution.executedPlan.toString
+    // candidates must come from the (combo, 30-bit key) equi-join — an
+    // all-pairs product anywhere here defeats the index at scale
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
+
   test("LSH near-dup equals the brute-force all-pairs recompute") {
     val docs = graft.Tables.documents(spark, dir)
     val got = PipelinePack.nearDupPairs(docs).collect()
