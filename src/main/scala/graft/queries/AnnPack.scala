@@ -37,7 +37,7 @@ object AnnPack {
     * fixture derivation so the e04c corpus's cluster granularity aligns
     * with the cell count the blocked path picks on its own.
     */
-  private[queries] def adaptiveCells(n: Long): Int =
+  private[graft] def adaptiveCells(n: Long): Int =
     math.min(4096L, math.max(NumCentroids.toLong,
       math.round(math.sqrt(n.toDouble)))).toInt
 
@@ -194,51 +194,101 @@ object AnnPack {
     * replicates each row once per SURVIVING partner cell, which on a
     * clustered corpus is the intra-cluster handful (independent of C, so
     * larger C is a straight win against N²/C) but on an unclustered one
-    * approaches C itself. The adaptive sizing is the DEFAULT every gated
-    * entry runs (e04/e04b/e04c — round-6 verdict #7: the production rule
-    * must be the measured one, even on the uniform fixture where it is
-    * not the flattering configuration); AnnSpec demonstrates the win on
-    * a clustered corpus.
+    * approaches C itself. The adaptive sizing with the geometry guard
+    * below is the DEFAULT every gated entry runs (e04/e04b/e04c —
+    * round-6 verdict #7: the production rule must be the measured one);
+    * AnnSpec demonstrates the win on a clustered corpus and the guard's
+    * clamp on an unprunable one.
     */
-  private[queries] def blockedCells(
+  private[graft] def blockedCells(
       emb: DataFrame,
       threshold: Double,
       numCells: Option[Int] = None): (DataFrame, DataFrame) = {
-    val cells = numCells.getOrElse {
-      // one cheap count-only scan to size the codebook with the corpus
-      adaptiveCells(emb.count())
-    }
-    val centroids = broadcast(
-      emb.filter(col("vec_id") < cells)
-        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb")))
-
-    // 1. nearest-cell assignment, keeping the member→centroid angle.
-    // The explicit isNotNull matches the null-filter the verify join's
-    // `ia < ib` predicate infers on its branch — without it the branches
-    // canonicalize differently and the shared exchange is not reused.
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))
-    val assigned = emb.filter(col("vec_id").isNotNull).crossJoin(centroids)
-      .select(col("vec_id"), col("embedding"), col("c_id"),
-        cosine(col("embedding"), col("c_emb")).as("c_cos"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("c_id").as("cell"),
-        clampAcos(col("c_cos")).as("theta"))
+    val cells = numCells.getOrElse(chooseCells(emb, threshold))
+    val centroids = centroidsOf(emb, cells)
+    val assigned = assignTo(emb, centroids)
       // one exchange all consumers share: the radii aggregate and both
       // verify-join sides reuse this shuffle instead of re-running the
       // vectors x centroids assignment per branch (ReuseExchange; the
       // ExplainSpec guard pins it) — and it co-partitions the per-cell
       // joins below on their key
       .repartition(col("cell"))
+    (assigned, survivingPairs(assigned, centroids, threshold))
+  }
 
-    // 2. per-cell angular radius (tiny: one row per cell)
+  /** Max partner cells a row may be replicated across before growing the
+    * codebook stops paying: cross-cell candidate generation ships each
+    * row once per surviving partner, so partner count IS the shuffle
+    * amplification factor. ~sqrt(N) cells under this bound keep the
+    * same-cell N²/C and cross-cell N·partners terms both sub-quadratic.
+    */
+  private[graft] val MaxPartnerCells = 16
+
+  /** The production codebook-size rule: ~sqrt(N), then a geometry probe.
+    * A deterministic ~50-rows-per-cell sample (every step-th vec_id,
+    * plus the centroid rows) is assigned and its surviving cell pairs
+    * counted; when the measured partner count per cell exceeds
+    * [[MaxPartnerCells]] — a corpus whose geometry the triangle
+    * inequality cannot prune, e.g. isotropic synthetic vectors, where
+    * replication would grow with C while pruning stays nil — the count
+    * is clamped so replication stays bounded. Clustered corpora keep
+    * ~sqrt(N) (partners stay the intra-cluster handful) and get the
+    * full N²/C shrink. The probe costs O(50·C²) distance evaluations —
+    * O(50·N) at C = sqrt(N) — and its accuracy only steers the SIZE
+    * choice: the final prune always recomputes exact radii at the
+    * chosen count, so recall 1.0 is independent of the probe. Sampled
+    * radii underestimate true radii, which over-trusts pruning and
+    * errs toward keeping C large — never toward breaking soundness.
+    */
+  private[graft] def chooseCells(emb: DataFrame, threshold: Double): Int = {
+    // one cheap count-only scan to size the codebook with the corpus
+    val n = emb.count()
+    val c0 = adaptiveCells(n)
+    if (c0 <= NumCentroids) c0
+    else {
+      val step = math.max(1L, n / (50L * c0))
+      val centroids = centroidsOf(emb, c0)
+      val sample = emb.filter(pmod(col("vec_id"), lit(step)) === 0)
+      val surviving =
+        survivingPairs(assignTo(sample, centroids), centroids, threshold).count()
+      val partners = 2.0 * surviving / c0
+      if (partners <= MaxPartnerCells) c0
+      else math.max(NumCentroids, (c0 * MaxPartnerCells / partners).toInt)
+    }
+  }
+
+  /** The deterministic codebook: the first `cells` vec_ids, broadcast. */
+  private def centroidsOf(emb: DataFrame, cells: Int): DataFrame =
+    broadcast(
+      emb.filter(col("vec_id") < cells)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb")))
+
+  /** Stage 1, nearest-cell assignment with the member→centroid angle.
+    * The explicit isNotNull matches the null-filter the verify join's
+    * `ia < ib` predicate infers on its branch — without it the branches
+    * canonicalize differently and the shared exchange is not reused.
+    */
+  private def assignTo(members: DataFrame, centroids: DataFrame): DataFrame = {
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))
+    members.filter(col("vec_id").isNotNull).crossJoin(centroids)
+      .select(col("vec_id"), col("embedding"), col("c_id"),
+        cosine(col("embedding"), col("c_emb")).as("c_cos"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_id").as("cell"),
+        clampAcos(col("c_cos")).as("theta"))
+  }
+
+  /** Stages 2–3: per-cell angular radii (tiny: one row per cell), then
+    * the sound cell-pair prune — keep (a,b) iff the triangle-inequality
+    * lower bound on any member-pair angle can still reach arccos(t).
+    * 1e-9 slack keeps double rounding on the safe (inclusive) side.
+    */
+  private def survivingPairs(
+      assigned: DataFrame, centroids: DataFrame, threshold: Double): DataFrame = {
     val radii = assigned.groupBy("cell").agg(max(col("theta")).as("radius"))
     val cellGeo = radii.join(
       centroids.select(col("c_id").as("cell"), col("c_emb")), Seq("cell"))
-
-    // 3. sound cell-pair prune: keep (a,b) iff the triangle-inequality
-    // lower bound on any member-pair angle can still reach arccos(t).
-    // 1e-9 slack keeps double rounding on the safe (inclusive) side.
     val bound = math.acos(threshold) + 1e-9
     val ga = cellGeo.select(col("cell").as("cell_a"), col("radius").as("r_a"), col("c_emb").as("ca"))
     val gb = cellGeo.select(col("cell").as("cell_b"), col("radius").as("r_b"), col("c_emb").as("cb"))
@@ -246,12 +296,11 @@ object AnnPack {
     // BroadcastNestedLoopJoin BY CONSTRUCTION — when the input has no
     // size statistics (e.g. a checkpointed derivation), the planner
     // would otherwise fall back to CartesianProduct
-    val cellPairs = broadcast(
+    broadcast(
       broadcast(ga).crossJoin(gb) // centroids x centroids: quadratic over CELLS only
         .filter(col("cell_a") <= col("cell_b"))
         .filter(clampAcos(cosine(col("ca"), col("cb"))) - col("r_a") - col("r_b") <= bound)
         .select(col("cell_a"), col("cell_b")))
-    (assigned, cellPairs)
   }
 
   /** @param sameCellSalt grid-split factor for the same-cell self-join.

@@ -1,0 +1,47 @@
+package graft.tools
+
+import graft.Sessions
+import graft.queries.AnnPack
+import org.apache.spark.sql.functions._
+
+/** Diagnostic for the blocked near-dup's cell-count economics: for each
+  * candidate codebook size C, report the surviving cell-pair count (prune
+  * selectivity), the cross-cell and same-cell candidate-pair volumes the
+  * verify stage would pay, and the end-to-end wall time. This is the
+  * measurement behind the adaptive sizing rule — run it when the rule's
+  * constants are in question (`runMain graft.tools.AnnCellProbe <sfDir>
+  * [cells...]`).
+  */
+object AnnCellProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val spark = Sessions.get()
+    try {
+      val emb = graft.Tables.embeddings(spark, dir).localCheckpoint()
+      val n = emb.count()
+      val explicitCells = args.drop(1).flatMap(_.toIntOption)
+      val cellCounts: Seq[Int] =
+        if (explicitCells.nonEmpty) explicitCells.toSeq
+        else Seq(16, 64, 256, AnnPack.adaptiveCells(n))
+      println(s"""{"dir":"$dir","n":$n}""")
+      for (c <- cellCounts.distinct) {
+        val (assigned, cellPairs) = AnnPack.blockedCells(emb, 0.45, Some(c))
+        val pairs = cellPairs.count()
+        val totalPairs = c.toLong * (c + 1) / 2
+        // candidate volumes the verify stage pays, computed from cell
+        // occupancy (no need to materialize the joins): same-cell
+        // sum(n_c^2)/2, cross-cell sum over surviving (a<b) of n_a*n_b
+        val occ = assigned.groupBy("cell").agg(count(lit(1)).as("k"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val same = occ.values.map(k => k * (k - 1) / 2).sum
+        val cross = cellPairs.filter(col("cell_a") < col("cell_b")).collect()
+          .map(r => occ.getOrElse(r.getLong(0), 0L) * occ.getOrElse(r.getLong(1), 0L)).sum
+        val t0 = System.nanoTime()
+        val out = AnnPack.cosineNearDupBlocked(emb, numCells = Some(c)).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(s"""{"cells":$c,"surviving_cell_pairs":$pairs,"total_cell_pairs":$totalPairs,""" +
+          s""""same_cell_cand":$same,"cross_cell_cand":$cross,"result_rows":$out,"secs":$secs}""")
+      }
+    } finally spark.stop()
+  }
+}

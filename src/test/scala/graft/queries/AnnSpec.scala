@@ -112,9 +112,9 @@ class AnnSpec extends AnyFunSuite {
     // C = sqrt(400) = 20 here, so 210), only the intra-cluster handful
     // survives the triangle-inequality bound. This path runs the ADAPTIVE
     // cell count (the clustered-corpus configuration, where partner cells
-    // stay intra-cluster so growing C only shrinks the N²/C term) — the
-    // gated entries pin C = 16 for the uniform synthetic fixture, where
-    // pruning cannot work and replication grows with C instead.
+    // stay intra-cluster so growing C only shrinks the N²/C term); on a
+    // corpus whose geometry cannot prune, the chooseCells guard clamps
+    // the count instead (see the geometry-guard test below).
     val (assigned, cellPairs) = AnnPack.blockedCells(emb, threshold = 0.9)
     assert(assigned.select("cell").distinct().count() > AnnPack.NumCentroids,
       "adaptive cell count should exceed the fixed floor on 400 vectors")
@@ -171,6 +171,47 @@ class AnnSpec extends AnyFunSuite {
     val surviving = cellPairs.count()
     assert(surviving * 3 <= total,
       s"expected most cell pairs pruned, got $surviving of $total surviving")
+
+    // 4. the geometry guard does NOT fire here: partner count stays the
+    // intra-cluster handful, so the corpus keeps its full ~sqrt(N) count
+    assert(AnnPack.chooseCells(cv, t) > AnnPack.NumCentroids,
+      "clustered corpus must keep the adaptive cell count")
+  }
+
+  test("geometry guard clamps the cell count on an unprunable corpus") {
+    // Isotropic Gaussian vectors: every cell's angular radius is wide, so
+    // the triangle-inequality prune keeps ~all cell pairs at ANY count —
+    // the regime where growing C buys no pruning but replicates every row
+    // ~C times through the cross-cell explode (measured at 10x: 136/136
+    // pairs survive at C=16, 2080/2080 at C=64, cross-cell candidates
+    // ~N²/2 regardless). The production rule must detect this from the
+    // sampled geometry and fall back to the floor.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val vecs: Seq[(Long, Seq[Float])] = (0L until 400L).map { id =>
+      id -> Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq
+    }
+    val emb = vecs.toDF("vec_id", "embedding").localCheckpoint()
+
+    val chosen = AnnPack.chooseCells(emb, 0.9)
+    assert(AnnPack.adaptiveCells(400) > AnnPack.NumCentroids)
+    assert(chosen === AnnPack.NumCentroids,
+      s"unprunable geometry must clamp to the floor, got $chosen")
+
+    // correctness is independent of the clamp: blocked == brute here too
+    val got = AnnPack.cosineNearDupBlocked(emb, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dab = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val daa = a.map(x => x.toDouble * x.toDouble).sum
+      val dbb = b.map(x => x.toDouble * x.toDouble).sum
+      dab / math.sqrt(daa) / math.sqrt(dbb)
+    }
+    val expected = (for {
+      (i, vi) <- vecs; (j, vj) <- vecs if i < j && cos(vi, vj) >= 0.9
+    } yield (i, j)).toSet
+    assert(got === expected)
   }
 
   test("salted same-cell join bounds per-key and per-task input on a skewed cluster") {
