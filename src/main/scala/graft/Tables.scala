@@ -24,16 +24,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which the Spark parquet
-    * reader rejects. Read nanos as raw longs and convert to a micros
-    * timestamp with integer division (double division would lose precision
-    * above 2^53 nanos). Requires `spark.sql.legacy.parquet.nanosAsLong=true`,
-    * set once at session build by [[Sessions.builder]] — not mutated here
-    * (a loader mutating session conf races with concurrent queries).
+  /** events.parquet has shipped with several physical encodings of `ts`:
+    * TIMESTAMP(NANOS) — which the Spark parquet reader only surfaces as a
+    * raw nanos long under `spark.sql.legacy.parquet.nanosAsLong=true` (set
+    * once by [[Sessions.builder]]) — and plain TIMESTAMP(MICROS), with or
+    * without UTC adjustment. Hard-coding any one encoding breaks the others
+    * (the driver regenerates testdata between rounds and has switched
+    * encodings before), so dispatch on the type the reader produced and
+    * normalize all of them to the same logical column: a session-tz
+    * TimestampType. The session tz is pinned UTC ([[Sessions.builder]]), so
+    * the NTZ→LTZ cast is wall-clock-preserving; the nanos long converts via
+    * integer division (double division would lose precision above 2^53
+    * nanos). Downstream code (RANGE frames, stream watermarks,
+    * `unix_micros`) then sees one type whatever the file stored.
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every registry entry must at least ANALYZE against the real testdata.
+  *
+  * This is the spec whose absence let round 8 lose ten entries silently:
+  * the driver's correctness gate drops an entry that fails to build (no
+  * red row — the name just vanishes from CORRECTNESS_r{N}.json), so when
+  * the testdata's events.ts encoding changed, q14/q20/q22/q23/q26/s01–s05
+  * disappeared from the artifact with no failing test naming the cause
+  * (round-8 verdict #2). Forcing `queryExecution.analyzed` for every name
+  * catches loader/schema breakage at test time; pinning the exact name set
+  * makes entry-set shrinkage — deleting a QDef, a pack falling out of the
+  * registry concatenation — a compile-visible diff plus a red test instead
+  * of archaeology over two rounds of driver artifacts.
+  *
+  * Analysis only (no execution): some builders run bounded probe actions
+  * (ANN cell sizing, DFS closure), so the spec costs seconds at sf0.001,
+  * but no entry's full job runs here — correctness stays the oracle gate's
+  * job.
+  */
+class EntryAnalyzeSmokeSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private val expected = Set(
+    "d01_dedup_keep_first", "d02_dedup_stats", "d03_minhash_near_dup",
+    "d04_token_stats", "d05_quality_score", "d06_lang_guess",
+    "d07_fingerprint", "d08_simhash", "d09_token_count_bpe",
+    "d10_ngram_jaccard", "d10b_ngram_jaccard_capped",
+    "d10c_jaccard_template_capped", "d10d_jaccard_template_uncapped",
+    "d11_kmv_distinct_sketch", "d12_stratified_split", "d13_dedup_clusters",
+    "d14_repetition_signals", "d15_decontamination",
+    "d15b_decontamination_external", "d16_pii_redaction",
+    "d17_heavy_hitters", "d18_simhash_near_dup",
+    "e01_ann_brute_topk", "e02_ann_ivf_topk", "e02b_ann_ivf_full_probe",
+    "e02c_ann_ivf_recall_floor", "e03_cosine_near_dup",
+    "e03c_cosine_near_dup_clustered_baseline", "e04_cosine_near_dup_blocked",
+    "e04b_cosine_near_dup_salted", "e04c_cosine_near_dup_clustered",
+    "e05_int8_quantize",
+    "g01_nodes", "g02_edges", "g03_properties", "g04_entity_index",
+    "g05_lookup_entity", "g06_neighbors", "g07_get_edge", "g08_counts",
+    "g09_traverse", "g10_traverse_filtered", "g11_frontier_edges",
+    "g12_intersect", "g13_top_k_edges", "g14_stable_edges",
+    "g15_node_properties", "g16_metrics", "g17_strongest_path",
+    "g17b_strongest_path_validity", "g18_traverse_dfs",
+    "g18b_traverse_dfs_validity", "g19_state_checksum",
+    "g20_pregel_traverse", "g21_triangle_counts", "g22_common_neighbors",
+    "g22b_common_neighbors_capped", "g22c_common_neighbors_powerlaw",
+    "g22d_common_neighbors_powerlaw_uncapped", "g23_pagerank",
+    "m01_media_meta", "m02_media_features", "m03_frame_sample",
+    "m04_resize", "m05_frame_energy", "m06_png_decode",
+    "q01_pricing_summary", "q02_revenue_by_nation", "q03_shipping_priority",
+    "q04_priority_with_heavy_items", "q05_top_customers",
+    "q06_forecast_revenue", "q07_running_supplier_qty",
+    "q08_priciest_parts_per_brand", "q09_nation_segments", "q10_set_ops",
+    "q11_scalar_funcs", "q12_customers_without_orders",
+    "q13_rollup_lineitem", "q14_events_hourly", "q15_topk_orders",
+    "q16_active_nations", "q17_orders_by_month", "q18_above_avg_parts",
+    "q19_account_flows", "q20_event_gaps", "q21_cube_orders",
+    "q22_asof_join", "q23_range_join_sessions", "q24_pivot_status_volume",
+    "q25_quantiles", "q26_trailing_hour_counts",
+    "q27_approx_percentile_validity", "q28_grouped_p95",
+    "s01_windowed_events", "s02_dedup_events", "s03_session_windows",
+    "s04_click_attribution", "s05_click_attribution_outer")
+
+  test("registry holds exactly the pinned entry-name set") {
+    val got = SparkEntry.queries.keySet
+    val missing = expected -- got
+    val extra = got -- expected
+    assert(missing.isEmpty && extra.isEmpty,
+      s"entry-set drift — missing: ${missing.toSeq.sorted}, unpinned new: ${extra.toSeq.sorted} " +
+        "(add new entries to this pin deliberately; never let them vanish silently)")
+  }
+
+  test("every entry analyzes against the real testdata") {
+    val spark = SparkTestSession.spark
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, sfDir).queryExecution.analyzed; None }
+      catch { case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName}: ${e.getMessage.linesIterator.next()}") }
+    }
+    assert(failures.isEmpty, s"${failures.size} entries fail analysis:\n${failures.mkString("\n")}")
+  }
+}
