@@ -257,6 +257,11 @@ object GraphTables {
     // shuffles, and measurably dominated by stage overhead). The
     // checkpoint is linear in |E| — the same materialization GraphX makes
     // for its edge partitions.
+    // measured (r9, sf0.1, solo bench): dropping the `und` checkpoint and
+    // keeping only `fwd`'s is 40% SLOWER (2.67s vs 1.90s median) — `und`'s
+    // two consumers re-run the distinct over the full edge list. Both cuts
+    // stay. (r8's 3.9s idle g21 was full-suite contention, not a plan
+    // regression: solo median is back at r6's level.)
     val und = undirectedSimpleEdges(g).localCheckpoint()
     val fwd = forwardEdges(und).localCheckpoint()
     val e1 = fwd.select(col("lo").as("x"), col("hi").as("y"))

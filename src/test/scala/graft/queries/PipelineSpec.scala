@@ -145,6 +145,15 @@ class PipelineSpec extends AnyFunSuite {
     val capped = pairs(PipelinePack.ngramJaccardPairs(docs, 0.3, dfCap = Some(2)))
     assert(capped.subsetOf(got))
     assert(pairs(PipelinePack.ngramJaccardPairs(docs, 0.3, dfCap = Some(1000000L))) === got)
+
+    // adaptive engagement (the d10b production config): on this corpus
+    // max df is far below cap x factor, so the cap DISENGAGES and the
+    // output is exactly the uncapped set — no recall loss, no capped-path
+    // joins; a factor of 0 forces engagement and reproduces the capped set
+    assert(pairs(PipelinePack.ngramJaccardPairs(docs, 0.3, dfCap = Some(2),
+      capEngageFactor = Some(1000000L))) === got)
+    assert(pairs(PipelinePack.ngramJaccardPairs(docs, 0.3, dfCap = Some(2),
+      capEngageFactor = Some(0L))) === capped)
   }
 
   test("template corpus: dfCap is non-vacuous, loses only footer-only pairs, prunes >5x volume") {
