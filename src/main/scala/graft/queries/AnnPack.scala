@@ -250,8 +250,20 @@ object AnnPack {
     * size is per-corpus metadata you compute once, not per query. No key →
     * no caching (tests and ad-hoc corpora).
     */
+  /** The sizing probe's full verdict: the cell count to use, and whether
+    * the sampled geometry showed ANY pruning structure. `prunable = false`
+    * means the probe measured partners ≈ C — every cell pair survives the
+    * triangle-inequality bound, so blocking would route all pairs through
+    * shuffle joins and pay replication for nothing (r8 sf1: e04 31s vs
+    * the brute comparator's 26s on the uniform fixture). On such a corpus
+    * the cheapest EXACT plan is the broadcast all-pairs scan, and
+    * [[cosineNearDupBlocked]] falls back to it; the output is identical
+    * (both plans are exact), so oracle gating is unaffected.
+    */
+  private[graft] final case class CellChoice(cells: Int, prunable: Boolean)
+
   private val cellsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Double), Int]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Double), CellChoice]
   private val countCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
 
@@ -262,13 +274,13 @@ object AnnPack {
       case None => emb.count()
     }
 
-  private[graft] def chooseCells(
-      emb: DataFrame, threshold: Double, cacheKey: Option[String] = None): Int = {
-    def probe(): Int = {
+  private[graft] def chooseCellsDetailed(
+      emb: DataFrame, threshold: Double, cacheKey: Option[String] = None): CellChoice = {
+    def probe(): CellChoice = {
       // one cheap count-only scan to size the codebook with the corpus
       val n = corpusCount(emb, cacheKey)
       val c0 = adaptiveCells(n)
-      if (c0 <= NumCentroids) c0
+      if (c0 <= NumCentroids) CellChoice(c0, prunable = true)
       else {
         val step = math.max(1L, n / (50L * c0))
         val centroids = centroidsOf(emb, c0)
@@ -276,8 +288,14 @@ object AnnPack {
         val surviving =
           survivingPairs(assignTo(sample, centroids), centroids, threshold).count()
         val partners = 2.0 * surviving / c0
-        if (partners <= MaxPartnerCells) c0
-        else math.max(NumCentroids, (c0 * MaxPartnerCells / partners).toInt)
+        if (partners <= MaxPartnerCells) CellChoice(c0, prunable = true)
+        else CellChoice(
+          math.max(NumCentroids, (c0 * MaxPartnerCells / partners).toInt),
+          // partners ≈ c0 means the bound killed (almost) nothing in the
+          // sample: blocking cannot beat the all-pairs scan anywhere near
+          // this geometry. The 0.5 margin keeps corpora with real but
+          // modest structure on the blocked path.
+          prunable = partners < 0.5 * c0)
       }
     }
     cacheKey match {
@@ -285,6 +303,10 @@ object AnnPack {
       case None => probe()
     }
   }
+
+  private[graft] def chooseCells(
+      emb: DataFrame, threshold: Double, cacheKey: Option[String] = None): Int =
+    chooseCellsDetailed(emb, threshold, cacheKey).cells
 
   /** The deterministic codebook: the first `cells` vec_ids, broadcast. */
   private def centroidsOf(emb: DataFrame, cells: Int): DataFrame =
@@ -380,7 +402,28 @@ object AnnPack {
       sameCellSalt: Int = 1,
       numCells: Option[Int] = None,
       cacheKey: Option[String] = None): DataFrame = {
-    val (assigned, cellPairs) = blockedCells(emb, threshold, numCells, cacheKey)
+    // Adaptive plan choice (r8 verdict #6): an explicit numCells pins the
+    // blocked plan (tests, AnnCellProbe); otherwise the sizing probe also
+    // decides WHETHER to block. On a corpus whose sampled geometry prunes
+    // nothing, every exact method degenerates to all pairs, and the
+    // broadcast scan is the cheapest such plan — the blocked machinery
+    // would run the same comparisons through shuffle joins plus
+    // replication. Both plans are exact, so the choice is plan-shape
+    // only, invisible to the oracle. (At 100 TB a corpus that trips this
+    // fallback makes ANY exact near-dup quadratic — the answer there is a
+    // probabilistic method (d03 MinHash), not a better exact plan.)
+    val choice = numCells.map(CellChoice(_, prunable = true))
+      .getOrElse(chooseCellsDetailed(emb, threshold, cacheKey))
+    if (!choice.prunable) {
+      val a = emb.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+      val b = emb.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+      return a.crossJoin(broadcast(b))
+        .filter(col("ia") < col("ib"))
+        .filter(cosine(col("ea"), col("eb")) >= threshold)
+        .select(least(col("ia"), col("ib")).as("id_a"),
+          greatest(col("ia"), col("ib")).as("id_b"))
+    }
+    val (assigned, cellPairs) = blockedCells(emb, threshold, Some(choice.cells), cacheKey)
 
     // 4. candidates via equi-joins through the surviving cell pairs
     val va = assigned.select(col("vec_id").as("ia"), col("embedding").as("ea"), col("cell").as("cell_a"))
