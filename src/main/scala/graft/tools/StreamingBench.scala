@@ -1,0 +1,96 @@
+package graft.tools
+
+import graft.Sessions
+import graft.streaming.EventsStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+/** Micro-batch wall-time bench for the five streaming entries (round-8
+  * verdict #8): the s01–s05 correctness entries gate their BATCH twins
+  * (the only form the DuckDB oracle can compare), and the state-size
+  * rehearsal bounds state growth — this tool closes the remaining gap by
+  * timing each entry's actual `readStream` plan end-to-end over the
+  * chunked event-time replay [[StreamingScaleRehearsal.prepareChunks]]
+  * builds (one file per micro-batch, so watermarks advance and eviction
+  * runs — the real per-batch cost, not a single all-at-once batch).
+  *
+  * Prints ONE JSON line:
+  * `{"metric":"stream_total","value":N,"unit":"sec","entries":{"s01":
+  *   {"sec":..,"rows":..,"rows_per_sec":..,"batches":..},...}}`
+  * and persists it to SPARK_GRAFT_STREAM_BENCH_OUT (default
+  * `STREAM_BENCH_local_<sf>.json`). RocksDB state store — same provider
+  * the rehearsal and a production deployment use.
+  */
+object StreamingBench {
+
+  /** The five streaming builders keyed by their correctness-entry names. */
+  val entries: Seq[(String, DataFrame => DataFrame)] = Seq(
+    "s01_windowed_events" -> (EventsStream.windowedCounts(_)),
+    "s02_dedup_events" -> (EventsStream.dedupedEvents(_)),
+    "s03_session_windows" -> (EventsStream.sessionized(_)),
+    "s04_click_attribution" -> (EventsStream.clickAttribution(_)),
+    "s05_click_attribution_outer" ->
+      (EventsStream.clickAttribution(_, joinType = "left_outer")))
+
+  /** Run one builder's streaming plan to completion over the chunked dir;
+    * returns (wallSeconds, inputRows, batches).
+    */
+  def runTimed(
+      spark: SparkSession,
+      streamDir: String,
+      work: String,
+      name: String)(build: DataFrame => DataFrame): (Double, Long, Int) = {
+    val schema = spark.read.parquet(streamDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir)
+    val t0 = System.nanoTime()
+    val q = build(stream).writeStream
+      .format("noop")
+      .queryName(name)
+      .option("checkpointLocation", s"$work/ckpt_bench_$name")
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val progress = q.recentProgress.toIndexedSeq
+    (sec, progress.map(_.numInputRows).sum, progress.length)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.lift(0).getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val work = args.lift(1).getOrElse("/tmp/graft_stream_bench")
+    val factor = args.lift(2).flatMap(_.toIntOption).getOrElse(1)
+    val chunks = args.lift(3).flatMap(_.toIntOption).getOrElse(16)
+    val spark = Sessions.get()
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", (chunks + 16).toString)
+    try {
+      val (streamDir, total) =
+        StreamingScaleRehearsal.prepareChunks(spark, srcDir, work, factor, chunks)
+      val results = entries.map { case (name, build) =>
+        val (sec, rows, batches) = runTimed(spark, streamDir, work, name)(build)
+        System.err.println(f"[stream-bench] $name: $sec%.2fs, $rows rows, $batches batches")
+        name -> (math.round(sec * 1000) / 1000.0, rows, batches)
+      }
+      val total_sec = math.round(results.map(_._2._1).sum * 1000) / 1000.0
+      val es = results.map { case (n, (sec, rows, batches)) =>
+        val rps = if (sec > 0) math.round(rows / sec) else 0L
+        s""""$n":{"sec":$sec,"rows":$rows,"rows_per_sec":$rps,"batches":$batches}"""
+      }.mkString("{", ",", "}")
+      val line =
+        s"""{"metric":"stream_total","value":$total_sec,"unit":"sec","sf":"$srcDir",""" +
+          s""""factor":$factor,"chunks":$chunks,"event_rows":$total,"entries":$es}"""
+      println(line)
+      val outPath = sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH_OUT",
+        s"STREAM_BENCH_local_${new java.io.File(srcDir).getName}.json")
+      try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case e: Exception =>
+        System.err.println(s"[stream-bench] could not persist JSON to $outPath: $e")
+      }
+    } finally spark.stop()
+  }
+}
