@@ -142,7 +142,11 @@ object PipelinePack {
     * directly — the shingle subtree it builds canonicalizes identically
     * to nearDupPairs' own, so sharing is unchanged.
     */
-  private[graft] def lshCandidates(docs: DataFrame): DataFrame = {
+  /** Per-document LSH band signatures (doc_id, band, sig) — the shared
+    * candidate-generation substrate of [[lshCandidates]] (within-corpus
+    * self-join) and [[fuzzyDecontaminationPairs]] (train x eval join).
+    */
+  private[graft] def bandSignatures(docs: DataFrame): DataFrame = {
     // 128 minhashes per doc: hash each shingle STRING once (the expensive
     // part), then derive the hash family from the resulting long — 128
     // long-hashes per row instead of 128 string-hashes (~3x cheaper on
@@ -154,12 +158,15 @@ object PipelinePack {
       .select(col("doc_id"), array((0 until MinHashes).map(i => col(s"mh_$i")): _*).as("mh"))
 
     // LSH banding: one signature per (band of 4 consecutive minhashes).
-    val bands = sigs.select(
+    sigs.select(
       col("doc_id"),
       posexplode(expr(s"transform(sequence(0, ${Bands - 1}), " +
         s"b -> xxhash64(b, mh[b*$RowsPerBand], mh[b*$RowsPerBand+1], mh[b*$RowsPerBand+2], mh[b*$RowsPerBand+3]))")))
       .toDF("doc_id", "band", "sig")
+  }
 
+  private[graft] def lshCandidates(docs: DataFrame): DataFrame = {
+    val bands = bandSignatures(docs)
     // Candidates: docs sharing any band signature (equi-join, no product).
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
@@ -196,6 +203,58 @@ object PipelinePack {
       .join(sizes.select(col("doc_id").as("doc_j"), col("n").as("nj")), "doc_j")
       .select(col("doc_i"), col("doc_j"),
         (col("inter").cast("double") / (col("ni") + col("nj") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+  }
+
+  /** FUZZY decontamination: training documents that are near-duplicates
+    * (shingle Jaccard >= [[JaccardThreshold]]) of an eval document —
+    * d15's exact n-gram containment catches verbatim leakage, this
+    * catches the paraphrased/lightly-edited contamination that survives
+    * it (whitespace tweaks, a renamed entity, a dropped sentence).
+    *
+    * Candidate generation is the SAME banded MinHash-LSH substrate as
+    * d03 ([[bandSignatures]]), but joined ACROSS corpora: train band
+    * signatures meet eval band signatures on (band, sig) — never train x
+    * train, so the join volume is bounded by the eval side, which at
+    * 100 TB is a benchmark suite of a few thousand docs whatever the
+    * corpus size (its ~32 band rows per doc broadcast; Spark picks that
+    * from the slice's statistics — same reasoning as d15's
+    * `decontaminationAgainst`). Candidates are then verified with the
+    * exact Jaccard over the full shingle sets, so banding only ever
+    * LOSES pairs (the standard LSH recall trade, ~(1-t^4)^32 miss
+    * probability — negligible in the near-verbatim regime contamination
+    * lives in); verified scores are exact.
+    *
+    * The eval slice here is the fixture-only `doc_id % evalMod == 0`
+    * split (the production entry point takes an external eval-grams
+    * table, [[decontaminationAgainst]]'s discipline); the DuckDB oracle
+    * re-derives the full train x eval exhaustive Jaccard, so the entry
+    * gates end-to-end recall on the fixture, where every contaminated
+    * pair sits far above threshold (min J 0.89 across SFs — miss
+    * probability < 1e-13 per pair).
+    */
+  def fuzzyDecontaminationPairs(docs: DataFrame, evalMod: Long = 10L): DataFrame = {
+    val sh = shingles(docs)
+    val bands = bandSignatures(docs)
+    val isEval = col("doc_id") % evalMod === 0
+    val cands = bands.filter(!isEval).as("x")
+      .join(bands.filter(isEval).as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
+      .select(col("x.doc_id").as("train_doc"), col("y.doc_id").as("eval_doc"))
+      .distinct()
+
+    // exact verification on candidates only, same shape as nearDupPairs
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shE = sh.select(col("doc_id").as("de"), col("g").as("ge"))
+    val inter = cands
+      .join(sh.withColumnRenamed("doc_id", "train_doc").withColumnRenamed("g", "gt"), "train_doc")
+      .join(shE, col("eval_doc") === col("de") && col("gt") === col("ge"))
+      .groupBy("train_doc", "eval_doc").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("train_doc"), col("n").as("nt")), "train_doc")
+      .join(sizes.select(col("doc_id").as("eval_doc"), col("n").as("ne")), "eval_doc")
+      .select(col("train_doc"), col("eval_doc"),
+        (col("inter").cast("double") / (col("nt") + col("ne") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
   }
 
@@ -1042,6 +1101,36 @@ object PipelinePack {
           sh.filter(col("doc_id") >= 20),
           sh.filter(col("doc_id") < 20))
         .orderBy("train_doc", "eval_doc")
+    },
+
+    // ---- d19: FUZZY decontamination — near-duplicate (not verbatim)
+    // train-eval overlap via the cross-corpus banded MinHash-LSH join
+    // with exact-Jaccard verification (see fuzzyDecontaminationPairs:
+    // candidates bounded by the benchmark-sized eval side, banding only
+    // loses pairs, scores exact). The oracle is the EXHAUSTIVE train x
+    // eval Jaccard — gating end-to-end recall on the fixture, whose
+    // contaminated pairs sit at J >= 0.89, far above the 0.5 threshold
+    // (miss probability < 1e-13/pair) and far above DuckDB/Spark float
+    // divergence. ----
+    QDef("d19_fuzzy_decontamination", Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      idx AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) i FROM tok),
+      sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM idx),
+      tr AS (SELECT doc_id, g FROM sh WHERE doc_id % 10 != 0),
+      ev AS (SELECT doc_id, g FROM sh WHERE doc_id % 10 = 0),
+      pairs AS (
+        SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc, count(*) AS inter
+        FROM tr t JOIN ev e ON t.g = e.g
+        GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+      SELECT p.train_doc, p.eval_doc,
+             CAST(p.inter AS DOUBLE) / (st.n + se.n - p.inter) AS jaccard
+      FROM pairs p
+        JOIN sizes st ON st.doc_id = p.train_doc
+        JOIN sizes se ON se.doc_id = p.eval_doc
+      WHERE CAST(p.inter AS DOUBLE) / (st.n + se.n - p.inter) >= 0.5
+      ORDER BY train_doc, eval_doc""")) { (s, dir) =>
+      fuzzyDecontaminationPairs(Tables.documents(s, dir)).orderBy("train_doc", "eval_doc")
     },
 
     // ---- d16: PII redaction (email + IPv4), the scrubbing pass every

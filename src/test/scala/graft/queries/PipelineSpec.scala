@@ -156,6 +156,32 @@ class PipelineSpec extends AnyFunSuite {
       capEngageFactor = Some(0L))) === capped)
   }
 
+  test("fuzzy decontamination equals the exhaustive train x eval recompute") {
+    val docs = graft.Tables.documents(spark, dir)
+    val got = PipelinePack.fuzzyDecontaminationPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def sh(t: String): Set[String] = t.split(' ').sliding(3).map(_.mkString(" ")).toSet
+    val expected = (for {
+      (i, ti) <- texts if i % 10 != 0
+      (j, tj) <- texts if j % 10 == 0
+      si = sh(ti); sj = sh(tj)
+      inter = (si & sj).size
+      jac = inter.toDouble / (si.size + sj.size - inter)
+      if jac >= 0.5
+    } yield (i, j, jac)).toSet
+    assert(expected.nonEmpty, "fixture should contain contaminated train docs")
+    // banding can only LOSE pairs; on this fixture every pair is
+    // near-verbatim (J >= 0.89), so recall must be exhaustive
+    assert(got === expected)
+    // and direction matters: train on the left, eval on the right
+    got.foreach { case (t, e, _) =>
+      assert(t % 10 != 0 && e % 10 == 0, s"pair ($t,$e) crosses the split wrongly")
+    }
+  }
+
   test("template corpus: dfCap is non-vacuous, loses only footer-only pairs, prunes >5x volume") {
     val docs = PipelinePack.templateDocs(graft.Tables.documents(spark, dir))
     def sh(t: String): Set[String] = t.split(' ').sliding(3).map(_.mkString(" ")).toSet
