@@ -52,22 +52,30 @@ object ScaleRehearsal {
         hashExchanges(asofPlan) == hashExchanges(asofBase),
         s"10x plan has ${hashExchanges(asofPlan)} hash exchanges vs base ${hashExchanges(asofBase)}")
 
-      // 2. e04 at 10x: the assignment exchange stays shared, nested-loop
-      // terms stay centroid-bounded, and no cartesian product appears
+      // 2. e04 at 10x: the raw synthetic corpus is uniform (rotated
+      // copies stay uniform), so the adaptive sizing probe must measure
+      // nil pruning and route to the broadcast all-pairs scan (r9): ONE
+      // nested-loop term over the broadcast corpus, none of the blocked
+      // path's shuffle-join machinery, and never a cartesian — the
+      // regime where blocking lost to its own brute baseline in r8.
       val e04Plan = finalPlan(SparkEntry.queries("e04_cosine_near_dup_blocked")(spark, dir))
-      check("e04_reused_exchange")(e04Plan.contains("ReusedExchange"), e04Plan.take(1500))
+      check("e04_fallback_single_bnlj")(
+        "BroadcastNestedLoopJoin".r.findAllIn(e04Plan).size == 1, e04Plan.take(1500))
       check("e04_no_cartesian")(!e04Plan.contains("CartesianProduct"), e04Plan.take(1500))
-      check("e04_centroid_bounded_bnlj")(
-        "BroadcastNestedLoopJoin".r.findAllIn(e04Plan).size <= 3, e04Plan.take(1500))
+      check("e04_fallback_no_shuffle_join")(
+        !e04Plan.contains("SortMergeJoin") && !e04Plan.contains("ShuffledHashJoin"),
+        e04Plan.take(1500))
 
-      // 2b. e04c (clustered corpus, adaptive cells) at 10x: same shape
-      // contract as e04 — candidates through equi-joins only, the one
-      // quadratic term centroid-bounded; the corpus derivation must not
-      // push AQE into a cartesian at 150k vectors
+      // 2b. e04c (clustered corpus, adaptive cells) at 10x: the BLOCKED
+      // regime's shape contract — candidates through equi-joins only,
+      // the one quadratic term centroid-bounded, the assignment exchange
+      // shared, and the corpus derivation must not push AQE into a
+      // cartesian at 960k derived vectors
       val e04cPlan = finalPlan(SparkEntry.queries("e04c_cosine_near_dup_clustered")(spark, dir))
       check("e04c_no_cartesian")(!e04cPlan.contains("CartesianProduct"), e04cPlan.take(1500))
       check("e04c_centroid_bounded_bnlj")(
         "BroadcastNestedLoopJoin".r.findAllIn(e04cPlan).size <= 3, e04cPlan.take(1500))
+      check("e04c_reused_exchange")(e04cPlan.contains("ReusedExchange"), e04cPlan.take(1500))
 
       // 3. q02 at 10x: the dimension joins stay broadcast against the
       // 10x fact side
