@@ -402,6 +402,49 @@ object PipelinePack {
                   ELSE text END AS text
       FROM documents"""
 
+  /** Per-document coverage by CROSS-DOC duplicated n-gram spans — the
+    * n-gram-granular form of exact-substring dedup (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL'22):
+    * a token is covered when some n-gram containing it also appears in
+    * another document, and the covered fraction is the memorization-risk
+    * signal a span-level dedup pass would cut. Doc-level near-dup
+    * (d03/d10/d18) misses exactly this — two long documents sharing one
+    * plagiarized paragraph have near-zero Jaccard.
+    *
+    * Unlike every pairwise near-dup operator, there is NO doc x doc term
+    * at any stage: one inverted-index aggregate computes each n-gram's
+    * cross-doc document frequency, a semi-join marks the duplicated
+    * start positions, and a position-explode + distinct counts covered
+    * tokens per doc. Total shuffle is O(total tokens) regardless of how
+    * hot a gram is — a boilerplate gram in a million docs adds a million
+    * start rows (linear), never a million² candidate pairs, so the
+    * operator needs no dfCap at any corpus size.
+    */
+  def dupSpanCoverage(docs: DataFrame, n: Int = 10): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).as("n_tokens"))
+    // 1-based start positions; sequence() descends when stop < start, so
+    // short docs must produce an empty array, not [1, 0]
+    val g = toks.select(col("doc_id"), col("n_tokens"),
+      explode(when(col("n_tokens") >= n,
+          expr(s"transform(sequence(1, size(ws) - ${n - 1}), " +
+            s"s -> struct(s AS s, concat_ws(' ', slice(ws, s, $n)) AS gram))"))
+        .otherwise(array())).as("x"))
+      .select(col("doc_id"), col("x.s").as("s"), col("x.gram").as("gram"))
+    val hot = g.groupBy("gram").agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).select("gram")
+    val covered = g.join(hot, Seq("gram"), "left_semi")
+      .select(col("doc_id"), explode(expr(s"sequence(s, s + ${n - 1})")).as("p"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("covered"))
+    toks.select(col("doc_id"), col("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        coalesce(col("covered"), lit(0L)).as("covered"))
+      .withColumn("coverage_millionths",
+        expr("covered * 1000000L div n_tokens"))
+  }
+
   /** Dedup CLUSTERING: near-dup pairs closed into connected components,
     * every document labeled with its component's minimum doc_id (the
     * canonical representative a keep-one dedup retains). Pairs alone
@@ -1131,6 +1174,29 @@ object PipelinePack {
       WHERE CAST(p.inter AS DOUBLE) / (st.n + se.n - p.inter) >= 0.5
       ORDER BY train_doc, eval_doc""")) { (s, dir) =>
       fuzzyDecontaminationPairs(Tables.documents(s, dir)).orderBy("train_doc", "eval_doc")
+    },
+
+    // ---- d20: duplicated-span coverage — the per-token cross-doc
+    // duplication signal (see dupSpanCoverage: inverted-index df +
+    // semi-join + position explode; NO pairwise term, O(total tokens)
+    // shuffle at any df, so no cap needed). Integer millionths keep the
+    // gate float-free; every doc is a row (0-coverage docs included —
+    // the no-op path is gated too, d16 discipline). ----
+    QDef("d20_dup_span_coverage", Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      pos AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 8)) s FROM tok),
+      g AS (SELECT doc_id, s, list_aggregate(ws[s:s+9], 'string_agg', ' ') AS gram FROM pos),
+      df AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram),
+      dup AS (SELECT g.doc_id, g.s FROM g JOIN df ON df.gram = g.gram AND df.nd > 1),
+      cov AS (SELECT DISTINCT doc_id, unnest(range(s, s + 10)) AS p FROM dup),
+      nc AS (SELECT doc_id, count(*) AS covered FROM cov GROUP BY doc_id),
+      nt AS (SELECT doc_id, len(ws) AS n_tokens FROM tok)
+      SELECT nt.doc_id, CAST(nt.n_tokens AS BIGINT) AS n_tokens,
+             CAST(coalesce(nc.covered, 0) AS BIGINT) AS covered,
+             CAST(coalesce(nc.covered, 0) * 1000000 // nt.n_tokens AS BIGINT) AS coverage_millionths
+      FROM nt LEFT JOIN nc ON nc.doc_id = nt.doc_id
+      ORDER BY nt.doc_id""")) { (s, dir) =>
+      dupSpanCoverage(Tables.documents(s, dir)).orderBy("doc_id")
     },
 
     // ---- d16: PII redaction (email + IPv4), the scrubbing pass every

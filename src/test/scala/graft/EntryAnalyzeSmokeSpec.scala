@@ -34,7 +34,7 @@ class EntryAnalyzeSmokeSpec extends AnyFunSuite {
     "d14_repetition_signals", "d15_decontamination",
     "d15b_decontamination_external", "d16_pii_redaction",
     "d17_heavy_hitters", "d18_simhash_near_dup",
-    "d19_fuzzy_decontamination",
+    "d19_fuzzy_decontamination", "d20_dup_span_coverage",
     "e01_ann_brute_topk", "e02_ann_ivf_topk", "e02b_ann_ivf_full_probe",
     "e02c_ann_ivf_recall_floor", "e03_cosine_near_dup",
     "e03c_cosine_near_dup_clustered_baseline", "e04_cosine_near_dup_blocked",

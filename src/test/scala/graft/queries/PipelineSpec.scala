@@ -182,6 +182,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("dup-span coverage equals a plain-Scala exhaustive recompute") {
+    val docs = graft.Tables.documents(spark, dir)
+    val n = 10
+    val got = PipelinePack.dupSpanCoverage(docs, n).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(' '))
+    // gram -> set of docs containing it
+    val docsOf = scala.collection.mutable.Map.empty[String, Set[Long]]
+    for ((id, ws) <- texts; i <- 0 to ws.length - n)
+      docsOf.updateWith(ws.slice(i, i + n).mkString(" "))(o => Some(o.getOrElse(Set.empty) + id))
+    val expected = texts.map { case (id, ws) =>
+      val covered = (for {
+        i <- (0 to ws.length - n)
+        if docsOf(ws.slice(i, i + n).mkString(" ")).size > 1
+        p <- i until i + n
+      } yield p).toSet.size.toLong
+      id -> ((ws.length.toLong, covered, covered * 1000000L / ws.length))
+    }.toMap
+    assert(expected.values.exists(_._2 > 0), "fixture should contain duplicated spans")
+    assert(expected.values.exists(_._2 == 0), "fixture should contain clean docs")
+    assert(got === expected)
+  }
+
   test("template corpus: dfCap is non-vacuous, loses only footer-only pairs, prunes >5x volume") {
     val docs = PipelinePack.templateDocs(graft.Tables.documents(spark, dir))
     def sh(t: String): Set[String] = t.split(' ').sliding(3).map(_.mkString(" ")).toSet

@@ -70,6 +70,12 @@ class ExplainSpec extends AnyFunSuite {
       s"non-equi join in:\n$plan")
   }
 
+  test("d20: span coverage is inverted-index aggregates + semi-join, never a product") {
+    val plan = planOf("d20_dup_span_coverage")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in:\n$plan")
+  }
+
   test("d03: banded candidates are equi-joins, never a product") {
     val plan = planOf("d03_minhash_near_dup")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
