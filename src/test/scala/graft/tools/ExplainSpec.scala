@@ -76,6 +76,12 @@ class ExplainSpec extends AnyFunSuite {
       s"non-equi join in:\n$plan")
   }
 
+  test("d19: cross-corpus banded candidates are equi-joins, never a product") {
+    val plan = planOf("d19_fuzzy_decontamination")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in:\n$plan")
+  }
+
   test("d03: banded candidates are equi-joins, never a product") {
     val plan = planOf("d03_minhash_near_dup")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
