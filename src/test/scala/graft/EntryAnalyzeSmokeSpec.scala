@@ -75,6 +75,10 @@ class EntryAnalyzeSmokeSpec extends AnyFunSuite {
         "(add new entries to this pin deliberately; never let them vanish silently)")
   }
 
+  test("flagship entry executes and returns rows (the driver's smoke check)") {
+    assert(SparkEntry.entry(SparkTestSession.spark).count() > 0)
+  }
+
   test("every entry analyzes against the real testdata") {
     val spark = SparkTestSession.spark
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
