@@ -97,6 +97,19 @@ object ScaleRehearsal {
       check("d03_candidates_subquadratic")(candBig * 100 < pairSpace,
         s"$candBig candidates vs pair space $pairSpace")
 
+      // 4b. d19/d20 at 10x (r9 additions): the cross-corpus banded join
+      // and the span-coverage inverted index must stay pure equi-join
+      // pipelines — scaled token-renamed copies can't push either into
+      // a product or nested loop
+      val d19Plan = finalPlan(SparkEntry.queries("d19_fuzzy_decontamination")(spark, dir))
+      check("d19_no_product")(
+        !d19Plan.contains("CartesianProduct") && !d19Plan.contains("BroadcastNestedLoopJoin"),
+        d19Plan.take(1500))
+      val d20Plan = finalPlan(SparkEntry.queries("d20_dup_span_coverage")(spark, dir))
+      check("d20_no_product")(
+        !d20Plan.contains("CartesianProduct") && !d20Plan.contains("BroadcastNestedLoopJoin"),
+        d20Plan.take(1500))
+
       // 5. s04 stream-stream interval join's batch twin at 10x: the
       // user_id equi-key must keep the join a sort-merge/shuffled-hash
       // join — the interval predicate must never degrade it to a
