@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators over the `documents` table: exact and
@@ -414,11 +415,15 @@ object PipelinePack {
     * Unlike every pairwise near-dup operator, there is NO doc x doc term
     * at any stage: one inverted-index aggregate computes each n-gram's
     * cross-doc document frequency, a semi-join marks the duplicated
-    * start positions, and a position-explode + distinct counts covered
-    * tokens per doc. Total shuffle is O(total tokens) regardless of how
-    * hot a gram is — a boilerplate gram in a million docs adds a million
-    * start rows (linear), never a million² candidate pairs, so the
-    * operator needs no dfCap at any corpus size.
+    * start positions, and per-doc interval merging (gaps-and-islands
+    * over the sorted starts: two spans overlap iff their starts differ
+    * by less than n, so an island's coverage is max - min + n) counts
+    * covered tokens WITHOUT exploding each start into its n positions —
+    * shuffle stays one row per duplicated start, not n. Total volume is
+    * O(total tokens) regardless of how hot a gram is — a boilerplate
+    * gram in a million docs adds a million start rows (linear), never a
+    * million² candidate pairs, so the operator needs no dfCap at any
+    * corpus size.
     */
   def dupSpanCoverage(docs: DataFrame, n: Int = 10): DataFrame = {
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
@@ -433,10 +438,17 @@ object PipelinePack {
       .select(col("doc_id"), col("x.s").as("s"), col("x.gram").as("gram"))
     val hot = g.groupBy("gram").agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") > 1).select("gram")
+    val wDoc = Window.partitionBy("doc_id").orderBy("s")
     val covered = g.join(hot, Seq("gram"), "left_semi")
-      .select(col("doc_id"), explode(expr(s"sequence(s, s + ${n - 1})")).as("p"))
-      .distinct()
-      .groupBy("doc_id").agg(count(lit(1)).as("covered"))
+      .select(col("doc_id"), col("s"))
+      // duplicated starts are distinct within a doc already (one row per
+      // position), so islands need no pre-dedup
+      .withColumn("newIsland",
+        when(col("s") - lag(col("s"), 1).over(wDoc) >= n, 1L).otherwise(0L))
+      .withColumn("island", sum(col("newIsland")).over(wDoc))
+      .groupBy("doc_id", "island")
+      .agg((max(col("s")) - min(col("s")) + n).as("span"))
+      .groupBy("doc_id").agg(sum(col("span")).as("covered"))
     toks.select(col("doc_id"), col("n_tokens"))
       .join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
