@@ -1211,6 +1211,42 @@ object PipelinePack {
       dupSpanCoverage(Tables.documents(s, dir)).orderBy("doc_id")
     },
 
+    // ---- d21: the training-mixture report — per (source, lang): doc
+    // count, token and char volume, and each cell's share of the corpus
+    // in integer millionths. The first artifact any data-mixing pass
+    // produces (what fraction of the mix is each source?), and the
+    // operator exercises the so-far-unused `source`/`lang` columns. One
+    // hash aggregate on a low-cardinality key + a broadcast of the
+    // single-row total: at 100 TB it is a map-side-combined scan, no
+    // row-count-proportional shuffle. Integer arithmetic only (sums,
+    // counts, floor millionths) — no float drift for the gate to ride
+    // on. ----
+    QDef("d21_source_mix", Some("""
+      WITH d AS (SELECT source, lang, n_chars,
+                        len(string_split(text, ' ')) AS n_tokens
+                 FROM documents),
+      tot AS (SELECT count(*) AS total FROM d)
+      SELECT source, lang,
+             count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             CAST(count(*) * 1000000 // (SELECT total FROM tot) AS BIGINT) AS share_millionths
+      FROM d GROUP BY source, lang
+      ORDER BY source, lang""")) { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(col("source"), col("lang"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val total = d.agg(count(lit(1)).as("total"))
+      d.groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("n_chars")).as("sum_chars"))
+        .crossJoin(broadcast(total))
+        .select(col("source"), col("lang"), col("n_docs"), col("sum_tokens"),
+          col("sum_chars"),
+          expr("n_docs * 1000000L div total").as("share_millionths"))
+        .orderBy("source", "lang")
+    },
+
     // ---- d16: PII redaction (email + IPv4), the scrubbing pass every
     // training corpus gets before release. Pure projection — regexp_count
     // and regexp_replace are codegen'd, no shuffle at any corpus size. The

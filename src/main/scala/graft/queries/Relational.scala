@@ -533,6 +533,31 @@ object Relational {
               .cast("long"),
             lit(-1L)).as("gap_sec"))
         .orderBy("user_id", "event_id")
+    },
+
+    // ---- q29: semi-structured extraction — events.props is a JSON
+    // payload (`{"k": N}`) that the graph ingest treats as an opaque
+    // string; here it is PARSED with the real JSON path function
+    // (codegen'd `get_json_object`, no UDF) and aggregated. At 100 TB
+    // this is the "JSON column in a fact table" shape: the extraction is
+    // a pure projection fused into the scan, the aggregate is one
+    // shuffle on a low-cardinality key. The oracle re-derives k with a
+    // regex (engine-equivalent on this fixed shape) so the gate does not
+    // depend on a DuckDB JSON extension being loadable offline. ----
+    QDef("q29_json_props", Some("""
+      WITH e AS (SELECT event_type,
+                        CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+                 FROM events)
+      SELECT event_type, count(*) AS n_events,
+             sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k
+      FROM e GROUP BY event_type ORDER BY event_type""")) { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")
     }
   )
 }

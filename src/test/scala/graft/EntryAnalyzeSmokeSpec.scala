@@ -34,7 +34,7 @@ class EntryAnalyzeSmokeSpec extends AnyFunSuite {
     "d14_repetition_signals", "d15_decontamination",
     "d15b_decontamination_external", "d16_pii_redaction",
     "d17_heavy_hitters", "d18_simhash_near_dup",
-    "d19_fuzzy_decontamination", "d20_dup_span_coverage",
+    "d19_fuzzy_decontamination", "d20_dup_span_coverage", "d21_source_mix",
     "e01_ann_brute_topk", "e02_ann_ivf_topk", "e02b_ann_ivf_full_probe",
     "e02c_ann_ivf_recall_floor", "e03_cosine_near_dup",
     "e03c_cosine_near_dup_clustered_baseline", "e04_cosine_near_dup_blocked",
@@ -62,7 +62,7 @@ class EntryAnalyzeSmokeSpec extends AnyFunSuite {
     "q19_account_flows", "q20_event_gaps", "q21_cube_orders",
     "q22_asof_join", "q23_range_join_sessions", "q24_pivot_status_volume",
     "q25_quantiles", "q26_trailing_hour_counts",
-    "q27_approx_percentile_validity", "q28_grouped_p95",
+    "q27_approx_percentile_validity", "q28_grouped_p95", "q29_json_props",
     "s01_windowed_events", "s02_dedup_events", "s03_session_windows",
     "s04_click_attribution", "s05_click_attribution_outer")
 
