@@ -513,6 +513,38 @@ object AnnPack {
       bruteForceTopK(embeddings(s, dir)).orderBy("q_id", "rank")
     },
 
+    // ---- e06: FILTERED vector search — top-k restricted to a label
+    // predicate (the "metadata filter + ANN" shape every production
+    // vector store exposes; at 100 TB the label is a partition/bucketing
+    // key, so the predicate prunes partitions at the source instead of
+    // post-filtering candidates). Exercises the otherwise-unused
+    // `label` column; exact by construction, so the brute oracle gates
+    // it directly. Queries come from the FULL corpus — the realistic
+    // shape where the querying vector need not satisfy the filter. ----
+    QDef("e06_ann_filtered_topk", Some(s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < $NumQueries),
+      scored AS (
+        SELECT q.q_id, e.vec_id,
+               list_cosine_similarity(e.embedding, q.q_emb) AS c
+        FROM embeddings e, q WHERE e.label = 3 AND e.vec_id != q.q_id),
+      ranked AS (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rank
+        FROM scored)
+      SELECT q_id, rank, vec_id AS neighbor_id FROM ranked
+      WHERE rank <= $K ORDER BY q_id, rank""")) { (s, dir) =>
+      val emb = embeddings(s, dir)
+      val scored = emb.filter(col("label") === 3).crossJoin(broadcast(queries(emb)))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosine(col("embedding"), col("q_emb")).as("cos"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= K)
+        .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
+        .orderBy("q_id", "rank")
+    },
+
     // IVF at the production nprobe < cells is approximate by construction
     // (recall measured in AnnSpec against the brute-force baseline) — no
     // equality oracle for THIS configuration.

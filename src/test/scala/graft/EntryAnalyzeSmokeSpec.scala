@@ -39,7 +39,7 @@ class EntryAnalyzeSmokeSpec extends AnyFunSuite {
     "e02c_ann_ivf_recall_floor", "e03_cosine_near_dup",
     "e03c_cosine_near_dup_clustered_baseline", "e04_cosine_near_dup_blocked",
     "e04b_cosine_near_dup_salted", "e04c_cosine_near_dup_clustered",
-    "e05_int8_quantize",
+    "e05_int8_quantize", "e06_ann_filtered_topk",
     "g01_nodes", "g02_edges", "g03_properties", "g04_entity_index",
     "g05_lookup_entity", "g06_neighbors", "g07_get_edge", "g08_counts",
     "g09_traverse", "g10_traverse_filtered", "g11_frontier_edges",
