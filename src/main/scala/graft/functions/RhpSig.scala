@@ -1,0 +1,152 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftExpressionBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+import java.security.MessageDigest
+
+/** Random-hyperplane (sign-random-projection) LSH signatures over an
+  * embedding column — the Charikar STOC'02 family, the vector-space
+  * sibling of d18's SimHash text index.
+  *
+  * Determinism is the design driver: a float hyperplane dot is
+  * accumulation-order dependent, and a sign that flips between engines
+  * flips a whole signature bit — so the projection happens in INTEGERS.
+  * The vector is first symmetrically int8-quantized (identical semantics
+  * to AnnPack's e05: scale = 127/max|v|, round half-away-from-zero; both
+  * engines produce bit-equal q values because each element is one widen +
+  * multiply + round, no accumulation), and the hyperplanes are Rademacher
+  * ±1 vectors derived from md5, so each projection is an exact integer
+  * sum — commutative, associative, re-derivable relationally by the
+  * DuckDB oracle down to the last bit. Quantization perturbs each angle
+  * by < 1% at 64 dims, which moves the *probability* a plane splits a
+  * pair but never the determinism of the signature itself.
+  *
+  * One signature = `tables` keys of `bits` bits each; bit b of table t is
+  * set iff sum_d q[d] * sign(t, b, d) > 0 (ties — exact zero — fall to
+  * 0, mirrored by the oracle's `> 0`). Collision probability of one bit
+  * for vectors at angle theta is 1 - theta/pi, so a key of B bits
+  * collides with probability (1 - theta/pi)^B and any-of-T tables boosts
+  * recall to 1 - (1 - p^B)^T: B controls bucket selectivity (bucket
+  * count 2^B per table), T buys recall linearly in index size. The
+  * expression evaluates all tables x bits planes in one tight primitive
+  * loop per row (native codegen — the HOF form would interpret
+  * tables*bits*dim lambdas per vector).
+  */
+object RhpSig {
+
+  /** ±1 plane entries for (table t, bit b, dim d), flattened as
+    * [(t * bits + b) * dim + d]. Derived from the low bit of the first
+    * hex nibble of md5("rhp:v1:t:b:d") — the same md5-bit construction
+    * (and therefore the same SQL mirror shape) as d08's SimHash.
+    */
+  def planeSigns(tables: Int, bits: Int, dim: Int): Array[Int] = {
+    val md = MessageDigest.getInstance("MD5")
+    val out = new Array[Int](tables * bits * dim)
+    var i = 0
+    for (t <- 0 until tables; b <- 0 until bits; d <- 0 until dim) {
+      val hex = md.digest(s"rhp:v1:$t:$b:$d".getBytes("UTF-8"))
+      md.reset()
+      // first hex nibble = high nibble of byte 0
+      val nib = (hex(0) >> 4) & 0xf
+      out(i) = if ((nib & 1) == 1) 1 else -1
+      i += 1
+    }
+    out
+  }
+
+  /** Core loop, shared by interpreted eval and codegen. Returns the
+    * per-table bucket keys for one vector, or null on a null element /
+    * dimension mismatch with the plane array (undefined, like dot).
+    */
+  def sigOrNull(vec: ArrayData, signs: Array[Int], tables: Int, bits: Int): ArrayData = {
+    val dim = vec.numElements()
+    if (signs.length != tables * bits * dim) return null
+    // e05 quantization: scale = 127/max|v| (0 for the zero vector), each
+    // element rounded half-away-from-zero to an int
+    var maxAbs = 0.0
+    var d = 0
+    while (d < dim) {
+      if (vec.isNullAt(d)) return null
+      val a = math.abs(vec.getFloat(d).toDouble)
+      if (a > maxAbs) maxAbs = a
+      d += 1
+    }
+    val scale = if (maxAbs == 0.0) 0.0 else 127.0 / maxAbs
+    val q = new Array[Long](dim)
+    d = 0
+    while (d < dim) {
+      val v = vec.getFloat(d).toDouble * scale
+      q(d) = (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toLong
+      d += 1
+    }
+    val keys = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var key = 0L
+      var b = 0
+      while (b < bits) {
+        val base = (t * bits + b) * dim
+        var s = 0L
+        d = 0
+        while (d < dim) {
+          s += q(d) * signs(base + d)
+          d += 1
+        }
+        if (s > 0) key |= (1L << b)
+        b += 1
+      }
+      keys(t) = key
+      t += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  /** Column of array<long> (one bucket key per table). */
+  def sigCol(vec: Column, tables: Int, bits: Int, dim: Int): Column =
+    GraftExpressionBridge.toColumn(RhpSigExpr(
+      GraftExpressionBridge.toExpression(vec),
+      planeSigns(tables, bits, dim), tables, bits))
+}
+
+case class RhpSigExpr(child: Expression, signs: Array[Int], tables: Int, bits: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"rhp signature requires ARRAY<FLOAT> input, got $other")
+  }
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any =
+    RhpSig.sigOrNull(v.asInstanceOf[ArrayData], signs, tables, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // ship the plane array once per task via a codegen object reference,
+    // not inline source (tables*bits*dim ints would blow the 64 KB
+    // bytecode method limit as a literal)
+    val signsRef = ctx.addReferenceObj("rhpSigns", signs, "int[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val tmp = ctx.freshName("rhpKeys")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+         |  graft.functions.RhpSig.sigOrNull($v, $signsRef, $tables, $bits);
+         |if ($tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $tmp;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RhpSigExpr =
+    copy(child = newChild)
+}

@@ -31,6 +31,16 @@ object AnnPack {
   val NProbe = 4
   val ClusterCopies = 3
   val ClusteredThreshold = 0.8
+  /** RHP-LSH index shape: `RhpBits`-bit bucket keys (2^B buckets/table)
+    * x `RhpTables` independent tables. Recall for a pair at angle theta
+    * is 1 - (1 - (1 - theta/pi)^B)^T: B=8 keeps buckets selective
+    * (1/256 of the corpus per table in expectation), T=16 lifts any-table
+    * collision for intra-cluster neighbors (theta ≈ 0.45 at cos 0.9) to
+    * ~99%. Index size is T rows per vector — the standard LSH
+    * memory-for-recall trade.
+    */
+  val RhpTables = 16
+  val RhpBits = 8
 
   /** The adaptive IVF codebook size for an n-row corpus: ~sqrt(n), clamped
     * to [NumCentroids, 4096]. Shared by [[blockedCells]] and the clustered
@@ -50,8 +60,13 @@ object AnnPack {
     * (measured), so the fixture is verified to keep every pair cosine
     * well clear of the threshold (see the e03c entry comment).
     */
-  private val clusteredOracleSql: String = s"""
-      WITH n0 AS (SELECT count(*) AS n FROM embeddings),
+  /** The clustered-corpus derivation as a reusable CTE chain ending in
+    * `cv` (vec_id, embedding) — shared by the e03c/e04c near-dup oracle
+    * and the e07/e07b RHP-LSH oracles, which all operate on the same
+    * derived corpus.
+    */
+  private val clusteredCvCtes: String = s"""
+      n0 AS (SELECT count(*) AS n FROM embeddings),
       ac AS (SELECT CAST(least(4096, greatest($NumCentroids,
                round(sqrt(CAST($ClusterCopies * n AS DOUBLE))))) AS BIGINT) AS a FROM n0),
       anch AS (SELECT e.vec_id AS a_id, e.embedding AS a_emb
@@ -66,7 +81,10 @@ object AnnPack {
       cv0 AS (SELECT vec_id, list(x ORDER BY i) AS embedding FROM blend GROUP BY vec_id),
       cv AS (SELECT cv0.vec_id + rr.r * n0.n AS vec_id, cv0.embedding
              FROM cv0 CROSS JOIN n0
-               CROSS JOIN (SELECT unnest(range(0, $ClusterCopies)) AS r) rr)
+               CROSS JOIN (SELECT unnest(range(0, $ClusterCopies)) AS r) rr)"""
+
+  private val clusteredOracleSql: String = s"""
+      WITH $clusteredCvCtes
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM cv a JOIN cv b ON a.vec_id < b.vec_id
       WHERE list_cosine_similarity(a.embedding, b.embedding) >= $ClusteredThreshold
@@ -149,6 +167,106 @@ object AnnPack {
       .filter(col("rank") <= K)
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
   }
+
+  private val dimCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Int]
+
+  /** Memoized embedding dimensionality (one single-row action) — the
+    * RHP plane array is generated at plan time, so the dimension must be
+    * known before the job runs; same memo discipline as [[corpusCount]].
+    */
+  private def dimOf(emb: DataFrame, cacheKey: Option[String]): Int = {
+    def probe(): Int = emb.select(size(col("embedding"))).head.getInt(0)
+    cacheKey match {
+      case Some(k) => dimCache.getOrElseUpdate((emb.sparkSession, k), probe())
+      case None => probe()
+    }
+  }
+
+  /** e07 — approximate top-k via random-hyperplane LSH (Charikar
+    * STOC'02), the bucketed alternative to e02's IVF: no codebook and no
+    * probe-time centroid ranking — candidates are exactly the vectors
+    * sharing a bucket key with the query in ANY of the T tables, then
+    * exact cosine re-ranks candidates only. Signatures are integer
+    * projections of the int8-quantized vector onto md5-derived ±1 planes
+    * (see [[graft.functions.RhpSig]]) — one native codegen'd projection
+    * per row, order-independent integer sums, so the DuckDB oracle
+    * re-derives every bucket key bit-for-bit and the entry is FULLY
+    * oracle-gated (the float-dot form would leave sign bits at the mercy
+    * of accumulation order).
+    *
+    * Scale: the signature pass is a pure projection (no shuffle); the
+    * index is T rows per vector keyed on (t, key) — at 100 TB that key
+    * is the bucketing column, so query lookups touch only matching
+    * buckets; candidate generation is an equi-join, never a scan of the
+    * corpus; and the exact re-rank pays only |candidates| cosines. The
+    * whole path is what "LSH-bucketed ANN" means operationally:
+    * sub-linear candidate retrieval with recall bought by T, gated here
+    * by e07b's relationally re-derived recall floor.
+    */
+  def rhpTopK(
+      emb: DataFrame, dim: Int,
+      tables: Int = RhpTables, bits: Int = RhpBits): DataFrame = {
+    import graft.functions.RhpSig
+    val sigs = emb
+      .select(col("vec_id"), RhpSig.sigCol(col("embedding"), tables, bits, dim).as("keys"))
+      .select(col("vec_id"), posexplode(col("keys")).as(Seq("t", "key")))
+    val qSigs = sigs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("t"), col("key"))
+    val candIds = sigs.join(qSigs, Seq("t", "key"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    candIds
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("embedding"), col("q_emb")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
+  }
+
+  /** CTE chain re-deriving the RHP index relationally over `cv` (the
+    * clustered corpus): e05's quantization per element, the md5 ±1
+    * planes, integer projections, bucket keys, candidate pairs, and the
+    * cosine re-rank — ending in `rk` (q_id, vec_id, rank). Every step
+    * before the final cosine is exact integer/string arithmetic, so the
+    * bucket structure matches Spark's native expression bit-for-bit; the
+    * re-rank rides the same list_cosine_similarity ordering the e01/e02c
+    * oracles already pin (exact-duplicate copies tie exactly and break
+    * deterministically by vec_id).
+    */
+  private val rhpRankCtes: String = s"""
+      cu AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i, embedding FROM cv),
+      qm AS (SELECT vec_id, max(abs(CAST(embedding[i] AS DOUBLE))) AS m FROM cu GROUP BY vec_id),
+      qsc AS (SELECT vec_id, CASE WHEN m = 0 THEN 0 ELSE 127.0 / m END AS scale FROM qm),
+      qe AS (SELECT cu.vec_id, cu.i - 1 AS d,
+               CAST(round(CAST(cu.embedding[cu.i] AS DOUBLE) * qsc.scale) AS BIGINT) AS q
+             FROM cu JOIN qsc ON qsc.vec_id = cu.vec_id),
+      dims AS (SELECT max(len(embedding)) AS dim FROM cv),
+      pl AS (SELECT tt.t, bb.b, dd.d,
+               CASE WHEN CAST(('0x' || substr(md5('rhp:v1:' || tt.t || ':' || bb.b || ':' || dd.d), 1, 1)) AS INT) % 2 = 1
+                    THEN 1 ELSE -1 END AS sg
+             FROM (SELECT unnest(range(0, $RhpTables)) AS t) tt,
+                  (SELECT unnest(range(0, $RhpBits)) AS b) bb,
+                  (SELECT unnest(range(0, (SELECT dim FROM dims))) AS d) dd),
+      ps AS (SELECT qe.vec_id, pl.t, pl.b, sum(qe.q * pl.sg) AS s
+             FROM qe JOIN pl ON pl.d = qe.d GROUP BY 1, 2, 3),
+      ks AS (SELECT vec_id, t,
+               sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS key
+             FROM ps GROUP BY 1, 2),
+      cd AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id
+             FROM ks q JOIN ks c ON c.t = q.t AND c.key = q.key
+             WHERE q.vec_id < $NumQueries AND c.vec_id != q.vec_id),
+      sc2 AS (SELECT cd.q_id, cd.vec_id,
+               list_cosine_similarity(e.embedding, qq.embedding) AS c
+             FROM cd JOIN cv e ON e.vec_id = cd.vec_id
+                    JOIN cv qq ON qq.vec_id = cd.q_id),
+      rk AS (SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rank
+             FROM sc2)"""
 
   /** e04 — embedding near-dup with CANDIDATE GENERATION (the production
     * path, d03's blocked design applied to vectors). EXACT at any
@@ -727,6 +845,62 @@ object AnnPack {
         threshold = ClusteredThreshold, numCells = None, // None = adaptive ~sqrt(N)
         cacheKey = Some(s"$dir/embeddings#clustered")) // derived corpus: own memo key
         .orderBy("id_a", "id_b")
+    },
+
+    // ---- e07: RHP-LSH bucketed top-k over the clustered corpus (the
+    // regime LSH exists for — on adversarially uniform vectors no
+    // bucketing scheme beats a scan; e04's probe demonstrated the same).
+    // FULLY oracle-gated: the integer-quantized signature construction
+    // lets DuckDB re-derive the entire index, candidates included, so
+    // unlike e02 (rows-only at production nprobe) the approximate path
+    // itself is hash-compared — whatever LSH misses, the oracle misses
+    // identically, by the same arithmetic. ----
+    QDef("e07_ann_rhp_lsh_topk", Some(s"""
+      WITH $clusteredCvCtes,
+      $rhpRankCtes
+      SELECT q_id, rank, vec_id AS neighbor_id FROM rk
+      WHERE rank <= $K ORDER BY q_id, rank""")) { (s, dir) =>
+      val emb = embeddings(s, dir)
+      val cv = clusteredEmbeddings(emb, Some(s"$dir/embeddings"))
+      rhpTopK(cv, dimOf(emb, Some(s"$dir/embeddings#dim")))
+        .orderBy("q_id", "rank")
+    },
+
+    // ---- e07b: the recall floor for e07, e02c-style — hits against the
+    // exhaustive brute-force top-k, re-derived RELATIONALLY end to end
+    // (LSH index AND brute ranking), as integer counts with the floor
+    // pinned at 0.8. The AnnSpec twin additionally pins the exact
+    // recall on the sf0.001 fixture against plain-Scala. ----
+    QDef("e07b_ann_rhp_lsh_recall_floor", Some(s"""
+      WITH $clusteredCvCtes,
+      $rhpRankCtes,
+      lsh AS (SELECT q_id, vec_id FROM rk WHERE rank <= $K),
+      bs AS (SELECT q.vec_id AS q_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id) AS rank
+             FROM cv e CROSS JOIN (SELECT * FROM cv WHERE vec_id < $NumQueries) q
+             WHERE e.vec_id != q.vec_id),
+      brute AS (SELECT q_id, vec_id FROM bs WHERE rank <= $K),
+      h AS (SELECT count(*) AS hits FROM lsh JOIN brute USING (q_id, vec_id)),
+      tot AS (SELECT count(*) AS total FROM brute)
+      SELECT CAST($K AS BIGINT) AS k,
+             CAST(hits AS BIGINT) AS hits,
+             CAST(total AS BIGINT) AS total,
+             CAST((hits * 1000000) // total AS BIGINT) AS recall_millionths,
+             CAST(CASE WHEN hits * 1000000 >= 800000 * total THEN 1 ELSE 0 END AS BIGINT) AS meets_floor
+      FROM h, tot""")) { (s, dir) =>
+      val emb = embeddings(s, dir)
+      val cv = clusteredEmbeddings(emb, Some(s"$dir/embeddings"))
+      val lsh = rhpTopK(cv, dimOf(emb, Some(s"$dir/embeddings#dim")))
+        .select(col("q_id"), col("neighbor_id"))
+      val brute = bruteForceTopK(cv).select(col("q_id"), col("neighbor_id"))
+      lsh.join(brute, Seq("q_id", "neighbor_id"))
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(brute.agg(count(lit(1)).as("total")))
+        .select(lit(K.toLong).as("k"), col("hits"), col("total"),
+          expr("hits * 1000000L div total").as("recall_millionths"),
+          when(col("hits") * 1000000L >= lit(800000L) * col("total"), 1L).otherwise(0L)
+            .as("meets_floor"))
     }
   )
 }

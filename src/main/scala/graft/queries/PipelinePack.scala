@@ -132,6 +132,66 @@ object PipelinePack {
       .agg(count(lit(1)).as("shared_ngrams"))
   }
 
+  /** Bloom-filter decontamination — the sketch-probe form of [[
+    * decontaminationAgainst]]: instead of joining the training corpus
+    * against the eval n-gram table (even broadcast, that is a hash probe
+    * into a table proportional to the eval corpus), compress the eval
+    * side into a Bloom filter a few hundred KB large and probe it with a
+    * scalar function. At 100 TB this is the cheapest possible shape —
+    * the training side stays a pure scan + projection (no join node at
+    * all, no shuffle before the per-doc distinct), the filter ships once
+    * per executor, and the probe is O(hashes) per gram. The price is
+    * one-sided error: a Bloom filter has NO false negatives (every truly
+    * contaminated doc is flagged — that is the guarantee that matters
+    * for decontamination) but a tunable false-positive rate (clean docs
+    * over-flagged, costing only over-removal). The report gates both
+    * sides g17b-style: `missed` (exact-contaminated docs the filter did
+    * not flag) must be 0 unconditionally, and the doc-level
+    * false-positive count must stay under 5% of the training corpus
+    * (expected ~ n_grams_per_doc x fpp ≈ 1% at fpp=1e-4).
+    *
+    * Determinism: the filter's bit array is an OR-fold of per-partition
+    * filters over a deterministic item set with fixed (numBits,
+    * numHashes) — insertion and merge order cannot change a single bit,
+    * so the flagged set is a pure function of the corpus.
+    *
+    * The one driver action (`count()` on the eval gram set, to size the
+    * filter) is bounded by the eval corpus — benchmark-sized by
+    * definition, exactly like d15b's broadcast assumption.
+    */
+  def bloomDecontaminationReport(
+      docs: DataFrame, n: Int = 5, evalMod: Long = 10L,
+      fpp: Double = 1e-4): DataFrame = {
+    val spark = docs.sparkSession
+    val sh = grams(docs, n)
+    val tr = sh.filter(col("doc_id") % evalMod =!= 0)
+    val evG = sh.filter(col("doc_id") % evalMod === 0).select("g").distinct()
+    val nEv = math.max(evG.count(), 1L)
+    val bf = spark.sparkContext.broadcast(evG.stat.bloomFilter("g", nEv, fpp))
+    // A scalar UDF is the right tool here: there is no built-in Bloom
+    // probe expression in the public surface, and the probe is O(1) per
+    // row against broadcast state (the same shape Spark's own runtime
+    // row-level filtering uses internally).
+    val probe = udf((g: String) => bf.value.mightContainString(g))
+    val trDocs = tr.select("doc_id").distinct()
+    val exact = tr.join(evG, Seq("g"), "left_semi").select("doc_id").distinct()
+      .withColumn("is_exact", lit(1))
+    val flagged = tr.filter(probe(col("g"))).select("doc_id").distinct()
+      .withColumn("is_flagged", lit(1))
+    trDocs.join(exact, Seq("doc_id"), "left").join(flagged, Seq("doc_id"), "left")
+      .agg(
+        count(lit(1)).as("n_train"),
+        sum(coalesce(col("is_exact"), lit(0))).cast("long")
+          .as("n_exact_contaminated"),
+        sum(when(col("is_exact") === 1 && col("is_flagged").isNull, 1L)
+          .otherwise(0L)).as("missed"),
+        sum(when(col("is_flagged") === 1 && col("is_exact").isNull, 1L)
+          .otherwise(0L)).as("fp"))
+      .select(col("n_train"), col("n_exact_contaminated"), col("missed"),
+        when(col("fp") * 20L > greatest(col("n_train"), lit(100L)), 1L)
+          .otherwise(0L).as("fp_bound_exceeded"))
+  }
+
   private val MinHashes = 128
   private val Bands = 32
   private val RowsPerBand = MinHashes / Bands
@@ -1245,6 +1305,102 @@ object PipelinePack {
           col("sum_chars"),
           expr("n_docs * 1000000L div total").as("share_millionths"))
         .orderBy("source", "lang")
+    },
+
+    // ---- d22: Bloom-filter decontamination — the sketch-probe form of
+    // d15/d15b (see bloomDecontaminationReport: eval n-grams compressed
+    // into a broadcast Bloom filter, training side stays a scan +
+    // projection with no join node). Gated on the one-sided error
+    // contract: missed (false negatives) pinned 0 — Bloom filters have
+    // none, and decontamination only tolerates that direction — and the
+    // doc-level false-positive count under 5% of the corpus. n_train and
+    // n_exact_contaminated are re-derived exactly by the oracle, so the
+    // gate carries real corpus-dependent values, not just the pinned
+    // zeros (d17 discipline). ----
+    QDef("d22_bloom_decontamination", Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      idx AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) i FROM tok),
+      sh AS (SELECT DISTINCT doc_id,
+               ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4] AS g
+             FROM idx),
+      tr AS (SELECT doc_id, g FROM sh WHERE doc_id % 10 != 0),
+      ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 10 = 0),
+      exact AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev ON tr.g = ev.g)
+      SELECT (SELECT count(DISTINCT doc_id) FROM tr) AS n_train,
+             (SELECT count(*) FROM exact) AS n_exact_contaminated,
+             CAST(0 AS BIGINT) AS missed,
+             CAST(0 AS BIGINT) AS fp_bound_exceeded""")) { (s, dir) =>
+      bloomDecontaminationReport(Tables.documents(s, dir))
+    },
+
+    // ---- d23: top distinguishing terms per document — the tf-idf-style
+    // keyword profile (rarity-weighted term ranking) every corpus-quality
+    // pass produces. The idf factor is the integer rarity ratio
+    // floor(1e6 * N / df) rather than log(N/df): float-free (the gate
+    // rides on exact integers), monotone in df for fixed tf, and the
+    // top-3 ranking it induces is deterministic because ties fall back to
+    // the term string. Plan: explode + two map-side-combined hash
+    // aggregates; the df table is vocabulary-sized, so AQE broadcasts it
+    // under any real vocabulary-to-corpus ratio; the per-doc top-3 is a
+    // rank filter the optimizer turns into a map-side group limit (no
+    // full sort of the tf table). ----
+    QDef("d23_tfidf_top_terms", Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      nd AS (SELECT count(*) AS n_docs FROM documents),
+      sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                    tf.tf * (1000000 * (SELECT n_docs FROM nd) // df.df) AS score_millionths
+             FROM tf JOIN df ON df.term = tf.term),
+      rk AS (SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY score_millionths DESC, term ASC) AS rk
+             FROM sc)
+      SELECT doc_id, term, tf, df, score_millionths, CAST(rk AS BIGINT) AS rk
+      FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""")) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val tf = docs.select(col("doc_id"), explode(toks).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score_millionths").desc, col("term").asc)
+      tf.join(dfT, "term").crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          (col("tf") * expr("1000000L * n_docs div df")).as("score_millionths"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score_millionths", "rk")
+        .orderBy("doc_id", "rk")
+    },
+
+    // ---- d24: deterministic stratified sample — a fixed per-stratum
+    // quota (5 docs per source) drawn by ranking a salted md5 of the
+    // doc id. Uniform within each stratum (the hash is equidistributed),
+    // reproducible across runs and machines (no RNG state), and
+    // auditable: the oracle re-derives the identical sample because the
+    // hash and the (hash, doc_id) tie-break are pure functions. Unlike
+    // d12's per-row hash-bucket split (append-stable), a QUOTA sample
+    // necessarily re-ranks when the corpus grows — the right tool when
+    // the downstream budget is "exactly k per stratum" (eval slices,
+    // human-review batches), d12 when it is "p% of everything". Plan:
+    // one shuffle on the stratum key; the rank<=k filter becomes a
+    // map-side WindowGroupLimit, so no stratum is ever fully sorted. ----
+    QDef("d24_stratified_sample", Some("""
+      WITH h AS (SELECT source, doc_id,
+                        md5(CAST(doc_id AS VARCHAR) || ':sample:v1') AS h
+                 FROM documents),
+      r AS (SELECT source, doc_id,
+                   row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+            FROM h)
+      SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5
+      ORDER BY source, rk""")) { (s, dir) =>
+      val h = md5(concat(col("doc_id").cast("string"), lit(":sample:v1")))
+      val w = Window.partitionBy("source").orderBy(col("h").asc, col("doc_id").asc)
+      Tables.documents(s, dir).select(col("source"), col("doc_id"), h.as("h"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select("source", "doc_id", "rk")
+        .orderBy("source", "rk")
     },
 
     // ---- d16: PII redaction (email + IPv4), the scrubbing pass every

@@ -558,6 +558,38 @@ object Relational {
         .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy("event_type")
+    },
+
+    // ---- q30: GROUPING SETS — the non-hierarchical grouping shape
+    // (independent marginals in ONE scan) that neither ROLLUP (q13,
+    // prefix hierarchy) nor CUBE (q21, all 2^k combos) expresses: here
+    // per-status and per-priority totals with no (status, priority)
+    // cells. One Expand + one hash aggregate — at 100 TB the alternative
+    // is k separate scans of the fact table unioned together; Expand
+    // replicates rows once per grouping set BEFORE the map-side partial
+    // aggregate, so the shuffle carries only per-set partial states, not
+    // k copies of the input. GROUPING() flags disambiguate which set a
+    // row belongs to (and would disambiguate aggregated-away NULLs from
+    // data NULLs on nullable keys). ----
+    QDef("q30_grouping_sets", Some("""
+      SELECT o_orderstatus, o_orderpriority,
+        CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      ORDER BY g_status, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")) { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          grouping(col("o_orderstatus")).cast("long").as("g_status"),
+          grouping(col("o_orderpriority")).cast("long").as("g_priority"),
+          count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("g_status"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
     }
   )
 }

@@ -434,4 +434,56 @@ class AnnSpec extends AnyFunSuite {
     assert(perQuery.values.forall(_ === AnnPack.K))
     assert(perQuery.keySet === (0L until AnnPack.NumQueries.toLong).toSet)
   }
+
+  test("RHP signatures match a plain-Scala int-quantized recompute bit for bit") {
+    import graft.functions.RhpSig
+    import org.apache.spark.sql.functions.col
+    val (tables, bits) = (AnnPack.RhpTables, AnnPack.RhpBits)
+    val emb = graft.Tables.embeddings(spark, dir)
+    val dim = emb.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head.getInt(0)
+    val got = emb
+      .select(col("vec_id"), RhpSig.sigCol(col("embedding"), tables, bits, dim).as("keys"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+
+    val signs = RhpSig.planeSigns(tables, bits, dim)
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    assert(vecs.nonEmpty && signs.length === tables * bits * dim)
+    val expected = vecs.map { case (id, v) =>
+      val maxAbs = v.map(x => math.abs(x.toDouble)).max
+      val scale = if (maxAbs == 0.0) 0.0 else 127.0 / maxAbs
+      val q = v.map { x =>
+        val s = x.toDouble * scale
+        (if (s >= 0) math.floor(s + 0.5) else math.ceil(s - 0.5)).toLong
+      }
+      val keys = (0 until tables).map { t =>
+        (0 until bits).foldLeft(0L) { (key, b) =>
+          val base = (t * bits + b) * dim
+          val dot = (0 until dim).map(d => q(d) * signs(base + d)).sum
+          if (dot > 0) key | (1L << b) else key
+        }
+      }.toVector
+      id -> keys
+    }.toMap
+    assert(got === expected)
+  }
+
+  test("RHP-LSH recall on the clustered corpus is perfect at sf0.001") {
+    // the e07b floor is 0.8; the fixture's intra-cluster angles are far
+    // inside the (1-theta/pi)^B per-table collision budget, so the
+    // measured value should be exactly 1.0 here — pin it so parameter
+    // drift (fewer tables, wider buckets) shows up as a red test, not a
+    // silently thinner margin
+    val emb = graft.Tables.embeddings(spark, dir)
+    val cv = AnnPack.clusteredEmbeddings(emb)
+    val dim = emb.select(org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.col("embedding"))).head.getInt(0)
+    val lsh = AnnPack.rhpTopK(cv, dim).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val bf = AnnPack.bruteForceTopK(cv).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(bf.size === AnnPack.K * AnnPack.NumQueries)
+    assert((bf & lsh).size === bf.size, s"LSH missed ${(bf -- lsh).size} of ${bf.size}")
+  }
 }

@@ -425,4 +425,59 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(5) === ((6L, 0L, 0L, "bad quads 999.1.2.3 and 256.1.1.1 and 1234.5.6.7 stay whole")))
     assert(got(6) === ((7L, 0L, 2L, "edge octets <IP> and <IP> but not 025.1.1.1")))
   }
+
+  private def docTexts(): Array[(Long, String)] =
+    graft.Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+
+  private def grams5(t: String): Set[String] =
+    t.split(' ').sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSet
+
+  test("bloom decontamination: zero false negatives, fp in bound, counts match twin") {
+    val row = PipelinePack.bloomDecontaminationReport(
+      graft.Tables.documents(spark, dir)).collect().head
+    val texts = docTexts()
+    val ev = texts.filter(_._1 % 10 == 0).flatMap(t => grams5(t._2)).toSet
+    val nTrain = texts.count(t => t._1 % 10 != 0 && grams5(t._2).nonEmpty)
+    val nExact = texts.count(t => t._1 % 10 != 0 && grams5(t._2).exists(ev.contains))
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ===
+      ((nTrain.toLong, nExact.toLong, 0L, 0L)))
+  }
+
+  test("tfidf top terms match a plain-Scala recompute") {
+    val got = graft.SparkEntry.queries("d23_tfidf_top_terms")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    val texts = docTexts()
+    val tf = texts.flatMap { case (id, t) =>
+      t.split(' ').groupBy(identity).map { case (w, a) => ((id, w), a.length.toLong) }
+    }.toMap
+    val dfm = tf.keys.groupBy(_._2).map { case (w, ks) => w -> ks.size.toLong }
+    val n = texts.length.toLong
+    val expected = texts.map(_._1).sorted.flatMap { id =>
+      tf.collect { case ((i, w), c) if i == id => (w, c) }.toSeq
+        .map { case (w, c) => (w, c, dfm(w), c * (1000000L * n / dfm(w))) }
+        .sortBy { case (w, _, _, sc) => (-sc, w) }
+        .take(3).zipWithIndex
+        .map { case ((w, c, d, sc), i) => (id, w, c, d, sc, (i + 1).toLong) }
+    }
+    assert(got === expected)
+  }
+
+  test("stratified sample is the md5-ranked quota per source, reproducibly") {
+    val docs = graft.Tables.documents(spark, dir)
+    val got = graft.SparkEntry.queries("d24_stratified_sample")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val rows = docs.select("source", "doc_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (src, ds) =>
+      ds.map(_._2).sortBy(id => (md5hex(s"$id:sample:v1"), id)).take(5)
+        .zipWithIndex.map { case (id, i) => (src, id, (i + 1).toLong) }
+    }
+    assert(got === expected)
+    // a second run draws the identical sample (no RNG state anywhere)
+    val again = graft.SparkEntry.queries("d24_stratified_sample")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(again === got)
+  }
 }

@@ -28,4 +28,24 @@ class RelationalSpec extends AnyFunSuite {
       (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSeq
     assert(got === Seq(("ALPHA", 100.0, 50.0, 0.0), ("BETA", 30.0, 0.0, 0.0)))
   }
+
+  test("grouping sets equals the union of the two marginal group-bys") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("q30_grouping_sets")(spark, dir).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    val orders = graft.Tables.orders(spark, dir)
+    def marg(key: String, gs: Long, gp: Long) =
+      orders.groupBy(key).agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("t"))
+        .collect().map { r =>
+          val k = Option(r.getString(0))
+          (if (gs == 0L) k else None, if (gp == 0L) k else None,
+            gs, gp, r.getLong(1), r.getDouble(2))
+        }
+    val expected = (marg("o_orderstatus", 0L, 1L) ++
+      marg("o_orderpriority", 1L, 0L)).toSet
+    assert(got === expected)
+  }
 }

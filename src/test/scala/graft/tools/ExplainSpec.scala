@@ -87,4 +87,50 @@ class ExplainSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"non-equi join in:\n$plan")
   }
+
+  test("e07: LSH candidates come from bucket equi-joins, never a scan product") {
+    // the entire point of the bucketed index: query vectors meet corpus
+    // vectors ONLY through the (table, key) equi-join; the exact re-rank
+    // joins candidates back by id. Any nested-loop/cartesian term means
+    // the index degenerated into the brute scan it exists to avoid.
+    val plan = planOf("e07_ann_rhp_lsh_topk")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in:\n$plan")
+  }
+
+  test("d24: the rank<=k quota becomes a map-side window group limit") {
+    // the optimizer must turn `row_number() <= 5` into WindowGroupLimit
+    // (partial top-k per input partition BEFORE the stratum shuffle) —
+    // without it every stratum is fully sorted, which at 100 TB means
+    // sorting the whole corpus to pick 5 docs per source
+    val plan = planOf("d24_stratified_sample")
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank-limit pushdown missing (full per-stratum sort) in:\n$plan")
+  }
+
+  test("d22: the bloom probe leg is scan + filter + aggregate — no join node") {
+    // the production pipeline runs ONLY the probe leg (flag train docs
+    // against the broadcast filter); the report's exact/flagged compare
+    // joins exist to gate it. Build the probe leg standalone — same
+    // construction as bloomDecontaminationReport — and pin that the eval
+    // table never appears as a join: the whole point of the sketch is
+    // that the train side stays a scan.
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, dir)
+    val sh = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), org.apache.spark.sql.functions.explode(
+        expr("transform(sequence(0, size(ts) - 5), i -> concat_ws(' ', slice(ts, i + 1, 5)))"))
+        .as("g"))
+    val evG = sh.filter(col("doc_id") % 10 === 0).select("g").distinct()
+    val bf = spark.sparkContext.broadcast(
+      evG.stat.bloomFilter("g", math.max(evG.count(), 1L), 1e-4))
+    val probe = udf((g: String) => bf.value.mightContainString(g))
+    val flagged = sh.filter(col("doc_id") % 10 =!= 0)
+      .filter(probe(col("g"))).select("doc_id").distinct()
+    flagged.collect()
+    val plan = flagged.queryExecution.executedPlan.toString
+    for (join <- Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+        "BroadcastNestedLoopJoin", "CartesianProduct"))
+      assert(!plan.contains(join), s"$join on the probe leg:\n$plan")
+  }
 }
