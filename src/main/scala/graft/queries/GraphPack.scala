@@ -435,6 +435,42 @@ object GraphPack {
       GraphTables.pageRank(GraphTables.forDir(s, dir), iterations = 3).orderBy("node_id")
     },
 
+    // ---- g24: connected components of the weight-thresholded signal
+    // graph (analytics extension, completing the g21-g23 family:
+    // triangles, similarity, centrality, components). The full graph is
+    // one giant component BY CONSTRUCTION (sequence adjacency chains
+    // every consecutive signal pair), so the meaningful object is the
+    // components of the >= minWeight subgraph — the repeatedly-reinforced
+    // association clusters. minWeight = 3 is non-vacuous on this fixture
+    // (14 components over 228 edges at sf0.01; the reference's
+    // PromotionThreshold = 10 leaves zero edges here — the g22b
+    // vacuous-cap lesson). Engine: the d13 large-star/small-star
+    // contraction — O(log n) rounds of equi-join rounds, star-forest
+    // fixpoint validated loudly, no driver-side union-find — against the
+    // oracle's recursive-CTE transitive closure. At 100 TB components is
+    // THE canonical "can't do this single-node" graph op; the contraction
+    // runs entirely in joins/aggregates and is the same code path the
+    // GraphScaleRehearsal drives through a 2^20-node chain in 21 rounds. ----
+    QDef("g24_connected_components", oracle(""",
+      se AS (SELECT least(src, dst) AS u, greatest(src, dst) AS v
+             FROM edges WHERE src != dst AND weight >= 3 GROUP BY 1, 2),
+      sym AS (SELECT u AS a, v AS b FROM se UNION ALL SELECT v, u FROM se),
+      reach(id, r) AS (
+        SELECT node_id, node_id FROM nodes
+        UNION
+        SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a)
+      SELECT id AS node_id, min(r) AS component_id FROM reach
+      GROUP BY id ORDER BY node_id""")) { (s, dir) =>
+      val g = GraphTables.forDir(s, dir)
+      val pairs = g.edges
+        .filter(col("weight") >= 3 && col("src") =!= col("dst"))
+        .select(col("src").as("doc_i"), col("dst").as("doc_j"))
+      PipelinePack.connectedComponents(
+          g.nodes.select(col("node_id").as("doc_id")), pairs)._1
+        .select(col("doc_id").as("node_id"), col("cluster_id").as("component_id"))
+        .orderBy("node_id")
+    },
+
     // ---- integrity: commutative distributed checksum. The oracle
     // recomputes FNV-1a64 over every tagged canonical row byte-for-byte in
     // SQL (rows as hex strings, a recursive CTE folding hex pairs with the

@@ -52,6 +52,7 @@ class EntryAnalyzeSmokeSpec extends AnyFunSuite {
     "g20_pregel_traverse", "g21_triangle_counts", "g22_common_neighbors",
     "g22b_common_neighbors_capped", "g22c_common_neighbors_powerlaw",
     "g22d_common_neighbors_powerlaw_uncapped", "g23_pagerank",
+    "g24_connected_components",
     "m01_media_meta", "m02_media_features", "m03_frame_sample",
     "m04_resize", "m05_frame_energy", "m06_png_decode",
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_shipping_priority",

@@ -335,4 +335,24 @@ class GraphTablesSpec extends AnyFunSuite {
       assert(got === pr, s"iteration count $iters")
     }
   }
+
+  test("g24 components of the thresholded subgraph match a union-find twin") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("g24_connected_components")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val g = GraphTables.forDir(spark, dir)
+    val nodes = g.nodes.select("node_id").collect().map(_.getLong(0)).sorted
+    val edges = g.edges.filter(col("weight") >= 3 && col("src") =!= col("dst"))
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+    }
+    val members = nodes.groupBy(find)
+    val expected = members.values.flatMap(ms => ms.map(_ -> ms.min)).toMap
+    assert(got === expected)
+  }
 }
