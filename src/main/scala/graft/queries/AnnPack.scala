@@ -204,7 +204,12 @@ object AnnPack {
     * sub-linear candidate retrieval with recall bought by T, gated here
     * by e07b's relationally re-derived recall floor.
     */
-  def rhpTopK(
+  /** The candidate stage of [[rhpTopK]]: distinct (q_id, vec_id) pairs
+    * sharing any bucket key — exposed (like blockedCells / d03's
+    * candidate stage) so the scale rehearsal can measure candidate
+    * volume directly.
+    */
+  private[graft] def rhpCandidates(
       emb: DataFrame, dim: Int,
       tables: Int = RhpTables, bits: Int = RhpBits): DataFrame = {
     import graft.functions.RhpSig
@@ -213,9 +218,15 @@ object AnnPack {
       .select(col("vec_id"), posexplode(col("keys")).as(Seq("t", "key")))
     val qSigs = sigs.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("t"), col("key"))
-    val candIds = sigs.join(qSigs, Seq("t", "key"))
+    sigs.join(qSigs, Seq("t", "key"))
       .filter(col("vec_id") =!= col("q_id"))
       .select("q_id", "vec_id").distinct()
+  }
+
+  def rhpTopK(
+      emb: DataFrame, dim: Int,
+      tables: Int = RhpTables, bits: Int = RhpBits): DataFrame = {
+    val candIds = rhpCandidates(emb, dim, tables, bits)
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     candIds
       .join(emb.select(col("vec_id"), col("embedding")), "vec_id")

@@ -1,0 +1,29 @@
+package graft.tools
+
+import graft.{Sessions, SparkEntry}
+
+/** Prints the FINAL adaptive physical plan of named registry entries —
+  * the capture tool behind PLANS.md. Usage:
+  *
+  *   runMain graft.tools.PlanDump <sfDir> <entry>[,<entry>...]
+  *
+  * Each entry is executed first (collect) so AQE resolves exchange reuse
+  * and join strategies; the printed plan is the one that actually ran,
+  * not the initial estimate (the same discipline as ExplainSpec.planOf).
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val names = args(1).split(',').map(_.trim).filter(_.nonEmpty)
+    val spark = Sessions.get()
+    for (name <- names) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val s = df.queryExecution.executedPlan.toString
+      val i = s.indexOf("== Initial Plan ==")
+      println(s"==== $name ====")
+      println(if (i >= 0) s.substring(0, i) else s)
+    }
+    spark.stop()
+  }
+}

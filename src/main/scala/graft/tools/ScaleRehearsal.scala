@@ -172,11 +172,44 @@ object ScaleRehearsal {
         leavesFine > leaves && leavesFine <= 3 * (nNodes10x / 1024L + 2),
         s"$leavesFine fine leaves vs ${3 * (nNodes10x / 1024L + 2)}")
 
+      // 9. e07 RHP-LSH at 10x: sub-linear retrieval must survive scale —
+      // candidates keep coming from the bucket equi-join (no product
+      // term), and the candidate FRACTION of the corpus (per query)
+      // stays stable as the corpus grows 10x: the per-table collision
+      // fraction is a geometry property (~cluster mass + 2^-B noise),
+      // independent of N, so candidates grow linearly with N while the
+      // corpus-scan alternative grows linearly too but with fraction
+      // pinned at 100%. A fraction that JUMPS at 10x would mean the
+      // bucket structure degraded (keys saturating, planes degenerate).
+      import graft.queries.AnnPack
+      val e07Plan = finalPlan(SparkEntry.queries("e07_ann_rhp_lsh_topk")(spark, dir))
+      check("e07_no_product")(
+        !e07Plan.contains("CartesianProduct") && !e07Plan.contains("BroadcastNestedLoopJoin"),
+        e07Plan.take(1500))
+      def rhpStats(d: String): (Long, Long) = {
+        val emb = Tables.embeddings(spark, d)
+        val dim = emb.select(org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.col("embedding"))).head.getInt(0)
+        val cv = AnnPack.clusteredEmbeddings(emb)
+        (AnnPack.rhpCandidates(cv, dim).count(), cv.count())
+      }
+      val (e07CandBase, e07NBase) = rhpStats(baseDir)
+      val (e07Cand10x, e07N10x) = rhpStats(dir)
+      val fracBase = e07CandBase.toDouble / (e07NBase * AnnPack.NumQueries)
+      val frac10x = e07Cand10x.toDouble / (e07N10x * AnnPack.NumQueries)
+      check("e07_candidates_sublinear_fraction")(frac10x < 0.5,
+        s"10x candidate fraction $frac10x — retrieval no better than a half-scan")
+      check("e07_candidate_fraction_stable")(frac10x <= fracBase * 1.5 + 0.02,
+        s"fraction grew $fracBase -> $frac10x at ${factor}x")
+
       println(s"""{"dir":"$dir","d03_cand_base":$candBase,"d03_cand_10x":$candBig,""" +
         s""""d03_ratio":$ratio,"pair_space":$pairSpace,"g21_max_fwd":$maxFwd,""" +
         s""""g21_und_edges":$undN,"certify_leaves":$leaves,""" +
         s""""certify_driver_bytes":$driverBytes,"certify_hash_secs":$hashSecs,""" +
-        s""""certify_leaves_span1024":$leavesFine,"failures":${failures.size}}""")
+        s""""certify_leaves_span1024":$leavesFine,""" +
+        s""""e07_cand_base":$e07CandBase,"e07_cand_10x":$e07Cand10x,""" +
+        s""""e07_frac_base":$fracBase,"e07_frac_10x":$frac10x,""" +
+        s""""failures":${failures.size}}""")
       if (failures.nonEmpty) {
         println(s"FAILURES: ${failures.reverse.mkString(", ")}")
         sys.exit(1)
