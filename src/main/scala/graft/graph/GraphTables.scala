@@ -397,6 +397,57 @@ object GraphTables {
     pr.select(col("node_id"), col("pr").as("pr_millionths"))
   }
 
+  /** k-core membership by iterative peeling (Batagelj–Zaveršnik's
+    * definition, computed in the Matula–Beck bulk rounds a distributed
+    * engine wants): repeatedly drop every node whose degree WITHIN the
+    * surviving set is below k until nothing drops. Input is an undirected
+    * simple edge list (u < v, no self-loops); output flags every node
+    * (node_id, in_core 0/1).
+    *
+    * Each round is one symmetric-edge join against the survivor set plus
+    * a degree aggregate — the iterate-shuffle shape of [[pageRank]], with
+    * a localCheckpoint per round so the plan stays flat. Rounds equal the
+    * peel depth of the graph, not its size: a bulk round removes EVERY
+    * sub-k node at once, so chains collapse from both ends and dense
+    * regions resolve in O(1) rounds. `maxRounds` is a loud contract, not
+    * a truncation — the DuckDB oracle unrolls exactly `maxRounds` rounds
+    * (rounds past the fixpoint are no-ops), so a graph that peels deeper
+    * must fail here rather than ship a result the oracle can't re-derive.
+    */
+  def kCore(
+      nodes: DataFrame, und: DataFrame, k: Int, maxRounds: Int = 32): DataFrame = {
+    val sym = und.select(col("u").as("a"), col("v").as("b"))
+      .union(und.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint()
+    var alive = nodes.select(col("node_id")).localCheckpoint()
+    var n = alive.count()
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      val next = sym
+        .join(alive.select(col("node_id").as("a")), "a")
+        .join(alive.select(col("node_id").as("b")), "b")
+        .groupBy(col("a")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("a").as("node_id"))
+        .localCheckpoint()
+      val m = next.count()
+      // next ⊆ alive, so equal counts ⟺ equal sets ⟺ fixpoint
+      if (m == n) converged = true
+      else {
+        rounds += 1
+        require(rounds <= maxRounds,
+          s"k-core peel exceeded $maxRounds rounds (survivors: $m) — " +
+            "raise maxRounds AND the oracle unroll together")
+        alive = next
+        n = m
+      }
+    }
+    nodes.select(col("node_id"))
+      .join(alive.withColumn("in_core", lit(1L)), Seq("node_id"), "left")
+      .select(col("node_id"), coalesce(col("in_core"), lit(0L)).as("in_core"))
+  }
+
   // -----------------------------------------------------------------------
   // Traversals (graph.rs:580-716)
   // -----------------------------------------------------------------------

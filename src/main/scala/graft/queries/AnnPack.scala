@@ -41,6 +41,18 @@ object AnnPack {
     */
   val RhpTables = 16
   val RhpBits = 8
+  /** PQ index shape (e08): the vector is split into `dim / PqSubDim`
+    * subspaces of PqSubDim dims; each subvector is coded as its nearest
+    * of PqCentroids per-subspace centroids (integer L2 over the int8
+    * form), compressing a 64-dim float vector to 8 nibble codes; queries
+    * score candidates by asymmetric distance (query subvector vs code's
+    * centroid, precomputed per (query, subspace, centroid) into a tiny
+    * broadcast table) and the top PqCandidates by ADC are re-ranked with
+    * exact cosine.
+    */
+  val PqSubDim = 8
+  val PqCentroids = 16
+  val PqCandidates = 80
 
   /** The adaptive IVF codebook size for an n-row corpus: ~sqrt(n), clamped
     * to [NumCentroids, 4096]. Shared by [[blockedCells]] and the clustered
@@ -239,6 +251,91 @@ object AnnPack {
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
   }
 
+  /** e08 — approximate top-k via PRODUCT QUANTIZATION (Jégou et al.,
+    * TPAMI'11) with asymmetric distance computation, the
+    * compressed-domain alternative to IVF probing (e02) and LSH
+    * bucketing (e07): the corpus is stored as per-subspace centroid
+    * codes (here 8 nibbles per 64-dim vector — 32x smaller than
+    * float32), and a query scans CODES, not vectors — its distance to
+    * any code is a lookup in a per-query table of subspace distances, so
+    * the scan is integer adds over a structure that fits in cache/memory
+    * at corpus sizes where raw vectors don't. The ADC shortlist is then
+    * re-ranked with exact cosine on the full vectors (the standard
+    * two-stage serving design).
+    *
+    * Everything before the re-rank is integer arithmetic on the e05
+    * int8 form with md5-derived centroid selection, so the DuckDB oracle
+    * re-derives codebooks, codes, distance tables, ADC scores and the
+    * shortlist bit-for-bit (like e07, unlike e02's rows-only production
+    * probe). Scale: codebook selection/training is O(Kc) tiny; encoding
+    * is one broadcast join + aggregate per vector (the one pass that
+    * touches the corpus); serving joins the code table against a
+    * broadcast Q x M x Kc distance table — no vector math per candidate,
+    * no shuffle of the corpus.
+    */
+  def pqTopK(
+      emb: DataFrame, dim: Int,
+      subDim: Int = PqSubDim, kc: Int = PqCentroids,
+      shortlist: Int = PqCandidates): DataFrame = {
+    require(dim % subDim == 0, s"dim $dim not divisible by subspace width $subDim")
+    val mCount = dim / subDim
+    // per-element int8 rows tagged with their subspace
+    val el = int8Quantize(emb)
+      .select(col("vec_id"), col("dim").as("d"), col("q"),
+        expr(s"dim div $subDim").as("m"))
+    // codebook: per subspace, the kc corpus vectors with the smallest
+    // md5('pq:v1:<m>:<vec_id>') — a deterministic stand-in for k-means
+    // training (what scales is the coding/serving machinery; a trained
+    // codebook drops in as a different `sel`)
+    val wSel = Window.partitionBy("m").orderBy(col("h"), col("vec_id"))
+    val sel = emb.select(col("vec_id"))
+      .select(col("vec_id"),
+        explode(sequence(lit(0L), lit((mCount - 1).toLong))).as("m"))
+      .withColumn("h", md5(concat(lit("pq:v1:"), col("m"), lit(":"), col("vec_id"))))
+      .withColumn("cid", (row_number().over(wSel) - 1).cast("long"))
+      .filter(col("cid") < kc)
+      .select(col("m"), col("cid"), col("vec_id").as("c_vec"))
+    val cb = broadcast(
+      sel.join(el.select(col("vec_id").as("c_vec"), col("m"), col("d"), col("q").as("cq")),
+        Seq("c_vec", "m"))
+        .select(col("m"), col("cid"), col("d"), col("cq")))
+    // encode: nearest centroid per (vector, subspace) by integer L2
+    val wAsg = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("cid"))
+    val codes = el.join(cb, Seq("m", "d"))
+      .groupBy(col("vec_id"), col("m"), col("cid"))
+      .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("d2"))
+      .withColumn("rn", row_number().over(wAsg))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("cid"))
+    // per-query distance table: Q x M x Kc integer distances, broadcast
+    val dt = broadcast(
+      el.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("m"), col("d"), col("q").as("qq"))
+        .join(cb, Seq("m", "d"))
+        .groupBy(col("q_id"), col("m"), col("cid"))
+        .agg(sum((col("qq") - col("cq")) * (col("qq") - col("cq"))).as("dq2")))
+    // ADC scan: codes ⋈ distance table, summed over subspaces
+    val wCand = Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))
+    val cand = codes.join(dt, Seq("m", "cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("dq2")).as("adc"))
+      .withColumn("rn", row_number().over(wCand))
+      .filter(col("rn") <= shortlist)
+      .select(col("q_id"), col("vec_id"))
+    // exact re-rank of the shortlist only
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("embedding"), col("q_emb")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
+  }
+
   /** CTE chain re-deriving the RHP index relationally over `cv` (the
     * clustered corpus): e05's quantization per element, the md5 ±1
     * planes, integer projections, bucket keys, candidate pairs, and the
@@ -249,13 +346,21 @@ object AnnPack {
     * oracles already pin (exact-duplicate copies tie exactly and break
     * deterministically by vec_id).
     */
-  private val rhpRankCtes: String = s"""
+  /** CTE chain re-deriving e05's int8 quantization over `cv` as
+    * per-element rows, ending in `qe` (vec_id, d, q) — shared by the
+    * RHP-LSH (e07/e07b) and PQ (e08/e08b) oracles, which both build
+    * integer index structures on the quantized form.
+    */
+  private val int8QeCtes: String = s"""
       cu AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i, embedding FROM cv),
       qm AS (SELECT vec_id, max(abs(CAST(embedding[i] AS DOUBLE))) AS m FROM cu GROUP BY vec_id),
       qsc AS (SELECT vec_id, CASE WHEN m = 0 THEN 0 ELSE 127.0 / m END AS scale FROM qm),
       qe AS (SELECT cu.vec_id, cu.i - 1 AS d,
                CAST(round(CAST(cu.embedding[cu.i] AS DOUBLE) * qsc.scale) AS BIGINT) AS q
-             FROM cu JOIN qsc ON qsc.vec_id = cu.vec_id),
+             FROM cu JOIN qsc ON qsc.vec_id = cu.vec_id)"""
+
+  private val rhpRankCtes: String = s"""
+      $int8QeCtes,
       dims AS (SELECT max(len(embedding)) AS dim FROM cv),
       pl AS (SELECT tt.t, bb.b, dd.d,
                CASE WHEN CAST(('0x' || substr(md5('rhp:v1:' || tt.t || ':' || bb.b || ':' || dd.d), 1, 1)) AS INT) % 2 = 1
@@ -278,6 +383,53 @@ object AnnPack {
       rk AS (SELECT q_id, vec_id,
                row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rank
              FROM sc2)"""
+
+  /** CTE chain re-deriving the PQ index relationally over `cv`, ending
+    * in `prk` (q_id, vec_id, rank): e05 quantization (shared int8QeCtes),
+    * md5 codebook selection, integer-L2 encoding, the per-query distance
+    * table, ADC scores, the shortlist, and the exact-cosine re-rank.
+    * Everything before the final cosine is exact integer/string
+    * arithmetic — codes and shortlists match Spark's bit-for-bit.
+    */
+  private val pqRankCtes: String = s"""
+      $int8QeCtes,
+      mel AS (SELECT vec_id, d, d // $PqSubDim AS m, q FROM qe),
+      mm AS (SELECT DISTINCT m FROM mel),
+      selm AS (SELECT c.vec_id, mm.m,
+                 md5('pq:v1:' || mm.m || ':' || c.vec_id) AS h
+               FROM cv c CROSS JOIN mm),
+      selr AS (SELECT vec_id, m,
+                 row_number() OVER (PARTITION BY m ORDER BY h, vec_id) - 1 AS cid
+               FROM selm),
+      cb AS (SELECT sr.m, sr.cid, e.d, e.q AS cq
+             FROM selr sr JOIN mel e ON e.vec_id = sr.vec_id AND e.m = sr.m
+             WHERE sr.cid < $PqCentroids),
+      asg AS (SELECT e.vec_id, e.m, c.cid,
+                sum((e.q - c.cq) * (e.q - c.cq)) AS d2
+              FROM mel e JOIN cb c ON c.m = e.m AND c.d = e.d
+              GROUP BY 1, 2, 3),
+      codes AS (SELECT vec_id, m, cid FROM (
+                SELECT vec_id, m, cid,
+                       row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+                FROM asg) WHERE rn = 1),
+      dt AS (SELECT e.vec_id AS q_id, e.m, c.cid,
+               sum((e.q - c.cq) * (e.q - c.cq)) AS dq2
+             FROM mel e JOIN cb c ON c.m = e.m AND c.d = e.d
+             WHERE e.vec_id < $NumQueries GROUP BY 1, 2, 3),
+      adc AS (SELECT dt.q_id, co.vec_id, sum(dt.dq2) AS adc
+              FROM codes co JOIN dt ON dt.m = co.m AND dt.cid = co.cid
+              WHERE co.vec_id != dt.q_id GROUP BY 1, 2),
+      cnd AS (SELECT q_id, vec_id FROM (
+              SELECT q_id, vec_id,
+                     row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rn
+              FROM adc) WHERE rn <= $PqCandidates),
+      sc3 AS (SELECT cnd.q_id, cnd.vec_id,
+                list_cosine_similarity(e.embedding, qq.embedding) AS c
+              FROM cnd JOIN cv e ON e.vec_id = cnd.vec_id
+                       JOIN cv qq ON qq.vec_id = cnd.q_id),
+      prk AS (SELECT q_id, vec_id,
+                row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rank
+              FROM sc3)"""
 
   /** e04 — embedding near-dup with CANDIDATE GENERATION (the production
     * path, d03's blocked design applied to vectors). EXACT at any
@@ -906,6 +1058,60 @@ object AnnPack {
         .select(col("q_id"), col("neighbor_id"))
       val brute = bruteForceTopK(cv).select(col("q_id"), col("neighbor_id"))
       lsh.join(brute, Seq("q_id", "neighbor_id"))
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(brute.agg(count(lit(1)).as("total")))
+        .select(lit(K.toLong).as("k"), col("hits"), col("total"),
+          expr("hits * 1000000L div total").as("recall_millionths"),
+          when(col("hits") * 1000000L >= lit(800000L) * col("total"), 1L).otherwise(0L)
+            .as("meets_floor"))
+    },
+
+    // ---- e08: product-quantization ANN over the clustered corpus — the
+    // compressed-domain member of the ANN family (e01 brute / e02 IVF /
+    // e07 LSH / e08 PQ). FULLY oracle-gated: codebooks, codes, distance
+    // tables and the ADC shortlist are integer+md5 arithmetic DuckDB
+    // re-derives bit-for-bit; only the exact re-rank rides cosine, with
+    // the same tie discipline the e01/e07 oracles pin. ----
+    QDef("e08_ann_pq_topk", Some(s"""
+      WITH $clusteredCvCtes,
+      $pqRankCtes
+      SELECT q_id, rank, vec_id AS neighbor_id FROM prk
+      WHERE rank <= $K ORDER BY q_id, rank""")) { (s, dir) =>
+      val emb = embeddings(s, dir)
+      val cv = clusteredEmbeddings(emb, Some(s"$dir/embeddings"))
+      pqTopK(cv, dimOf(emb, Some(s"$dir/embeddings#dim")))
+        .orderBy("q_id", "rank")
+    },
+
+    // ---- e08b: PQ recall floor, e07b-style — ADC-shortlist top-k hits
+    // against relationally re-derived brute force, integer counts, floor
+    // 0.8. What ADC's coarse 8-nibble codes lose, the exact re-rank of
+    // the 80-deep shortlist must recover on the corpus regime that
+    // matters. ----
+    QDef("e08b_ann_pq_recall_floor", Some(s"""
+      WITH $clusteredCvCtes,
+      $pqRankCtes,
+      pq AS (SELECT q_id, vec_id FROM prk WHERE rank <= $K),
+      bs AS (SELECT q.vec_id AS q_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id) AS rank
+             FROM cv e CROSS JOIN (SELECT * FROM cv WHERE vec_id < $NumQueries) q
+             WHERE e.vec_id != q.vec_id),
+      brute AS (SELECT q_id, vec_id FROM bs WHERE rank <= $K),
+      h AS (SELECT count(*) AS hits FROM pq JOIN brute USING (q_id, vec_id)),
+      tot AS (SELECT count(*) AS total FROM brute)
+      SELECT CAST($K AS BIGINT) AS k,
+             CAST(hits AS BIGINT) AS hits,
+             CAST(total AS BIGINT) AS total,
+             CAST((hits * 1000000) // total AS BIGINT) AS recall_millionths,
+             CAST(CASE WHEN hits * 1000000 >= 800000 * total THEN 1 ELSE 0 END AS BIGINT) AS meets_floor
+      FROM h, tot""")) { (s, dir) =>
+      val emb = embeddings(s, dir)
+      val cv = clusteredEmbeddings(emb, Some(s"$dir/embeddings"))
+      val pq = pqTopK(cv, dimOf(emb, Some(s"$dir/embeddings#dim")))
+        .select(col("q_id"), col("neighbor_id"))
+      val brute = bruteForceTopK(cv).select(col("q_id"), col("neighbor_id"))
+      pq.join(brute, Seq("q_id", "neighbor_id"))
         .agg(count(lit(1)).as("hits"))
         .crossJoin(brute.agg(count(lit(1)).as("total")))
         .select(lit(K.toLong).as("k"), col("hits"), col("total"),

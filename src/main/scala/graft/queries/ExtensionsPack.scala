@@ -97,6 +97,36 @@ object ExtensionsPack {
         .orderBy("click_id", "view_id")
     },
 
+    // s06: the CUSTOM-STATE operator itself under the driver's oracle —
+    // EventsStream.userActivity (mapGroupsWithState) run over the batch
+    // events Dataset. Batch execution feeds each key's full iterator
+    // through the same state-transition code the stream runs per
+    // micro-batch (StreamingSpec pins the cross-batch parity and the
+    // transformWithState twin); the oracle re-derives the final state
+    // relationally. The processor orders a batch by (epoch ms, type) —
+    // Timestamp.getTime is millisecond-precision — so the oracle's
+    // last-event window uses the identical ms-truncated key, not raw
+    // micros. ----
+    QDef("s06_user_activity_state", Some("""
+      WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+      r AS (SELECT user_id, event_type,
+              row_number() OVER (PARTITION BY user_id
+                ORDER BY epoch_ms(ts) DESC, event_type DESC) AS rn,
+              count(*) OVER (PARTITION BY user_id) AS n
+            FROM e)
+      SELECT user_id, n AS n_events, event_type AS last_type
+      FROM r WHERE rn = 1 ORDER BY user_id""")) { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select(col("user_id").as("userId"), col("ts"),
+          col("event_type").as("eventType"))
+        .as[EventsStream.UserEvent]
+      EventsStream.userActivity(ev)
+        .select(col("userId").as("user_id"), col("nEvents").as("n_events"),
+          col("lastType").as("last_type"))
+        .orderBy("user_id")
+    },
+
     // as-of join (graft.operators.AsOfJoin): every click matched to the
     // user's most recent purchase at or before it — DuckDB's native ASOF
     // LEFT JOIN is the oracle, so the inclusive-tie and no-match-null

@@ -63,6 +63,31 @@ object GraphPack {
                   + 85 * COALESCE(c.contrib, 0) // 100 AS pr
               FROM nodes n LEFT JOIN c$i c ON c.dst = n.node_id)"""
 
+  /** Oracle unroll bound for g25 — must stay ≥ the peel depth of every
+    * corpus the gate runs on (GraphTables.kCore enforces it loudly on
+    * the Spark side; measured depth on the thresholded events graph is
+    * ≤ 2 at k = 2, ≤ 12 at k = 3 across sf0.001–sf0.1).
+    */
+  private[graft] val KCoreMaxRounds = 32
+
+  /** `rounds` unrolled peel iterations over `sym`/`a0` (the SQL twin of
+    * GraphTables.kCore's loop body): a_i = nodes of a_{i-1} with ≥ k
+    * neighbors in a_{i-1}.
+    */
+  private def kCorePeelSql(k: Int, rounds: Int): String =
+    (1 to rounds).map { i =>
+      // AS MATERIALIZED: a_{i-1} is referenced twice per round, and
+      // without the hint DuckDB inlines the whole chain into an
+      // exponentially exploding scan tree (observed as "too many open
+      // files" on the base parquet at 32 rounds)
+      s""",
+      d$i AS (SELECT s.a AS node_id, count(*) AS deg
+              FROM sym s JOIN a${i - 1} x ON s.a = x.node_id
+                         JOIN a${i - 1} y ON s.b = y.node_id
+              GROUP BY s.a),
+      a$i AS MATERIALIZED (SELECT node_id FROM d$i WHERE deg >= $k)"""
+    }.mkString
+
   /** BFS level-set CTE from a start node with depth bound and optional
     * weight filter (the recursive twin of GraphTables.traverseBfs).
     */
@@ -468,6 +493,32 @@ object GraphPack {
       PipelinePack.connectedComponents(
           g.nodes.select(col("node_id").as("doc_id")), pairs)._1
         .select(col("doc_id").as("node_id"), col("cluster_id").as("component_id"))
+        .orderBy("node_id")
+    },
+
+    // ---- g25: k-core membership (k = 2) over the same thresholded
+    // signal graph as g24 — the standard "dense sub-community" peel
+    // (drop sub-k nodes until stable). The oracle unrolls exactly
+    // KCoreMaxRounds peel rounds as plain CTEs (rounds past the fixpoint
+    // are no-ops); GraphTables.kCore asserts convergence within the same
+    // bound, so the two sides compute the identical fixpoint or the
+    // entry fails loudly — never a silently truncated core. ----
+    QDef("g25_kcore", oracle(s""",
+      se AS (SELECT least(src, dst) AS u, greatest(src, dst) AS v
+             FROM edges WHERE src != dst AND weight >= 3 GROUP BY 1, 2),
+      sym AS MATERIALIZED (SELECT u AS a, v AS b FROM se UNION ALL SELECT v, u FROM se),
+      a0 AS MATERIALIZED (SELECT node_id FROM nodes)${kCorePeelSql(k = 2, rounds = KCoreMaxRounds)}
+      SELECT n.node_id,
+             CAST(CASE WHEN a.node_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_core
+      FROM nodes n LEFT JOIN a$KCoreMaxRounds a ON a.node_id = n.node_id
+      ORDER BY n.node_id""")) { (s, dir) =>
+      val g = GraphTables.forDir(s, dir)
+      val und = g.edges
+        .filter(col("weight") >= 3 && col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct()
+      GraphTables.kCore(g.nodes, und, k = 2, maxRounds = KCoreMaxRounds)
         .orderBy("node_id")
     },
 

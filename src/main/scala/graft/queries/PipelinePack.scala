@@ -544,6 +544,26 @@ object PipelinePack {
     connectedComponents(docs.select(col("doc_id")), pairs)._1
   }
 
+  /** d25 — the keep decision over [[nearDupClusters]]: per cluster, keep
+    * the member with the highest d05 distinct-token ratio (integer
+    * millionths; doc_id tie-break), flagging every doc `kept` 0/1. The
+    * rank-1 window plans as a partial WindowGroupLimit before the
+    * exchange, so the per-cluster argmax is a map-side top-1 — no full
+    * sort of the corpus at any scale.
+    */
+  def dedupKeepBest(docs: DataFrame, threshold: Double): DataFrame = {
+    val nTok = size(toks).cast("long")
+    val quality = docs.select(col("doc_id"),
+      (size(array_distinct(toks)).cast("long") * 1000000L).divide(nTok)
+        .cast("long").as("qm"))
+    val w = Window.partitionBy("cluster_id").orderBy(col("qm").desc, col("doc_id"))
+    nearDupClusters(docs, threshold)
+      .join(quality, "doc_id")
+      .withColumn("kept",
+        when(row_number().over(w) === 1, 1L).otherwise(0L))
+      .select(col("doc_id"), col("cluster_id"), col("kept"))
+  }
+
   /** Connected components over (doc_id) nodes and (doc_i, doc_j) edges:
     * returns (labels, rounds) where labels = (doc_id, cluster_id) with
     * cluster_id the component minimum, and rounds is the number of
@@ -964,6 +984,51 @@ object PipelinePack {
       SELECT id AS doc_id, min(r) AS cluster_id FROM reach
       GROUP BY id ORDER BY doc_id""")) { (s, dir) =>
       nearDupClusters(Tables.documents(s, dir), threshold = 0.3).orderBy("doc_id")
+    },
+
+    // ---- d25: the dedup DECISION — which doc each cluster keeps. d13
+    // labels clusters; a real pipeline then emits one representative per
+    // cluster, and "keep the highest-quality member" (here d05's
+    // distinct-token ratio, doc_id tie-break) beats keep-first when
+    // boilerplate variants differ in quality. One window argmax over the
+    // cluster labels — rank-1 plans as WindowGroupLimit, so at 100 TB the
+    // per-cluster scan is a map-side top-1, not a full sort; singleton
+    // clusters (the bulk of any corpus) pass through with kept = 1. The
+    // oracle re-derives clusters via the same recursive-CTE closure as
+    // d13 plus the integer-millionths quality argmax. ----
+    QDef("d25_dedup_keep_best", Some("""
+      WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      idx AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) i FROM tok),
+      sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM idx),
+      prs AS (
+        SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS inter
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      dups AS (
+        SELECT p.doc_i, p.doc_j FROM prs p
+          JOIN sizes sa ON sa.doc_id = p.doc_i
+          JOIN sizes sb ON sb.doc_id = p.doc_j
+        WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.3),
+      e AS (SELECT doc_i AS a, doc_j AS b FROM dups
+            UNION ALL SELECT doc_j, doc_i FROM dups),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+      cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+      q AS (SELECT doc_id,
+              (len(list_distinct(string_split(text, ' '))) * 1000000)
+                // len(string_split(text, ' ')) AS qm
+            FROM documents),
+      rk AS (SELECT cl.doc_id, cl.cluster_id,
+               row_number() OVER (PARTITION BY cl.cluster_id
+                 ORDER BY q.qm DESC, cl.doc_id) AS rn
+             FROM cl JOIN q USING (doc_id))
+      SELECT doc_id, cluster_id,
+             CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS kept
+      FROM rk ORDER BY doc_id""")) { (s, dir) =>
+      dedupKeepBest(Tables.documents(s, dir), threshold = 0.3).orderBy("doc_id")
     },
 
     // ---- KMV distinct-count sketch (functions.KmvSketch): mergeable

@@ -590,6 +590,35 @@ object Relational {
           count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
         .orderBy(col("g_status"), col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)
+    },
+
+    // ---- q31: correlated EXISTS / NOT EXISTS — written as actual
+    // subquery SQL (not hand-built semi/anti joins) so CATALYST's
+    // decorrelation is what's gated: RewritePredicateSubquery turns the
+    // EXISTS into a LEFT SEMI and the NOT EXISTS into a LEFT ANTI join on
+    // the correlation key, and both probe the same orders scan. At 100 TB
+    // this is the plan you want — two hash joins on o_custkey, no
+    // per-customer re-execution of the subquery (the naive nested-loop
+    // reading of correlated SQL), with the `o_totalprice` filter pushed
+    // below the semi-join so the EXISTS side scans only qualifying
+    // orders. RelationalSpec pins exactly that shape (semi + anti, no
+    // nested loop). ----
+    QDef("q31_exists_customers", Some("""
+      SELECT c_custkey, c_name, c_mktsegment FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        AND NOT EXISTS (SELECT 1 FROM orders o2
+                        WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+      ORDER BY c_custkey""")) { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("q31_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("q31_orders")
+      s.sql("""
+        SELECT c_custkey, c_name, c_mktsegment FROM q31_customer c
+        WHERE EXISTS (SELECT 1 FROM q31_orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM q31_orders o2
+                          WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+        ORDER BY c_custkey""")
     }
   )
 }

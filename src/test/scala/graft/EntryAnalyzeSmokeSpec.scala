@@ -36,12 +36,14 @@ class EntryAnalyzeSmokeSpec extends AnyFunSuite {
     "d17_heavy_hitters", "d18_simhash_near_dup",
     "d19_fuzzy_decontamination", "d20_dup_span_coverage", "d21_source_mix",
     "d22_bloom_decontamination", "d23_tfidf_top_terms", "d24_stratified_sample",
+    "d25_dedup_keep_best",
     "e01_ann_brute_topk", "e02_ann_ivf_topk", "e02b_ann_ivf_full_probe",
     "e02c_ann_ivf_recall_floor", "e03_cosine_near_dup",
     "e03c_cosine_near_dup_clustered_baseline", "e04_cosine_near_dup_blocked",
     "e04b_cosine_near_dup_salted", "e04c_cosine_near_dup_clustered",
     "e05_int8_quantize", "e06_ann_filtered_topk", "e07_ann_rhp_lsh_topk",
-    "e07b_ann_rhp_lsh_recall_floor",
+    "e07b_ann_rhp_lsh_recall_floor", "e08_ann_pq_topk",
+    "e08b_ann_pq_recall_floor",
     "g01_nodes", "g02_edges", "g03_properties", "g04_entity_index",
     "g05_lookup_entity", "g06_neighbors", "g07_get_edge", "g08_counts",
     "g09_traverse", "g10_traverse_filtered", "g11_frontier_edges",
@@ -52,7 +54,7 @@ class EntryAnalyzeSmokeSpec extends AnyFunSuite {
     "g20_pregel_traverse", "g21_triangle_counts", "g22_common_neighbors",
     "g22b_common_neighbors_capped", "g22c_common_neighbors_powerlaw",
     "g22d_common_neighbors_powerlaw_uncapped", "g23_pagerank",
-    "g24_connected_components",
+    "g24_connected_components", "g25_kcore",
     "m01_media_meta", "m02_media_features", "m03_frame_sample",
     "m04_resize", "m05_frame_energy", "m06_png_decode",
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_shipping_priority",
@@ -66,9 +68,10 @@ class EntryAnalyzeSmokeSpec extends AnyFunSuite {
     "q22_asof_join", "q23_range_join_sessions", "q24_pivot_status_volume",
     "q25_quantiles", "q26_trailing_hour_counts",
     "q27_approx_percentile_validity", "q28_grouped_p95", "q29_json_props",
-    "q30_grouping_sets",
+    "q30_grouping_sets", "q31_exists_customers",
     "s01_windowed_events", "s02_dedup_events", "s03_session_windows",
-    "s04_click_attribution", "s05_click_attribution_outer")
+    "s04_click_attribution", "s05_click_attribution_outer",
+    "s06_user_activity_state")
 
   test("registry holds exactly the pinned entry-name set") {
     val got = SparkEntry.queries.keySet

@@ -355,4 +355,44 @@ class GraphTablesSpec extends AnyFunSuite {
     val expected = members.values.flatMap(ms => ms.map(_ -> ms.min)).toMap
     assert(got === expected)
   }
+
+  test("k-core: hand fixture peels chain/isolate; sequential twin on the real graph") {
+    import spark.implicits._
+    // triangle {1,2,3} is the 2-core; the pendant chain 3-4-5 peels from
+    // the 5 end in two bulk rounds; 6 is isolated (degree 0, round 1)
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val nodes = (1L to 6L).toDF("node_id")
+    val got = GraphTables.kCore(nodes, und, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 0L, 6L -> 0L))
+    // a graph deeper than maxRounds must fail loudly, not truncate: a
+    // 12-node path at k=2 has an empty 2-core but peels one node pair
+    // per round (5 rounds) — cap at 3 and demand the loud contract
+    val path = (1L to 11L).map(i => (i, i + 1)).toDF("u", "v")
+    val pathNodes = (1L to 12L).toDF("node_id")
+    val e = intercept[IllegalArgumentException] {
+      GraphTables.kCore(pathNodes, path, k = 2, maxRounds = 3).collect()
+    }
+    assert(e.getMessage.contains("exceeded"))
+
+    // sequential peel twin over the sf0.001 thresholded signal graph
+    val dir = "/root/testdata/sf0.001"
+    val g = GraphTables.forDir(spark, dir)
+    val allNodes = g.nodes.select("node_id").collect().map(_.getLong(0)).toSet
+    val edges = g.edges.filter(col("weight") >= 3 && col("src") =!= col("dst"))
+      .select("src", "dst").collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
+      .toSet
+    var alive = allNodes
+    var done = false
+    while (!done) {
+      val deg = alive.map(n => n ->
+        edges.count { case (u, v) => (u == n && alive(v)) || (v == n && alive(u)) }).toMap
+      val next = alive.filter(deg(_) >= 2)
+      if (next == alive) done = true else alive = next
+    }
+    val gotReal = graft.SparkEntry.queries("g25_kcore")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotReal === allNodes.map(n => n -> (if (alive(n)) 1L else 0L)).toMap)
+  }
 }

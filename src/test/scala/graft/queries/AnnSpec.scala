@@ -486,4 +486,22 @@ class AnnSpec extends AnyFunSuite {
     assert(bf.size === AnnPack.K * AnnPack.NumQueries)
     assert((bf & lsh).size === bf.size, s"LSH missed ${(bf -- lsh).size} of ${bf.size}")
   }
+
+  test("PQ codes are one nibble per subspace and ADC recall meets the e08b floor") {
+    import org.apache.spark.sql.functions.{col, size => asize}
+    val emb = graft.Tables.embeddings(spark, dir)
+    val cv = AnnPack.clusteredEmbeddings(emb)
+    val dim = emb.select(asize(col("embedding"))).head.getInt(0)
+    val pq = AnnPack.pqTopK(cv, dim).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val bf = AnnPack.bruteForceTopK(cv).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(bf.size === AnnPack.K * AnnPack.NumQueries)
+    val recall = (bf & pq).size.toDouble / bf.size
+    assert(recall >= 0.8, s"PQ recall $recall under the 0.8 floor " +
+      s"(missed ${(bf -- pq).size} of ${bf.size})")
+    // shape sanity: every query returns exactly K ranked rows
+    val perQ = AnnPack.pqTopK(cv, dim).groupBy("q_id").count().collect()
+    assert(perQ.length === AnnPack.NumQueries && perQ.forall(_.getLong(1) == AnnPack.K))
+  }
 }

@@ -480,4 +480,31 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(again === got)
   }
+
+  test("keep-best dedup flags exactly the max-quality member of every cluster") {
+    val docs = graft.Tables.documents(spark, dir)
+    val got = PipelinePack.dedupKeepBest(docs, threshold = 0.3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    // twin: clusters from the (separately verified) cluster op, quality
+    // recomputed in plain Scala with the same integer-millionths rule
+    val clusters = PipelinePack.nearDupClusters(docs, threshold = 0.3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qm = docs.select("doc_id", "text").collect().map { r =>
+      val toks = r.getString(1).split(' ')
+      r.getLong(0) -> toks.distinct.length.toLong * 1000000L / toks.length
+    }.toMap
+    val kept = clusters.groupBy(_._2).values.map { members =>
+      members.keys.minBy(id => (-qm(id), id))
+    }.toSet
+    val expected = clusters.map { case (id, cl) =>
+      id -> (cl, if (kept(id)) 1L else 0L)
+    }
+    assert(got === expected)
+    // exactly one keeper per cluster, and the corpus has real multi-doc
+    // clusters so the argmax is exercised
+    val byCluster = got.groupBy(_._2._1)
+    assert(byCluster.exists(_._2.size > 1), "premise: a multi-doc cluster exists")
+    assert(byCluster.forall(_._2.count(_._2._2 == 1L) == 1))
+  }
 }

@@ -48,4 +48,27 @@ class RelationalSpec extends AnyFunSuite {
       marg("o_orderpriority", 1L, 0L)).toSet
     assert(got === expected)
   }
+
+  test("q31 correlated subqueries decorrelate to semi + anti hash joins") {
+    val dir = "/root/testdata/sf0.001"
+    val df = graft.SparkEntry.queries("q31_exists_customers")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // Catalyst must rewrite EXISTS → LeftSemi and NOT EXISTS → LeftAnti;
+    // a nested-loop or cartesian shape would mean decorrelation failed
+    // and the subquery re-executes per outer row at scale
+    assert(plan.contains("LeftSemi"), s"no semi join in plan:\n$plan")
+    assert(plan.contains("LeftAnti"), s"no anti join in plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "cartesian product in q31 plan")
+    // cross-check the semantics against a hand-built semi/anti pipeline
+    import org.apache.spark.sql.functions._
+    val cust = graft.Tables.customer(spark, dir)
+    val orders = graft.Tables.orders(spark, dir)
+    val big = orders.filter(col("o_totalprice") > 300000).select("o_custkey")
+    val fin = orders.filter(col("o_orderstatus") === "F").select("o_custkey")
+    val expected = cust
+      .join(big, cust("c_custkey") === big("o_custkey"), "left_semi")
+      .join(fin, cust("c_custkey") === fin("o_custkey"), "left_anti")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(df.collect().map(_.getLong(0)).toSet === expected)
+  }
 }
