@@ -53,6 +53,14 @@ object AnnPack {
   val PqSubDim = 8
   val PqCentroids = 16
   val PqCandidates = 80
+  /** k-means codebook training (e09): Lloyd iterations in pure integer
+    * arithmetic over the e05 int8 form — assignment by integer L2,
+    * centroid update by truncating mean — so the trained codebook and
+    * every assignment are engine-exact (float k-means is not
+    * reproducible across engines or even partitionings).
+    */
+  val KmClusters = 16
+  val KmIters = 3
 
   /** The adaptive IVF codebook size for an n-row corpus: ~sqrt(n), clamped
     * to [NumCentroids, 4096]. Shared by [[blockedCells]] and the clustered
@@ -383,6 +391,77 @@ object AnnPack {
       rk AS (SELECT q_id, vec_id,
                row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rank
              FROM sc2)"""
+
+  /** e09 — k-means CODEBOOK TRAINING (Lloyd's algorithm), the piece the
+    * e02/e08 docstrings defer to ("a trained codebook drops in"): md5
+    * sampling stands in for k-means++ init, then `iters` rounds of
+    * assign (integer L2 over the int8 form, smaller-cid tie-break) and
+    * update (truncating integer mean per dimension; an emptied cluster
+    * keeps its previous centroid). Returns the final assignment — one
+    * (vec_id, cluster) row per vector against the trained centroids.
+    *
+    * Integer arithmetic end to end makes the whole training loop
+    * oracle-gateable (the DuckDB twin unrolls the same rounds and must
+    * agree on every assignment): double-precision Lloyd is not — its
+    * centroids depend on float summation order, which Spark does not fix
+    * across partitionings. Scale shape: each round is one broadcast join
+    * + two aggregates over the element table (no shuffle of the corpus
+    * keyed by cluster), centroids stay K x dim rows; init's global
+    * md5 top-k is a TakeOrdered, not a single-partition window. At
+    * 100 TB you train on a sample (this loop over a .sample(fraction))
+    * and only the final assignment pass scans the full corpus.
+    */
+  def kMeansAssign(
+      emb: DataFrame, k: Int = KmClusters, iters: Int = KmIters): DataFrame = {
+    val el = int8Quantize(emb)
+      .select(col("vec_id"), col("dim").as("d"), col("q"))
+      .localCheckpoint() // consumed 2x per round + init + final assign
+    val wInit = Window.orderBy(col("h"), col("vec_id")) // over k rows only
+    val init = emb
+      .select(col("vec_id"), md5(concat(lit("km:v1:"), col("vec_id"))).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+      .withColumn("cid", (row_number().over(wInit) - 1).cast("long"))
+      .select(col("cid"), col("vec_id"))
+    def assign(cents: DataFrame): DataFrame = {
+      val wA = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+      el.join(broadcast(cents), "d")
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("d2"))
+        .withColumn("rn", row_number().over(wA))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"))
+    }
+    var cents = init.join(el, "vec_id")
+      .select(col("cid"), col("d"), col("q").as("c"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val upd = assign(cents).join(el, "vec_id")
+        .groupBy(col("cid"), col("d"))
+        .agg(expr("sum(q) div count(1)").as("cNew"))
+      cents = cents.join(upd, Seq("cid", "d"), "left")
+        .select(col("cid"), col("d"), coalesce(col("cNew"), col("c")).as("c"))
+        .localCheckpoint() // flat plan per round, like pageRank
+    }
+    assign(cents).select(col("vec_id"), col("cid").as("cluster"))
+  }
+
+  /** One unrolled Lloyd round (the SQL twin of [[kMeansAssign]]'s loop
+    * body over `qe`/`km0`): assign by integer L2, update by truncating
+    * mean (DuckDB `//` and Spark `div` both truncate toward zero,
+    * verified for negative sums), emptied clusters carried by the LEFT
+    * JOIN + COALESCE.
+    */
+  private def kmIterSql(i: Int): String = s""",
+      as$i AS (SELECT e.vec_id, c.cid, sum((e.q - c.c) * (e.q - c.c)) AS d2
+               FROM qe e JOIN km${i - 1} c ON c.d = e.d GROUP BY 1, 2),
+      ag$i AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+               FROM as$i) WHERE rn = 1),
+      up$i AS (SELECT a.cid, e.d, sum(e.q) // count(*) AS c
+               FROM ag$i a JOIN qe e ON e.vec_id = a.vec_id GROUP BY 1, 2),
+      km$i AS MATERIALIZED (SELECT p.cid, p.d, COALESCE(u.c, p.c) AS c
+               FROM km${i - 1} p LEFT JOIN up$i u ON u.cid = p.cid AND u.d = p.d)"""
 
   /** CTE chain re-deriving the PQ index relationally over `cv`, ending
     * in `prk` (q_id, vec_id, rank): e05 quantization (shared int8QeCtes),
@@ -1118,6 +1197,31 @@ object AnnPack {
           expr("hits * 1000000L div total").as("recall_millionths"),
           when(col("hits") * 1000000L >= lit(800000L) * col("total"), 1L).otherwise(0L)
             .as("meets_floor"))
+    },
+
+    // ---- e09: the k-means TRAINING loop itself, fully oracle-gated —
+    // the DuckDB twin unrolls the same Lloyd rounds in the same integer
+    // arithmetic and must reproduce every final assignment. This is the
+    // codebook-production path the IVF/PQ entries' md5-sampled stand-ins
+    // defer to; it runs on the organic corpus (training cares about the
+    // real geometry, not the engineered clustered fixture). ----
+    QDef("e09_kmeans_train", Some(s"""
+      WITH cv AS (SELECT vec_id, embedding FROM embeddings),
+      $int8QeCtes,
+      ks AS (SELECT vec_id, md5('km:v1:' || vec_id) AS h FROM embeddings
+             ORDER BY h, vec_id LIMIT $KmClusters),
+      kr AS (SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) - 1 AS cid FROM ks),
+      km0 AS MATERIALIZED (SELECT kr.cid, e.d, e.q AS c
+             FROM kr JOIN qe e ON e.vec_id = kr.vec_id)
+      ${(1 to KmIters).map(kmIterSql).mkString},
+      fas AS (SELECT e.vec_id, c.cid, sum((e.q - c.c) * (e.q - c.c)) AS d2
+              FROM qe e JOIN km$KmIters c ON c.d = e.d GROUP BY 1, 2),
+      fag AS (SELECT vec_id, cid FROM (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+              FROM fas) WHERE rn = 1)
+      SELECT vec_id, cid AS cluster FROM fag ORDER BY vec_id""")) { (s, dir) =>
+      kMeansAssign(embeddings(s, dir)).orderBy("vec_id")
     }
   )
 }

@@ -544,6 +544,33 @@ object PipelinePack {
     connectedComponents(docs.select(col("doc_id")), pairs)._1
   }
 
+  /** d26 — SEMANTIC dedup (the SemDeDup shape, Abbas et al. 2023): the
+    * same cluster-then-keep-best decision as d25, but over the
+    * embedding-cosine near-dup graph instead of n-gram Jaccard — the
+    * cross-modal join (documents ⋈ embeddings on doc_id = vec_id) that
+    * catches paraphrases sharing no shingles. Pairs come from the e04
+    * blocked production path (exact at the threshold, no all-pairs
+    * term), components from the d13 star contraction, the keep rule from
+    * d05's quality millionths.
+    */
+  def semanticDedup(
+      docs: DataFrame, emb: DataFrame, threshold: Double,
+      cacheKey: Option[String] = None): DataFrame = {
+    val pairs = AnnPack.cosineNearDupBlocked(emb, threshold, cacheKey = cacheKey)
+      .select(col("id_a").as("doc_i"), col("id_b").as("doc_j"))
+    val clusters = connectedComponents(
+      emb.select(col("vec_id").as("doc_id")), pairs)._1
+    val nTok = size(toks).cast("long")
+    val quality = docs.select(col("doc_id"),
+      (size(array_distinct(toks)).cast("long") * 1000000L).divide(nTok)
+        .cast("long").as("qm"))
+    val w = Window.partitionBy("cluster_id").orderBy(col("qm").desc, col("doc_id"))
+    clusters.join(quality, "doc_id")
+      .withColumn("kept",
+        when(row_number().over(w) === 1, 1L).otherwise(0L))
+      .select(col("doc_id"), col("cluster_id"), col("kept"))
+  }
+
   /** d25 — the keep decision over [[nearDupClusters]]: per cluster, keep
     * the member with the highest d05 distinct-token ratio (integer
     * millionths; doc_id tie-break), flagging every doc `kept` 0/1. The
@@ -1029,6 +1056,41 @@ object PipelinePack {
              CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS kept
       FROM rk ORDER BY doc_id""")) { (s, dir) =>
       dedupKeepBest(Tables.documents(s, dir), threshold = 0.3).orderBy("doc_id")
+    },
+
+    // ---- d26: semantic dedup — d25's decision over the EMBEDDING
+    // near-dup graph (cosine >= 0.45, the e03/e04 operating threshold,
+    // whose margin to the nearest pair AnnSpec already pins), joined
+    // cross-modally on doc_id = vec_id. The oracle recomputes pairs
+    // exhaustively, so the blocked candidate path's recall-1.0 claim is
+    // re-gated here on the composed pipeline, then closes the clusters
+    // recursively and re-derives the quality argmax. ----
+    QDef("d26_semantic_dedup", Some("""
+      WITH RECURSIVE prs AS (
+        SELECT a.vec_id AS doc_i, b.vec_id AS doc_j
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45),
+      e AS (SELECT doc_i AS a, doc_j AS b FROM prs
+            UNION ALL SELECT doc_j, doc_i FROM prs),
+      reach(id, r) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+      cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+      q AS (SELECT doc_id,
+              (len(list_distinct(string_split(text, ' '))) * 1000000)
+                // len(string_split(text, ' ')) AS qm
+            FROM documents),
+      rk AS (SELECT cl.doc_id, cl.cluster_id,
+               row_number() OVER (PARTITION BY cl.cluster_id
+                 ORDER BY q.qm DESC, cl.doc_id) AS rn
+             FROM cl JOIN q USING (doc_id))
+      SELECT doc_id, cluster_id,
+             CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS kept
+      FROM rk ORDER BY doc_id""")) { (s, dir) =>
+      semanticDedup(Tables.documents(s, dir), Tables.embeddings(s, dir),
+        threshold = 0.45, cacheKey = Some(s"$dir/embeddings"))
+        .orderBy("doc_id")
     },
 
     // ---- KMV distinct-count sketch (functions.KmvSketch): mergeable

@@ -36,14 +36,14 @@ class EntryAnalyzeSmokeSpec extends AnyFunSuite {
     "d17_heavy_hitters", "d18_simhash_near_dup",
     "d19_fuzzy_decontamination", "d20_dup_span_coverage", "d21_source_mix",
     "d22_bloom_decontamination", "d23_tfidf_top_terms", "d24_stratified_sample",
-    "d25_dedup_keep_best",
+    "d25_dedup_keep_best", "d26_semantic_dedup",
     "e01_ann_brute_topk", "e02_ann_ivf_topk", "e02b_ann_ivf_full_probe",
     "e02c_ann_ivf_recall_floor", "e03_cosine_near_dup",
     "e03c_cosine_near_dup_clustered_baseline", "e04_cosine_near_dup_blocked",
     "e04b_cosine_near_dup_salted", "e04c_cosine_near_dup_clustered",
     "e05_int8_quantize", "e06_ann_filtered_topk", "e07_ann_rhp_lsh_topk",
     "e07b_ann_rhp_lsh_recall_floor", "e08_ann_pq_topk",
-    "e08b_ann_pq_recall_floor",
+    "e08b_ann_pq_recall_floor", "e09_kmeans_train",
     "g01_nodes", "g02_edges", "g03_properties", "g04_entity_index",
     "g05_lookup_entity", "g06_neighbors", "g07_get_edge", "g08_counts",
     "g09_traverse", "g10_traverse_filtered", "g11_frontier_edges",

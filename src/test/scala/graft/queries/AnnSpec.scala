@@ -504,4 +504,44 @@ class AnnSpec extends AnyFunSuite {
     val perQ = AnnPack.pqTopK(cv, dim).groupBy("q_id").count().collect()
     assert(perQ.length === AnnPack.NumQueries && perQ.forall(_.getLong(1) == AnnPack.K))
   }
+
+  test("k-means integer training matches a plain-Scala Lloyd twin bit for bit") {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val got = AnnPack.kMeansAssign(emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    def q8(v: Array[Float]): Array[Long] = {
+      val m = v.map(x => math.abs(x.toDouble)).max
+      val s = if (m == 0.0) 0.0 else 127.0 / m
+      v.map { x =>
+        val t = x.toDouble * s
+        (if (t >= 0) math.floor(t + 0.5) else math.ceil(t - 0.5)).toLong
+      }
+    }
+    val vecs = collected.sortBy(_._1)
+    val qv = vecs.map { case (id, v) => id -> q8(v) }.toMap
+    val k = AnnPack.KmClusters
+    var cents: Array[Array[Long]] = vecs.map(_._1)
+      .sortBy(id => (md5hex(s"km:v1:$id"), id)).take(k).map(qv(_)).toArray
+    def assign(): Map[Long, Int] = qv.map { case (id, q) =>
+      val d2 = cents.map(_.zip(q).map { case (c, x) => (x - c) * (x - c) }.sum)
+      id -> d2.zipWithIndex.minBy { case (d, i) => (d, i) }._2
+    }
+    for (_ <- 1 to AnnPack.KmIters) {
+      val byC = assign().groupBy(_._2)
+      cents = cents.zipWithIndex.map { case (old, ci) =>
+        byC.get(ci).fold(old) { ms =>
+          val ids = ms.keys.toSeq
+          old.indices.map(d => ids.map(qv(_)(d)).sum / ids.size).toArray
+        }
+      }
+    }
+    val expected = assign().map { case (id, ci) => id -> ci.toLong }
+    assert(got === expected)
+    // the training must produce genuine structure, not one mega-cluster
+    assert(expected.values.toSet.size > 1, "premise: >1 non-empty cluster")
+  }
 }

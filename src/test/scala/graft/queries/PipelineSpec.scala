@@ -507,4 +507,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(byCluster.exists(_._2.size > 1), "premise: a multi-doc cluster exists")
     assert(byCluster.forall(_._2.count(_._2._2 == 1L) == 1))
   }
+
+  test("semantic dedup matches a brute-cosine + union-find + argmax twin") {
+    val docs = graft.Tables.documents(spark, dir)
+    val emb = graft.Tables.embeddings(spark, dir)
+    val got = PipelinePack.semanticDedup(docs, emb, threshold = 0.45).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dab = 0.0; var daa = 0.0; var dbb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dab += a(i).toDouble * b(i).toDouble
+        daa += a(i).toDouble * a(i).toDouble
+        dbb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dab / math.sqrt(daa) / math.sqrt(dbb)
+    }
+    val parent = scala.collection.mutable.Map(vecs.map(v => v._1 -> v._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    for {
+      (a, va) <- vecs; (b, vb) <- vecs
+      if a < b && cos(va, vb) >= 0.45
+    } { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+    val clusters = vecs.map(_._1).groupBy(find)
+      .values.flatMap(ms => ms.map(_ -> ms.min)).toMap
+    val qm = docs.select("doc_id", "text").collect().map { r =>
+      val toks = r.getString(1).split(' ')
+      r.getLong(0) -> toks.distinct.length.toLong * 1000000L / toks.length
+    }.toMap
+    val kept = clusters.groupBy(_._2).values
+      .map(ms => ms.keys.minBy(id => (-qm(id), id))).toSet
+    val expected = clusters.map { case (id, cl) =>
+      id -> (cl, if (kept(id)) 1L else 0L)
+    }
+    assert(got === expected)
+  }
 }
