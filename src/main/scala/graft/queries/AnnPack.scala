@@ -281,10 +281,14 @@ object AnnPack {
     * broadcast Q x M x Kc distance table — no vector math per candidate,
     * no shuffle of the corpus.
     */
-  def pqTopK(
+  /** The PQ index stages — (element table, broadcast codebook, code
+    * table) — exposed (like rhpCandidates / blockedCells) so the scale
+    * rehearsal and specs can measure the encode output directly.
+    */
+  private[graft] def pqIndex(
       emb: DataFrame, dim: Int,
-      subDim: Int = PqSubDim, kc: Int = PqCentroids,
-      shortlist: Int = PqCandidates): DataFrame = {
+      subDim: Int = PqSubDim, kc: Int = PqCentroids)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(dim % subDim == 0, s"dim $dim not divisible by subspace width $subDim")
     val mCount = dim / subDim
     // per-element int8 rows tagged with their subspace
@@ -293,8 +297,8 @@ object AnnPack {
         expr(s"dim div $subDim").as("m"))
     // codebook: per subspace, the kc corpus vectors with the smallest
     // md5('pq:v1:<m>:<vec_id>') — a deterministic stand-in for k-means
-    // training (what scales is the coding/serving machinery; a trained
-    // codebook drops in as a different `sel`)
+    // training (what scales is the coding/serving machinery; e09's
+    // trained codebook drops in as a different `sel`)
     val wSel = Window.partitionBy("m").orderBy(col("h"), col("vec_id"))
     val sel = emb.select(col("vec_id"))
       .select(col("vec_id"),
@@ -315,6 +319,14 @@ object AnnPack {
       .withColumn("rn", row_number().over(wAsg))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("m"), col("cid"))
+    (el, cb, codes)
+  }
+
+  def pqTopK(
+      emb: DataFrame, dim: Int,
+      subDim: Int = PqSubDim, kc: Int = PqCentroids,
+      shortlist: Int = PqCandidates): DataFrame = {
+    val (el, cb, codes) = pqIndex(emb, dim, subDim, kc)
     // per-query distance table: Q x M x Kc integer distances, broadcast
     val dt = broadcast(
       el.filter(col("vec_id") < NumQueries)

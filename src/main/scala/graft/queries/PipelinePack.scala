@@ -560,36 +560,45 @@ object PipelinePack {
       .select(col("id_a").as("doc_i"), col("id_b").as("doc_j"))
     val clusters = connectedComponents(
       emb.select(col("vec_id").as("doc_id")), pairs)._1
+    keepBestFlags(clusters, docQuality(docs))
+  }
+
+  /** d05's distinct-token ratio in integer millionths — the keep-rule
+    * quality signal shared by d25/d26.
+    */
+  private def docQuality(docs: DataFrame): DataFrame = {
     val nTok = size(toks).cast("long")
-    val quality = docs.select(col("doc_id"),
+    docs.select(col("doc_id"),
       (size(array_distinct(toks)).cast("long") * 1000000L).divide(nTok)
         .cast("long").as("qm"))
-    val w = Window.partitionBy("cluster_id").orderBy(col("qm").desc, col("doc_id"))
-    clusters.join(quality, "doc_id")
-      .withColumn("kept",
-        when(row_number().over(w) === 1, 1L).otherwise(0L))
-      .select(col("doc_id"), col("cluster_id"), col("kept"))
+  }
+
+  /** Flag the max-quality member (doc_id tie-break) of every cluster:
+    * keeper per cluster via `min_by` over a (-quality, doc_id) struct,
+    * then one equi-join back to flag members. The aggregate's map-side
+    * partial combine reduces each partition to ONE candidate per cluster
+    * before the exchange — the window-argmax formulation shuffles and
+    * ranks every member. (Plans as partial+final SortAggregate: the
+    * struct buffer isn't hash-mutable; the shuffle-volume win is what
+    * matters.) ExplainSpec pins the no-window shape.
+    */
+  private def keepBestFlags(clusters: DataFrame, quality: DataFrame): DataFrame = {
+    val keepers = clusters.join(quality, "doc_id")
+      .groupBy("cluster_id")
+      .agg(min_by(col("doc_id"),
+        struct((-col("qm")).as("nq"), col("doc_id").as("id"))).as("keep_id"))
+    clusters.join(keepers, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"),
+        when(col("doc_id") === col("keep_id"), 1L).otherwise(0L).as("kept"))
   }
 
   /** d25 — the keep decision over [[nearDupClusters]]: per cluster, keep
     * the member with the highest d05 distinct-token ratio (integer
-    * millionths; doc_id tie-break), flagging every doc `kept` 0/1. The
-    * rank-1 window plans as a partial WindowGroupLimit before the
-    * exchange, so the per-cluster argmax is a map-side top-1 — no full
-    * sort of the corpus at any scale.
+    * millionths; doc_id tie-break), flagging every doc `kept` 0/1 — see
+    * [[keepBestFlags]] for the sort-free aggregate shape.
     */
-  def dedupKeepBest(docs: DataFrame, threshold: Double): DataFrame = {
-    val nTok = size(toks).cast("long")
-    val quality = docs.select(col("doc_id"),
-      (size(array_distinct(toks)).cast("long") * 1000000L).divide(nTok)
-        .cast("long").as("qm"))
-    val w = Window.partitionBy("cluster_id").orderBy(col("qm").desc, col("doc_id"))
-    nearDupClusters(docs, threshold)
-      .join(quality, "doc_id")
-      .withColumn("kept",
-        when(row_number().over(w) === 1, 1L).otherwise(0L))
-      .select(col("doc_id"), col("cluster_id"), col("kept"))
-  }
+  def dedupKeepBest(docs: DataFrame, threshold: Double): DataFrame =
+    keepBestFlags(nearDupClusters(docs, threshold), docQuality(docs))
 
   /** Connected components over (doc_id) nodes and (doc_i, doc_j) edges:
     * returns (labels, rounds) where labels = (doc_id, cluster_id) with
@@ -1017,9 +1026,9 @@ object PipelinePack {
     // labels clusters; a real pipeline then emits one representative per
     // cluster, and "keep the highest-quality member" (here d05's
     // distinct-token ratio, doc_id tie-break) beats keep-first when
-    // boilerplate variants differ in quality. One window argmax over the
-    // cluster labels — rank-1 plans as WindowGroupLimit, so at 100 TB the
-    // per-cluster scan is a map-side top-1, not a full sort; singleton
+    // boilerplate variants differ in quality. The argmax is a min_by
+    // aggregate (map-side combined — the exchange carries one candidate
+    // per cluster per partition) + one equi-join to flag members; singleton
     // clusters (the bulk of any corpus) pass through with kept = 1. The
     // oracle re-derives clusters via the same recursive-CTE closure as
     // d13 plus the integer-millionths quality argmax. ----

@@ -619,6 +619,37 @@ object Relational {
           AND NOT EXISTS (SELECT 1 FROM q31_orders o2
                           WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
         ORDER BY c_custkey""")
+    },
+
+    // ---- q32: the remaining ranking-window family in one pass —
+    // ntile (equi-depth bucketing), percent_rank / cume_dist (relative
+    // standing; both are exact ratios of small integers, so the double
+    // division is bit-identical across engines — rounded to millionths
+    // anyway, the q25/q28 discipline), and nth_value over a running
+    // frame (null until the frame holds n rows — the "second best so
+    // far" shape). All four share ONE window spec, so the plan is a
+    // single partition-sort, no extra exchanges per function. ----
+    QDef("q32_window_rankings", Some("""
+      SELECT c_custkey, c_nationkey,
+             CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             CAST(round(percent_rank() OVER w * 1000000) AS BIGINT) AS pct_rank_millionths,
+             CAST(round(cume_dist() OVER w * 1000000) AS BIGINT) AS cume_millionths,
+             nth_value(c_custkey, 2) OVER (PARTITION BY c_nationkey
+               ORDER BY c_acctbal DESC, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_richest
+      FROM customer
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+      ORDER BY c_custkey""")) { (s, dir) =>
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.customer(s, dir).select(
+        col("c_custkey"), col("c_nationkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w) * 1000000).cast("long").as("pct_rank_millionths"),
+        round(cume_dist().over(w) * 1000000).cast("long").as("cume_millionths"),
+        nth_value(col("c_custkey"), 2).over(wRun).as("second_richest"))
+        .orderBy("c_custkey")
     }
   )
 }

@@ -202,6 +202,51 @@ object ScaleRehearsal {
       check("e07_candidate_fraction_stable")(frac10x <= fracBase * 1.5 + 0.02,
         s"fraction grew $fracBase -> $frac10x at ${factor}x")
 
+      // 12. e08 PQ at 10x: the compressed-domain path keeps its shape —
+      // no product term — and the ENCODE is complete: exactly one code
+      // per (vector, subspace) at 10x the corpus (a join miss or an
+      // argmin tie bug would drop or duplicate codes; completeness is
+      // what makes the ADC scan exhaustive over codes).
+      val e08Plan = finalPlan(SparkEntry.queries("e08_ann_pq_topk")(spark, dir))
+      check("e08_no_product")(
+        !e08Plan.contains("CartesianProduct") && !e08Plan.contains("BroadcastNestedLoopJoin"),
+        e08Plan.take(1500))
+      val (pqN, pqCodes, pqSubspaces) = {
+        val emb = Tables.embeddings(spark, dir)
+        val dim = emb.select(org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.col("embedding"))).head.getInt(0)
+        val cv = AnnPack.clusteredEmbeddings(emb)
+        (cv.count(), AnnPack.pqIndex(cv, dim)._3.count(), dim / AnnPack.PqSubDim)
+      }
+      check("e08_encode_complete")(
+        pqCodes == pqN * pqSubspaces,
+        s"$pqCodes codes for $pqN vectors x $pqSubspaces subspaces")
+
+      // 13. e09 k-means at 10x: every Lloyd round stays broadcast
+      // equi-joins (no product), and the trained assignment is total —
+      // one cluster per vector, more than one cluster used (training on
+      // 10x data must not collapse).
+      val e09Df = SparkEntry.queries("e09_kmeans_train")(spark, dir)
+      val e09Plan = finalPlan(e09Df)
+      check("e09_no_product")(
+        !e09Plan.contains("CartesianProduct") && !e09Plan.contains("BroadcastNestedLoopJoin"),
+        e09Plan.take(1500))
+      val e09N = Tables.embeddings(spark, dir).count()
+      val e09Rows = e09Df.count()
+      val e09Clusters = e09Df.select("cluster").distinct().count()
+      check("e09_assignment_total")(e09Rows == e09N,
+        s"$e09Rows assignments for $e09N vectors")
+      check("e09_multi_cluster")(e09Clusters > 1 && e09Clusters <= AnnPack.KmClusters,
+        s"$e09Clusters clusters")
+
+      // 14. g25 k-core at 10x: the peel must still converge inside the
+      // 32-round contract (kCore throws otherwise — running IS the
+      // check) and the membership flags are total over the node set.
+      val g25 = SparkEntry.queries("g25_kcore")(spark, dir)
+      val g25Rows = g25.count()
+      val g25Nodes = graft.graph.GraphTables.forDir(spark, dir).nodes.count()
+      check("g25_flags_total")(g25Rows == g25Nodes, s"$g25Rows flags for $g25Nodes nodes")
+
       println(s"""{"dir":"$dir","d03_cand_base":$candBase,"d03_cand_10x":$candBig,""" +
         s""""d03_ratio":$ratio,"pair_space":$pairSpace,"g21_max_fwd":$maxFwd,""" +
         s""""g21_und_edges":$undN,"certify_leaves":$leaves,""" +
@@ -209,6 +254,8 @@ object ScaleRehearsal {
         s""""certify_leaves_span1024":$leavesFine,""" +
         s""""e07_cand_base":$e07CandBase,"e07_cand_10x":$e07Cand10x,""" +
         s""""e07_frac_base":$fracBase,"e07_frac_10x":$frac10x,""" +
+        s""""e08_codes":$pqCodes,"e09_clusters":$e09Clusters,""" +
+        s""""g25_nodes":$g25Nodes,""" +
         s""""failures":${failures.size}}""")
       if (failures.nonEmpty) {
         println(s"FAILURES: ${failures.reverse.mkString(", ")}")

@@ -108,6 +108,39 @@ class ExplainSpec extends AnyFunSuite {
       s"rank-limit pushdown missing (full per-stratum sort) in:\n$plan")
   }
 
+  test("e08: PQ codes/ADC meet the corpus only through broadcast equi-joins") {
+    // encode = elements ⋈ broadcast codebook on d; serve = codes ⋈
+    // broadcast distance table on (m, cid); re-rank joins candidates
+    // back by id. A nested-loop or cartesian term would mean the
+    // compressed-domain scan degenerated into the vector product it
+    // exists to avoid.
+    val plan = planOf("e08_ann_pq_topk")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in:\n$plan")
+    // the ADC shortlist (rank <= 80) must plan as a partial top-k per
+    // partition, not a full per-query sort of all scored candidates
+    assert(plan.contains("WindowGroupLimit"),
+      s"ADC shortlist missing WindowGroupLimit pushdown:\n$plan")
+  }
+
+  test("e09: every Lloyd round is broadcast equi-joins + aggregates") {
+    val plan = planOf("e09_kmeans_train")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in:\n$plan")
+  }
+
+  test("d25: the per-cluster keep argmax is an aggregate, not a window") {
+    // min_by over (-quality, doc_id) partial-combines to one candidate
+    // per cluster per partition before the exchange; a Window node here
+    // would mean every cluster member is shuffled and ranked just to
+    // flag one keeper
+    val plan = planOf("d25_dedup_keep_best")
+    assert(!plan.contains("Window"), s"window sort in the keep argmax:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian product in:\n$plan")
+    assert(plan.contains("partial_min_by") || plan.contains("min_by"),
+      s"keeper aggregate missing in:\n$plan")
+  }
+
   test("d22: the bloom probe leg is scan + filter + aggregate — no join node") {
     // the production pipeline runs ONLY the probe leg (flag train docs
     // against the broadcast filter); the report's exact/flagged compare
