@@ -397,6 +397,28 @@ object GraphTables {
     pr.select(col("node_id"), col("pr").as("pr_millionths"))
   }
 
+  /** Local clustering coefficient in integer millionths:
+    * 2·T(v)·10^6 div (deg(v)·(deg(v)−1)), 0 below degree 2 — the
+    * per-node "how clique-like is my neighborhood" signal, composed from
+    * [[triangleCounts]] (O(√E)-bounded wedge join) and one degree
+    * aggregate. Integer arithmetic end to end, so the oracle is
+    * bit-exact like g21/g23.
+    */
+  def clusteringCoefficient(g: GraphFrames): DataFrame = {
+    val t = triangleCounts(g)
+    val und = undirectedSimpleEdges(g)
+    val deg = und.select(col("u").as("node_id"))
+      .union(und.select(col("v").as("node_id")))
+      .groupBy("node_id").agg(count(lit(1)).as("degree"))
+    t.join(deg, Seq("node_id"), "left")
+      .select(col("node_id"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        col("n_triangles"),
+        when(coalesce(col("degree"), lit(0L)) >= 2,
+          expr("2 * n_triangles * 1000000 div (degree * (degree - 1))"))
+          .otherwise(0L).as("coeff_millionths"))
+  }
+
   /** k-core membership by iterative peeling (Batagelj–Zaveršnik's
     * definition, computed in the Matula–Beck bulk rounds a distributed
     * engine wants): repeatedly drop every node whose degree WITHIN the

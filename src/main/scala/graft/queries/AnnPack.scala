@@ -291,10 +291,16 @@ object AnnPack {
       : (DataFrame, DataFrame, DataFrame) = {
     require(dim % subDim == 0, s"dim $dim not divisible by subspace width $subDim")
     val mCount = dim / subDim
-    // per-element int8 rows tagged with their subspace
+    // per-element int8 rows tagged with their subspace. localCheckpoint:
+    // el feeds the encode join AND the query distance table (and the
+    // corpus here is DERIVED in-plan for the oracle's benefit — without
+    // the cut each consumer re-runs the clustered-blend + quantize
+    // chain; e07 documents the same residual and leaves it, but el is
+    // N x dim rows of longs, cheap to pin).
     val el = int8Quantize(emb)
       .select(col("vec_id"), col("dim").as("d"), col("q"),
         expr(s"dim div $subDim").as("m"))
+      .localCheckpoint()
     // codebook: per subspace, the kc corpus vectors with the smallest
     // md5('pq:v1:<m>:<vec_id>') — a deterministic stand-in for k-means
     // training (what scales is the coding/serving machinery; e09's
@@ -326,7 +332,10 @@ object AnnPack {
       emb: DataFrame, dim: Int,
       subDim: Int = PqSubDim, kc: Int = PqCentroids,
       shortlist: Int = PqCandidates): DataFrame = {
-    val (el, cb, codes) = pqIndex(emb, dim, subDim, kc)
+    // pin the (in-plan-derived) corpus once: it feeds the index build,
+    // the re-rank embedding lookup and the query broadcast
+    val embC = emb.localCheckpoint()
+    val (el, cb, codes) = pqIndex(embC, dim, subDim, kc)
     // per-query distance table: Q x M x Kc integer distances, broadcast
     val dt = broadcast(
       el.filter(col("vec_id") < NumQueries)
@@ -346,8 +355,8 @@ object AnnPack {
     // exact re-rank of the shortlist only
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     cand
-      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
-      .join(broadcast(emb.filter(col("vec_id") < NumQueries)
+      .join(embC.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(embC.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))), "q_id")
       .select(col("q_id"), col("vec_id"),
         cosine(col("embedding"), col("q_emb")).as("cos"))

@@ -522,6 +522,38 @@ object GraphPack {
         .orderBy("node_id")
     },
 
+    // ---- g26: local clustering coefficient — g21's triangle counts
+    // composed with degrees into the per-node neighborhood-density
+    // millionths. Oracle re-derives both terms (id-sorted triangle
+    // enumeration + symmetric-degree count) and the identical integer
+    // division, so the composition is bit-exact. ----
+    QDef("g26_clustering_coefficient", oracle(""",
+      und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+              FROM edges WHERE src != dst),
+      tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM und e1
+                JOIN und e2 ON e2.u = e1.v
+                JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+      pern AS (SELECT a AS node_id FROM tri
+               UNION ALL SELECT b FROM tri
+               UNION ALL SELECT c FROM tri),
+      tcnt AS (SELECT n.node_id, count(p.node_id) AS t
+               FROM nodes n LEFT JOIN pern p ON p.node_id = n.node_id
+               GROUP BY n.node_id),
+      adj AS (SELECT u AS n, v AS m FROM und UNION ALL SELECT v, u FROM und),
+      dg AS (SELECT n AS node_id, count(*) AS deg FROM adj GROUP BY n)
+      SELECT t.node_id,
+             CAST(COALESCE(d.deg, 0) AS BIGINT) AS degree,
+             CAST(t.t AS BIGINT) AS n_triangles,
+             CAST(CASE WHEN COALESCE(d.deg, 0) >= 2
+                  THEN (2 * t.t * 1000000) // (d.deg * (d.deg - 1))
+                  ELSE 0 END AS BIGINT) AS coeff_millionths
+      FROM tcnt t LEFT JOIN dg d ON d.node_id = t.node_id
+      ORDER BY t.node_id""")) { (s, dir) =>
+      GraphTables.clusteringCoefficient(GraphTables.forDir(s, dir))
+        .orderBy("node_id")
+    },
+
     // ---- integrity: commutative distributed checksum. The oracle
     // recomputes FNV-1a64 over every tagged canonical row byte-for-byte in
     // SQL (rows as hex strings, a recursive CTE folding hex pairs with the

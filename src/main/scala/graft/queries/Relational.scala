@@ -650,6 +650,29 @@ object Relational {
         round(cume_dist().over(w) * 1000000).cast("long").as("cume_millionths"),
         nth_value(col("c_custkey"), 2).over(wRun).as("second_richest"))
         .orderBy("c_custkey")
+    },
+
+    // ---- q33: approx_count_distinct under a validity gate, q27-style.
+    // HLL++ values aren't cross-engine comparable, so the gated
+    // projection is (exact count, band-violation flag): the sketch's
+    // estimate must land within 15% (3 sigma at rsd = 0.05) of exact,
+    // re-derived per group. At 100 TB the sketch is THE per-group
+    // distinct-count plan — mergeable fixed-size state instead of a
+    // distinct shuffle per group — and this entry keeps its error
+    // contract driver-checked. ----
+    QDef("q33_approx_distinct_validity", Some("""
+      SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_exact,
+             CAST(0 AS BIGINT) AS band_violations
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")) { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(
+          approx_count_distinct(col("o_custkey"), 0.05).as("n_approx"),
+          countDistinct(col("o_custkey")).as("n_exact"))
+        .select(col("o_orderstatus"), col("n_exact"),
+          when(abs(col("n_approx") - col("n_exact")) * 100L <= col("n_exact") * 15L, 0L)
+            .otherwise(1L).as("band_violations"))
+        .orderBy("o_orderstatus")
     }
   )
 }

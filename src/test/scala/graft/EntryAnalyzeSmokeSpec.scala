@@ -54,7 +54,7 @@ class EntryAnalyzeSmokeSpec extends AnyFunSuite {
     "g20_pregel_traverse", "g21_triangle_counts", "g22_common_neighbors",
     "g22b_common_neighbors_capped", "g22c_common_neighbors_powerlaw",
     "g22d_common_neighbors_powerlaw_uncapped", "g23_pagerank",
-    "g24_connected_components", "g25_kcore",
+    "g24_connected_components", "g25_kcore", "g26_clustering_coefficient",
     "m01_media_meta", "m02_media_features", "m03_frame_sample",
     "m04_resize", "m05_frame_energy", "m06_png_decode",
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_shipping_priority",
@@ -69,6 +69,7 @@ class EntryAnalyzeSmokeSpec extends AnyFunSuite {
     "q25_quantiles", "q26_trailing_hour_counts",
     "q27_approx_percentile_validity", "q28_grouped_p95", "q29_json_props",
     "q30_grouping_sets", "q31_exists_customers", "q32_window_rankings",
+    "q33_approx_distinct_validity",
     "s01_windowed_events", "s02_dedup_events", "s03_session_windows",
     "s04_click_attribution", "s05_click_attribution_outer",
     "s06_user_activity_state")

@@ -356,6 +356,34 @@ class GraphTablesSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("clustering coefficient matches a triangle/degree integer recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val g = GraphTables.forDir(spark, dir)
+    val got = GraphTables.clusteringCoefficient(g).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+    val nodes = g.nodes.select("node_id").collect().map(_.getLong(0))
+    val und = g.edges.filter(col("src") =!= col("dst"))
+      .select("src", "dst").collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
+      .toSet
+    val adj = nodes.map(n => n -> und.collect {
+      case (u, v) if u == n => v
+      case (u, v) if v == n => u
+    }).toMap
+    val expected = nodes.map { n =>
+      val nb = adj(n).toSeq.sorted
+      val t = (for {
+        i <- nb.indices; j <- (i + 1) until nb.size
+        if und((math.min(nb(i), nb(j)), math.max(nb(i), nb(j))))
+      } yield 1).size.toLong
+      val d = nb.size.toLong
+      val c = if (d >= 2) 2 * t * 1000000L / (d * (d - 1)) else 0L
+      n -> ((d, t, c))
+    }.toMap
+    assert(got === expected)
+  }
+
   test("k-core: hand fixture peels chain/isolate; sequential twin on the real graph") {
     import spark.implicits._
     // triangle {1,2,3} is the 2-core; the pendant chain 3-4-5 peels from
