@@ -164,8 +164,14 @@ object Bench {
     // stream — r7's artifact lost ~27 medians to the front clip), so the
     // full JSON is ALSO written to a file that can be committed. Path
     // override via SPARK_GRAFT_BENCH_OUT for named rehearsal artifacts.
+    // Subset runs (SPARK_GRAFT_BENCH_ONLY) persist to a scratch name:
+    // they share nothing with a full recording, and the default path
+    // once let a one-entry iteration run silently clobber the committed
+    // full-suite artifact (round-9: BENCH_local_sf0.1_full.json shrank
+    // to 1 entry under a committed "full" label).
+    val suffix = if (only.isDefined) "_subset" else ""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      s"BENCH_local_${new java.io.File(sfDir).getName}_$tier.json")
+      s"BENCH_local_${new java.io.File(sfDir).getName}_$tier$suffix.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
