@@ -127,6 +127,50 @@ object ExtensionsPack {
         .orderBy("user_id")
     },
 
+    // s07: STREAMING near-dup dedup — the continuous form of d03, run
+    // through the real band-bucket keyed-state operator
+    // (StreamingDedup.candidatePairs, flatMapGroupsWithState over
+    // (band, sig) buckets) + the shared exact-Jaccard verification,
+    // flagging every doc that near-duplicates an EARLIER one (keep-first
+    // stream semantics). The oracle recomputes pairs exhaustively, so
+    // the bucket state machinery's recall is gated, not assumed;
+    // StreamingSpec drives the cross-batch form where batch-2 docs must
+    // pair with bucket-mates remembered from batch 1. ----
+    QDef("s07_streaming_dedup_flags", Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      idx AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) i FROM tok),
+      sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM idx),
+      pairs AS (
+        SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS inter
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      dup AS (SELECT DISTINCT p.doc_j AS doc_id FROM pairs p
+              JOIN sizes sa ON sa.doc_id = p.doc_i
+              JOIN sizes sb ON sb.doc_id = p.doc_j
+              WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5)
+      SELECT d.doc_id,
+             CAST(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS dup_of_earlier
+      FROM documents d LEFT JOIN dup ON dup.doc_id = d.doc_id
+      ORDER BY d.doc_id""")) { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.StreamingDedup
+      val docs = Tables.documents(s, dir)
+      val sigs = PipelinePack.bandSignatures(docs)
+        .select(col("doc_id").as("docId"), col("band").cast("int").as("band"),
+          col("sig"))
+        .as[StreamingDedup.BandSig]
+      val cands = StreamingDedup.candidatePairs(sigs)
+        .select(col("docI").as("doc_i"), col("docJ").as("doc_j")).distinct()
+      val dups = PipelinePack.verifyPairs(docs, cands)
+        .select(col("doc_j").as("doc_id")).distinct()
+        .withColumn("f", lit(1L))
+      docs.select(col("doc_id")).join(dups, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("f"), lit(0L)).as("dup_of_earlier"))
+        .orderBy("doc_id")
+    },
+
     // as-of join (graft.operators.AsOfJoin): every click matched to the
     // user's most recent purchase at or before it — DuckDB's native ASOF
     // LEFT JOIN is the oracle, so the inclusive-tie and no-match-null

@@ -239,7 +239,15 @@ object PipelinePack {
   /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
     * Returns (doc_i, doc_j, jaccard) for verified pairs above threshold.
     */
-  def nearDupPairs(docs: DataFrame): DataFrame = {
+  def nearDupPairs(docs: DataFrame): DataFrame =
+    verifyPairs(docs, lshCandidates(docs))
+
+  /** Exact-Jaccard verification of a candidate (doc_i, doc_j) set —
+    * shared by [[nearDupPairs]] (d03's equi-join candidates) and s07's
+    * streaming band-bucket candidates, so both paths carry the identical
+    * verification semantics.
+    */
+  private[graft] def verifyPairs(docs: DataFrame, cands: DataFrame): DataFrame = {
     // NOT persisted: the four consumers below (signatures, sizes, and the
     // two sides of the verification join) share one canonicalized plan, so
     // Catalyst's ReuseExchange computes the shingle explode + distinct
@@ -249,7 +257,6 @@ object PipelinePack {
     // shingle table in executor storage for the session lifetime per call —
     // r03's leak — and shuffle files are already the spill-safe medium.
     val sh = shingles(docs)
-    val cands = lshCandidates(docs)
 
     // Exact verification on candidates only.
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -542,6 +549,22 @@ object PipelinePack {
   def nearDupClusters(docs: DataFrame, threshold: Double, dfCap: Option[Long] = None): DataFrame = {
     val pairs = ngramJaccardPairs(docs, threshold, dfCap).select("doc_i", "doc_j")
     connectedComponents(docs.select(col("doc_id")), pairs)._1
+  }
+
+  /** d27 — the per-shard greedy packer: token-offset cumsum windowed by
+    * the shard key, bins = 2048-token spans of the stream. See the QDef
+    * comment for the scale rationale (sequential per shard, shards
+    * independent).
+    */
+  def packSequences(docs: DataFrame, budget: Long = 2048L): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("source"), col("doc_id"), size(toks).cast("long").as("n_tokens"))
+      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        expr(s"start_off div $budget").as("bin"),
+        (col("start_off") % budget).as("bin_offset"))
   }
 
   /** d26 — SEMANTIC dedup (the SemDeDup shape, Abbas et al. 2023): the
@@ -1165,6 +1188,33 @@ object PipelinePack {
         size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
         length(regexp_replace(col("text"), " ", "")).cast("long").as("total_token_chars"))
         .orderBy("doc_id")
+    },
+
+    // ---- d27: sequence PACKING — the training-batch construction step
+    // that turns a filtered corpus into fixed-token-budget rows
+    // ("sample packing"): docs fill a 2048-token window greedily in
+    // stream order; a doc starts the next window when it would overflow
+    // offset arithmetic (bin = starting-offset div budget), so bins are
+    // contiguous spans of the per-shard stream. Packing is sequential BY
+    // DEFINITION, so it runs per shard (here `source`) — a window
+    // cumsum partitioned by the shard key, which is exactly how a
+    // 100 TB packer parallelizes (one sequential pass per shard, shards
+    // independent); a global unpartitioned cumsum would be a
+    // single-partition bottleneck. Pure integer arithmetic, bit-exact
+    // oracle. ----
+    QDef("d27_sequence_packing", Some("""
+      WITH t AS (SELECT source, doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                 FROM documents),
+      c AS (SELECT source, doc_id, n_tokens,
+              sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+            FROM t)
+      SELECT source, doc_id, n_tokens,
+             start_off // 2048 AS bin,
+             start_off % 2048 AS bin_offset
+      FROM c ORDER BY source, doc_id""")) { (s, dir) =>
+      packSequences(Tables.documents(s, dir)).orderBy("source", "doc_id")
     },
 
     // ---- quality scoring: integer fixed-point ratios (deterministic) ----

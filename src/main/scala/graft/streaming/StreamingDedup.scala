@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming near-duplicate detection — the continuous form of d03's
+  * MinHash-LSH dedup, the shape a 100 TB/day ingestion pipeline actually
+  * runs: documents ARRIVE, and each must be checked against everything
+  * seen so far without ever joining the full history.
+  *
+  * The index is the same banded substrate as the batch path
+  * (PipelinePack.bandSignatures: 128 minhashes → 32 band keys per doc):
+  * state lives per (band, sig) BUCKET and holds only the doc ids that
+  * hashed there, so per-bucket state is tiny (collisions are what
+  * buckets exist to make rare) and the arriving doc meets history
+  * through a state lookup, not a join. Candidates then flow to the same
+  * exact-Jaccard verification as d03 (PipelinePack.verifyPairs).
+  *
+  * Batch execution of the SAME function feeds each bucket's full
+  * iterator through one state transition — emitting exactly the
+  * within-bucket pair set of d03's candidate equi-join (the s07 entry
+  * drives this; StreamingSpec drives the cross-batch form, where a doc
+  * in batch 2 must pair with bucket-mates from batch 1 out of state).
+  *
+  * Production state discipline: keyed state would carry an event-time
+  * TTL (GroupStateTimeout.EventTimeTimeout + a watermark) bounding the
+  * dedup horizon — ids older than the horizon can no longer be claimed
+  * as the "earlier" copy and are evicted, keeping state proportional to
+  * the horizon's arrivals, not to history.
+  */
+object StreamingDedup {
+
+  final case class BandSig(docId: Long, band: Int, sig: Long)
+  final case class BucketState(ids: Seq[Long])
+  final case class CandPair(docI: Long, docJ: Long)
+
+  /** Candidate pairs from band-bucket keyed state: every arriving doc id
+    * is paired (smaller id first) with each id already remembered in its
+    * bucket, plus the within-batch bucket-mates. Downstream must
+    * `distinct` (a pair can collide in several bands) and exact-verify.
+    */
+  def candidatePairs(sigs: Dataset[BandSig]): Dataset[CandPair] = {
+    import sigs.sparkSession.implicits._
+    sigs
+      .groupByKey(s => (s.band, s.sig))
+      .flatMapGroupsWithState[BucketState, CandPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_, it, state: GroupState[BucketState]) =>
+          val prior = state.getOption.map(_.ids).getOrElse(Vector.empty)
+          val incoming = it.map(_.docId).toVector.distinct.sorted
+          val cross = for { n <- incoming; o <- prior if o != n }
+            yield CandPair(math.min(o, n), math.max(o, n))
+          val intra = for {
+            i <- incoming.indices; j <- (i + 1) until incoming.size
+          } yield CandPair(incoming(i), incoming(j))
+          state.update(BucketState((prior ++ incoming).distinct))
+          (cross ++ intra).iterator
+      }
+  }
+}

@@ -36,7 +36,7 @@ class EntryAnalyzeSmokeSpec extends AnyFunSuite {
     "d17_heavy_hitters", "d18_simhash_near_dup",
     "d19_fuzzy_decontamination", "d20_dup_span_coverage", "d21_source_mix",
     "d22_bloom_decontamination", "d23_tfidf_top_terms", "d24_stratified_sample",
-    "d25_dedup_keep_best", "d26_semantic_dedup",
+    "d25_dedup_keep_best", "d26_semantic_dedup", "d27_sequence_packing",
     "e01_ann_brute_topk", "e02_ann_ivf_topk", "e02b_ann_ivf_full_probe",
     "e02c_ann_ivf_recall_floor", "e03_cosine_near_dup",
     "e03c_cosine_near_dup_clustered_baseline", "e04_cosine_near_dup_blocked",
@@ -72,7 +72,7 @@ class EntryAnalyzeSmokeSpec extends AnyFunSuite {
     "q33_approx_distinct_validity",
     "s01_windowed_events", "s02_dedup_events", "s03_session_windows",
     "s04_click_attribution", "s05_click_attribution_outer",
-    "s06_user_activity_state")
+    "s06_user_activity_state", "s07_streaming_dedup_flags")
 
   test("registry holds exactly the pinned entry-name set") {
     val got = SparkEntry.queries.keySet

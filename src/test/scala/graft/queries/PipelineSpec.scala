@@ -508,6 +508,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(byCluster.forall(_._2.count(_._2._2 == 1L) == 1))
   }
 
+  test("sequence packing fills per-source windows greedily in stream order") {
+    val docs = graft.Tables.documents(spark, dir)
+    val got = graft.SparkEntry.queries("d27_sequence_packing")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+
+    val rows = docs.select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2).split(' ').length.toLong))
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (src, ds) =>
+      var cum = 0L
+      ds.sortBy(_._2).map { case (_, id, n) =>
+        val start = cum; cum += n
+        (src, id, n, start / 2048, start % 2048)
+      }
+    }
+    assert(got.toSeq === expected)
+
+    // bin rollover on a synthetic shard: 1500-token docs pack 0/0/1 —
+    // the real corpus at sf0.001 never fills a 2048 window per source
+    import spark.implicits._
+    val synth = Seq(
+      ("s", 1L, Seq.fill(1500)("w").mkString(" ")),
+      ("s", 2L, Seq.fill(1500)("w").mkString(" ")),
+      ("s", 3L, Seq.fill(1500)("w").mkString(" "))
+    ).toDF("source", "doc_id", "text")
+    val bins = PipelinePack.packSequences(synth).orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(bins.toSeq === Seq((1L, 0L, 0L), (2L, 0L, 1500L), (3L, 1L, 952L)))
+  }
+
   test("semantic dedup matches a brute-cosine + union-find + argmax twin") {
     val docs = graft.Tables.documents(spark, dir)
     val emb = graft.Tables.embeddings(spark, dir)

@@ -337,4 +337,44 @@ class StreamingSpec extends AnyFunSuite {
       assert(closed === Set((10L, 60L, 60L, 1L)))
     } finally query.stop()
   }
+
+  test("streaming dedup pairs batch-2 docs with bucket-mates remembered from batch 1") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    import StreamingDedup.{BandSig, CandPair}
+    val input = MemoryStream[BandSig]
+    val query = StreamingDedup.candidatePairs(input.toDS())
+      .writeStream.format("memory").queryName("sdedup_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: docs 1 and 2 collide in bucket (0, 77); doc 5 alone in (1, 99)
+      input.addData(BandSig(1, 0, 77), BandSig(2, 0, 77), BandSig(5, 1, 99))
+      query.processAllAvailable()
+      val b1 = spark.table("sdedup_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(b1 === Set((1L, 2L)), "within-batch bucket-mates pair immediately")
+      // batch 2: doc 3 lands in BOTH buckets — must pair with 1, 2 (from
+      // state) and 5 (from state), out of batches it never saw
+      input.addData(BandSig(3, 0, 77), BandSig(3, 1, 99))
+      query.processAllAvailable()
+      val all = spark.table("sdedup_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(all === Set((1L, 2L), (1L, 3L), (2L, 3L), (3L, 5L)))
+    } finally query.stop()
+
+    // batch parity: the same stateful operator over the batch corpus
+    // must emit exactly d03's candidate equi-join pair set
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val sigs = graft.queries.PipelinePack.bandSignatures(docs)
+      .select(org.apache.spark.sql.functions.col("doc_id").as("docId"),
+        org.apache.spark.sql.functions.col("band").cast("int").as("band"),
+        org.apache.spark.sql.functions.col("sig"))
+      .as[BandSig]
+    val got = StreamingDedup.candidatePairs(sigs).collect()
+      .map(p => (p.docI, p.docJ)).toSet
+    val expected = graft.queries.PipelinePack.lshCandidates(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+  }
 }
