@@ -16,13 +16,20 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   spark.sql("SELECT fnv1a64(encode(attr, 'UTF-8')) FROM ...")
   * }}}
   *
-  * No analyzer Rule or SparkStrategy is registered on purpose: every graft
-  * operator is expressible as a declarative plan Catalyst already
-  * optimizes (SURVEY §4.3.7) — the extension surface is exactly as large
-  * as the semantics demand, no larger.
+  * Beyond functions, one OPT-IN optimizer rule is injected:
+  * [[graft.plans.RangeJoinBinning]] rewrites raw point-in-interval
+  * inequality joins into the binned equi-join plan when
+  * `spark.graft.rangejoin.binsize` is set (default off — every plan
+  * untouched). No analyzer Rule or SparkStrategy is registered: every
+  * graft operator's SEMANTICS are expressible as a declarative plan
+  * Catalyst already optimizes (SURVEY §4.3.7) — the rule exists purely
+  * to give the naive SQL shape the physical plan the hand-built
+  * `RangeJoin.binned` produces, and stays conf-gated so the extension
+  * surface is exactly as large as asked for.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
+    extensions.injectOptimizerRule(session => graft.plans.RangeJoinBinning(session))
     extensions.injectFunction((
       new FunctionIdentifier("fnv1a64"),
       new ExpressionInfo(

@@ -1,0 +1,123 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.LongType
+
+/** Optimizer rule: rewrite a raw point-in-interval inner join —
+  * `l ⋈ r ON (equi keys) ∧ v >= lo ∧ v < hi` with long-typed bounds —
+  * into the binned equi-join `graft.operators.RangeJoin` builds by hand,
+  * so the NAIVE user SQL gets the scale plan automatically: Spark plans
+  * the raw predicate as a per-key nested loop (quadratic), while the
+  * rewrite explodes each interval to the fixed-width bins it covers,
+  * assigns each point its one bin, equi-joins on (keys, bin), and
+  * re-applies the exact containment predicate as a post-join filter.
+  *
+  * EXACT by construction whatever the bin size: bins only propose
+  * candidates — the original inequality is re-checked above the join, so
+  * empty/degenerate intervals and bin-boundary rows cannot leak. Null
+  * bounds behave identically too (null bin joins nothing; the original
+  * join's null comparison also matched nothing).
+  *
+  * Opt-in, conf-gated: `spark.graft.rangejoin.binsize` (a positive long
+  * in the value column's unit) enables it; unset/0 leaves every plan
+  * untouched. Conservative guards: inner joins only, batch only, exactly
+  * one `>=` and one `<` conjunct on the same long-typed value expression
+  * with both bounds from the opposite side, and every remaining conjunct
+  * a cross-side equality. Idempotent via the __graft_ marker check in
+  * [[rewrite]]: the optimizer pushes the exactness filter back into the
+  * rewritten join's condition, which would otherwise re-match.
+  *
+  * What it buys: WITH equi keys Spark plans the naive query as a hash
+  * join on the keys carrying the range as a residual — per-key-group
+  * products, quadratic in group size (one hot user = one quadratic
+  * task); the bin key subdivides every group. WITHOUT equi keys the
+  * naive plan is a full nested loop and the bin becomes the only — and
+  * sufficient — join key.
+  */
+case class RangeJoinBinning(spark: SparkSession)
+    extends Rule[LogicalPlan] with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val bs = spark.conf.get(RangeJoinBinning.BinSizeKey, "0").toLong
+    if (bs <= 0) plan
+    else plan.transformUp {
+      case j: Join
+          if j.joinType == Inner && j.condition.isDefined &&
+            !j.left.isStreaming && !j.right.isStreaming =>
+        rewrite(j, bs).getOrElse(j)
+    }
+  }
+
+  /** Some(true) if `e` references only `l`'s output, Some(false) if only
+    * `r`'s, None otherwise (mixed, or no references).
+    */
+  private def sideOf(e: Expression, l: LogicalPlan, r: LogicalPlan): Option[Boolean] = {
+    val refs = e.references
+    if (refs.isEmpty) None
+    else if (refs.subsetOf(l.outputSet)) Some(true)
+    else if (refs.subsetOf(r.outputSet)) Some(false)
+    else None
+  }
+
+  private def rewrite(j: Join, bs: Long): Option[LogicalPlan] = {
+    val (left, right) = (j.left, j.right)
+    val conjuncts = splitConjunctivePredicates(j.condition.get)
+    // Idempotence guard: the optimizer batch runs this rule to fixpoint,
+    // and PushPredicateThroughJoin folds the exactness filter back into
+    // the rewritten join's condition — which would re-match the pattern
+    // and re-bin forever. A rewritten join is recognizable by its
+    // __graft_ bin attributes.
+    if (conjuncts.exists(_.references.exists(_.name.startsWith("__graft_"))))
+      return None
+    val lowers = conjuncts.collect { case g: GreaterThanOrEqual => g }
+    val uppers = conjuncts.collect { case lt: LessThan => lt }
+    if (lowers.size != 1 || uppers.size != 1) return None
+    val (v, lo) = (lowers.head.left, lowers.head.right)
+    val (v2, hi) = (uppers.head.left, uppers.head.right)
+    if (!v.semanticEquals(v2)) return None
+    if (Seq(v, lo, hi).exists(e => e.dataType != LongType || !e.deterministic))
+      return None
+    val rest = conjuncts.filterNot(c =>
+      c.eq(lowers.head) || c.eq(uppers.head))
+    val restAllEqui = rest.forall {
+      case EqualTo(a, b) =>
+        (sideOf(a, left, right), sideOf(b, left, right)) match {
+          case (Some(x), Some(y)) => x != y
+          case _ => false
+        }
+      case _ => false
+    }
+    if (!restAllEqui) return None
+    (sideOf(v, left, right), sideOf(lo, left, right), sideOf(hi, left, right)) match {
+      case (Some(vs), Some(ls), Some(hs)) if ls == hs && vs != ls =>
+        def div(e: Expression): Expression = new IntegralDivide(e, Literal(bs))
+        val pBin = Alias(div(v), "__graft_pbin")()
+        val iBin = AttributeReference("__graft_ibin", LongType, nullable = true)()
+        // Sequence is TimeZoneAware — unresolved until the zone is set
+        // (the analyzer's ResolveTimeZone has already run by now)
+        val bins = new Sequence(div(lo), div(Subtract(hi, Literal(1L))), None)
+          .withTimeZone(spark.sessionState.conf.sessionLocalTimeZone)
+        def gen(child: LogicalPlan): LogicalPlan = Generate(
+          Explode(bins),
+          unrequiredChildIndex = Nil, outer = false, qualifier = None,
+          generatorOutput = Seq(iBin), child = child)
+        val (newLeft, newRight) =
+          if (vs) (Project(left.output :+ pBin, left), gen(right))
+          else (gen(left), Project(right.output :+ pBin, right))
+        val newCond = (rest :+ EqualTo(pBin.toAttribute, iBin)).reduce(And)
+        val joined = Join(newLeft, newRight, Inner, Some(newCond), j.hint)
+        val filtered = Filter(
+          And(GreaterThanOrEqual(v, lo), LessThan(v, hi)), joined)
+        Some(Project(j.output, filtered))
+      case _ => None
+    }
+  }
+}
+
+object RangeJoinBinning {
+  val BinSizeKey = "spark.graft.rangejoin.binsize"
+}

@@ -225,6 +225,55 @@ object ExtensionsPack {
         .orderBy("user_id", "ts", "session_start")
     },
 
+    // q34: the SAME point-in-session-interval question as q23, but
+    // written as the NAIVE raw-inequality SQL a user actually types —
+    // the injected optimizer rule (graft.plans.RangeJoinBinning,
+    // conf-gated) must produce the binned equi-join plan q23 builds by
+    // hand. The entry sets the bin-size conf, freezes the optimized
+    // plan (QueryExecution memoizes it), and restores the conf, so the
+    // rewrite is active for exactly this query; the driver's oracle
+    // gates the rewritten plan's RESULTS against the same inequality
+    // join, and RangeJoinBinningSpec pins the plan shape + exactness
+    // fixtures (boundaries, degenerate intervals, orientation).
+    QDef("q34_range_join_rule", Some("""
+      WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      m AS (SELECT user_id, ts,
+              CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w >= INTERVAL '10 minutes' THEN 1 ELSE 0 END AS new_s
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      s AS (SELECT user_id, ts,
+              sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+            FROM m),
+      sess AS (SELECT user_id, min(ts) AS session_start,
+                      max(ts) + INTERVAL '10 minutes' AS session_end
+               FROM s GROUP BY user_id, sid)
+      SELECT e.user_id, e.ts, x.session_start
+      FROM e JOIN sess x ON e.user_id = x.user_id
+        AND e.ts >= x.session_start AND e.ts < x.session_end
+      ORDER BY 1, 2, 3""")) { (s, dir) =>
+      import graft.plans.RangeJoinBinning
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("v"))
+        .createOrReplaceTempView("q34_points")
+      EventsStream.sessionized(Tables.events(s, dir))
+        .select(col("user_id").as("s_user"), col("session_start"),
+          unix_micros(col("session_start")).as("lo"),
+          unix_micros(col("session_end")).as("hi"))
+        .createOrReplaceTempView("q34_sess")
+      val prev = s.conf.getOption(RangeJoinBinning.BinSizeKey)
+      s.conf.set(RangeJoinBinning.BinSizeKey, "3600000000") // 1-hour bins, q23's choice
+      try {
+        val df = s.sql("""
+          SELECT p.user_id, p.ts, x.session_start
+          FROM q34_points p JOIN q34_sess x
+            ON p.user_id = x.s_user AND p.v >= x.lo AND p.v < x.hi
+          ORDER BY p.user_id, p.ts, x.session_start""")
+        df.queryExecution.executedPlan // freeze the rewritten plan under the conf
+        df
+      } finally prev.fold(s.conf.unset(RangeJoinBinning.BinSizeKey))(
+        v => s.conf.set(RangeJoinBinning.BinSizeKey, v))
+    },
+
     QDef("m01_media_meta", Some("""
       SELECT doc_id,
              CASE WHEN doc_id % 3 = 0 THEN 'png'

@@ -1,0 +1,143 @@
+package graft.plans
+
+import graft.SparkTestSession
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The injected optimizer rule must turn the naive inequality-join SQL
+  * into an equi-join plan — and must change RESULTS never, including on
+  * the shapes bins mishandle without the post-filter (degenerate
+  * intervals, boundary values, nulls, duplicate coverage).
+  */
+class RangeJoinBinningSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def withBinSize[A](bs: Long)(f: => A): A = {
+    val key = RangeJoinBinning.BinSizeKey
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, bs.toString)
+    try f
+    finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+  }
+
+  private def fixture(): Unit = {
+    import spark.implicits._
+    // intervals: normal, adjacent, overlapping, degenerate (hi <= lo),
+    // null bound, other key; points on boundaries and far outside
+    Seq(
+      (1L, 0L, 100L, "a"), (1L, 100L, 200L, "b"), (1L, 50L, 150L, "c"),
+      (1L, 300L, 300L, "degenerate"), (1L, 400L, 350L, "inverted"),
+      (2L, 0L, 1000L, "otherkey"),
+      (1L, java.lang.Long.valueOf(500L).longValue(), 600L, "e")
+    ).toDF("k", "lo", "hi", "tag").createOrReplaceTempView("rjb_intervals")
+    Seq(
+      (1L, 0L), (1L, 99L), (1L, 100L), (1L, 149L), (1L, 199L), (1L, 200L),
+      (1L, 300L), (1L, 375L), (1L, 550L), (2L, 500L), (3L, 50L)
+    ).toDF("k", "v").createOrReplaceTempView("rjb_points")
+  }
+
+  private val sql = """
+    SELECT p.k, p.v, i.lo, i.hi, i.tag
+    FROM rjb_points p JOIN rjb_intervals i
+      ON p.k = i.k AND p.v >= i.lo AND p.v < i.hi
+    ORDER BY p.k, p.v, i.tag"""
+
+  private def run(): (DataFrame, String) = {
+    val df = spark.sql(sql)
+    val rows = df.collect() // forces optimization + execution under the current conf
+    (df, df.queryExecution.executedPlan.toString)
+  }
+
+  test("keyed query: rule adds the bin join key that subdivides per-key groups") {
+    fixture()
+    val (offDf, offPlan) = run()
+    // premise: the naive plan joins on k ONLY, range as residual — so a
+    // hot key is one quadratic group
+    assert(!offPlan.contains("__graft_pbin"), s"rule fired while off:\n$offPlan")
+    val offRows = offDf.collect().toSeq
+
+    withBinSize(64L) {
+      val (onDf, onPlan) = run()
+      assert(onPlan.contains("__graft_pbin"),
+        s"bin key missing from the rewritten join:\n$onPlan")
+      assert(!onPlan.contains("CartesianProduct"), s"cartesian in:\n$onPlan")
+      assert(onDf.collect().toSeq === offRows)
+    }
+  }
+
+  test("keyless pure-range query: nested loop becomes a bin equi-join") {
+    fixture()
+    val pure = """
+      SELECT p.v, i.tag FROM rjb_points p JOIN rjb_intervals i
+        ON p.v >= i.lo AND p.v < i.hi
+      ORDER BY p.v, i.tag"""
+    val base = spark.sql(pure)
+    val baseRows = base.collect().toSeq
+    assert(base.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+      "premise: keyless range join is a nested loop")
+    withBinSize(64L) {
+      val df = spark.sql(pure)
+      val rows = df.collect().toSeq
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"not rewritten:\n$plan")
+      assert(plan.contains("__graft_pbin"), s"bin key missing:\n$plan")
+      assert(rows === baseRows)
+    }
+  }
+
+  test("rewrite is exact across bin sizes, including boundary/degenerate shapes") {
+    fixture()
+    val expected = run()._1.collect().toSeq
+    for (bs <- Seq(1L, 7L, 100L, 1000000L)) withBinSize(bs) {
+      assert(run()._1.collect().toSeq === expected, s"binSize $bs")
+    }
+  }
+
+  test("value on the RIGHT side rewrites too") {
+    fixture()
+    val flipped = """
+      SELECT i.tag, p.v
+      FROM rjb_intervals i JOIN rjb_points p
+        ON p.k = i.k AND p.v >= i.lo AND p.v < i.hi
+      ORDER BY i.tag, p.v"""
+    val base = spark.sql(flipped).collect().toSeq
+    withBinSize(64L) {
+      val df = spark.sql(flipped)
+      val rows = df.collect().toSeq
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("__graft_pbin"), s"not rewritten:\n$plan")
+      assert(rows === base)
+    }
+  }
+
+  test("q34 entry freezes the rewritten plan and restores the session conf") {
+    val df = graft.SparkEntry.queries("q34_range_join_rule")(
+      spark, "/root/testdata/sf0.001")
+    assert(spark.conf.getOption(RangeJoinBinning.BinSizeKey).isEmpty,
+      "entry leaked its conf override")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("__graft_pbin"), s"rule did not fire for q34:\n$plan")
+    assert(df.count() > 0) // the frozen plan executes after the restore
+  }
+
+  test("guards: outer joins and non-long bounds stay untouched") {
+    fixture()
+    withBinSize(64L) {
+      val outer = spark.sql("""
+        SELECT p.k, p.v, i.tag
+        FROM rjb_points p LEFT JOIN rjb_intervals i
+          ON p.k = i.k AND p.v >= i.lo AND p.v < i.hi""")
+      outer.collect()
+      assert(!outer.queryExecution.executedPlan.toString
+        .contains("__graft_pbin"), "outer join must not rewrite")
+      val nonLong = spark.sql("""
+        SELECT p.k FROM rjb_points p JOIN rjb_intervals i
+          ON p.k = i.k AND CAST(p.v AS DOUBLE) >= CAST(i.lo AS DOUBLE)
+         AND CAST(p.v AS DOUBLE) < CAST(i.hi AS DOUBLE)""")
+      nonLong.collect()
+      assert(!nonLong.queryExecution.executedPlan.toString
+        .contains("__graft_pbin"), "non-long bounds must not rewrite")
+    }
+  }
+}
