@@ -98,9 +98,18 @@ case class RangeJoinBinning(spark: SparkSession)
         val pBin = Alias(div(v), "__graft_pbin")()
         val iBin = AttributeReference("__graft_ibin", LongType, nullable = true)()
         // Sequence is TimeZoneAware — unresolved until the zone is set
-        // (the analyzer's ResolveTimeZone has already run by now)
-        val bins = new Sequence(div(lo), div(Subtract(hi, Literal(1L))), None)
+        // (the analyzer's ResolveTimeZone has already run by now).
+        // Inverted/empty intervals (hi <= lo) must yield NO bins: Spark's
+        // 2-arg sequence defaults to step -1 when start > stop, which
+        // would explode |span| descending bins (and a widely inverted
+        // interval can exceed MAX_ROUNDED_ARRAY_LENGTH and fail a query
+        // the naive join answers with 0 rows), so guard on a valid
+        // interval first. A null predicate takes the else branch (empty),
+        // matching the naive join where a null bound matches nothing.
+        val seq = new Sequence(div(lo), div(Subtract(hi, Literal(1L))), None)
           .withTimeZone(spark.sessionState.conf.sessionLocalTimeZone)
+        val bins = If(GreaterThan(hi, lo), seq,
+          Literal.create(Array.empty[Long], org.apache.spark.sql.types.ArrayType(LongType)))
         def gen(child: LogicalPlan): LogicalPlan = Generate(
           Explode(bins),
           unrequiredChildIndex = Nil, outer = false, qualifier = None,

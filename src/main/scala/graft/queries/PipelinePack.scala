@@ -1191,24 +1191,29 @@ object PipelinePack {
     },
 
     // ---- d27: sequence PACKING — the training-batch construction step
-    // that turns a filtered corpus into fixed-token-budget rows
-    // ("sample packing"): docs fill a 2048-token window greedily in
-    // stream order; a doc starts the next window when it would overflow
-    // offset arithmetic (bin = starting-offset div budget), so bins are
-    // contiguous spans of the per-shard stream. Packing is sequential BY
-    // DEFINITION, so it runs per shard (here `source`) — a window
-    // cumsum partitioned by the shard key, which is exactly how a
-    // 100 TB packer parallelizes (one sequential pass per shard, shards
-    // independent); a global unpartitioned cumsum would be a
-    // single-partition bottleneck. Pure integer arithmetic, bit-exact
-    // oracle. ----
+    // that turns a filtered corpus into fixed-token-budget rows.
+    // This is CONCAT-AND-CHUNK packing (the GPT-style recipe): the
+    // per-shard token stream is conceptually concatenated in doc order
+    // and chopped into 2048-token bins by offset arithmetic
+    // (bin = starting-offset div budget), so a document whose span
+    // crosses a bin boundary STRADDLES the boundary — there is no
+    // overflow-restart rule, and bins are contiguous offset chunks of
+    // the stream. Packing is sequential BY DEFINITION, so it runs per
+    // shard (here `source`) — a window cumsum partitioned by the shard
+    // key, which is exactly how a 100 TB packer parallelizes (one
+    // sequential pass per shard, shards independent); a global
+    // unpartitioned cumsum would be a single-partition bottleneck.
+    // Pure integer arithmetic, bit-exact oracle. NOTE: DuckDB's
+    // sum(BIGINT) yields HUGEINT — output-reachable aggregates in every
+    // oracle MUST be CAST back to BIGINT or the driver's hash compare
+    // fails even when values match. ----
     QDef("d27_sequence_packing", Some("""
       WITH t AS (SELECT source, doc_id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
                  FROM documents),
       c AS (SELECT source, doc_id, n_tokens,
-              sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+              CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_off
             FROM t)
       SELECT source, doc_id, n_tokens,
              start_off // 2048 AS bin,

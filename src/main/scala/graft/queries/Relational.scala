@@ -549,7 +549,7 @@ object Relational {
                         CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
                  FROM events)
       SELECT event_type, count(*) AS n_events,
-             sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k
+             CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
       FROM e GROUP BY event_type ORDER BY event_type""")) { (s, dir) =>
       Tables.events(s, dir)
         .select(col("event_type"),

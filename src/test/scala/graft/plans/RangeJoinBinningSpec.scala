@@ -121,6 +121,26 @@ class RangeJoinBinningSpec extends AnyFunSuite {
     assert(df.count() > 0) // the frozen plan executes after the restore
   }
 
+  test("widely inverted interval generates zero bins, not a huge descending sequence") {
+    import spark.implicits._
+    // Pre-guard, sequence(div(lo), div(hi-1)) with start >> stop defaulted
+    // to step -1: this interval would generate a ~2-billion-element bin
+    // array (over MAX_ROUNDED_ARRAY_LENGTH → runtime failure) for a join
+    // the naive plan answers with 0 rows.
+    Seq((1L, 2000000000L, 0L, "wide_inverted"))
+      .toDF("k", "lo", "hi", "tag").createOrReplaceTempView("rjb_wide_inv")
+    Seq((1L, 42L)).toDF("k", "v").createOrReplaceTempView("rjb_wide_pts")
+    val q = """
+      SELECT p.k, p.v, i.tag FROM rjb_wide_pts p JOIN rjb_wide_inv i
+        ON p.k = i.k AND p.v >= i.lo AND p.v < i.hi"""
+    withBinSize(1L) {
+      val df = spark.sql(q)
+      assert(df.collect().isEmpty)
+      assert(df.queryExecution.executedPlan.toString.contains("__graft_pbin"),
+        "rule should still rewrite; the guard lives inside the generator")
+    }
+  }
+
   test("guards: outer joins and non-long bounds stay untouched") {
     fixture()
     withBinSize(64L) {
