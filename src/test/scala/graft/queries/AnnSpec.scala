@@ -79,6 +79,30 @@ class AnnSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("pair memo: keyed calls share one materialized pair set across entries") {
+    // The r9 verdict's #3 ask: e04/e04b/d26 all need the near-dup pairs of
+    // the same (corpus, threshold) in one process; the memo must hand the
+    // SAME persisted DataFrame back (so d26 stops re-paying e04's scan)
+    // while unkeyed calls stay untouched plain plans.
+    val emb = graft.Tables.embeddings(spark, dir)
+    val key = Some(s"$dir/embeddings#memo-spec")
+    val first = AnnPack.cosineNearDupBlocked(emb, cacheKey = key)
+    val again = AnnPack.cosineNearDupBlocked(emb, cacheKey = key)
+    assert(first eq again, "keyed call must return the memoized DataFrame")
+    assert(first.storageLevel.useMemory || first.storageLevel.useDisk,
+      "memoized pairs must be persisted for cross-entry reuse")
+    // the unprunable fixture routes both salts through the same fallback
+    // scan, so the salted entry shares the memo too (key salt = -1)
+    val salted = AnnPack.cosineNearDupBlocked(emb, sameCellSalt = 8, cacheKey = key)
+    assert(salted eq first, "fallback path must memoize salt-independently")
+    // unkeyed: a fresh DataFrame (the CacheManager may still serve its
+    // structurally-equal plan from the persisted data — that's the point)
+    val unkeyed = AnnPack.cosineNearDupBlocked(emb)
+    assert(!(unkeyed eq first))
+    assert(again.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      unkeyed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
   test("blocked near-dup prunes most cell pairs on a clustered corpus, exactly") {
     // Real embedding corpora cluster; the synthetic testdata is uniform (the
     // worst case for any EXACT method). This fixture is what the blocking

@@ -28,12 +28,19 @@ class ExplainSpec extends AnyFunSuite {
     if (i >= 0) s.substring(0, i) else s
   }
 
+  private def withoutPairMemo[A](body: => A): A = {
+    graft.queries.AnnPack.pairMemoEnabled = false
+    graft.queries.AnnPack.clearPairMemo(spark) // see the hook's scaladoc
+    try body finally graft.queries.AnnPack.pairMemoEnabled = true
+  }
+
   test("e04c (blocked regime): every nested-loop term is centroid-bounded; vector work is shared") {
     // e04c is the entry whose corpus has prunable structure, so the
     // adaptive choice takes the BLOCKED path — the plan-shape claims
     // attach there. (e04's raw corpus is adversarially uniform; see the
-    // fallback test below.)
-    val plan = planOf("e04c_cosine_near_dup_clustered")
+    // fallback test below.) Memo off: a memoized persisted result would
+    // print as a cached scan instead of the plan under test.
+    val plan = withoutPairMemo(planOf("e04c_cosine_near_dup_clustered"))
     // scale invariant: vector rows only meet other vector rows through
     // equi-joins. Nested-loop terms are allowed ONLY against a broadcast
     // of the centroid subset (vec_id < cells) — each BNLJ's build side
@@ -56,7 +63,7 @@ class ExplainSpec extends AnyFunSuite {
     // output, none of the assignment/radii/shuffle-join machinery that
     // made e04 SLOWER than the brute comparator on this fixture
     // (r8 verdict #6: 31s vs 26s at sf1).
-    val plan = planOf("e04_cosine_near_dup_blocked")
+    val plan = withoutPairMemo(planOf("e04_cosine_near_dup_blocked"))
     val nested = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
     assert(nested === 1, s"fallback should be one broadcast scan:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian product in:\n$plan")
