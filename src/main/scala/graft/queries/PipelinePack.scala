@@ -663,36 +663,53 @@ object PipelinePack {
     }
     var sig = signature(e)
     var converged = sig._1 == 0L // no edges: every node is its own component
+
+    // One large-star/small-star alternation (Kiveris et al.), pure plan —
+    // no action, no checkpoint. Each star phase is ONE window min over
+    // its grouping key instead of a groupBy + self-join pair: the loop
+    // is rounds x fixed stage cost on high-diameter inputs, and the
+    // window halves the exchanges per round (same shuffle key, so skew
+    // behavior matches the join formulation: either way node u's rows
+    // co-locate).
+    def alternation(edges: DataFrame): DataFrame = {
+      // LARGE-STAR: for each node u (over the symmetrized list), connect
+      // every strictly-larger neighbor v > u to m(u) = min(closed
+      // neighborhood of u). m(u) <= u < v, so (m, v) is canonical.
+      val sym = edges.select(col("a").as("u"), col("b").as("v"))
+        .union(edges.select(col("b").as("u"), col("a").as("v")))
+      val large = sym
+        .withColumn("m", least(col("u"), min(col("v")).over(Window.partitionBy("u"))))
+        .filter(col("v") > col("u"))
+        .select(col("m").as("a"), col("v").as("b"))
+      // SMALL-STAR: direct each edge from its max endpoint b to min a;
+      // for each b, connect every lower neighbor AND b itself to
+      // mm(b) = min lower neighbor. Both emitted edge families are
+      // canonical (mm <= lower neighbors < b). No pre-dedup of `large`:
+      // the min is duplicate-insensitive and the caller's distinct
+      // collapses the rest — one fewer shuffle per round.
+      val withMm = large.withColumn("mm", min(col("a")).over(Window.partitionBy("b")))
+      withMm
+        .filter(col("a") =!= col("mm"))
+        .select(col("mm").as("na"), col("a").as("nb"))
+        .union(withMm.select(col("mm").as("na"), col("b").as("nb")))
+        .distinct()
+        .select(col("na").as("a"), col("nb").as("b"))
+    }
+
     // star contraction halves the worst-case structure each alternation;
     // 64 rounds covers any component a 64-bit id space can hold, so
     // hitting the guard means a bug, not a big input
     val MaxRounds = 64
     var round = 0
     while (!converged && round < MaxRounds) {
-      // LARGE-STAR: for each node u (over the symmetrized list), connect
-      // every strictly-larger neighbor v > u to m(u) = min(closed
-      // neighborhood of u). m(u) <= u < v, so (m, v) is canonical.
-      val sym = e.select(col("a").as("u"), col("b").as("v"))
-        .union(e.select(col("b").as("u"), col("a").as("v")))
-      val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"))
-      val large = sym.join(mins, "u")
-        .filter(col("v") > col("u"))
-        .select(col("m").as("a"), col("v").as("b"))
-        .distinct()
-      // SMALL-STAR: direct each edge from its max endpoint b to min a;
-      // for each b, connect every lower neighbor AND b itself to
-      // mm(b) = min lower neighbor. Both emitted edge families are
-      // canonical (mm <= lower neighbors < b).
-      val minsS = large.groupBy("b").agg(min(col("a")).as("mm"))
-      val rewired = large.join(minsS, "b")
-        .filter(col("a") =!= col("mm"))
-        .select(col("mm").as("na"), col("a").as("nb"))
-      val next = rewired
-        .union(minsS.select(col("mm").as("na"), col("b").as("nb")))
-        .distinct()
-        .select(col("na").as("a"), col("nb").as("b"))
-        .localCheckpoint()
+      // One alternation per action: the signature aggregate is the only
+      // action and it materializes the (lazy) checkpoint blocks as it
+      // runs — no separate eager-materialization job per round. (Batching
+      // two alternations per checkpoint was measured SLOWER on the 2^20
+      // chain — 44.2s vs 42.0s — AQE materializes every exchange
+      // sequentially either way, so the doubled plan saves nothing and
+      // pays an extra alternation on convergence overshoot.)
+      val next = alternation(e).localCheckpoint(eager = false)
       val nextSig = signature(next)
       converged = nextSig == sig
       sig = nextSig
@@ -1343,19 +1360,25 @@ object PipelinePack {
              CAST((b.maxb * 1000000) // b.nb AS BIGINT) AS top_bigram_millionths
       FROM wagg w JOIN bagg b ON w.doc_id = b.doc_id
       ORDER BY w.doc_id""")) { (s, dir) =>
-      val ws = toks
+      // The token array is projected ONCE before the bigram transform —
+      // same discipline as the d10 shingles: `split(text)` referenced
+      // inside the lambda re-splits the document per bigram index, an
+      // O(n²)-splits-per-doc trap (this was d14's r9 sf1 cost: 7.5s → 1.2s
+      // here; CollapseProject keeps the projection because the non-cheap
+      // split is referenced more than once).
+      val ws = col("ws")
       // 1-based element_at; i ranges over bigram start offsets 0..n-2. The
-      // size>=2 guard keeps the fold total on degenerate one-word docs
-      // (which the oracle's inner join likewise excludes).
-      val bigrams = when(size(ws) >= 2,
-        transform(sequence(lit(0), size(ws) - 2),
-          i => concat(element_at(ws, i + 1), lit(" "), element_at(ws, i + 2))))
-        .otherwise(array().cast("array<string>"))
+      // size>=2 filter below excludes degenerate one-word docs (which the
+      // oracle's inner join likewise excludes), so the transform bound is
+      // always valid.
+      val bigrams = transform(sequence(lit(0), size(ws) - 2),
+        i => concat(element_at(ws, i + 1), lit(" "), element_at(ws, i + 2)))
       val nW = size(ws).cast("long")
       val nB = (size(ws) - 1).cast("long")
       val maxW = maxMultiplicity(array_sort(ws))
       val maxB = maxMultiplicity(array_sort(bigrams))
       Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("ws"))
         .filter(size(ws) >= 2)
         .select(
           col("doc_id"),

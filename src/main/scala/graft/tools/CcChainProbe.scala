@@ -1,0 +1,27 @@
+package graft.tools
+
+import graft.Sessions
+import org.apache.spark.sql.functions._
+
+/** Isolated wall-time probe for the star-contraction CC loop on the
+  * adversarial high-diameter fixture (the 2^20-node path from
+  * GraphScaleRehearsal check #4) — the loop is latency-bound there
+  * (O(log n) sequential rounds), so per-round constant-cost changes are
+  * measured here without the rest of the rehearsal.
+  */
+object CcChainProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.lift(0).flatMap(_.toIntOption).getOrElse(1 << 20)
+    val spark = Sessions.get()
+    try {
+      val nodes = spark.range(n.toLong).select(col("id").as("doc_id"))
+      val pairs = spark.range(n.toLong - 1)
+        .select(col("id").as("doc_i"), (col("id") + 1L).as("doc_j"))
+      val t0 = System.nanoTime()
+      val (labels, rounds) = graft.queries.PipelinePack.connectedComponents(nodes, pairs)
+      val comps = labels.select("cluster_id").distinct().count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"n":$n,"rounds":$rounds,"components":$comps,"cc_sec":$sec%.2f}""")
+    } finally spark.stop()
+  }
+}
