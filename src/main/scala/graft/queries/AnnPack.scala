@@ -53,6 +53,12 @@ object AnnPack {
   val PqSubDim = 8
   val PqCentroids = 16
   val PqCandidates = 80
+
+  /** Lloyd rounds for e08c's per-subspace PQ codebook training — 2 keeps
+    * the oracle's unrolled CTE chain tractable while moving every
+    * centroid off its md5-seeded value.
+    */
+  val PqKmIters = 2
   /** k-means codebook training (e09): Lloyd iterations in pure integer
     * arithmetic over the e05 int8 form — assignment by integer L2,
     * centroid update by truncating mean — so the trained codebook and
@@ -285,26 +291,24 @@ object AnnPack {
     * table) — exposed (like rhpCandidates / blockedCells) so the scale
     * rehearsal and specs can measure the encode output directly.
     */
-  private[graft] def pqIndex(
-      emb: DataFrame, dim: Int,
-      subDim: Int = PqSubDim, kc: Int = PqCentroids)
-      : (DataFrame, DataFrame, DataFrame) = {
-    require(dim % subDim == 0, s"dim $dim not divisible by subspace width $subDim")
-    val mCount = dim / subDim
-    // per-element int8 rows tagged with their subspace. localCheckpoint:
-    // el feeds the encode join AND the query distance table (and the
-    // corpus here is DERIVED in-plan for the oracle's benefit — without
-    // the cut each consumer re-runs the clustered-blend + quantize
-    // chain; e07 documents the same residual and leaves it, but el is
-    // N x dim rows of longs, cheap to pin).
-    val el = int8Quantize(emb)
+  /** Per-element int8 rows tagged with their subspace — the shared input
+    * of codebook selection, training, encoding and the query distance
+    * table. localCheckpoint: multiple consumers, and the corpus may be
+    * DERIVED in-plan (clustered blend) for the oracle's benefit; el is
+    * N x dim rows of longs, cheap to pin.
+    */
+  private def pqElements(emb: DataFrame, subDim: Int): DataFrame =
+    int8Quantize(emb)
       .select(col("vec_id"), col("dim").as("d"), col("q"),
         expr(s"dim div $subDim").as("m"))
       .localCheckpoint()
-    // codebook: per subspace, the kc corpus vectors with the smallest
-    // md5('pq:v1:<m>:<vec_id>') — a deterministic stand-in for k-means
-    // training (what scales is the coding/serving machinery; e09's
-    // trained codebook drops in as a different `sel`)
+
+  /** The md5-selected codebook: per subspace, the kc corpus vectors with
+    * the smallest md5('pq:v1:<m>:<vec_id>') — a deterministic stand-in
+    * for k-means init AND the e08 baseline codebook; (m, cid, d, cq).
+    */
+  private def pqMd5Codebook(
+      emb: DataFrame, el: DataFrame, mCount: Int, kc: Int): DataFrame = {
     val wSel = Window.partitionBy("m").orderBy(col("h"), col("vec_id"))
     val sel = emb.select(col("vec_id"))
       .select(col("vec_id"),
@@ -313,10 +317,60 @@ object AnnPack {
       .withColumn("cid", (row_number().over(wSel) - 1).cast("long"))
       .filter(col("cid") < kc)
       .select(col("m"), col("cid"), col("vec_id").as("c_vec"))
-    val cb = broadcast(
-      sel.join(el.select(col("vec_id").as("c_vec"), col("m"), col("d"), col("q").as("cq")),
+    sel.join(el.select(col("vec_id").as("c_vec"), col("m"), col("d"), col("q").as("cq")),
         Seq("c_vec", "m"))
-        .select(col("m"), col("cid"), col("d"), col("cq")))
+      .select(col("m"), col("cid"), col("d"), col("cq"))
+  }
+
+  /** e08c's TRAINED codebook — the composition the e08 docstring
+    * promises: per-subspace integer Lloyd (the e09 loop keyed by
+    * subspace `m`, so all M codebooks train in the same distributed
+    * jobs), seeded from the md5 selection e08 serves directly. Integer
+    * arithmetic end to end, so the trained codebook — and everything PQ
+    * serves from it — stays bit-for-bit oracle-gateable, exactly like
+    * e09. Each round is one broadcast join + two aggregates over the
+    * element table; centroids stay M x Kc x subDim rows. At 100 TB you
+    * train on a sample and only encoding scans the full corpus.
+    */
+  private[graft] def pqTrainCodebook(
+      emb: DataFrame, dim: Int,
+      subDim: Int = PqSubDim, kc: Int = PqCentroids,
+      iters: Int = PqKmIters): DataFrame = {
+    require(dim % subDim == 0, s"dim $dim not divisible by subspace width $subDim")
+    val el = pqElements(emb, subDim)
+    var cents = pqMd5Codebook(emb, el, dim / subDim, kc).localCheckpoint()
+    for (_ <- 1 to iters) {
+      // assign: nearest centroid per (vector, subspace) by integer L2
+      val wA = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("cid"))
+      val asg = el.join(broadcast(cents), Seq("m", "d"))
+        .groupBy(col("vec_id"), col("m"), col("cid"))
+        .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("d2"))
+        .withColumn("rn", row_number().over(wA))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("cid"))
+      // update: truncating integer mean per (subspace, centroid, dim);
+      // an emptied centroid keeps its previous value (left + coalesce)
+      val upd = asg.join(el, Seq("vec_id", "m"))
+        .groupBy(col("m"), col("cid"), col("d"))
+        .agg(expr("sum(q) div count(1)").as("cNew"))
+      cents = cents.join(upd, Seq("m", "cid", "d"), "left")
+        .select(col("m"), col("cid"), col("d"), coalesce(col("cNew"), col("cq")).as("cq"))
+        .localCheckpoint() // flat plan per round, like kMeansAssign
+    }
+    cents
+  }
+
+  /** @param codebook optional externally-built (m, cid, d, cq) codebook
+    * (e.g. [[pqTrainCodebook]]'s); None = the md5 selection.
+    */
+  private[graft] def pqIndex(
+      emb: DataFrame, dim: Int,
+      subDim: Int = PqSubDim, kc: Int = PqCentroids,
+      codebook: Option[DataFrame] = None)
+      : (DataFrame, DataFrame, DataFrame) = {
+    require(dim % subDim == 0, s"dim $dim not divisible by subspace width $subDim")
+    val el = pqElements(emb, subDim)
+    val cb = broadcast(codebook.getOrElse(pqMd5Codebook(emb, el, dim / subDim, kc)))
     // encode: nearest centroid per (vector, subspace) by integer L2
     val wAsg = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("cid"))
     val codes = el.join(cb, Seq("m", "d"))
@@ -331,11 +385,12 @@ object AnnPack {
   def pqTopK(
       emb: DataFrame, dim: Int,
       subDim: Int = PqSubDim, kc: Int = PqCentroids,
-      shortlist: Int = PqCandidates): DataFrame = {
+      shortlist: Int = PqCandidates,
+      codebook: Option[DataFrame] = None): DataFrame = {
     // pin the (in-plan-derived) corpus once: it feeds the index build,
     // the re-rank embedding lookup and the query broadcast
     val embC = emb.localCheckpoint()
-    val (el, cb, codes) = pqIndex(embC, dim, subDim, kc)
+    val (el, cb, codes) = pqIndex(embC, dim, subDim, kc, codebook)
     // per-query distance table: Q x M x Kc integer distances, broadcast
     val dt = broadcast(
       el.filter(col("vec_id") < NumQueries)
@@ -491,7 +546,11 @@ object AnnPack {
     * Everything before the final cosine is exact integer/string
     * arithmetic — codes and shortlists match Spark's bit-for-bit.
     */
-  private val pqRankCtes: String = s"""
+  /** PQ codebook CTEs over `cv`: the int8 element table split by
+    * subspace (`mel`) and the md5-selected codebook (`cb`) — the e08
+    * baseline AND e08c's training seed.
+    */
+  private val pqCbCtes: String = s"""
       $int8QeCtes,
       mel AS (SELECT vec_id, d, d // $PqSubDim AS m, q FROM qe),
       mm AS (SELECT DISTINCT m FROM mel),
@@ -503,10 +562,42 @@ object AnnPack {
                FROM selm),
       cb AS (SELECT sr.m, sr.cid, e.d, e.q AS cq
              FROM selr sr JOIN mel e ON e.vec_id = sr.vec_id AND e.m = sr.m
-             WHERE sr.cid < $PqCentroids),
+             WHERE sr.cid < $PqCentroids)"""
+
+  /** One unrolled per-subspace Lloyd round over `mel` (the SQL twin of
+    * [[pqTrainCodebook]]'s loop body): assign by integer L2 within each
+    * subspace, update by truncating mean, emptied centroids carried.
+    */
+  private def pqKmIterSql(i: Int): String = s""",
+      pas$i AS (SELECT e.vec_id, e.m, c.cid, sum((e.q - c.cq) * (e.q - c.cq)) AS d2
+                FROM mel e JOIN pcb${i - 1} c ON c.m = e.m AND c.d = e.d
+                GROUP BY 1, 2, 3),
+      pag$i AS (SELECT vec_id, m, cid FROM (
+                SELECT vec_id, m, cid,
+                       row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+                FROM pas$i) WHERE rn = 1),
+      pup$i AS (SELECT a.m, a.cid, e.d, sum(e.q) // count(*) AS c
+                FROM pag$i a JOIN mel e ON e.vec_id = a.vec_id AND e.m = a.m
+                GROUP BY 1, 2, 3),
+      pcb$i AS MATERIALIZED (SELECT p.m, p.cid, p.d, COALESCE(u.c, p.cq) AS cq
+                FROM pcb${i - 1} p LEFT JOIN pup$i u
+                  ON u.m = p.m AND u.cid = p.cid AND u.d = p.d)"""
+
+  /** The trained-codebook CTE chain: seed pcb0 from the md5 selection,
+    * unroll [[PqKmIters]] per-subspace Lloyd rounds.
+    */
+  private val pqTrainCtes: String =
+    s""",
+      pcb0 AS MATERIALIZED (SELECT m, cid, d, cq FROM cb)""" +
+      (1 to PqKmIters).map(pqKmIterSql).mkString
+
+  /** PQ serving CTEs against codebook CTE `cbName`: encode, per-query
+    * distance table, ADC scan, shortlist, exact re-rank → `prk`.
+    */
+  private def pqServeCtes(cbName: String): String = s""",
       asg AS (SELECT e.vec_id, e.m, c.cid,
                 sum((e.q - c.cq) * (e.q - c.cq)) AS d2
-              FROM mel e JOIN cb c ON c.m = e.m AND c.d = e.d
+              FROM mel e JOIN $cbName c ON c.m = e.m AND c.d = e.d
               GROUP BY 1, 2, 3),
       codes AS (SELECT vec_id, m, cid FROM (
                 SELECT vec_id, m, cid,
@@ -514,7 +605,7 @@ object AnnPack {
                 FROM asg) WHERE rn = 1),
       dt AS (SELECT e.vec_id AS q_id, e.m, c.cid,
                sum((e.q - c.cq) * (e.q - c.cq)) AS dq2
-             FROM mel e JOIN cb c ON c.m = e.m AND c.d = e.d
+             FROM mel e JOIN $cbName c ON c.m = e.m AND c.d = e.d
              WHERE e.vec_id < $NumQueries GROUP BY 1, 2, 3),
       adc AS (SELECT dt.q_id, co.vec_id, sum(dt.dq2) AS adc
               FROM codes co JOIN dt ON dt.m = co.m AND dt.cid = co.cid
@@ -530,6 +621,14 @@ object AnnPack {
       prk AS (SELECT q_id, vec_id,
                 row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rank
               FROM sc3)"""
+
+  private val pqRankCtes: String = pqCbCtes + pqServeCtes("cb")
+
+  /** e08c's oracle chain: md5 seed → trained codebook → the same serving
+    * pipeline, all bit-exact.
+    */
+  private val pqTrainedRankCtes: String =
+    pqCbCtes + pqTrainCtes + pqServeCtes(s"pcb$PqKmIters")
 
   /** e04 — embedding near-dup with CANDIDATE GENERATION (the production
     * path, d03's blocked design applied to vectors). EXACT at any
@@ -1267,6 +1366,98 @@ object AnnPack {
           expr("hits * 1000000L div total").as("recall_millionths"),
           when(col("hits") * 1000000L >= lit(800000L) * col("total"), 1L).otherwise(0L)
             .as("meets_floor"))
+    },
+
+    // ---- e08c: PQ with the TRAINED codebook (r9 verdict #5) — the
+    // composition e08's docstring promised, now an exercised entry:
+    // per-subspace integer Lloyd (seeded from e08's md5 selection)
+    // produces the codebook, and the identical coding/serving pipeline
+    // runs against it. Fully oracle-gated: the DuckDB twin unrolls the
+    // same training rounds (pcb0..pcbN) then the same encode/ADC/re-rank
+    // chain, bit-for-bit. ----
+    QDef("e08c_ann_pq_trained_topk", Some(s"""
+      WITH $clusteredCvCtes,
+      $pqTrainedRankCtes
+      SELECT q_id, rank, vec_id AS neighbor_id FROM prk
+      WHERE rank <= $K ORDER BY q_id, rank""")) { (s, dir) =>
+      val emb = embeddings(s, dir)
+      val cv = clusteredEmbeddings(emb, Some(s"$dir/embeddings"))
+      val dim = dimOf(emb, Some(s"$dir/embeddings#dim"))
+      pqTopK(cv, dim, codebook = Some(pqTrainCodebook(cv, dim)))
+        .orderBy("q_id", "rank")
+    },
+
+    // ---- e08d: trained-vs-md5 codebook recall, e08b-style — BOTH
+    // shortlists scored against relationally re-derived brute force in
+    // one row, so the training's effect is measured, not asserted: the
+    // trained recall must meet the same 0.8 floor, and the md5 baseline
+    // recall sits next to it for comparison. ----
+    QDef("e08d_ann_pq_trained_recall_floor", Some(s"""
+      WITH $clusteredCvCtes,
+      $pqTrainedRankCtes,
+      pqt AS (SELECT q_id, vec_id FROM prk WHERE rank <= $K),
+      asgB AS (SELECT e.vec_id, e.m, c.cid,
+                 sum((e.q - c.cq) * (e.q - c.cq)) AS d2
+               FROM mel e JOIN cb c ON c.m = e.m AND c.d = e.d
+               GROUP BY 1, 2, 3),
+      codesB AS (SELECT vec_id, m, cid FROM (
+                 SELECT vec_id, m, cid,
+                        row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+                 FROM asgB) WHERE rn = 1),
+      dtB AS (SELECT e.vec_id AS q_id, e.m, c.cid,
+                sum((e.q - c.cq) * (e.q - c.cq)) AS dq2
+              FROM mel e JOIN cb c ON c.m = e.m AND c.d = e.d
+              WHERE e.vec_id < $NumQueries GROUP BY 1, 2, 3),
+      adcB AS (SELECT dtB.q_id, co.vec_id, sum(dtB.dq2) AS adc
+               FROM codesB co JOIN dtB ON dtB.m = co.m AND dtB.cid = co.cid
+               WHERE co.vec_id != dtB.q_id GROUP BY 1, 2),
+      cndB AS (SELECT q_id, vec_id FROM (
+               SELECT q_id, vec_id,
+                      row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rn
+               FROM adcB) WHERE rn <= $PqCandidates),
+      scB AS (SELECT cndB.q_id, cndB.vec_id,
+                list_cosine_similarity(e.embedding, qq.embedding) AS c
+              FROM cndB JOIN cv e ON e.vec_id = cndB.vec_id
+                        JOIN cv qq ON qq.vec_id = cndB.q_id),
+      prkB AS (SELECT q_id, vec_id,
+                 row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rank
+               FROM scB),
+      pqb AS (SELECT q_id, vec_id FROM prkB WHERE rank <= $K),
+      bs AS (SELECT q.vec_id AS q_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id) AS rank
+             FROM cv e CROSS JOIN (SELECT * FROM cv WHERE vec_id < $NumQueries) q
+             WHERE e.vec_id != q.vec_id),
+      brute AS (SELECT q_id, vec_id FROM bs WHERE rank <= $K),
+      ht AS (SELECT count(*) AS hits FROM pqt JOIN brute USING (q_id, vec_id)),
+      hb AS (SELECT count(*) AS hits FROM pqb JOIN brute USING (q_id, vec_id)),
+      tot AS (SELECT count(*) AS total FROM brute)
+      SELECT CAST($K AS BIGINT) AS k,
+             CAST(ht.hits AS BIGINT) AS trained_hits,
+             CAST(hb.hits AS BIGINT) AS baseline_hits,
+             CAST(total AS BIGINT) AS total,
+             CAST((ht.hits * 1000000) // total AS BIGINT) AS trained_recall_millionths,
+             CAST((hb.hits * 1000000) // total AS BIGINT) AS baseline_recall_millionths,
+             CAST(CASE WHEN ht.hits * 1000000 >= 800000 * total THEN 1 ELSE 0 END AS BIGINT) AS meets_floor
+      FROM ht, hb, tot""")) { (s, dir) =>
+      val emb = embeddings(s, dir)
+      val cv = clusteredEmbeddings(emb, Some(s"$dir/embeddings"))
+      val dim = dimOf(emb, Some(s"$dir/embeddings#dim"))
+      val trained = pqTopK(cv, dim, codebook = Some(pqTrainCodebook(cv, dim)))
+        .select(col("q_id"), col("neighbor_id"))
+      val baseline = pqTopK(cv, dim).select(col("q_id"), col("neighbor_id"))
+      val brute = bruteForceTopK(cv).select(col("q_id"), col("neighbor_id"))
+      trained.join(brute, Seq("q_id", "neighbor_id"))
+        .agg(count(lit(1)).as("trained_hits"))
+        .crossJoin(baseline.join(brute, Seq("q_id", "neighbor_id"))
+          .agg(count(lit(1)).as("baseline_hits")))
+        .crossJoin(brute.agg(count(lit(1)).as("total")))
+        .select(lit(K.toLong).as("k"), col("trained_hits"), col("baseline_hits"),
+          col("total"),
+          expr("trained_hits * 1000000L div total").as("trained_recall_millionths"),
+          expr("baseline_hits * 1000000L div total").as("baseline_recall_millionths"),
+          when(col("trained_hits") * 1000000L >= lit(800000L) * col("total"), 1L)
+            .otherwise(0L).as("meets_floor"))
     },
 
     // ---- e09: the k-means TRAINING loop itself, fully oracle-gated —

@@ -171,6 +171,53 @@ object ExtensionsPack {
         .orderBy("doc_id")
     },
 
+    // s08: the TTL (horizon-bounded) form of s07 — the state discipline a
+    // CONTINUOUS deployment needs (r9 verdict #4): candidatePairsTtl runs
+    // EventTimeTimeout keyed state where two docs pair only when their
+    // event times sit within the dedup horizon, and entries behind
+    // (watermark - horizon) are evicted as unable to ever pair again.
+    // Batch execution of the same function reduces to the pure horizon
+    // predicate, which is what the oracle re-derives (event time :=
+    // epoch + doc_id seconds, horizon 250s ⇒ |doc_i − doc_j| <= 250).
+    // StreamingSpec drives the streaming form: watermark advance evicts,
+    // evicted ids stop pairing; STREAM_REHEARSAL_r10 holds the
+    // state-plateau receipt. ----
+    QDef("s08_streaming_dedup_ttl_flags", Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      idx AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) i FROM tok),
+      sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM idx),
+      pairs AS (
+        SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS inter
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      dup AS (SELECT DISTINCT p.doc_j AS doc_id FROM pairs p
+              JOIN sizes sa ON sa.doc_id = p.doc_i
+              JOIN sizes sb ON sb.doc_id = p.doc_j
+              WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5
+                AND p.doc_j - p.doc_i <= 250)
+      SELECT d.doc_id,
+             CAST(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS dup_of_recent
+      FROM documents d LEFT JOIN dup ON dup.doc_id = d.doc_id
+      ORDER BY d.doc_id""")) { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.StreamingDedup
+      val docs = Tables.documents(s, dir)
+      val sigs = PipelinePack.bandSignatures(docs)
+        .select(col("doc_id").as("docId"), col("band").cast("int").as("band"),
+          col("sig"), timestamp_seconds(col("doc_id")).as("ts"))
+        .as[StreamingDedup.BandSigTs]
+      val cands = StreamingDedup.candidatePairsTtl(sigs, horizonMs = 250000L)
+        .select(col("docI").as("doc_i"), col("docJ").as("doc_j")).distinct()
+      val dups = PipelinePack.verifyPairs(docs, cands)
+        .select(col("doc_j").as("doc_id")).distinct()
+        .withColumn("f", lit(1L))
+      docs.select(col("doc_id")).join(dups, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("f"), lit(0L)).as("dup_of_recent"))
+        .orderBy("doc_id")
+    },
+
     // as-of join (graft.operators.AsOfJoin): every click matched to the
     // user's most recent purchase at or before it — DuckDB's native ASOF
     // LEFT JOIN is the oracle, so the inclusive-tie and no-match-null

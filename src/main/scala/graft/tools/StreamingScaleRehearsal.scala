@@ -45,6 +45,18 @@ object StreamingScaleRehearsal {
         .withColumn("event_id", col("event_id") + lit(Offset * i))
         .withColumn("user_id", col("user_id") + lit(Offset * i)))
       .reduce(_ unionByName _)
+    writeTimeChunks(spark, scaled, work, chunks)
+  }
+
+  /** Write `scaled` (any schema with a `ts` timestamp column) as `chunks`
+    * single-file parquet chunks in event-time order under `work/stream`.
+    * Returns (streamDir, totalRows).
+    */
+  def writeTimeChunks(
+      spark: SparkSession,
+      scaled: DataFrame,
+      work: String,
+      chunks: Int): (String, Long) = {
     val b = scaled.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
       .head()
     val (lo, hi) = (b.getLong(0), b.getLong(1))
@@ -175,6 +187,44 @@ object StreamingScaleRehearsal {
       check("s05_state_not_input")(s05Max * 10 <= total,
         s"max state $s05Max vs total input $total")
 
+      // ---- s08: TTL near-dup dedup bucket state (r9 verdict #4). A
+      // document-signature stream where event time advances 1 doc/second
+      // across factor x N seconds (copies are id-shifted AND time-shifted
+      // so the stream keeps rolling), run through candidatePairsTtl with
+      // a 600s horizon. Live state = buckets touched by docs inside the
+      // horizon (32 bands/doc) + the current batch — NOT total history,
+      // which is what the NoTimeout variant would accumulate (32 x N x
+      // factor buckets). The timeout eviction is what bends the curve.
+      val dedupHorizonMs = 600000L
+      val docsBase = Tables.documents(spark, srcDir)
+      val nDocs = docsBase.count()
+      val baseSigs = graft.queries.PipelinePack.bandSignatures(docsBase)
+        .localCheckpoint() // one signature derivation for all copies
+      val sigsScaled = (0 until factor).map(i => baseSigs
+          .select((col("doc_id") + lit(Offset * i)).as("docId"),
+            col("band").cast("int").as("band"), col("sig"),
+            timestamp_seconds(col("doc_id") + lit(nDocs * i)).as("ts")))
+        .reduce(_ unionByName _)
+      val dedupWork = s"$work/dedup"
+      val (dedupDir, sigTotal) = writeTimeChunks(spark, sigsScaled, dedupWork, chunks)
+      val s08Curve = runWithCurve(spark, dedupDir, dedupWork, "s08_rehearsal") { df =>
+        import spark.implicits._
+        graft.streaming.StreamingDedup
+          .candidatePairsTtl(df.as[graft.streaming.StreamingDedup.BandSigTs], dedupHorizonMs)
+          .toDF()
+      }
+      val s08Max = s08Curve.map(_._2).max
+      val horizonDocs = dedupHorizonMs / 1000L // 1 doc/second
+      val steadyS08 = 32L * horizonDocs
+      val sigBatchRows = sigTotal / chunks
+      check("s08_batches_cover_chunks")(s08Curve.length >= chunks,
+        s"${s08Curve.length} progress entries < $chunks chunks")
+      check("s08_bucket_state_plateaus")(s08Max <= 4 * (steadyS08 + sigBatchRows),
+        s"max state $s08Max vs 4x(steady $steadyS08 + batch $sigBatchRows)")
+      check("s08_state_not_input")(s08Max * 10 <= sigTotal,
+        s"max state $s08Max vs total signature rows $sigTotal — " +
+          "without eviction state would approach the input")
+
       def curveJson(c: Seq[(Long, Long)]): String =
         c.map { case (in, st) => s"[$in,$st]" }.mkString("[", ",", "]")
       val json =
@@ -182,7 +232,10 @@ object StreamingScaleRehearsal {
           s""""span_days":${spanMicros / 86400000000L},""" +
           s""""s03_max_state":$s03Max,"s03_steady_estimate":$steadyS03,""" +
           s""""s05_max_state":$s05Max,"s05_steady_estimate":$steadyS05,""" +
+          s""""s08_max_state":$s08Max,"s08_steady_estimate":$steadyS08,""" +
+          s""""s08_sig_rows":$sigTotal,"s08_horizon_ms":$dedupHorizonMs,""" +
           s""""s03_curve":${curveJson(s03Curve)},"s05_curve":${curveJson(s05Curve)},""" +
+          s""""s08_curve":${curveJson(s08Curve)},""" +
           s""""failures":${failures.size}}"""
       println(json)
       sys.env.get("SPARK_GRAFT_STREHEARSAL_OUT").foreach { p =>

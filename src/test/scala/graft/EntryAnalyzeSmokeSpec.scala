@@ -43,7 +43,8 @@ class EntryAnalyzeSmokeSpec extends AnyFunSuite {
     "e04b_cosine_near_dup_salted", "e04c_cosine_near_dup_clustered",
     "e05_int8_quantize", "e06_ann_filtered_topk", "e07_ann_rhp_lsh_topk",
     "e07b_ann_rhp_lsh_recall_floor", "e08_ann_pq_topk",
-    "e08b_ann_pq_recall_floor", "e09_kmeans_train",
+    "e08b_ann_pq_recall_floor", "e08c_ann_pq_trained_topk",
+    "e08d_ann_pq_trained_recall_floor", "e09_kmeans_train",
     "g01_nodes", "g02_edges", "g03_properties", "g04_entity_index",
     "g05_lookup_entity", "g06_neighbors", "g07_get_edge", "g08_counts",
     "g09_traverse", "g10_traverse_filtered", "g11_frontier_edges",
@@ -72,7 +73,8 @@ class EntryAnalyzeSmokeSpec extends AnyFunSuite {
     "q33_approx_distinct_validity", "q34_range_join_rule",
     "s01_windowed_events", "s02_dedup_events", "s03_session_windows",
     "s04_click_attribution", "s05_click_attribution_outer",
-    "s06_user_activity_state", "s07_streaming_dedup_flags")
+    "s06_user_activity_state", "s07_streaming_dedup_flags",
+    "s08_streaming_dedup_ttl_flags")
 
   test("registry holds exactly the pinned entry-name set") {
     val got = SparkEntry.queries.keySet

@@ -529,6 +529,31 @@ class AnnSpec extends AnyFunSuite {
     assert(perQ.length === AnnPack.NumQueries && perQ.forall(_.getLong(1) == AnnPack.K))
   }
 
+  test("PQ codebook training moves centroids off the md5 seed and keeps recall") {
+    import org.apache.spark.sql.functions.{col, size => asize}
+    val emb = graft.Tables.embeddings(spark, dir)
+    val cv = AnnPack.clusteredEmbeddings(emb)
+    val dim = emb.select(asize(col("embedding"))).head.getInt(0)
+    val trained = AnnPack.pqTrainCodebook(cv, dim).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    // seed = iters 0 — must equal e08's md5 codebook by construction
+    val seed = AnnPack.pqTrainCodebook(cv, dim, iters = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(trained.keySet === seed.keySet, "same (m, cid, d) shape")
+    val moved = trained.count { case (k, v) => seed(k) != v }
+    assert(moved > trained.size / 4,
+      s"training must move centroid components (moved $moved of ${trained.size}) — " +
+        "otherwise e08c silently serves the e08 baseline")
+    // the trained index still meets the recall floor end to end
+    val pq = AnnPack.pqTopK(cv, dim,
+        codebook = Some(AnnPack.pqTrainCodebook(cv, dim)))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val bf = AnnPack.bruteForceTopK(cv).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (bf & pq).size.toDouble / bf.size
+    assert(recall >= 0.8, s"trained-PQ recall $recall under the 0.8 floor")
+  }
+
   test("k-means integer training matches a plain-Scala Lloyd twin bit for bit") {
     val emb = graft.Tables.embeddings(spark, dir)
     val got = AnnPack.kMeansAssign(emb).collect()

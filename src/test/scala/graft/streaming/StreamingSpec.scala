@@ -377,4 +377,71 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === expected)
   }
+
+  test("TTL dedup: watermark advance evicts bucket entries; evicted ids stop pairing") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingDedup
+    import StreamingDedup.BandSigTs
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val horizonMs = 10L * 60000L // 10-minute dedup horizon
+    val input = MemoryStream[BandSigTs]
+    val query = StreamingDedup.candidatePairsTtl(input.toDS(), horizonMs)
+      .writeStream.format("memory").queryName("sdedup_ttl_test")
+      .outputMode(OutputMode.Append()).start()
+    def pairs() = spark.table("sdedup_ttl_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def stateRows() = query.lastProgress.stateOperators(0).numRowsTotal
+    try {
+      // batch 1: docs 1, 2 collide at t=1 and t=5 (within horizon): pair.
+      // (t=1, not 0: rows at/behind the watermark — initially 0 — are
+      // dropped as late before reaching the operator.)
+      input.addData(BandSigTs(1, 0, 77, ts(1)), BandSigTs(2, 0, 77, ts(5)))
+      query.processAllAvailable()
+      assert(pairs() === Set((1L, 2L)))
+      // batch 2: doc 3 same bucket at t=12 — pairs with 2 (Δ7min) but NOT
+      // with 1 (Δ11min > horizon), even though 1 is still in state
+      input.addData(BandSigTs(3, 0, 77, ts(12)))
+      query.processAllAvailable()
+      assert(pairs() === Set((1L, 2L), (2L, 3L)),
+        "horizon predicate must reject the stale pair")
+      assert(stateRows() === 1L, "one bucket in state")
+      // batch 3: an unrelated bucket advances the watermark to t=60 —
+      // beyond bucket (0,77)'s newest entry (t=12) + horizon (10), so its
+      // whole state is due for timeout eviction
+      input.addData(BandSigTs(9, 5, 11, ts(60)))
+      query.processAllAvailable()
+      // batch 4: another arrival in the live bucket makes the timed-out
+      // bucket process its eviction (timeouts fire during a batch) and
+      // pairs within the live bucket (Δ1min)
+      input.addData(BandSigTs(10, 5, 11, ts(61)))
+      query.processAllAvailable()
+      assert(pairs() === Set((1L, 2L), (2L, 3L), (9L, 10L)))
+      assert(stateRows() === 1L,
+        s"bucket (0,77) must be EVICTED once the watermark passes its newest entry + horizon " +
+          s"(got ${stateRows()} state rows)")
+      // note: for ADMISSIBLE (non-late) future arrivals, eviction can
+      // never change the pair output — any arrival has ts >= watermark,
+      // so a pair with an entry behind (watermark - horizon) would fail
+      // the horizon predicate anyway; the state-size assertion above IS
+      // the eviction receipt
+    } finally query.stop()
+
+    // batch parity for the TTL form: with event time := epoch + doc_id
+    // seconds and horizon H seconds, the output equals the unbounded
+    // operator's pair set restricted to |doc_i - doc_j| <= H
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val sigsTs = graft.queries.PipelinePack.bandSignatures(docs)
+      .select(col("doc_id").as("docId"), col("band").cast("int").as("band"),
+        col("sig"), timestamp_seconds(col("doc_id")).as("ts"))
+      .as[BandSigTs]
+    val got = StreamingDedup.candidatePairsTtl(sigsTs, horizonMs = 25000L).collect()
+      .map(p => (p.docI, p.docJ)).toSet
+    val expected = graft.queries.PipelinePack.lshCandidates(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (i, j) => math.abs(i - j) <= 25 }.toSet
+    assert(expected.nonEmpty, "horizon fixture should keep some candidate pairs")
+    assert(got === expected)
+  }
 }
