@@ -194,6 +194,51 @@ object AnnPack {
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
   }
 
+  /** e02d — IVF with INTEGER cell geometry (r9 verdict #7): the same
+    * assign/probe/merge machinery as [[ivfTopK]], but cell assignment
+    * and probe ranking run in integer L2 over the e05 int8 form (the
+    * e07/e08 technique), so the probed candidate set — the part e02's
+    * float cosine keeps un-gateable — is bit-exact across engines and
+    * the DuckDB oracle re-derives the whole shortlist; only the final
+    * re-rank rides exact cosine, with the tie discipline the e01 oracle
+    * already pins. Same scale shape as e02: broadcast centroids, one
+    * assignment pass, candidates by cell equi-join, never a corpus scan
+    * per query.
+    */
+  def ivfTopKInt(emb: DataFrame, nprobe: Int = NProbe): DataFrame = {
+    val el = int8Quantize(emb)
+      .select(col("vec_id"), col("dim").as("d"), col("q"))
+      .localCheckpoint() // feeds assignment AND probe ranking
+    val cent = broadcast(
+      el.filter(col("vec_id") < NumCentroids)
+        .select(col("vec_id").as("cid"), col("d"), col("q").as("cq")))
+    // integer-L2 distance of every vector to every centroid — reused for
+    // corpus assignment (rn = 1) and query probe lists (rn <= nprobe)
+    val d2 = el.join(cent, "d")
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("d2"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+    val cells = d2.withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val probes = d2.filter(col("vec_id") < NumQueries)
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("cid").as("cell"))
+    // candidates through the probed cells only; exact cosine re-rank
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    cells.join(probes, "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("embedding"), col("q_emb")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
+  }
+
   private val dimCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Int]
 
@@ -1151,6 +1196,43 @@ object AnnPack {
           expr("hits * 1000000L div total").as("recall_millionths"),
           when(col("hits") * 1000000L >= lit(800000L) * col("total"), 1L).otherwise(0L)
             .as("meets_floor"))
+    },
+
+    // ---- e02d: IVF with integer cell geometry — the direct gate the
+    // e02 production probe lacked (r9 verdict #7): assignment and probe
+    // ranking run in integer L2 over the int8 form, so DuckDB re-derives
+    // the probed shortlist bit-for-bit and only the final re-rank rides
+    // the e01-pinned cosine tie discipline. Same nprobe < cells
+    // configuration as e02 — a gated row for the corpus-fraction-scan
+    // serving path itself, not just its full-probe (e02b) or recall
+    // (e02c) fences. ----
+    QDef("e02d_ann_ivf_int_topk", Some(s"""
+      WITH cv AS (SELECT vec_id, embedding FROM embeddings),
+      $int8QeCtes,
+      cent AS (SELECT vec_id AS cid, d, q AS cq FROM qe WHERE vec_id < $NumCentroids),
+      dd AS (SELECT e.vec_id, c.cid, sum((e.q - c.cq) * (e.q - c.cq)) AS d2
+             FROM qe e JOIN cent c ON c.d = e.d GROUP BY 1, 2),
+      cells AS (SELECT vec_id, cid AS cell FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                FROM dd) WHERE rn = 1),
+      prb AS (SELECT vec_id AS q_id, cid AS cell FROM (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+              FROM dd WHERE vec_id < $NumQueries) WHERE rn <= $NProbe),
+      cnd AS (SELECT p.q_id, c.vec_id
+              FROM cells c JOIN prb p ON p.cell = c.cell
+              WHERE c.vec_id != p.q_id),
+      sc AS (SELECT cnd.q_id, cnd.vec_id,
+               list_cosine_similarity(e.embedding, qq.embedding) AS c
+             FROM cnd JOIN cv e ON e.vec_id = cnd.vec_id
+                      JOIN cv qq ON qq.vec_id = cnd.q_id),
+      rk AS (SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rank
+             FROM sc)
+      SELECT q_id, rank, vec_id AS neighbor_id FROM rk
+      WHERE rank <= $K ORDER BY q_id, rank""")) { (s, dir) =>
+      ivfTopKInt(embeddings(s, dir)).orderBy("q_id", "rank")
     },
 
     // ---- int8 quantization: per-vector symmetric scale, exploded rows ----

@@ -38,7 +38,8 @@ class EntryAnalyzeSmokeSpec extends AnyFunSuite {
     "d22_bloom_decontamination", "d23_tfidf_top_terms", "d24_stratified_sample",
     "d25_dedup_keep_best", "d26_semantic_dedup", "d27_sequence_packing",
     "e01_ann_brute_topk", "e02_ann_ivf_topk", "e02b_ann_ivf_full_probe",
-    "e02c_ann_ivf_recall_floor", "e03_cosine_near_dup",
+    "e02c_ann_ivf_recall_floor", "e02d_ann_ivf_int_topk",
+    "e03_cosine_near_dup",
     "e03c_cosine_near_dup_clustered_baseline", "e04_cosine_near_dup_blocked",
     "e04b_cosine_near_dup_salted", "e04c_cosine_near_dup_clustered",
     "e05_int8_quantize", "e06_ann_filtered_topk", "e07_ann_rhp_lsh_topk",
