@@ -419,6 +419,46 @@ object GraphTables {
           .otherwise(0L).as("coeff_millionths"))
   }
 
+  /** g27 — label-propagation communities (Raghavan et al. 2007),
+    * SYNCHRONOUS variant with deterministic tie-breaks so every round is
+    * engine-exact: labels start as node ids; each round every node
+    * adopts the most frequent label among its undirected neighbors
+    * (ties broken by the smallest label; isolated nodes keep their
+    * own). Fixed `rounds` rather than run-to-convergence — synchronous
+    * LPA can 2-cycle on bipartite structure, and a fixed unroll is what
+    * lets the DuckDB oracle re-derive every label bit-for-bit (same
+    * discipline as g23's integer PageRank).
+    *
+    * Scale shape: per round, one join of the symmetric edge list
+    * against the label table + one (node, label) count aggregate + one
+    * per-node argmax — the iterate-shuffle shape of [[pageRank]], with
+    * a localCheckpoint per round keeping the plan flat. The argmax is a
+    * window over (node) on the counted table (one row per distinct
+    * neighbor label, already far smaller than the edge list).
+    */
+  def labelPropagation(
+      nodes: DataFrame, und: DataFrame, rounds: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = und.select(col("u").as("a"), col("v").as("b"))
+      .union(und.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint() // read every round
+    var lbl = nodes.select(col("node_id"), col("node_id").as("lbl"))
+    for (_ <- 1 to rounds) {
+      val counts = sym.join(lbl, col("node_id") === col("b"))
+        .select(col("a"), col("lbl"))
+        .groupBy("a", "lbl").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("a").orderBy(col("c").desc, col("lbl"))
+      val adopted = counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("a").as("node_id"), col("lbl"))
+      lbl = nodes.select(col("node_id"))
+        .join(adopted, Seq("node_id"), "left")
+        .select(col("node_id"), coalesce(col("lbl"), col("node_id")).as("lbl"))
+        .localCheckpoint()
+    }
+    lbl.select(col("node_id"), col("lbl").as("community"))
+  }
+
   /** k-core membership by iterative peeling (Batagelj–Zaveršnik's
     * definition, computed in the Matula–Beck bulk rounds a distributed
     * engine wants): repeatedly drop every node whose degree WITHIN the

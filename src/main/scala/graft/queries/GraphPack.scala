@@ -63,6 +63,21 @@ object GraphPack {
                   + 85 * COALESCE(c.contrib, 0) // 100 AS pr
               FROM nodes n LEFT JOIN c$i c ON c.dst = n.node_id)"""
 
+  /** One unrolled synchronous label-propagation round (g27): the SQL
+    * twin of GraphTables.labelPropagation's loop body — neighbor-label
+    * counts, per-node argmax with (count DESC, label) tie-break,
+    * isolated nodes carried by the LEFT JOIN + COALESCE.
+    */
+  private def lpIterSql(i: Int): String = s""",
+      lc$i AS (SELECT s.a, l.lbl, count(*) AS c
+               FROM sym s JOIN l${i - 1} l ON l.node_id = s.b GROUP BY 1, 2),
+      lw$i AS (SELECT a, lbl FROM (
+               SELECT a, lbl,
+                      row_number() OVER (PARTITION BY a ORDER BY c DESC, lbl) AS rn
+               FROM lc$i) WHERE rn = 1),
+      l$i AS MATERIALIZED (SELECT n.node_id, COALESCE(w.lbl, n.node_id) AS lbl
+               FROM nodes n LEFT JOIN lw$i w ON w.a = n.node_id)"""
+
   /** Oracle unroll bound for g25 — must stay ≥ the peel depth of every
     * corpus the gate runs on (GraphTables.kCore enforces it loudly on
     * the Spark side; measured depth on the thresholded events graph is
@@ -551,6 +566,33 @@ object GraphPack {
       FROM tcnt t LEFT JOIN dg d ON d.node_id = t.node_id
       ORDER BY t.node_id""")) { (s, dir) =>
       GraphTables.clusteringCoefficient(GraphTables.forDir(s, dir))
+        .orderBy("node_id")
+    },
+
+    // ---- g27: label-propagation communities (Raghavan et al. 2007) —
+    // the community-detection member of the analytics family (g21
+    // triangles / g23 centrality / g24 components / g25 cores / g26
+    // density). Synchronous rounds with smallest-label tie-breaks make
+    // every round deterministic, so the oracle unrolls the identical
+    // recurrence (same discipline as g23) and matches bit-for-bit. ----
+    QDef("g27_label_propagation", oracle(s""",
+      und AS (SELECT least(src, dst) AS u, greatest(src, dst) AS v
+              FROM edges WHERE src != dst AND weight >= 3 GROUP BY 1, 2),
+      sym AS (SELECT u AS a, v AS b FROM und UNION ALL SELECT v, u FROM und),
+      l0 AS (SELECT node_id, node_id AS lbl FROM nodes)""" +
+      (1 to 3).map(lpIterSql).mkString + """
+      SELECT node_id, CAST(lbl AS BIGINT) AS community FROM l3
+      ORDER BY node_id""")) { (s, dir) =>
+      // same weight >= 3 thresholded subgraph as g24/g25: the full
+      // sequence-adjacency graph is one dense blob by construction, so
+      // the community object lives on the reinforced-association edges
+      val g = GraphTables.forDir(s, dir)
+      val und = g.edges
+        .filter(col("src") =!= col("dst") && col("weight") >= 3)
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct()
+      GraphTables.labelPropagation(g.nodes, und, rounds = 3)
         .orderBy("node_id")
     },
 

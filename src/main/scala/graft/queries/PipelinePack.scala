@@ -1107,6 +1107,89 @@ object PipelinePack {
       dedupKeepBest(Tables.documents(s, dir), threshold = 0.3).orderBy("doc_id")
     },
 
+    // ---- d28: the CURATION MANIFEST — the end-to-end decision a
+    // training-data pipeline actually ships, composed from the gated
+    // building blocks in ONE Spark plan: language-ID (d06), quality
+    // millionths (d05), near-dup keep-best (d25 at 0.3), deterministic
+    // split (d12), and the final training-set membership bit
+    // (kept ∧ en ∧ quality ≥ 0.4 ∧ train). Every predicate is
+    // non-vacuous on the corpus (453/500 en, ~60% over the quality bar,
+    // ~80% train). The oracle re-derives the whole composition — this
+    // is the entry that gates the PIPELINE, not just its stages. ----
+    QDef("d28_curation_manifest", Some("""
+      WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      idx AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) i FROM tok),
+      sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM idx),
+      prs AS (
+        SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS inter
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      dups AS (
+        SELECT p.doc_i, p.doc_j FROM prs p
+          JOIN sizes sa ON sa.doc_id = p.doc_i
+          JOIN sizes sb ON sb.doc_id = p.doc_j
+        WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.3),
+      e AS (SELECT doc_i AS a, doc_j AS b FROM dups
+            UNION ALL SELECT doc_j, doc_i FROM dups),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+      cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+      q AS (SELECT doc_id,
+              (len(list_distinct(string_split(text, ' '))) * 1000000)
+                // len(string_split(text, ' ')) AS qm
+            FROM documents),
+      rk AS (SELECT cl.doc_id, cl.cluster_id,
+               row_number() OVER (PARTITION BY cl.cluster_id
+                 ORDER BY q.qm DESC, cl.doc_id) AS rn
+             FROM cl JOIN q USING (doc_id)),
+      lg AS (SELECT doc_id, CASE
+               WHEN len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'of'))) > 0 THEN 'en'
+               WHEN len(list_filter(string_split(text, ' '), x -> x IN ('der', 'und', 'die'))) > 0 THEN 'de'
+               WHEN len(list_filter(string_split(text, ' '), x -> x IN ('le', 'et', 'la'))) > 0 THEN 'fr'
+               ELSE 'unknown' END AS lang
+             FROM documents),
+      sp AS (SELECT doc_id,
+               CASE WHEN b < 204 THEN 'train' WHEN b < 230 THEN 'val' ELSE 'test' END AS split
+             FROM (SELECT doc_id,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split:v1'), 1, 2)) AS BIGINT) AS b
+                   FROM documents))
+      SELECT rk.doc_id, lg.lang,
+             CAST(q.qm AS BIGINT) AS quality_millionths,
+             rk.cluster_id,
+             CAST(CASE WHEN rk.rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS kept,
+             sp.split,
+             CAST(CASE WHEN rk.rn = 1 AND lg.lang = 'en' AND q.qm >= 400000
+                        AND sp.split = 'train' THEN 1 ELSE 0 END AS BIGINT)
+               AS in_training_set
+      FROM rk JOIN lg USING (doc_id) JOIN q USING (doc_id) JOIN sp USING (doc_id)
+      ORDER BY rk.doc_id""")) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val hits = (ws: Seq[String]) =>
+        expr(s"size(filter(split(text, ' '), x -> x IN (${ws.map(w => s"'$w'").mkString(", ")})))")
+      val lang = docs.select(col("doc_id"),
+        when(hits(Seq("the", "a", "of")) > 0, "en")
+          .when(hits(Seq("der", "und", "die")) > 0, "de")
+          .when(hits(Seq("le", "et", "la")) > 0, "fr")
+          .otherwise("unknown").as("lang"))
+      val b = conv(substring(md5(concat(col("doc_id").cast("string"), lit(":split:v1"))), 1, 2), 16, 10)
+        .cast("long")
+      val split = docs.select(col("doc_id"),
+        when(b < 204, "train").when(b < 230, "val").otherwise("test").as("split"))
+      dedupKeepBest(docs, threshold = 0.3)
+        .join(lang, "doc_id")
+        .join(docQuality(docs).select(col("doc_id"), col("qm")), "doc_id")
+        .join(split, "doc_id")
+        .select(col("doc_id"), col("lang"), col("qm").as("quality_millionths"),
+          col("cluster_id"), col("kept"), col("split"),
+          when(col("kept") === 1L && col("lang") === "en" &&
+              col("qm") >= 400000L && col("split") === "train", 1L)
+            .otherwise(0L).as("in_training_set"))
+        .orderBy("doc_id")
+    },
+
     // ---- d26: semantic dedup — d25's decision over the EMBEDDING
     // near-dup graph (cosine >= 0.45, the e03/e04 operating threshold,
     // whose margin to the nearest pair AnnSpec already pins), joined

@@ -37,6 +37,7 @@ class EntryAnalyzeSmokeSpec extends AnyFunSuite {
     "d19_fuzzy_decontamination", "d20_dup_span_coverage", "d21_source_mix",
     "d22_bloom_decontamination", "d23_tfidf_top_terms", "d24_stratified_sample",
     "d25_dedup_keep_best", "d26_semantic_dedup", "d27_sequence_packing",
+    "d28_curation_manifest",
     "e01_ann_brute_topk", "e02_ann_ivf_topk", "e02b_ann_ivf_full_probe",
     "e02c_ann_ivf_recall_floor", "e02d_ann_ivf_int_topk",
     "e03_cosine_near_dup",
@@ -57,6 +58,7 @@ class EntryAnalyzeSmokeSpec extends AnyFunSuite {
     "g22b_common_neighbors_capped", "g22c_common_neighbors_powerlaw",
     "g22d_common_neighbors_powerlaw_uncapped", "g23_pagerank",
     "g24_connected_components", "g25_kcore", "g26_clustering_coefficient",
+    "g27_label_propagation",
     "m01_media_meta", "m02_media_features", "m03_frame_sample",
     "m04_resize", "m05_frame_energy", "m06_png_decode",
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_shipping_priority",
