@@ -25,9 +25,10 @@ import org.apache.spark.sql.types.LongType
   * Opt-in, conf-gated: `spark.graft.rangejoin.binsize` (a positive long
   * in the value column's unit) enables it; unset/0 leaves every plan
   * untouched. Conservative guards: inner joins only, batch only, exactly
-  * one `>=` and one `<` conjunct on the same long-typed value expression
-  * with both bounds from the opposite side, and every remaining conjunct
-  * a cross-side equality. Idempotent via the __graft_ marker check in
+  * one lower (`>=` or `>`) and one upper (`<` or `<=`) conjunct — so the
+  * plain BETWEEN shape rewrites too — on the same long-typed value
+  * expression with both bounds from the opposite side, and every
+  * remaining conjunct a cross-side equality. Idempotent via the __graft_ marker check in
   * [[rewrite]]: the optimizer pushes the exactness filter back into the
   * rewritten join's condition, which would otherwise re-match.
   *
@@ -73,16 +74,28 @@ case class RangeJoinBinning(spark: SparkSession)
     // __graft_ bin attributes.
     if (conjuncts.exists(_.references.exists(_.name.startsWith("__graft_"))))
       return None
-    val lowers = conjuncts.collect { case g: GreaterThanOrEqual => g }
-    val uppers = conjuncts.collect { case lt: LessThan => lt }
+    // Both bound strictnesses are supported — v >= lo / v > lo below,
+    // v < hi / v <= hi above (so the plain BETWEEN shape rewrites too).
+    // The bin range is computed for the WIDEST reading of each bound
+    // (sound: bins only propose; the original conjuncts re-filter), so
+    // strict lower bounds still start at div(lo) and only the upper
+    // strictness changes the last bin.
+    val lowers = conjuncts.collect {
+      case g: GreaterThanOrEqual => (g: Expression, g.left, g.right)
+      case g: GreaterThan => (g: Expression, g.left, g.right)
+    }
+    val uppers = conjuncts.collect {
+      case lt: LessThan => (lt: Expression, lt.left, lt.right, true)
+      case le: LessThanOrEqual => (le: Expression, le.left, le.right, false)
+    }
     if (lowers.size != 1 || uppers.size != 1) return None
-    val (v, lo) = (lowers.head.left, lowers.head.right)
-    val (v2, hi) = (uppers.head.left, uppers.head.right)
+    val (lowerConj, v, lo) = lowers.head
+    val (upperConj, v2, hi, upperStrict) = uppers.head
     if (!v.semanticEquals(v2)) return None
     if (Seq(v, lo, hi).exists(e => e.dataType != LongType || !e.deterministic))
       return None
     val rest = conjuncts.filterNot(c =>
-      c.eq(lowers.head) || c.eq(uppers.head))
+      c.eq(lowerConj) || c.eq(upperConj))
     val restAllEqui = rest.forall {
       case EqualTo(a, b) =>
         (sideOf(a, left, right), sideOf(b, left, right)) match {
@@ -106,9 +119,12 @@ case class RangeJoinBinning(spark: SparkSession)
         // the naive join answers with 0 rows), so guard on a valid
         // interval first. A null predicate takes the else branch (empty),
         // matching the naive join where a null bound matches nothing.
-        val seq = new Sequence(div(lo), div(Subtract(hi, Literal(1L))), None)
+        val lastBin = if (upperStrict) div(Subtract(hi, Literal(1L))) else div(hi)
+        val seq = new Sequence(div(lo), lastBin, None)
           .withTimeZone(spark.sessionState.conf.sessionLocalTimeZone)
-        val bins = If(GreaterThan(hi, lo), seq,
+        val nonEmpty: Expression =
+          if (upperStrict) GreaterThan(hi, lo) else GreaterThanOrEqual(hi, lo)
+        val bins = If(nonEmpty, seq,
           Literal.create(Array.empty[Long], org.apache.spark.sql.types.ArrayType(LongType)))
         def gen(child: LogicalPlan): LogicalPlan = Generate(
           Explode(bins),
@@ -119,8 +135,9 @@ case class RangeJoinBinning(spark: SparkSession)
           else (gen(left), Project(right.output :+ pBin, right))
         val newCond = (rest :+ EqualTo(pBin.toAttribute, iBin)).reduce(And)
         val joined = Join(newLeft, newRight, Inner, Some(newCond), j.hint)
-        val filtered = Filter(
-          And(GreaterThanOrEqual(v, lo), LessThan(v, hi)), joined)
+        // re-apply the ORIGINAL bound conjuncts (whatever their
+        // strictness) — this is what makes the rewrite exact
+        val filtered = Filter(And(lowerConj, upperConj), joined)
         Some(Project(j.output, filtered))
       case _ => None
     }

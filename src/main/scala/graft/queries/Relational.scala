@@ -673,6 +673,71 @@ object Relational {
           when(abs(col("n_approx") - col("n_exact")) * 100L <= col("n_exact") * 15L, 0L)
             .otherwise(1L).as("band_violations"))
         .orderBy("o_orderstatus")
+    },
+
+    // ---- q35: FUNNEL analysis — per-user ordered-event conversion
+    // (view → click within 24h → purchase within 24h of that click),
+    // the sequential-pattern query product analytics runs constantly.
+    // Each stage is one filtered min-aggregate on user_id joined to the
+    // previous stage's first-reach time — a chain of co-partitioned
+    // aggregates/joins on ONE key (AQE plans the tiny stage tables as
+    // broadcasts), never a window over the full event stream, so the
+    // shape holds at 100 TB: per-user state is three timestamps, not an
+    // event history. Strict `>` ordering + the closed 24h bound make
+    // the stage predicate deterministic in both engines; the window is
+    // what discriminates on this corpus (90/35/25 across stages 1/2/3
+    // at sf0.01 — unbounded, every user converts). Output is integer
+    // flags only (no timestamp columns to hash). ----
+    QDef("q35_funnel_conversion", Some("""
+      WITH v AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS fv
+                 FROM events WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS fc
+            FROM events e JOIN v ON v.user_id = e.user_id
+            WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.fv
+              AND CAST(e.ts AS TIMESTAMP) <= v.fv + INTERVAL '24 hours'
+            GROUP BY 1),
+      p AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS fp
+            FROM events e JOIN c ON c.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.fc
+              AND CAST(e.ts AS TIMESTAMP) <= c.fc + INTERVAL '24 hours'
+            GROUP BY 1),
+      u AS (SELECT DISTINCT user_id FROM events)
+      SELECT u.user_id,
+             CAST(CASE WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS reached_view,
+             CAST(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS reached_click,
+             CAST(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS reached_purchase,
+             CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                       WHEN c.user_id IS NOT NULL THEN 2
+                       WHEN v.user_id IS NOT NULL THEN 1
+                       ELSE 0 END AS BIGINT) AS funnel_stage
+      FROM u LEFT JOIN v ON v.user_id = u.user_id
+             LEFT JOIN c ON c.user_id = u.user_id
+             LEFT JOIN p ON p.user_id = u.user_id
+      ORDER BY u.user_id""")) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("fv"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("ts") > col("fv") &&
+          col("ts") <= col("fv") + expr("INTERVAL 24 HOURS"))
+        .groupBy("user_id").agg(min(col("ts")).as("fc"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("ts") > col("fc") &&
+          col("ts") <= col("fc") + expr("INTERVAL 24 HOURS"))
+        .groupBy("user_id").agg(min(col("ts")).as("fp"))
+      ev.select("user_id").distinct()
+        .join(v, Seq("user_id"), "left")
+        .join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          when(col("fv").isNotNull, 1L).otherwise(0L).as("reached_view"),
+          when(col("fc").isNotNull, 1L).otherwise(0L).as("reached_click"),
+          when(col("fp").isNotNull, 1L).otherwise(0L).as("reached_purchase"),
+          when(col("fp").isNotNull, 3L).when(col("fc").isNotNull, 2L)
+            .when(col("fv").isNotNull, 1L).otherwise(0L).as("funnel_stage"))
+        .orderBy("user_id")
     }
   )
 }

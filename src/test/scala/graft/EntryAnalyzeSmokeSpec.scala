@@ -74,6 +74,7 @@ class EntryAnalyzeSmokeSpec extends AnyFunSuite {
     "q27_approx_percentile_validity", "q28_grouped_p95", "q29_json_props",
     "q30_grouping_sets", "q31_exists_customers", "q32_window_rankings",
     "q33_approx_distinct_validity", "q34_range_join_rule",
+    "q35_funnel_conversion",
     "s01_windowed_events", "s02_dedup_events", "s03_session_windows",
     "s04_click_attribution", "s05_click_attribution_outer",
     "s06_user_activity_state", "s07_streaming_dedup_flags",

@@ -121,6 +121,44 @@ class RangeJoinBinningSpec extends AnyFunSuite {
     assert(df.count() > 0) // the frozen plan executes after the restore
   }
 
+  test("BETWEEN (inclusive bounds) rewrites and stays exact, including hi-on-boundary") {
+    fixture()
+    val between = """
+      SELECT p.k, p.v, i.tag
+      FROM rjb_points p JOIN rjb_intervals i
+        ON p.k = i.k AND p.v BETWEEN i.lo AND i.hi
+      ORDER BY p.k, p.v, i.tag"""
+    val base = spark.sql(between).collect().toSeq
+    // inclusive-upper differs from the half-open fixture queries: v=100
+    // now matches tag 'a' (hi=100), v=200 matches 'b' — the rewrite must
+    // include the div(hi) bin or those boundary rows vanish
+    assert(base.exists(r => r.getLong(1) == 100L && r.getString(2) == "a"),
+      "premise: inclusive upper keeps the boundary row")
+    for (bs <- Seq(1L, 64L, 1000L)) withBinSize(bs) {
+      val df = spark.sql(between)
+      val rows = df.collect().toSeq
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("__graft_pbin"), s"BETWEEN not rewritten (bs=$bs):\n$plan")
+      assert(rows === base, s"binSize $bs")
+    }
+  }
+
+  test("strict lower bound (v > lo) rewrites and stays exact") {
+    fixture()
+    val strict = """
+      SELECT p.k, p.v, i.tag
+      FROM rjb_points p JOIN rjb_intervals i
+        ON p.k = i.k AND p.v > i.lo AND p.v <= i.hi
+      ORDER BY p.k, p.v, i.tag"""
+    val base = spark.sql(strict).collect().toSeq
+    withBinSize(64L) {
+      val df = spark.sql(strict)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("__graft_pbin"), s"not rewritten:\n$plan")
+      assert(df.collect().toSeq === base)
+    }
+  }
+
   test("widely inverted interval generates zero bins, not a huge descending sequence") {
     import spark.implicits._
     // Pre-guard, sequence(div(lo), div(hi-1)) with start >> stop defaulted
