@@ -139,6 +139,58 @@ object Multimodal {
       .toDF("doc_id", "width", "height", "n_pixels", "sum_r", "sum_g", "sum_b", "pixel_checksum")
   }
 
+  /** m07 — perceptual AVERAGE-HASH (aHash) over a REAL decode: ImageIO
+    * bytes→raster, integer luminance (r+g+b), a grid×grid block-mean
+    * downsample (cell of pixel (x,y) is (x·grid div w, y·grid div h) —
+    * every cell non-empty because the fixture dims are ≥ grid), each
+    * cell's truncating integer mean thresholded against the truncating
+    * mean of the cell means: bit = cell > global, hash = Σ bit<<cell.
+    * Integer end to end, so the oracle re-derives every hash bit from
+    * the [[pixel]] function without a codec — the image-domain twin of
+    * d08's text SimHash, and the index the m07b near-dup join runs on.
+    */
+  def imageAHash(media: DataFrame, grid: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, payload) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          require(img != null, s"undecodable image payload for doc $id")
+          val (w, h) = (img.getWidth, img.getHeight)
+          require(w >= grid && h >= grid,
+            s"doc $id: $w x $h below the $grid x $grid hash grid")
+          val sums = Array.ofDim[Long](grid * grid)
+          val counts = Array.ofDim[Long](grid * grid)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val l = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              val cell = (y * grid / h) * grid + (x * grid / w)
+              sums(cell) += l
+              counts(cell) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val means = Array.tabulate(grid * grid)(i => sums(i) / counts(i))
+          val gmean = means.sum / (grid * grid)
+          var hash = 0L
+          var i = 0
+          while (i < grid * grid) {
+            if (means(i) > gmean) hash |= (1L << i)
+            i += 1
+          }
+          (id, hash)
+        }
+      }
+      .toDF("doc_id", "ahash")
+  }
+
   /** Feature extraction with a REAL decode: ImageIO bytes→pixels, then a
     * FeatureDim-bin histogram over all channel bytes, normalized. One
     * decoder context per partition, rows streamed through it — the

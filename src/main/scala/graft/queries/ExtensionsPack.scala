@@ -403,6 +403,85 @@ object ExtensionsPack {
         .orderBy("doc_id")
     },
 
+    // m07: perceptual average-hash over the REAL PNG decode — the
+    // image-domain dedup index (the d08-SimHash idea on rasters):
+    // integer luminance, 4x4 block means, threshold at the global mean.
+    // The oracle re-derives every hash bit from the pixel function with
+    // no codec; the decode side exercises actual ImageIO. ----
+    QDef("m07_image_ahash", Some("""
+      WITH d AS (SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h FROM documents),
+      px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM d),
+      c AS (SELECT doc_id, w, h, i,
+              (doc_id * 31 + (i % w) * 7 + (i // w) * 13) % 256 AS r,
+              (doc_id * 17 + (i % w) * 3 + (i // w) * 29) % 256 AS g,
+              (doc_id * 53 + (i % w) * 11 + (i // w) * 5) % 256 AS b
+            FROM px),
+      cell AS (SELECT doc_id,
+                 ((i // w) * 4 // h) * 4 + ((i % w) * 4 // w) AS cl,
+                 r + g + b AS l
+               FROM c),
+      cm AS (SELECT doc_id, cl, sum(l) // count(*) AS m FROM cell GROUP BY 1, 2),
+      gm AS (SELECT doc_id, sum(m) // 16 AS g FROM cm GROUP BY 1)
+      SELECT cm.doc_id,
+             CAST(sum(CASE WHEN cm.m > gm.g THEN CAST(1 AS BIGINT) << cl ELSE 0 END)
+               AS BIGINT) AS ahash
+      FROM cm JOIN gm ON gm.doc_id = cm.doc_id
+      GROUP BY cm.doc_id ORDER BY cm.doc_id""")) { (s, dir) =>
+      Multimodal.imageAHash(
+          Multimodal.pngMediaFromDocuments(Tables.documents(s, dir)))
+        .orderBy("doc_id")
+    },
+
+    // m07b: image near-dup pairs at hamming <= 1 over the m07 hashes —
+    // EXACT without an all-pairs scan: each doc emits its hash plus the
+    // 16 one-bit flips, pairs meet through the variant equi-join (a pair
+    // at hamming <= 1 always shares a variant value), then the true
+    // hamming re-check dedups and bounds. The d18 block-join idea with
+    // flips instead of blocks — at 100 TB the variant is the index key. ----
+    QDef("m07b_image_ahash_pairs", Some("""
+      WITH d AS (SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h FROM documents),
+      px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM d),
+      c AS (SELECT doc_id, w, h, i,
+              (doc_id * 31 + (i % w) * 7 + (i // w) * 13) % 256 AS r,
+              (doc_id * 17 + (i % w) * 3 + (i // w) * 29) % 256 AS g,
+              (doc_id * 53 + (i % w) * 11 + (i // w) * 5) % 256 AS b
+            FROM px),
+      cell AS (SELECT doc_id,
+                 ((i // w) * 4 // h) * 4 + ((i % w) * 4 // w) AS cl,
+                 r + g + b AS l
+               FROM c),
+      cm AS (SELECT doc_id, cl, sum(l) // count(*) AS m FROM cell GROUP BY 1, 2),
+      gm AS (SELECT doc_id, sum(m) // 16 AS g FROM cm GROUP BY 1),
+      hs AS (SELECT cm.doc_id,
+               CAST(sum(CASE WHEN cm.m > gm.g THEN CAST(1 AS BIGINT) << cl ELSE 0 END)
+                 AS BIGINT) AS ahash
+             FROM cm JOIN gm ON gm.doc_id = cm.doc_id GROUP BY cm.doc_id),
+      vr AS (SELECT doc_id, ahash,
+               xor(ahash, CASE WHEN f = 16 THEN 0 ELSE CAST(1 AS BIGINT) << f END) AS v
+             FROM hs, (SELECT unnest(range(0, 17)) AS f)),
+      pr AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.ahash AS ha, b.ahash AS hb
+             FROM vr a JOIN vr b ON a.v = b.v AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b,
+             CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+      FROM pr WHERE bit_count(xor(ha, hb)) <= 1
+      ORDER BY id_a, id_b""")) { (s, dir) =>
+      val hs = Multimodal.imageAHash(
+        Multimodal.pngMediaFromDocuments(Tables.documents(s, dir)))
+      val variants = hs.select(col("doc_id"), col("ahash"),
+        explode(expr("transform(sequence(0, 16), " +
+          "f -> CASE WHEN f = 16 THEN ahash " +
+          "ELSE ahash ^ shiftleft(CAST(1 AS BIGINT), f) END)")).as("v"))
+      val a = variants.select(col("doc_id").as("id_a"), col("ahash").as("ha"), col("v"))
+      val b = variants.select(col("doc_id").as("id_b"), col("ahash").as("hb"), col("v"))
+      a.join(b, "v").filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          expr("CAST(bit_count(ha ^ hb) AS BIGINT)").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 1)
+        .orderBy("id_a", "id_b")
+    },
+
     // Frame sampling is pure offset arithmetic over the payload length
     // (n = min(4, max(len/32, 1)); offset_f = len*f/n; the slice stops at
     // the payload end), so the gated projection is integer-only and DuckDB
