@@ -105,6 +105,41 @@ class ExplainSpec extends AnyFunSuite {
       s"non-equi join in:\n$plan")
   }
 
+  test("m07b: image-hash pairs meet through the variant equi-join, never a product") {
+    // the 17-variant bit-flip index IS the point: a hamming<=1 pair must
+    // arrive via the equi-join on v, not an all-pairs hash comparison
+    val q = (graft.queries.AnnPack.defs ++ graft.queries.PipelinePack.defs ++
+      graft.queries.ExtensionsPack.defs)
+      .find(_.name == "m07b_image_ahash_pairs").getOrElse(fail("no m07b"))
+    val df = q.run(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in:\n$plan")
+  }
+
+  test("q35: funnel stages are aggregates + joins on user_id — no window over the event stream") {
+    val q = graft.queries.Relational.defs
+      .find(_.name == "q35_funnel_conversion").getOrElse(fail("no q35"))
+    val df = q.run(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // rangepartitioning's sort is the output ORDER BY; the funnel itself
+    // must contain no Window node (a window formulation would sort every
+    // user's full history) and no non-equi join
+    assert(!plan.contains("Window ["), s"window over events in:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in:\n$plan")
+  }
+
+  test("e02d: integer-IVF candidates come from the cell equi-join; shortlists are group limits") {
+    val plan = planOf("e02d_ann_ivf_int_topk")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"assignment/probe argmax should push partial group limits:\n$plan")
+  }
+
   test("d24: the rank<=k quota becomes a map-side window group limit") {
     // the optimizer must turn `row_number() <= 5` into WindowGroupLimit
     // (partial top-k per input partition BEFORE the stratum shuffle) —
