@@ -70,11 +70,42 @@ object StreamingBench {
     try {
       val (streamDir, total) =
         StreamingScaleRehearsal.prepareChunks(spark, srcDir, work, factor, chunks)
-      val results = entries.map { case (name, build) =>
+      val eventResults = entries.map { case (name, build) =>
         val (sec, rows, batches) = runTimed(spark, streamDir, work, name)(build)
         System.err.println(f"[stream-bench] $name: $sec%.2fs, $rows rows, $batches batches")
         name -> (math.round(sec * 1000) / 1000.0, rows, batches)
       }
+
+      // s07/s08 run on the document band-signature stream, not events:
+      // same chunked event-time replay discipline, event time = 1 doc/s
+      // with copies id- and time-shifted (the rehearsal's construction)
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      import graft.streaming.StreamingDedup
+      val docsBase = graft.Tables.documents(spark, srcDir)
+      val nDocs = docsBase.count()
+      val baseSigs = graft.queries.PipelinePack.bandSignatures(docsBase).localCheckpoint()
+      val sigsScaled = (0 until factor).map(i => baseSigs
+          .select((col("doc_id") + lit(StreamingScaleRehearsal.Offset * i)).as("docId"),
+            col("band").cast("int").as("band"), col("sig"),
+            timestamp_seconds(col("doc_id") + lit(nDocs * i)).as("ts")))
+        .reduce(_ unionByName _)
+      val (sigDir, sigTotal) =
+        StreamingScaleRehearsal.writeTimeChunks(spark, sigsScaled, s"$work/sig", chunks)
+      val sigEntries: Seq[(String, DataFrame => DataFrame)] = Seq(
+        "s07_streaming_dedup_pairs" -> (df =>
+          StreamingDedup.candidatePairs(
+            df.select("docId", "band", "sig").as[StreamingDedup.BandSig]).toDF()),
+        "s08_streaming_dedup_ttl_pairs" -> (df =>
+          StreamingDedup.candidatePairsTtl(
+            df.as[StreamingDedup.BandSigTs], horizonMs = 600000L).toDF()))
+      val sigResults = sigEntries.map { case (name, build) =>
+        val (sec, rows, batches) = runTimed(spark, sigDir, s"$work/sig", name)(build)
+        System.err.println(f"[stream-bench] $name: $sec%.2fs, $rows rows, $batches batches")
+        name -> (math.round(sec * 1000) / 1000.0, rows, batches)
+      }
+      System.err.println(s"[stream-bench] signature rows: $sigTotal")
+      val results = eventResults ++ sigResults
       val total_sec = math.round(results.map(_._2._1).sum * 1000) / 1000.0
       val es = results.map { case (n, (sec, rows, batches)) =>
         val rps = if (sec > 0) math.round(rows / sec) else 0L

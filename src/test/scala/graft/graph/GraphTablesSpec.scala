@@ -356,6 +356,43 @@ class GraphTablesSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("g27 label propagation matches a sequential synchronous-LPA twin") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("g27_label_propagation")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val g = GraphTables.forDir(spark, dir)
+    val nodes = g.nodes.select("node_id").collect().map(_.getLong(0)).sorted
+    val und = g.edges.filter(col("weight") >= 3 && col("src") =!= col("dst"))
+      .select("src", "dst").collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
+      .distinct
+    val nbrs = mutable.Map.empty[Long, mutable.ArrayBuffer[Long]]
+    und.foreach { case (u, v) =>
+      nbrs.getOrElseUpdate(u, mutable.ArrayBuffer.empty) += v
+      nbrs.getOrElseUpdate(v, mutable.ArrayBuffer.empty) += u
+    }
+    var lbl = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      // SYNCHRONOUS: every adoption reads the previous round's labels
+      lbl = nodes.map { n =>
+        nbrs.get(n) match {
+          case None => n -> lbl(n)
+          case Some(ns) =>
+            val counts = ns.map(lbl).groupBy(identity).view.mapValues(_.size)
+            // most frequent label, smallest label on ties
+            n -> counts.toSeq.maxBy { case (l, c) => (c, -l) }._1
+        }
+      }.toMap
+    }
+    assert(got === lbl)
+    // sf0.001's thresholded graph converges to one community; the
+    // non-vacuity premise is that propagation actually happened (the 44
+    // communities at sf0.01 are the oracle gate's business)
+    assert(got.exists { case (n, l) => l != n },
+      "some node should have adopted a neighbor's label")
+  }
+
   test("clustering coefficient matches a triangle/degree integer recompute") {
     val dir = "/root/testdata/sf0.001"
     val g = GraphTables.forDir(spark, dir)
