@@ -377,10 +377,29 @@ object AnnPack {
     * element table; centroids stay M x Kc x subDim rows. At 100 TB you
     * train on a sample and only encoding scans the full corpus.
     */
+  /** Memoized trained codebooks per (session, corpus key): e08c and e08d
+    * train on the same derived corpus in one process; the result is tiny
+    * (M x Kc x subDim rows) and already localCheckpoint-materialized, so
+    * the memo just hands the same DataFrame back — the probe/pairs memo
+    * discipline applied to training.
+    */
+  private val pqCodebookCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
+
   private[graft] def pqTrainCodebook(
       emb: DataFrame, dim: Int,
       subDim: Int = PqSubDim, kc: Int = PqCentroids,
-      iters: Int = PqKmIters): DataFrame = {
+      iters: Int = PqKmIters,
+      cacheKey: Option[String] = None): DataFrame = cacheKey match {
+    case Some(k) =>
+      pqCodebookCache.getOrElseUpdate((emb.sparkSession, k, iters),
+        pqTrainCodebook(emb, dim, subDim, kc, iters, None))
+    case None => trainCodebook(emb, dim, subDim, kc, iters)
+  }
+
+  private def trainCodebook(
+      emb: DataFrame, dim: Int,
+      subDim: Int, kc: Int, iters: Int): DataFrame = {
     require(dim % subDim == 0, s"dim $dim not divisible by subspace width $subDim")
     val el = pqElements(emb, subDim)
     var cents = pqMd5Codebook(emb, el, dim / subDim, kc).localCheckpoint()
@@ -1465,7 +1484,8 @@ object AnnPack {
       val emb = embeddings(s, dir)
       val cv = clusteredEmbeddings(emb, Some(s"$dir/embeddings"))
       val dim = dimOf(emb, Some(s"$dir/embeddings#dim"))
-      pqTopK(cv, dim, codebook = Some(pqTrainCodebook(cv, dim)))
+      pqTopK(cv, dim, codebook = Some(pqTrainCodebook(cv, dim,
+        cacheKey = Some(s"$dir/embeddings#pqtrained"))))
         .orderBy("q_id", "rank")
     },
 
@@ -1525,7 +1545,8 @@ object AnnPack {
       val emb = embeddings(s, dir)
       val cv = clusteredEmbeddings(emb, Some(s"$dir/embeddings"))
       val dim = dimOf(emb, Some(s"$dir/embeddings#dim"))
-      val trained = pqTopK(cv, dim, codebook = Some(pqTrainCodebook(cv, dim)))
+      val trained = pqTopK(cv, dim, codebook = Some(pqTrainCodebook(cv, dim,
+        cacheKey = Some(s"$dir/embeddings#pqtrained"))))
         .select(col("q_id"), col("neighbor_id"))
       val baseline = pqTopK(cv, dim).select(col("q_id"), col("neighbor_id"))
       val brute = bruteForceTopK(cv).select(col("q_id"), col("neighbor_id"))

@@ -1700,6 +1700,49 @@ object PipelinePack {
         .orderBy("source", "rk")
     },
 
+    // ---- d29: WEIGHTED MIXTURE SAMPLING — d21 reports the mixture,
+    // this EXECUTES one: per-source target weights (deterministic
+    // md5-derived 1..4 here; a config table in production) turn a global
+    // budget of 200 docs into integer per-source quotas (floor of the
+    // weighted share), and each source contributes its top-quota docs by
+    // the d24 salted-md5 rank — deterministic, append-stable, and
+    // re-runnable. Scale shape: the quota table is one tiny aggregate
+    // broadcast back onto the per-source ranked stream; the rank window
+    // is partitioned by source (no global sort). Unlike d24's fixed k,
+    // the variable quota can't become a WindowGroupLimit — the window
+    // still ranks only within each stratum. ----
+    QDef("d29_mixture_sample", Some("""
+      WITH w AS (SELECT source,
+                   CAST(('0x' || substr(md5(source || ':mix:v1'), 1, 2)) AS BIGINT) % 4 + 1 AS wt
+                 FROM (SELECT DISTINCT source FROM documents)),
+      tot AS (SELECT CAST(sum(wt) AS BIGINT) AS tw FROM w),
+      q AS (SELECT source, wt, (200 * wt) // tw AS quota FROM w, tot),
+      r AS (SELECT doc_id, source,
+              row_number() OVER (PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR) || ':mix:v1'), doc_id) AS rk
+            FROM documents)
+      SELECT r.doc_id, r.source, CAST(r.rk AS BIGINT) AS rk,
+             CAST(q.wt AS BIGINT) AS wt, CAST(q.quota AS BIGINT) AS quota
+      FROM r JOIN q USING (source) WHERE r.rk <= q.quota
+      ORDER BY r.doc_id""")) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val wts = docs.select("source").distinct()
+        .select(col("source"),
+          (conv(substring(md5(concat(col("source"), lit(":mix:v1"))), 1, 2), 16, 10)
+            .cast("long") % 4 + 1).as("wt"))
+      val quotas = wts.crossJoin(broadcast(wts.agg(sum(col("wt")).as("tw"))))
+        .select(col("source"), col("wt"), expr("200 * wt div tw").as("quota"))
+      val wRank = Window.partitionBy("source")
+        .orderBy(col("h").asc, col("doc_id").asc)
+      docs.select(col("doc_id"), col("source"),
+          md5(concat(col("doc_id").cast("string"), lit(":mix:v1"))).as("h"))
+        .withColumn("rk", row_number().over(wRank).cast("long"))
+        .join(broadcast(quotas), "source")
+        .filter(col("rk") <= col("quota"))
+        .select(col("doc_id"), col("source"), col("rk"), col("wt"), col("quota"))
+        .orderBy("doc_id")
+    },
+
     // ---- d16: PII redaction (email + IPv4), the scrubbing pass every
     // training corpus gets before release. Pure projection — regexp_count
     // and regexp_replace are codegen'd, no shuffle at any corpus size. The

@@ -37,7 +37,7 @@ class EntryAnalyzeSmokeSpec extends AnyFunSuite {
     "d19_fuzzy_decontamination", "d20_dup_span_coverage", "d21_source_mix",
     "d22_bloom_decontamination", "d23_tfidf_top_terms", "d24_stratified_sample",
     "d25_dedup_keep_best", "d26_semantic_dedup", "d27_sequence_packing",
-    "d28_curation_manifest",
+    "d28_curation_manifest", "d29_mixture_sample",
     "e01_ann_brute_topk", "e02_ann_ivf_topk", "e02b_ann_ivf_full_probe",
     "e02c_ann_ivf_recall_floor", "e02d_ann_ivf_int_topk",
     "e03_cosine_near_dup",
