@@ -25,10 +25,10 @@ import org.apache.spark.sql.types.LongType
   * Opt-in, conf-gated: `spark.graft.rangejoin.binsize` (a positive long
   * in the value column's unit) enables it; unset/0 leaves every plan
   * untouched. Conservative guards: inner joins only, batch only, exactly
-  * one lower (`>=` or `>`) and one upper (`<` or `<=`) conjunct — so the
-  * plain BETWEEN shape rewrites too — on the same long-typed value
-  * expression with both bounds from the opposite side, and every
-  * remaining conjunct a cross-side equality. Idempotent via the __graft_ marker check in
+  * one unambiguous (lower, upper) bound pair — either strictness, either
+  * written orientation, so BETWEEN and bound-first SQL rewrite too — on
+  * the same long-typed value expression with both bounds from the
+  * opposite side, and every remaining conjunct a cross-side equality. Idempotent via the __graft_ marker check in
   * [[rewrite]]: the optimizer pushes the exactness filter back into the
   * rewritten join's condition, which would otherwise re-match.
   *
@@ -74,26 +74,46 @@ case class RangeJoinBinning(spark: SparkSession)
     // __graft_ bin attributes.
     if (conjuncts.exists(_.references.exists(_.name.startsWith("__graft_"))))
       return None
-    // Both bound strictnesses are supported — v >= lo / v > lo below,
-    // v < hi / v <= hi above (so the plain BETWEEN shape rewrites too).
-    // The bin range is computed for the WIDEST reading of each bound
-    // (sound: bins only propose; the original conjuncts re-filter), so
-    // strict lower bounds still start at div(lo) and only the upper
-    // strictness changes the last bin.
-    val lowers = conjuncts.collect {
-      case g: GreaterThanOrEqual => (g: Expression, g.left, g.right)
-      case g: GreaterThan => (g: Expression, g.left, g.right)
+    // Both bound strictnesses AND both written orientations are
+    // supported — `v >= lo`, `v > lo`, `lo <= v`, `lo < v` below;
+    // `v < hi`, `v <= hi`, `hi > v`, `hi >= v` above — so the plain
+    // BETWEEN shape and bound-first SQL both rewrite. Every inequality
+    // conjunct is read in both directions and the rule demands exactly
+    // ONE (lower, upper) pairing over a common value expression with the
+    // bounds on the opposite side; anything ambiguous (chained
+    // inequalities pairing more than one way) is left untouched. The bin
+    // range is computed for the WIDEST reading of each bound (sound:
+    // bins only propose; the original conjuncts re-filter), so strict
+    // lower bounds still start at div(lo) and only the upper strictness
+    // changes the last bin.
+    def lowerReadings(c: Expression): Seq[(Expression, Expression, Expression)] = c match {
+      case g @ GreaterThanOrEqual(a, b) => Seq((g, a, b))
+      case g @ GreaterThan(a, b) => Seq((g, a, b))
+      case l @ LessThanOrEqual(a, b) => Seq((l, b, a)) // a <= b ⟺ b >= a
+      case l @ LessThan(a, b) => Seq((l, b, a)) // a < b ⟺ b > a
+      case _ => Seq.empty
     }
-    val uppers = conjuncts.collect {
-      case lt: LessThan => (lt: Expression, lt.left, lt.right, true)
-      case le: LessThanOrEqual => (le: Expression, le.left, le.right, false)
+    def upperReadings(c: Expression): Seq[(Expression, Expression, Expression, Boolean)] = c match {
+      case lt @ LessThan(a, b) => Seq((lt, a, b, true))
+      case le @ LessThanOrEqual(a, b) => Seq((le, a, b, false))
+      case g @ GreaterThan(a, b) => Seq((g, b, a, true)) // a > b ⟺ b < a
+      case g @ GreaterThanOrEqual(a, b) => Seq((g, b, a, false))
+      case _ => Seq.empty
     }
-    if (lowers.size != 1 || uppers.size != 1) return None
-    val (lowerConj, v, lo) = lowers.head
-    val (upperConj, v2, hi, upperStrict) = uppers.head
-    if (!v.semanticEquals(v2)) return None
-    if (Seq(v, lo, hi).exists(e => e.dataType != LongType || !e.deterministic))
-      return None
+    val candidates = for {
+      cl <- conjuncts
+      (lowC, v0, lo0) <- lowerReadings(cl)
+      cu <- conjuncts if !cu.eq(cl)
+      (upC, v1, hi0, strict0) <- upperReadings(cu)
+      if v0.semanticEquals(v1)
+      if Seq(v0, lo0, hi0).forall(e => e.dataType == LongType && e.deterministic)
+      vs0 <- (sideOf(v0, left, right), sideOf(lo0, left, right), sideOf(hi0, left, right)) match {
+        case (Some(vs), Some(ls), Some(hs)) if ls == hs && vs != ls => Some(vs)
+        case _ => None
+      }
+    } yield (lowC, upC, v0, lo0, hi0, strict0, vs0)
+    if (candidates.size != 1) return None
+    val (lowerConj, upperConj, v, lo, hi, upperStrict, vsSide) = candidates.head
     val rest = conjuncts.filterNot(c =>
       c.eq(lowerConj) || c.eq(upperConj))
     val restAllEqui = rest.forall {
@@ -105,42 +125,38 @@ case class RangeJoinBinning(spark: SparkSession)
       case _ => false
     }
     if (!restAllEqui) return None
-    (sideOf(v, left, right), sideOf(lo, left, right), sideOf(hi, left, right)) match {
-      case (Some(vs), Some(ls), Some(hs)) if ls == hs && vs != ls =>
-        def div(e: Expression): Expression = new IntegralDivide(e, Literal(bs))
-        val pBin = Alias(div(v), "__graft_pbin")()
-        val iBin = AttributeReference("__graft_ibin", LongType, nullable = true)()
-        // Sequence is TimeZoneAware — unresolved until the zone is set
-        // (the analyzer's ResolveTimeZone has already run by now).
-        // Inverted/empty intervals (hi <= lo) must yield NO bins: Spark's
-        // 2-arg sequence defaults to step -1 when start > stop, which
-        // would explode |span| descending bins (and a widely inverted
-        // interval can exceed MAX_ROUNDED_ARRAY_LENGTH and fail a query
-        // the naive join answers with 0 rows), so guard on a valid
-        // interval first. A null predicate takes the else branch (empty),
-        // matching the naive join where a null bound matches nothing.
-        val lastBin = if (upperStrict) div(Subtract(hi, Literal(1L))) else div(hi)
-        val seq = new Sequence(div(lo), lastBin, None)
-          .withTimeZone(spark.sessionState.conf.sessionLocalTimeZone)
-        val nonEmpty: Expression =
-          if (upperStrict) GreaterThan(hi, lo) else GreaterThanOrEqual(hi, lo)
-        val bins = If(nonEmpty, seq,
-          Literal.create(Array.empty[Long], org.apache.spark.sql.types.ArrayType(LongType)))
-        def gen(child: LogicalPlan): LogicalPlan = Generate(
-          Explode(bins),
-          unrequiredChildIndex = Nil, outer = false, qualifier = None,
-          generatorOutput = Seq(iBin), child = child)
-        val (newLeft, newRight) =
-          if (vs) (Project(left.output :+ pBin, left), gen(right))
-          else (gen(left), Project(right.output :+ pBin, right))
-        val newCond = (rest :+ EqualTo(pBin.toAttribute, iBin)).reduce(And)
-        val joined = Join(newLeft, newRight, Inner, Some(newCond), j.hint)
-        // re-apply the ORIGINAL bound conjuncts (whatever their
-        // strictness) — this is what makes the rewrite exact
-        val filtered = Filter(And(lowerConj, upperConj), joined)
-        Some(Project(j.output, filtered))
-      case _ => None
-    }
+    def div(e: Expression): Expression = new IntegralDivide(e, Literal(bs))
+    val pBin = Alias(div(v), "__graft_pbin")()
+    val iBin = AttributeReference("__graft_ibin", LongType, nullable = true)()
+    // Sequence is TimeZoneAware — unresolved until the zone is set
+    // (the analyzer's ResolveTimeZone has already run by now).
+    // Inverted/empty intervals (hi <= lo) must yield NO bins: Spark's
+    // 2-arg sequence defaults to step -1 when start > stop, which
+    // would explode |span| descending bins (and a widely inverted
+    // interval can exceed MAX_ROUNDED_ARRAY_LENGTH and fail a query
+    // the naive join answers with 0 rows), so guard on a valid
+    // interval first. A null predicate takes the else branch (empty),
+    // matching the naive join where a null bound matches nothing.
+    val lastBin = if (upperStrict) div(Subtract(hi, Literal(1L))) else div(hi)
+    val seq = new Sequence(div(lo), lastBin, None)
+      .withTimeZone(spark.sessionState.conf.sessionLocalTimeZone)
+    val nonEmpty: Expression =
+      if (upperStrict) GreaterThan(hi, lo) else GreaterThanOrEqual(hi, lo)
+    val bins = If(nonEmpty, seq,
+      Literal.create(Array.empty[Long], org.apache.spark.sql.types.ArrayType(LongType)))
+    def gen(child: LogicalPlan): LogicalPlan = Generate(
+      Explode(bins),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(iBin), child = child)
+    val (newLeft, newRight) =
+      if (vsSide) (Project(left.output :+ pBin, left), gen(right))
+      else (gen(left), Project(right.output :+ pBin, right))
+    val newCond = (rest :+ EqualTo(pBin.toAttribute, iBin)).reduce(And)
+    val joined = Join(newLeft, newRight, Inner, Some(newCond), j.hint)
+    // re-apply the ORIGINAL bound conjuncts (whatever their
+    // strictness) — this is what makes the rewrite exact
+    val filtered = Filter(And(lowerConj, upperConj), joined)
+    Some(Project(j.output, filtered))
   }
 }
 

@@ -159,6 +159,50 @@ class RangeJoinBinningSpec extends AnyFunSuite {
     }
   }
 
+  test("bound-first orientation (lo <= v AND v < hi) rewrites and stays exact") {
+    fixture()
+    val flipped = """
+      SELECT p.k, p.v, i.tag
+      FROM rjb_points p JOIN rjb_intervals i
+        ON p.k = i.k AND i.lo <= p.v AND p.v < i.hi
+      ORDER BY p.k, p.v, i.tag"""
+    val base = spark.sql(flipped).collect().toSeq
+    withBinSize(64L) {
+      val df = spark.sql(flipped)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("__graft_pbin"), s"bound-first form not rewritten:\n$plan")
+      assert(df.collect().toSeq === base)
+    }
+    // both bounds flipped (lo <= v AND hi > v) too
+    val bothFlipped = """
+      SELECT p.k, p.v, i.tag
+      FROM rjb_points p JOIN rjb_intervals i
+        ON p.k = i.k AND i.lo <= p.v AND i.hi > p.v
+      ORDER BY p.k, p.v, i.tag"""
+    val base2 = spark.sql(bothFlipped).collect().toSeq
+    assert(base2 === base, "premise: same predicate, different spelling")
+    withBinSize(64L) {
+      val df = spark.sql(bothFlipped)
+      assert(df.queryExecution.executedPlan.toString.contains("__graft_pbin"))
+      assert(df.collect().toSeq === base2)
+    }
+  }
+
+  test("ambiguous bound chains are left untouched") {
+    fixture()
+    // v is lower-bounded twice: (lo, hi) both read as lower bounds for
+    // one of the pairings, so more than one (lower, upper) candidate
+    // pairing exists — the rule must decline rather than guess
+    withBinSize(64L) {
+      val df = spark.sql("""
+        SELECT p.k FROM rjb_points p JOIN rjb_intervals i
+          ON p.k = i.k AND p.v >= i.lo AND p.v >= i.hi AND p.v < i.hi + 100""")
+      df.collect()
+      assert(!df.queryExecution.executedPlan.toString.contains("__graft_pbin"),
+        "multiple candidate pairings must not rewrite")
+    }
+  }
+
   test("widely inverted interval generates zero bins, not a huge descending sequence") {
     import spark.implicits._
     // Pre-guard, sequence(div(lo), div(hi-1)) with start >> stop defaulted
