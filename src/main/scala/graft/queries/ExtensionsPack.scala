@@ -218,6 +218,40 @@ object ExtensionsPack {
         .orderBy("doc_id")
     },
 
+    // s09: TRENDING top-k — the per-closed-window ranked leaderboard
+    // (top 3 event types per hour). This batch twin is the gated form;
+    // EventsStream.trendingAtClose is the streaming form (keyed
+    // per-window state, final top-k emitted exactly once when the
+    // watermark passes the close — a shape append-mode rank-over-
+    // aggregate cannot express), and StreamingSpec asserts closed-window
+    // parity between the two. Tie-break (count DESC, type ASC) in both.
+    // Scale shape: one map-side-combined hash aggregate on (hour, type)
+    // + a per-hour WindowGroupLimit — never a sort of the event
+    // stream. ----
+    QDef("s09_trending_types", Some("""
+      WITH h AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+                        event_type
+                 FROM events),
+      c AS (SELECT window_start, event_type, count(*) AS n FROM h GROUP BY 1, 2),
+      r AS (SELECT window_start, event_type, n,
+              row_number() OVER (PARTITION BY window_start
+                ORDER BY n DESC, event_type) AS rank
+            FROM c)
+      SELECT window_start, CAST(rank AS BIGINT) AS rank, event_type, n
+      FROM r WHERE rank <= 3
+      ORDER BY window_start, rank""")) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("window_start").orderBy(col("n").desc, col("event_type").asc)
+      Tables.events(s, dir)
+        .select(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+        .groupBy("window_start", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("window_start", "rank", "event_type", "n")
+        .orderBy("window_start", "rank")
+    },
+
     // as-of join (graft.operators.AsOfJoin): every click matched to the
     // user's most recent purchase at or before it — DuckDB's native ASOF
     // LEFT JOIN is the oracle, so the inclusive-tie and no-match-null

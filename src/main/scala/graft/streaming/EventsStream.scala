@@ -254,4 +254,52 @@ object EventsStream {
       .queryName(queryName)
       .outputMode(OutputMode.Update())
       .start()
+
+  final case class TypedEvent(ts: Timestamp, eventType: String)
+  final case class TrendState(counts: Map[String, Long])
+  final case class TrendingType(windowStart: Timestamp, rank: Long, eventType: String, n: Long)
+
+  /** s09's streaming form — top-k TRENDING event types per CLOSED
+    * tumbling window, emitted exactly once: keyed state per window start
+    * holds per-type counts (bounded by the type vocabulary, not the
+    * event volume), and the ranked top-k leaves the operator when the
+    * watermark passes the window end (EventTimeTimeout), after which the
+    * window's state is removed — append semantics with a single final
+    * answer per window, which a plain rank-over-windowed-aggregate
+    * cannot produce under append mode. Tie-break (count DESC, type ASC)
+    * matches the gated batch twin, and StreamingSpec asserts closed-
+    * window parity against it.
+    */
+  def trendingAtClose(
+      events: Dataset[TypedEvent],
+      windowMs: Long = 3600000L,
+      k: Int = 3,
+      watermarkDelay: String = "10 minutes"): Dataset[TrendingType] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(e => e.ts.getTime / windowMs * windowMs)
+      .flatMapGroupsWithState[TrendState, TrendingType](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (wStart: Long, it: Iterator[TypedEvent], state: GroupState[TrendState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the window close: emit the final top-k
+            val counts = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
+            state.remove()
+            counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(k).zipWithIndex.map {
+              case ((t, n), i) => TrendingType(new Timestamp(wStart), i + 1L, t, n)
+            }.iterator
+          } else {
+            val prior = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
+            val merged = it.foldLeft(prior) { (m, e) =>
+              m.updated(e.eventType, m.getOrElse(e.eventType, 0L) + 1L)
+            }
+            state.update(TrendState(merged))
+            // admissible events have ts < window close and ts >= the
+            // watermark, so the close is always a legal (future) timeout
+            state.setTimeoutTimestamp(wStart + windowMs)
+            Iterator.empty
+          }
+      }
+  }
 }

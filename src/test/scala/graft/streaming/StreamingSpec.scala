@@ -378,6 +378,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("trending top-k emits each closed window exactly once, matching the batch twin") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.EventsStream.TypedEvent
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val input = MemoryStream[TypedEvent]
+    // 10-minute windows, top-2, zero watermark delay for a crisp close
+    val query = EventsStream.trendingAtClose(
+        input.toDS(), windowMs = 600000L, k = 2, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("trend_test")
+      .outputMode(OutputMode.Append()).start()
+    def rows() = spark.table("trend_test").collect()
+      .map(r => (r.getTimestamp(0).getTime / 60000, r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+    try {
+      // window [0,10): 3 clicks, 2 views, 1 error — across two batches
+      input.addData(TypedEvent(ts(1), "click"), TypedEvent(ts(2), "view"),
+        TypedEvent(ts(3), "click"))
+      query.processAllAvailable()
+      assert(rows() === Set.empty, "no emission before the window closes")
+      input.addData(TypedEvent(ts(4), "view"), TypedEvent(ts(5), "click"),
+        TypedEvent(ts(6), "error"))
+      query.processAllAvailable()
+      assert(rows() === Set.empty, "still open")
+      // an event in the next window pushes the watermark past the close
+      input.addData(TypedEvent(ts(12), "view"))
+      query.processAllAvailable()
+      assert(rows() === Set((0L, 1L, "click", 3L), (0L, 2L, "view", 2L)),
+        "closed window emits its final top-2 exactly once (error rank 3 cut)")
+      // tie-break: window [10,20) has view=1, signup=1 — type ASC wins
+      input.addData(TypedEvent(ts(13), "signup"), TypedEvent(ts(25), "view"))
+      query.processAllAvailable()
+      assert(rows().filter(_._1 == 10L) ===
+        Set((10L, 1L, "signup", 1L), (10L, 2L, "view", 1L)),
+        "count-tie breaks by type ascending, matching the batch twin")
+    } finally query.stop()
+  }
+
   test("TTL dedup: watermark advance evicts bucket entries; evicted ids stop pairing") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
