@@ -56,8 +56,12 @@ object Multimodal {
     ((id * 17 + x * 3 + y * 29) % 256).toInt,
     ((id * 53 + x * 11 + y * 5) % 256).toInt)
 
-  private[multimodal] def dims(id: Long): (Int, Int) =
-    ((id % 13 + 4).toInt, (id % 11 + 4).toInt)
+  /** Fixture dims: `base` is the minimum edge — 4 for the m01–m07 corpus,
+    * 8 for the m07c/m07d corpus whose 8x8 hash grid needs every cell
+    * non-empty (width in [base, base+12], height in [base, base+10]).
+    */
+  private[multimodal] def dims(id: Long, base: Int = 4): (Int, Int) =
+    ((id % 13 + base).toInt, (id % 11 + base).toInt)
 
   /** A media table of GENUINE PNG payloads, one per document: dimensions
     * and pixels are pure functions of doc_id, encoded with the JDK's
@@ -68,14 +72,14 @@ object Multimodal {
     * per partition, rows streamed through — the batch shape a 100 TB
     * media pipeline uses).
     */
-  def pngMediaFromDocuments(docs: DataFrame): DataFrame = {
+  def pngMediaFromDocuments(docs: DataFrame, base: Int = 4): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         javax.imageio.ImageIO.setUseCache(false) // in-memory, no temp files
         ids.map { id =>
-          val (w, h) = dims(id)
+          val (w, h) = dims(id, base)
           val img = new java.awt.image.BufferedImage(
             w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
           var y = 0
@@ -83,6 +87,55 @@ object Multimodal {
             var x = 0
             while (x < w) {
               val (r, g, b) = pixel(id, x, y)
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray, w, h)
+        }
+      }
+      .toDF("doc_id", "media", "width", "height")
+      .select(col("doc_id"), col("media"),
+        struct(lit("png").as("format"), col("width"), col("height"),
+          lit(0L).as("duration_ms")).as("meta"))
+  }
+
+  /** Offset separating a near-duplicate twin's doc_id from its source —
+    * far above every corpus doc_id, so `twin = src + TwinOffset` is
+    * injective and `id < TwinOffset` identifies originals.
+    */
+  val TwinOffset = 1000000L
+
+  /** m07d fixture: the `base`-dim PNG corpus plus a NEAR-DUPLICATE twin
+    * for every `every`-th document — the twin re-renders the SAME raster
+    * (same dims, same [[pixel]] values keyed by the source id) with the
+    * single pixel (0,0) saturated to white. One changed pixel moves one
+    * cell mean (and nudges the global mean), so the twin's aHash lands a
+    * few bits from its source's: exactly the neighborhood a banded
+    * hamming near-dup join must recover. Pure integer + id-derived, so a
+    * SQL oracle re-derives both rasters codec-free.
+    */
+  def pngMediaWithTwins(docs: DataFrame, base: Int = 8, every: Int = 7): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .flatMap(id => if (id % every == 0) Seq((id, id, false), (id + TwinOffset, id, true))
+                     else Seq((id, id, false)))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, src, twin) =>
+          val (w, h) = dims(src, base)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val (r, g, b) =
+                if (twin && x == 0 && y == 0) (255, 255, 255) else pixel(src, x, y)
               img.setRGB(x, y, (r << 16) | (g << 8) | b)
               x += 1
             }

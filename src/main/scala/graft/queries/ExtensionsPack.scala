@@ -467,11 +467,17 @@ object ExtensionsPack {
     },
 
     // m07b: image near-dup pairs at hamming <= 1 over the m07 hashes —
-    // EXACT without an all-pairs scan: each doc emits its hash plus the
-    // 16 one-bit flips, pairs meet through the variant equi-join (a pair
-    // at hamming <= 1 always shares a variant value), then the true
-    // hamming re-check dedups and bounds. The d18 block-join idea with
-    // flips instead of blocks — at 100 TB the variant is the index key. ----
+    // EXACT without an all-pairs scan, Manku-style half-block banding
+    // (Manku/Jain/Sarma WWW'07): split the 16-bit hash into two 8-bit
+    // half-blocks; a pair at hamming <= 1 has its one differing bit in
+    // at most one half, so the (block, value) equi-join IS the candidate
+    // generator — 2 rows/doc where r10's one-bit-flip variant index paid
+    // 17 (same exactness, the true-hamming re-check unchanged).
+    // PAST ~2^16 docs this entry's 16-bit hash space itself saturates:
+    // at sf1 (50k docs) the TRUE answer is 14.8M pairs — the index is
+    // fine, the hash is too short to discriminate. That is by design the
+    // comparator-scale illustration for m07c/m07d, the production 64-bit
+    // hash whose banded join recovers only genuine near-duplicates. ----
     QDef("m07b_image_ahash_pairs", Some("""
       WITH d AS (SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h FROM documents),
       px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM d),
@@ -490,29 +496,129 @@ object ExtensionsPack {
                CAST(sum(CASE WHEN cm.m > gm.g THEN CAST(1 AS BIGINT) << cl ELSE 0 END)
                  AS BIGINT) AS ahash
              FROM cm JOIN gm ON gm.doc_id = cm.doc_id GROUP BY cm.doc_id),
-      vr AS (SELECT doc_id, ahash,
-               xor(ahash, CASE WHEN f = 16 THEN 0 ELSE CAST(1 AS BIGINT) << f END) AS v
-             FROM hs, (SELECT unnest(range(0, 17)) AS f)),
+      vr AS (SELECT doc_id, ahash, f AS blk,
+               (ahash >> (8 * f)) & 255 AS bv
+             FROM hs, (SELECT unnest(range(0, 2)) AS f)),
       pr AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                a.ahash AS ha, b.ahash AS hb
-             FROM vr a JOIN vr b ON a.v = b.v AND a.doc_id < b.doc_id)
+             FROM vr a JOIN vr b
+               ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id)
       SELECT id_a, id_b,
              CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
       FROM pr WHERE bit_count(xor(ha, hb)) <= 1
       ORDER BY id_a, id_b""")) { (s, dir) =>
       val hs = Multimodal.imageAHash(
         Multimodal.pngMediaFromDocuments(Tables.documents(s, dir)))
-      val variants = hs.select(col("doc_id"), col("ahash"),
-        explode(expr("transform(sequence(0, 16), " +
-          "f -> CASE WHEN f = 16 THEN ahash " +
-          "ELSE ahash ^ shiftleft(CAST(1 AS BIGINT), f) END)")).as("v"))
-      val a = variants.select(col("doc_id").as("id_a"), col("ahash").as("ha"), col("v"))
-      val b = variants.select(col("doc_id").as("id_b"), col("ahash").as("hb"), col("v"))
-      a.join(b, "v").filter(col("id_a") < col("id_b"))
+      val blocks = hs.select(col("doc_id"), col("ahash"),
+        explode(expr("transform(sequence(0, 1), " +
+          "f -> named_struct('blk', f, 'bv', shiftright(ahash, 8 * f) & 255))")).as("x"))
+        .select(col("doc_id"), col("ahash"), col("x.blk").as("blk"), col("x.bv").as("bv"))
+      val a = blocks.select(col("doc_id").as("id_a"), col("ahash").as("ha"),
+        col("blk"), col("bv"))
+      val b = blocks.select(col("doc_id").as("id_b"), col("ahash").as("hb"),
+        col("blk"), col("bv"))
+      a.join(b, Seq("blk", "bv")).filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
           expr("CAST(bit_count(ha ^ hb) AS BIGINT)").as("hamming"))
         .distinct()
         .filter(col("hamming") <= 1)
+        .orderBy("id_a", "id_b")
+    },
+
+    // m07c: the PRODUCTION image hash — standard 64-bit aHash (8x8 grid)
+    // over a base-8 PNG corpus (every grid cell non-empty). m07's 16-bit
+    // index saturates at 100 TB (>= 2^16 docs pigeonhole every bucket);
+    // 64 bits is the grid the literature and a real image-dedup index
+    // ship with. Bit 63 is the sign bit of a BIGINT, so the oracle sums
+    // HUGEINT with the min-long literal for cl=63 (DuckDB rejects 1<<63)
+    // and casts back — two's complement makes the lane values identical. ----
+    QDef("m07c_image_ahash64", Some("""
+      WITH d AS (SELECT doc_id, doc_id % 13 + 8 AS w, doc_id % 11 + 8 AS h FROM documents),
+      px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM d),
+      c AS (SELECT doc_id, w, h, i,
+              (doc_id * 31 + (i % w) * 7 + (i // w) * 13) % 256 AS r,
+              (doc_id * 17 + (i % w) * 3 + (i // w) * 29) % 256 AS g,
+              (doc_id * 53 + (i % w) * 11 + (i // w) * 5) % 256 AS b
+            FROM px),
+      cell AS (SELECT doc_id,
+                 ((i // w) * 8 // h) * 8 + ((i % w) * 8 // w) AS cl,
+                 r + g + b AS l
+               FROM c),
+      cm AS (SELECT doc_id, cl, sum(l) // count(*) AS m FROM cell GROUP BY 1, 2),
+      gm AS (SELECT doc_id, sum(m) // 64 AS g FROM cm GROUP BY 1)
+      SELECT cm.doc_id,
+             CAST(sum(CASE WHEN cm.m <= gm.g THEN 0
+                           WHEN cl = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+                           ELSE CAST(CAST(1 AS BIGINT) << cl AS HUGEINT) END)
+               AS BIGINT) AS ahash
+      FROM cm JOIN gm ON gm.doc_id = cm.doc_id
+      GROUP BY cm.doc_id ORDER BY cm.doc_id""")) { (s, dir) =>
+      Multimodal.imageAHash(
+          Multimodal.pngMediaFromDocuments(Tables.documents(s, dir), base = 8), grid = 8)
+        .orderBy("doc_id")
+    },
+
+    // m07d: image near-dup pairs at hamming <= 3 over the 64-bit m07c
+    // hash — the index that actually ships at 100 TB. Manku 4-block
+    // banding: hamming <= 3 pigeonholes the differing bits into at most
+    // 3 of the 4 16-bit blocks, so a pair always shares one block and
+    // the (block, value) equi-join generates candidates at 4 rows/doc;
+    // the true-hamming re-check bounds exactly. The corpus plants a
+    // near-duplicate twin (one saturated pixel) for every 7th document,
+    // so the gate covers real recovered pairs, not an empty result. ----
+    QDef("m07d_image_ahash64_pairs", Some("""
+      WITH ids AS (SELECT doc_id, doc_id AS src, FALSE AS tw FROM documents
+                   UNION ALL
+                   SELECT doc_id + 1000000, doc_id, TRUE FROM documents WHERE doc_id % 7 = 0),
+      d AS (SELECT doc_id, src, tw, src % 13 + 8 AS w, src % 11 + 8 AS h FROM ids),
+      px AS (SELECT doc_id, src, tw, w, h, unnest(range(0, w * h)) AS i FROM d),
+      c AS (SELECT doc_id, w, h, i,
+              CASE WHEN tw AND i = 0 THEN 255
+                   ELSE (src * 31 + (i % w) * 7 + (i // w) * 13) % 256 END AS r,
+              CASE WHEN tw AND i = 0 THEN 255
+                   ELSE (src * 17 + (i % w) * 3 + (i // w) * 29) % 256 END AS g,
+              CASE WHEN tw AND i = 0 THEN 255
+                   ELSE (src * 53 + (i % w) * 11 + (i // w) * 5) % 256 END AS b
+            FROM px),
+      cell AS (SELECT doc_id,
+                 ((i // w) * 8 // h) * 8 + ((i % w) * 8 // w) AS cl,
+                 r + g + b AS l
+               FROM c),
+      cm AS (SELECT doc_id, cl, sum(l) // count(*) AS m FROM cell GROUP BY 1, 2),
+      gm AS (SELECT doc_id, sum(m) // 64 AS g FROM cm GROUP BY 1),
+      hs AS (SELECT cm.doc_id,
+               CAST(sum(CASE WHEN cm.m <= gm.g THEN 0
+                             WHEN cl = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+                             ELSE CAST(CAST(1 AS BIGINT) << cl AS HUGEINT) END)
+                 AS BIGINT) AS ahash
+             FROM cm JOIN gm ON gm.doc_id = cm.doc_id GROUP BY cm.doc_id),
+      vr AS (SELECT doc_id, ahash, f AS blk,
+               (ahash >> (16 * f)) & 65535 AS bv
+             FROM hs, (SELECT unnest(range(0, 4)) AS f)),
+      pr AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.ahash AS ha, b.ahash AS hb
+             FROM vr a JOIN vr b
+               ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b,
+             CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+      FROM pr WHERE bit_count(xor(ha, hb)) <= 3
+      ORDER BY id_a, id_b""")) { (s, dir) =>
+      val hs = Multimodal.imageAHash(
+        Multimodal.pngMediaWithTwins(Tables.documents(s, dir), base = 8, every = 7),
+        grid = 8)
+      val blocks = hs.select(col("doc_id"), col("ahash"),
+        explode(expr("transform(sequence(0, 3), " +
+          "f -> named_struct('blk', f, 'bv', shiftright(ahash, 16 * f) & 65535))")).as("x"))
+        .select(col("doc_id"), col("ahash"), col("x.blk").as("blk"), col("x.bv").as("bv"))
+      val a = blocks.select(col("doc_id").as("id_a"), col("ahash").as("ha"),
+        col("blk"), col("bv"))
+      val b = blocks.select(col("doc_id").as("id_b"), col("ahash").as("hb"),
+        col("blk"), col("bv"))
+      a.join(b, Seq("blk", "bv")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          expr("CAST(bit_count(ha ^ hb) AS BIGINT)").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
         .orderBy("id_a", "id_b")
     },
 

@@ -62,6 +62,7 @@ class EntryAnalyzeSmokeSpec extends AnyFunSuite {
     "m01_media_meta", "m02_media_features", "m03_frame_sample",
     "m04_resize", "m05_frame_energy", "m06_png_decode",
     "m07_image_ahash", "m07b_image_ahash_pairs",
+    "m07c_image_ahash64", "m07d_image_ahash64_pairs",
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_shipping_priority",
     "q04_priority_with_heavy_items", "q05_top_customers",
     "q06_forecast_revenue", "q07_running_supplier_qty",

@@ -128,4 +128,53 @@ class MultimodalSpec extends AnyFunSuite {
     // the trailing short frame path is actually exercised
     assert(expected.exists { case (_, (n, _, _)) => n < 32 })
   }
+
+  test("64-bit aHash over the base-8 corpus: sequential recompute, full bit width in play") {
+    val docs = graft.Tables.documents(spark, dir)
+    val got = Multimodal.imageAHash(
+        Multimodal.pngMediaFromDocuments(docs, base = 8), grid = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = docs.select("doc_id").collect().map(_.getLong(0)).map { id =>
+      val (w, h) = Multimodal.dims(id, base = 8)
+      val sums = Array.ofDim[Long](64); val counts = Array.ofDim[Long](64)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = Multimodal.pixel(id, x, y)
+        val cell = (y * 8 / h) * 8 + (x * 8 / w)
+        sums(cell) += r + g + b; counts(cell) += 1
+      }
+      val means = Array.tabulate(64)(i => sums(i) / counts(i))
+      val gm = means.sum / 64
+      id -> means.indices.foldLeft(0L)((acc, i) => if (means(i) > gm) acc | (1L << i) else acc)
+    }.toMap
+    assert(got === expected)
+    // the production point of 64 bits: the high half must actually carry
+    // entropy (a hash whose top 32 bits were always zero would be the
+    // 16-bit saturation problem in disguise)
+    assert(got.values.exists(hash => (hash >>> 32) != 0L))
+  }
+
+  test("twin corpus: every 7th doc gets a near-dup twin whose hash sits within a few bits") {
+    val docs = graft.Tables.documents(spark, dir)
+    val hs = Multimodal.imageAHash(
+        Multimodal.pngMediaWithTwins(docs, base = 8, every = 7), grid = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val srcIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val twinIds = srcIds.filter(_ % 7 == 0)
+    assert(hs.keySet === srcIds ++ twinIds.map(_ + Multimodal.TwinOffset))
+    // one saturated pixel flips at most a couple of cell bits plus any
+    // marginal global-mean flips: most twins must land within hamming 3
+    // (the m07d join threshold) of their source — that is the planted
+    // neighborhood the banded index exists to recover
+    val hams = twinIds.toSeq.map(id =>
+      java.lang.Long.bitCount(hs(id) ^ hs(id + Multimodal.TwinOffset)))
+    assert(hams.nonEmpty)
+    assert(hams.count(_ <= 3) * 2 > hams.size,
+      s"fewer than half the twins within hamming 3: $hams")
+    // and originals are byte-identical to the plain corpus (the twin
+    // generator must not perturb non-twin rows)
+    val plain = Multimodal.imageAHash(
+        Multimodal.pngMediaFromDocuments(docs, base = 8), grid = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(srcIds.forall(id => hs(id) == plain(id)))
+  }
 }

@@ -105,12 +105,24 @@ class ExplainSpec extends AnyFunSuite {
       s"non-equi join in:\n$plan")
   }
 
-  test("m07b: image-hash pairs meet through the variant equi-join, never a product") {
-    // the 17-variant bit-flip index IS the point: a hamming<=1 pair must
-    // arrive via the equi-join on v, not an all-pairs hash comparison
-    val q = (graft.queries.AnnPack.defs ++ graft.queries.PipelinePack.defs ++
-      graft.queries.ExtensionsPack.defs)
+  test("m07b: image-hash pairs meet through the half-block equi-join, never a product") {
+    // the Manku half-block index IS the point: a hamming<=1 pair must
+    // arrive via the equi-join on (blk, bv), not an all-pairs comparison
+    val q = graft.queries.ExtensionsPack.defs
       .find(_.name == "m07b_image_ahash_pairs").getOrElse(fail("no m07b"))
+    val df = q.run(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in:\n$plan")
+  }
+
+  test("m07d: 64-bit hash pairs meet through the 4-block equi-join, never a product") {
+    // the production-scale image-dedup index: hamming<=3 pigeonholes into
+    // one of 4 shared 16-bit blocks; candidates must come from the
+    // (blk, bv) equi-join at 4 rows/doc, never an all-pairs comparison
+    val q = graft.queries.ExtensionsPack.defs
+      .find(_.name == "m07d_image_ahash64_pairs").getOrElse(fail("no m07d"))
     val df = q.run(spark, dir)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
