@@ -57,9 +57,11 @@ object Tables {
   * must match between the two — the oracle compare hashes values after
   * sorting columns by name.
   *
-  * `comparator` marks deliberate verification-grade baselines (all-pairs
-  * near-dup, uncapped wedge joins, worst-case-fixture configurations)
-  * whose cost is quadratic BY DESIGN: they stay fully oracle-gated at
+  * `comparator` marks deliberate verification-grade baselines — all-pairs
+  * near-dup, uncapped wedge joins, worst-case-fixture configurations
+  * whose cost is quadratic BY DESIGN, plus un-gateable twins of a gated
+  * production entry (e02's float IVF next to e02d's integer-geometry
+  * gate): they stay oracle-gated (or fence-covered) at
   * correctness SF, but the bench's production tier
   * (`SPARK_GRAFT_BENCH_TIER=production`) skips them — loudly, by name —
   * so large-SF rehearsals pay the production plans, not the comparators

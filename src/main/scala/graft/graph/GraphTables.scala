@@ -87,14 +87,32 @@ object GraphTables {
     * per-(session, dir); entries pin persisted tables until
     * [[invalidate]] — callers that churn through many dirs own eviction.
     */
-  def forDir(spark: SparkSession, dir: String): GraphFrames =
+  def forDir(spark: SparkSession, dir: String): GraphFrames = {
+    graft.SessionMemos.arm(spark)
     cache.getOrElseUpdate((spark, dir), build(validSignals(signalsFromEvents(spark, dir))))
+  }
 
   /** Drop a cache entry and unpersist its tables. */
   def invalidate(spark: SparkSession, dir: String): Unit =
     cache.remove((spark, dir)).foreach { g =>
       g.nodes.unpersist(); g.edges.unpersist(); g.properties.unpersist()
     }
+
+  // session-scoped eviction (r10 verdict #5): a stopping session (or an
+  // explicit SessionMemos.evict) unpins every graph it built
+  graft.SessionMemos.registerEvictor { dead =>
+    cache.filterInPlace { case ((s, _), g) =>
+      if (dead(s)) {
+        graft.SessionMemos.safeUnpersist(g.nodes)
+        graft.SessionMemos.safeUnpersist(g.edges)
+        graft.SessionMemos.safeUnpersist(g.properties)
+        false
+      } else true
+    }
+  }
+
+  private[graft] def memoEntriesFor(session: SparkSession): Int =
+    cache.keysIterator.count(_._1 eq session)
 
   /** Derive nodes / edges / properties from a validated signal log.
     *
@@ -428,6 +446,13 @@ object GraphTables {
     * LPA can 2-cycle on bipartite structure, and a fixed unroll is what
     * lets the DuckDB oracle re-derive every label bit-for-bit (same
     * discipline as g23's integer PageRank).
+    *
+    * INPUT CONTRACT (same as [[kCore]]): `und` must be a canonical
+    * undirected simple edge list — one row per edge with u < v, no
+    * duplicates, no self-loops. The symmetrization below is a plain
+    * UNION ALL, so an input already carrying both orientations (or
+    * duplicate rows) double-counts neighbor labels and changes adoption;
+    * callers canonicalize with least/greatest + distinct (as g27 does).
     *
     * Scale shape: per round, one join of the symmetric edge list
     * against the label table + one (node, label) count aggregate + one

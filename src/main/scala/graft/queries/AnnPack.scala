@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{QDef, Tables}
+import graft.{QDef, SessionMemos, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -249,10 +249,37 @@ object AnnPack {
   private def dimOf(emb: DataFrame, cacheKey: Option[String]): Int = {
     def probe(): Int = emb.select(size(col("embedding"))).head.getInt(0)
     cacheKey match {
-      case Some(k) => dimCache.getOrElseUpdate((emb.sparkSession, k), probe())
+      case Some(k) =>
+        SessionMemos.arm(emb.sparkSession)
+        dimCache.getOrElseUpdate((emb.sparkSession, k), probe())
       case None => probe()
     }
   }
+
+  // Lifecycle (r10 verdict #5): every cache in this object joins the
+  // session-scoped eviction registry; the registration runs at object
+  // init, strictly before any cache can be populated.
+  SessionMemos.registerEvictor { dead =>
+    dimCache.filterInPlace { case ((s, _), _) => !dead(s) }
+    countCache.filterInPlace { case ((s, _), _) => !dead(s) }
+    cellsCache.filterInPlace { case ((s, _, _), _) => !dead(s) }
+    pqCodebookCache.filterInPlace { case ((s, _), df) =>
+      if (dead(s)) { SessionMemos.safeUnpersist(df); false } else true
+    }
+    pairsCache.filterInPlace { case ((s, _, _, _), df) =>
+      if (dead(s)) { SessionMemos.safeUnpersist(df); false } else true
+    }
+  }
+
+  /** Test accessor: memo entries held for `session` across this object's
+    * caches (the lifecycle spec asserts 0 after [[SessionMemos.evict]]).
+    */
+  private[graft] def memoEntriesFor(session: SparkSession): Int =
+    dimCache.keysIterator.count(_._1 eq session) +
+      countCache.keysIterator.count(_._1 eq session) +
+      cellsCache.keysIterator.count(_._1 eq session) +
+      pqCodebookCache.keysIterator.count(_._1 eq session) +
+      pairsCache.keysIterator.count(_._1 eq session)
 
   /** e07 — approximate top-k via random-hyperplane LSH (Charikar
     * STOC'02), the bucketed alternative to e02's IVF: no codebook and no
@@ -384,7 +411,7 @@ object AnnPack {
     * discipline applied to training.
     */
   private val pqCodebookCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private[graft] def pqTrainCodebook(
       emb: DataFrame, dim: Int,
@@ -392,7 +419,12 @@ object AnnPack {
       iters: Int = PqKmIters,
       cacheKey: Option[String] = None): DataFrame = cacheKey match {
     case Some(k) =>
-      pqCodebookCache.getOrElseUpdate((emb.sparkSession, k, iters),
+      SessionMemos.arm(emb.sparkSession)
+      // EVERY training parameter is part of the memo key — a keyed call
+      // with a different dim/subDim/kc/iters must never be handed a
+      // codebook trained under other parameters (r10 advice #1)
+      pqCodebookCache.getOrElseUpdate(
+        (emb.sparkSession, s"$k#$dim/$subDim/$kc/$iters"),
         pqTrainCodebook(emb, dim, subDim, kc, iters, None))
     case None => trainCodebook(emb, dim, subDim, kc, iters)
   }
@@ -814,7 +846,9 @@ object AnnPack {
   /** Memoized `df.count()` for a stable named corpus (see [[chooseCells]]). */
   private def corpusCount(emb: DataFrame, cacheKey: Option[String]): Long =
     cacheKey match {
-      case Some(k) => countCache.getOrElseUpdate((emb.sparkSession, k), emb.count())
+      case Some(k) =>
+        SessionMemos.arm(emb.sparkSession)
+        countCache.getOrElseUpdate((emb.sparkSession, k), emb.count())
       case None => emb.count()
     }
 
@@ -843,7 +877,9 @@ object AnnPack {
       }
     }
     cacheKey match {
-      case Some(k) => cellsCache.getOrElseUpdate((emb.sparkSession, k, threshold), probe())
+      case Some(k) =>
+        SessionMemos.arm(emb.sparkSession)
+        cellsCache.getOrElseUpdate((emb.sparkSession, k, threshold), probe())
       case None => probe()
     }
   }
@@ -1025,6 +1061,7 @@ object AnnPack {
     (numCells, cacheKey) match {
       case (None, Some(k)) if pairMemoEnabled =>
         val memoSalt = if (!choice.prunable) -1 else sameCellSalt
+        SessionMemos.arm(emb.sparkSession)
         pairsCache.getOrElseUpdate((emb.sparkSession, k, threshold, memoSalt),
           compute().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       case _ => compute()
@@ -1138,10 +1175,17 @@ object AnnPack {
         .orderBy("q_id", "rank")
     },
 
-    // IVF at the production nprobe < cells is approximate by construction
-    // (recall measured in AnnSpec against the brute-force baseline) — no
-    // equality oracle for THIS configuration.
-    QDef("e02_ann_ivf_topk", None) { (s, dir) =>
+    // ---- e02: FLOAT-cosine IVF at the production nprobe < cells — the
+    // comparator twin of e02d, which runs the IDENTICAL assign/probe/
+    // merge machinery in integer cell geometry and is fully hash-gated.
+    // Float centroid distances are approximate by construction across
+    // engines, so THIS configuration has no equality oracle (its fences:
+    // e02b gates the machinery exactly at full probe, e02c gates the
+    // recall floor of this exact configuration, AnnSpec measures recall
+    // vs brute force). Tier-fenced as a comparator so no production-
+    // named entry is rows-only: e02d carries the production IVF serving
+    // name (r10 verdict #4). ----
+    QDef("e02_ann_ivf_topk", None, comparator = true) { (s, dir) =>
       ivfTopK(embeddings(s, dir)).orderBy("q_id", "rank")
     },
 

@@ -109,12 +109,15 @@ object StreamingDedup {
             state.remove()
             Iterator.empty
           } else {
-            // batch mode has no watermark (GroupStateImpl throws on
-            // access) — there, nothing is ever evicted and the horizon
-            // predicate alone defines the output
+            // batch mode has no watermark — GroupStateImpl throws
+            // UnsupportedOperationException ("Cannot get event time
+            // watermark timestamp without setting watermark ...") on
+            // access — there, nothing is ever evicted and the horizon
+            // predicate alone defines the output. The catch is EXACTLY
+            // that type so a genuine state error still propagates.
             val wm =
               try state.getCurrentWatermarkMs()
-              catch { case scala.util.control.NonFatal(_) => Long.MinValue }
+              catch { case _: UnsupportedOperationException => Long.MinValue }
             val keepFrom = if (wm == Long.MinValue) Long.MinValue else wm - horizonMs
             val prior = state.getOption.map(_.entries).getOrElse(Vector.empty)
               .filter(_.tsMs >= keepFrom)

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The memo caches' session lifecycle (r10 verdict #5): the per-session
+  * probe/pair/codebook/graph memos must be evictable — a closed logical
+  * session leaves no cached entries and no pinned RDDs behind — without
+  * touching any other session's entries.
+  */
+class SessionMemosSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("evict(session) drops that session's memo entries, unpins its RDDs, spares others") {
+    // NOTE the thresholds differ per session: Spark's CacheManager is
+    // CONTEXT-wide and plan-keyed, so two sessions persisting
+    // structurally-equal plans share one cache entry — an eviction test
+    // must give each session a distinct plan to observe isolation.
+    def pairs(s: org.apache.spark.sql.SparkSession, threshold: Double): Unit =
+      queries.AnnPack.cosineNearDupBlocked(
+        Tables.embeddings(s, dir), threshold = threshold,
+        cacheKey = Some(s"$dir/embeddings")).collect()
+    pairs(spark, 0.45)
+    val sharedEntries = queries.AnnPack.memoEntriesFor(spark)
+    assert(sharedEntries > 0)
+
+    // a second logical session on the same context builds its own memos.
+    // RDD accounting is by ID SET, not global count: the async
+    // ContextCleaner may unpersist OTHER suites' unreferenced leftovers
+    // at any moment, so a count compare is flaky — only the ids this
+    // session pinned are the claim under test (they cannot be cleaned
+    // while the memo holds them).
+    val s2 = spark.newSession()
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.keySet
+    pairs(s2, 0.5)
+    graph.GraphTables.forDir(s2, dir)
+    assert(queries.AnnPack.memoEntriesFor(s2) > 0)
+    assert(graph.GraphTables.memoEntriesFor(s2) > 0)
+    val pinned = spark.sparkContext.getPersistentRDDs.keySet -- rddsBefore
+    assert(pinned.nonEmpty)
+
+    SessionMemos.evict(s2)
+
+    assert(queries.AnnPack.memoEntriesFor(s2) === 0)
+    assert(graph.GraphTables.memoEntriesFor(s2) === 0)
+    assert(queries.PipelinePack.memoEntriesFor(s2) === 0)
+    // every RDD the second session pinned is gone again
+    val survivors = spark.sparkContext.getPersistentRDDs.keySet.intersect(pinned)
+    assert(survivors.isEmpty, s"RDDs still pinned after evict: $survivors")
+    // and the shared session's memos are untouched
+    assert(queries.AnnPack.memoEntriesFor(spark) === sharedEntries)
+
+    // evicted ≠ broken: the next call recomputes and re-memoizes
+    pairs(s2, 0.5)
+    assert(queries.AnnPack.memoEntriesFor(s2) > 0)
+    SessionMemos.evict(s2)
+  }
+
+  test("arm is idempotent per context") {
+    val before = SessionMemos.armedCount
+    SessionMemos.arm(spark)
+    SessionMemos.arm(spark.newSession())
+    // the shared context was already armed by the memoizing entries above
+    // (and by prior suites); re-arming from any session on it adds nothing
+    assert(SessionMemos.armedCount === math.max(before, 1))
+  }
+}

@@ -13,8 +13,13 @@ import org.scalatest.funsuite.AnyFunSuite
 class SparkEntrySpec extends AnyFunSuite {
 
   test("comparatorEntries is exactly the quarantined quadratic baselines") {
+    // e02 joined in r11: not quadratic, but the float-cosine IVF twin
+    // whose nprobe config is un-gateable by construction — e02d carries
+    // the production IVF serving name with a bit-exact oracle (r10
+    // verdict #4), so no production-named entry is rows-only.
     assert(SparkEntry.comparatorEntries === Set(
       "d10d_jaccard_template_uncapped",
+      "e02_ann_ivf_topk",
       "e03_cosine_near_dup",
       "e03c_cosine_near_dup_clustered_baseline",
       "g22_common_neighbors",
@@ -27,6 +32,8 @@ class SparkEntrySpec extends AnyFunSuite {
     // twin would mean production rehearsals lose its coverage entirely
     val twins = Map(
       "d10d_jaccard_template_uncapped" -> Seq("d10c_jaccard_template_capped"),
+      "e02_ann_ivf_topk" -> Seq("e02d_ann_ivf_int_topk", "e02b_ann_ivf_full_probe",
+        "e02c_ann_ivf_recall_floor"),
       "e03_cosine_near_dup" -> Seq("e04_cosine_near_dup_blocked", "e04b_cosine_near_dup_salted"),
       "e03c_cosine_near_dup_clustered_baseline" -> Seq("e04c_cosine_near_dup_clustered"),
       "g22_common_neighbors" -> Seq("g22b_common_neighbors_capped"),
