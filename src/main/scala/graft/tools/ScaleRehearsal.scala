@@ -247,6 +247,76 @@ object ScaleRehearsal {
       val g25Nodes = graft.graph.GraphTables.forDir(spark, dir).nodes.count()
       check("g25_flags_total")(g25Rows == g25Nodes, s"$g25Rows flags for $g25Nodes nodes")
 
+      // 15. m07d 64-bit image-dedup index at 10x (r10 verdict #6): the
+      // Manku 4x16-bit block join must stay product-free, its candidate
+      // set a vanishing fraction of the pair space (64-bit hashes don't
+      // pigeonhole at this corpus size — the failure mode m07's 16-bit
+      // comparator exists to illustrate), and the planted twin recovery
+      // must survive the scale-up (ids shift, the pixel functions change,
+      // the hamming<=3 neighborhood must still be found).
+      val m07dDf = SparkEntry.queries("m07d_image_ahash64_pairs")(spark, dir)
+      val m07dPlan = finalPlan(m07dDf)
+      check("m07d_no_product")(!m07dPlan.contains("CartesianProduct") &&
+        !m07dPlan.contains("BroadcastNestedLoopJoin"), m07dPlan.take(1500))
+      val m07dPairs = m07dDf.collect()
+      val m07dPlanted = Tables.documents(spark, dir)
+        .filter(col("doc_id") % 7 === 0).count()
+      val twinOff = graft.multimodal.Multimodal.TwinOffset
+      val m07dRecovered = m07dPairs.count(r => r.getLong(1) == r.getLong(0) + twinOff)
+      check("m07d_twin_recovery")(m07dRecovered * 2 > m07dPlanted,
+        s"$m07dRecovered twin pairs recovered of $m07dPlanted planted")
+      // Candidate volume straight from the block index (pre-hamming-
+      // check), at BOTH scales: the scale claim is the e07 discipline —
+      // the candidate FRACTION of the pair space must not grow with the
+      // corpus (a saturating index would bend toward 1). The absolute
+      // fraction is corpus-dependent: this synthetic raster family is
+      // arithmetically CORRELATED (pixel values cycle mod 256 and
+      // ScaleUp's 1e8 id shift is ≡ 0 mod 256, so block values repeat
+      // across copies — hot buckets by construction, the adversarial
+      // case for any hash-banded index), so the bound is stability plus
+      // a loose absolute ceiling, not a tight constant.
+      def m07dCandidates(docsDir: String): (Long, Long) = {
+        val hs = graft.multimodal.Multimodal.imageAHash(
+          graft.multimodal.Multimodal.pngMediaWithTwins(
+            Tables.documents(spark, docsDir), base = 8, every = 7), grid = 8)
+          .localCheckpoint()
+        val n = hs.count()
+        val blocks = hs.select(col("doc_id"),
+            explode(expr("transform(sequence(0, 3), " +
+              "f -> named_struct('blk', f, 'bv', shiftright(ahash, 16 * f) & 65535))")).as("x"))
+          .select(col("doc_id"), col("x.blk").as("blk"), col("x.bv").as("bv"))
+        val cand = blocks.select(col("doc_id").as("ida"), col("blk"), col("bv"))
+          .join(blocks.select(col("doc_id").as("idb"), col("blk"), col("bv")),
+            Seq("blk", "bv"))
+          .filter(col("ida") < col("idb"))
+          .select("ida", "idb").distinct().count()
+        (cand, n * (n - 1) / 2)
+      }
+      val (m07dCandBase, m07dSpaceBase) = m07dCandidates(baseDir)
+      val (m07dCand, imgPairSpace) = m07dCandidates(dir)
+      val m07dFracBase = m07dCandBase.toDouble / m07dSpaceBase
+      val m07dFrac10x = m07dCand.toDouble / imgPairSpace
+      check("m07d_candidate_fraction_stable")(
+        m07dFrac10x <= m07dFracBase * 1.5 + 0.002,
+        s"10x fraction $m07dFrac10x vs base $m07dFracBase — the index is saturating")
+      check("m07d_candidates_bounded_fraction")(m07dFrac10x < 0.05,
+        s"$m07dCand candidates vs pair space $imgPairSpace (${m07dFrac10x * 100}%)")
+
+      // 16. q35 funnel at 10x (r10 verdict #6): the stage tables stay
+      // keyed aggregates — no window over the event stream, no product —
+      // and the output is exactly one row per user, factor x the base
+      // corpus's users (ScaleUp shifts user ids): per-user funnel state
+      // is three timestamps, linear in users, never event history.
+      val q35Df = SparkEntry.queries("q35_funnel_conversion")(spark, dir)
+      val q35Plan = finalPlan(q35Df)
+      check("q35_no_window")(!q35Plan.contains("Window"), q35Plan.take(1500))
+      check("q35_no_product")(!q35Plan.contains("CartesianProduct") &&
+        !q35Plan.contains("BroadcastNestedLoopJoin"), q35Plan.take(1500))
+      val q35Rows = q35Df.count()
+      val q35Base = SparkEntry.queries("q35_funnel_conversion")(spark, baseDir).count()
+      check("q35_rows_linear")(q35Rows == factor.toLong * q35Base,
+        s"$q35Rows rows at 10x vs $factor x $q35Base base users")
+
       println(s"""{"dir":"$dir","d03_cand_base":$candBase,"d03_cand_10x":$candBig,""" +
         s""""d03_ratio":$ratio,"pair_space":$pairSpace,"g21_max_fwd":$maxFwd,""" +
         s""""g21_und_edges":$undN,"certify_leaves":$leaves,""" +
@@ -256,6 +326,10 @@ object ScaleRehearsal {
         s""""e07_frac_base":$fracBase,"e07_frac_10x":$frac10x,""" +
         s""""e08_codes":$pqCodes,"e09_clusters":$e09Clusters,""" +
         s""""g25_nodes":$g25Nodes,""" +
+        s""""m07d_cand_base":$m07dCandBase,"m07d_cand_10x":$m07dCand,""" +
+        s""""m07d_frac_base":$m07dFracBase,"m07d_frac_10x":$m07dFrac10x,""" +
+        s""""m07d_pairs_10x":${m07dPairs.length},"m07d_twins_recovered":$m07dRecovered,""" +
+        s""""q35_rows_base":$q35Base,"q35_rows_10x":$q35Rows,""" +
         s""""failures":${failures.size}}""")
       if (failures.nonEmpty) {
         println(s"FAILURES: ${failures.reverse.mkString(", ")}")

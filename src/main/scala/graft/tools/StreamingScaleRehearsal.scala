@@ -49,20 +49,26 @@ object StreamingScaleRehearsal {
   }
 
   /** Write `scaled` (any schema with a `ts` timestamp column) as `chunks`
-    * single-file parquet chunks in event-time order under `work/stream`.
+    * single-file parquet chunks under `work/stream`, ordered by
+    * `orderCol` (default: event time — in-order replay). Passing a
+    * separate ARRIVAL-time column replays out-of-order input: a row
+    * whose arrival lags its event time lands in a later chunk, arriving
+    * after the watermark advanced past newer events — the late-but-
+    * admissible regime a watermarked operator must absorb.
     * Returns (streamDir, totalRows).
     */
   def writeTimeChunks(
       spark: SparkSession,
       scaled: DataFrame,
       work: String,
-      chunks: Int): (String, Long) = {
-    val b = scaled.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      chunks: Int,
+      orderCol: String = "ts"): (String, Long) = {
+    val b = scaled.agg(min(unix_micros(col(orderCol))), max(unix_micros(col(orderCol))))
       .head()
     val (lo, hi) = (b.getLong(0), b.getLong(1))
     val width = (hi - lo) / chunks + 1
     val withChunk = scaled
-      .withColumn("__chunk", ((unix_micros(col("ts")) - lo) / width).cast("int"))
+      .withColumn("__chunk", ((unix_micros(col(orderCol)) - lo) / width).cast("int"))
       .localCheckpoint() // one derivation, `chunks` filtered writes
 
     val streamDir = java.nio.file.Paths.get(work, "stream")
@@ -72,7 +78,7 @@ object StreamingScaleRehearsal {
     (0 until chunks).foreach { i =>
       val tmp = s"$work/tmp_chunk_$i"
       val part = withChunk.filter(col("__chunk") === i).drop("__chunk")
-        .sort("ts") // within-chunk order: realistic arrival, tighter state
+        .sort(orderCol) // within-chunk order: realistic arrival, tighter state
       part.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
       total += spark.read.parquet(tmp).count()
       val src = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
@@ -93,12 +99,13 @@ object StreamingScaleRehearsal {
       spark: SparkSession,
       streamDir: String,
       work: String,
-      name: String)(build: DataFrame => DataFrame): Seq[(Long, Long)] = {
+      name: String,
+      format: String = "noop")(build: DataFrame => DataFrame): Seq[(Long, Long)] = {
     val schema = spark.read.parquet(streamDir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(streamDir)
     val q = build(stream).writeStream
-      .format("noop")
+      .format(format)
       .queryName(name)
       .option("checkpointLocation", s"$work/ckpt_$name")
       .trigger(Trigger.AvailableNow())
@@ -225,6 +232,87 @@ object StreamingScaleRehearsal {
         s"max state $s08Max vs total signature rows $sigTotal — " +
           "without eviction state would approach the input")
 
+      // ---- s09: trending top-k at window close under OUT-OF-ORDER
+      // arrival (r10 verdict #6). A synthetic 20-events/second stream
+      // (factor x the events table, copies extending the timeline) where
+      // every 7th event ARRIVES 3000s late — inside the 3600s watermark
+      // delay, so the operator must land it in its EVENT-TIME window even
+      // though newer events already advanced the watermark past it.
+      // Checks: (a) every emitted window's final top-k equals the batch
+      // recompute over ALL events — counts included, so one dropped
+      // admissible late event shifts n and fails loudly; (b) per-window
+      // state is bounded by the OPEN window count (watermark lag + one
+      // chunk, in window units), never cumulative input; (c) each window
+      // is emitted exactly once (append at close).
+      import spark.implicits._
+      val s09WindowMs = 3600000L
+      val s09WmS = 3600L
+      val evB = Tables.events(spark, srcDir).select(col("event_id"), col("event_type"))
+      val nEv = evB.count()
+      // the +86400 base keeps the synthetic timeline OFF the epoch:
+      // Spark's stateful late-row filter drops rows with event time <=
+      // the watermark and the INITIAL watermark is 0, so a timeline
+      // anchored at ts=0 loses its first-second rows by construction
+      // (TrendingLateReproSpec pins the artifact) — real event times
+      // never sit at the epoch.
+      val s09Scaled = (0 until factor).map(i => evB.select(
+          (col("event_id") + lit(nEv * i)).as("seq"), col("event_type")))
+        .reduce(_ unionByName _)
+        .select(
+          timestamp_seconds(expr("seq div 20") + lit(86400L)).as("ts"),
+          col("event_type").as("eventType"),
+          timestamp_seconds(expr("seq div 20") + lit(86400L) +
+            when(col("seq") % 7 === 0, 3000L).otherwise(0L)).as("arrival"))
+      val s09Work = s"$work/trending"
+      val (s09Dir, _) = writeTimeChunks(spark, s09Scaled, s09Work, chunks,
+        orderCol = "arrival")
+      val s09Name = "s09_rehearsal"
+      val s09Curve = runWithCurve(spark, s09Dir, s09Work, s09Name, format = "memory") { df =>
+        EventsStream.trendingAtClose(
+          df.select(col("ts"), col("eventType")).as[EventsStream.TypedEvent],
+          windowMs = s09WindowMs, k = 3, watermarkDelay = s"$s09WmS seconds").toDF()
+      }
+      val s09Streamed = spark.table(s09Name).collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getString(2), r.getLong(3)))
+      val s09Emitted = s09Streamed.map(_._1).toSet
+      check("s09_emitted_once")(s09Streamed.length == s09Streamed.distinct.length,
+        "duplicate (window, rank) emissions")
+      val s09All = spark.read.parquet(s09Dir)
+      val s09ExpectedAll = {
+        val counts = s09All.groupBy(
+            expr(s"(unix_millis(ts) div $s09WindowMs) * $s09WindowMs").as("w"),
+            col("eventType"))
+          .agg(count(lit(1)).as("n"))
+        val wSpec = org.apache.spark.sql.expressions.Window
+          .partitionBy("w").orderBy(col("n").desc, col("eventType"))
+        counts.withColumn("rank", row_number().over(wSpec).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("w"), col("rank"), col("eventType"), col("n")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      }
+      val s09WindowsTotal = s09ExpectedAll.map(_._1).toSet.size
+      check("s09_most_windows_closed")(s09Emitted.size * 10 >= s09WindowsTotal * 8,
+        s"${s09Emitted.size} windows emitted of $s09WindowsTotal " +
+          "(only the final watermark lag may stay open)")
+      val s09ExpectedEmitted = s09ExpectedAll.filter(e => s09Emitted.contains(e._1)).toSet
+      check("s09_closed_window_parity_with_late_events")(
+        s09Streamed.toSet == s09ExpectedEmitted,
+        s"streamed ${s09Streamed.length} tuples != expected " +
+          s"${s09ExpectedEmitted.size} on emitted windows; " +
+          s"missing=${(s09ExpectedEmitted -- s09Streamed.toSet).take(3)} " +
+          s"extra=${(s09Streamed.toSet -- s09ExpectedEmitted).take(3)}")
+      val s09Max = s09Curve.map(_._2).max
+      val s09ArrSpanMs = {
+        val b = s09All.agg(min(unix_millis(col("arrival"))),
+          max(unix_millis(col("arrival")))).head()
+        b.getLong(1) - b.getLong(0)
+      }
+      val s09OpenBound = (s09ArrSpanMs / chunks + s09WmS * 1000L) / s09WindowMs + 2
+      check("s09_state_open_windows_only")(s09Max <= 4 * s09OpenBound,
+        s"max state $s09Max window rows vs 4 x open-window bound $s09OpenBound")
+      check("s09_batches_cover_chunks")(s09Curve.length >= chunks,
+        s"${s09Curve.length} progress entries < $chunks chunks")
+
       def curveJson(c: Seq[(Long, Long)]): String =
         c.map { case (in, st) => s"[$in,$st]" }.mkString("[", ",", "]")
       val json =
@@ -234,8 +322,11 @@ object StreamingScaleRehearsal {
           s""""s05_max_state":$s05Max,"s05_steady_estimate":$steadyS05,""" +
           s""""s08_max_state":$s08Max,"s08_steady_estimate":$steadyS08,""" +
           s""""s08_sig_rows":$sigTotal,"s08_horizon_ms":$dedupHorizonMs,""" +
+          s""""s09_max_state":$s09Max,"s09_open_bound":$s09OpenBound,""" +
+          s""""s09_windows_emitted":${s09Emitted.size},"s09_windows_total":$s09WindowsTotal,""" +
+          s""""s09_tuples":${s09Streamed.length},""" +
           s""""s03_curve":${curveJson(s03Curve)},"s05_curve":${curveJson(s05Curve)},""" +
-          s""""s08_curve":${curveJson(s08Curve)},""" +
+          s""""s08_curve":${curveJson(s08Curve)},"s09_curve":${curveJson(s09Curve)},""" +
           s""""failures":${failures.size}}"""
       println(json)
       sys.env.get("SPARK_GRAFT_STREHEARSAL_OUT").foreach { p =>

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Out-of-order arrival regression for [[EventsStream.trendingAtClose]]:
+  * late-but-admissible events (lateness < the watermark delay) must land
+  * in their EVENT-TIME window — the final per-window top-k equals a
+  * batch recompute over all events, counts included, so one dropped
+  * admissible arrival fails loudly.
+  */
+class TrendingLateReproSpec extends AnyFunSuite {
+  private val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+  private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  test("late-but-admissible rows land in their event-time window") {
+    // NOTE the +3600 base: Spark's stateful late-row filter drops rows
+    // with event time <= the watermark and the INITIAL watermark is 0,
+    // so an event AT the epoch (ts = 0) is dropped unconditionally — an
+    // epoch artifact, not an operator property (verified: with base 0
+    // exactly the ts=0 rows vanish from their window's counts).
+    val n = 600
+    val base = 3600
+    val windowMs = 60000L
+    // seq 0..599 at 1 event/second; window 60s, watermark 30s.
+    // Every 5th event ARRIVES 25s late (admissible: 25 < 30), landing in
+    // a later micro-batch than its event time says.
+    val events = (0 until n).map { s =>
+      val late = s % 5 == 0
+      (base + s, base + s + (if (late) 25 else 0), s"t${s % 3}")
+    }
+    // batches of 50 arrival-seconds each, replayed in arrival order
+    val batches = events.groupBy(_._2 / 50).toSeq.sortBy(_._1)
+      .map(_._2.map { case (ts, _, ty) =>
+        EventsStream.TypedEvent(new Timestamp(ts * 1000L), ty) })
+
+    val input = MemoryStream[EventsStream.TypedEvent]
+    val out = EventsStream.trendingAtClose(
+      input.toDS(), windowMs = windowMs, k = 3, watermarkDelay = "30 seconds")
+    val q = out.writeStream.format("memory").queryName("late_repro")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+
+    val got = spark.table("late_repro").as[EventsStream.TrendingType].collect()
+      .map(t => (t.windowStart.getTime, t.rank, t.eventType, t.n)).toSet
+    assert(got.nonEmpty, "no windows closed — fixture broken")
+    // expected: full batch recompute over ALL events (late rows included
+    // — a dropped admissible arrival shifts a count and fails here)
+    val expected = events.groupBy(_._1 / 60 * 60).flatMap { case (w, evs) =>
+      evs.groupBy(_._3).view.mapValues(_.size.toLong).toSeq
+        .sortBy { case (t, c) => (-c, t) }.take(3).zipWithIndex.map {
+          case ((t, c), i) => (w * 1000L, i + 1L, t, c) }
+    }.toSet
+    val gotWindows = got.map(_._1)
+    val expectedOnEmitted = expected.filter(e => gotWindows.contains(e._1))
+    assert(got === expectedOnEmitted,
+      s"\nmissing=${(expectedOnEmitted -- got).toSeq.sortBy(e => (e._1, e._2))}" +
+        s"\nextra=${(got -- expectedOnEmitted).toSeq.sortBy(e => (e._1, e._2))}")
+    // most windows must have closed (only the final watermark lag stays open)
+    assert(gotWindows.size * 10 >= expected.map(_._1).toSet.size * 8)
+  }
+}
