@@ -16,6 +16,63 @@ import org.apache.spark.sql.functions._
   */
 object ExtensionsPack {
 
+  /** One oracle for the q34 family: all three written orientations ask
+    * the identical point-in-session-interval question, so DuckDB answers
+    * it once in the canonical form.
+    */
+  private val q34OracleSql = """
+      WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      m AS (SELECT user_id, ts,
+              CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w >= INTERVAL '10 minutes' THEN 1 ELSE 0 END AS new_s
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      s AS (SELECT user_id, ts,
+              sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+            FROM m),
+      sess AS (SELECT user_id, min(ts) AS session_start,
+                      max(ts) + INTERVAL '10 minutes' AS session_end
+               FROM s GROUP BY user_id, sid)
+      SELECT e.user_id, e.ts, x.session_start
+      FROM e JOIN sess x ON e.user_id = x.user_id
+        AND e.ts >= x.session_start AND e.ts < x.session_end
+      ORDER BY 1, 2, 3"""
+
+  /** Run the q34 range-join SQL with the given ON-clause bound predicate
+    * under the conf-gated [[graft.plans.RangeJoinBinning]] rule, and
+    * REQUIRE the rewrite fired (the __graft_ bin attributes appear in
+    * the executed plan) — the q34 family gates the optimizer arms, and
+    * an unmatched orientation silently answered by the naive join would
+    * otherwise still pass the row compare.
+    */
+  private def q34Variant(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      boundPredicate: String): org.apache.spark.sql.DataFrame = {
+    import graft.plans.RangeJoinBinning
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("v"))
+      .createOrReplaceTempView("q34_points")
+    EventsStream.sessionized(Tables.events(s, dir))
+      .select(col("user_id").as("s_user"), col("session_start"),
+        unix_micros(col("session_start")).as("lo"),
+        unix_micros(col("session_end")).as("hi"))
+      .createOrReplaceTempView("q34_sess")
+    val prev = s.conf.getOption(RangeJoinBinning.BinSizeKey)
+    s.conf.set(RangeJoinBinning.BinSizeKey, "3600000000") // 1-hour bins, q23's choice
+    try {
+      val df = s.sql(s"""
+        SELECT p.user_id, p.ts, x.session_start
+        FROM q34_points p JOIN q34_sess x
+          ON p.user_id = x.s_user AND $boundPredicate
+        ORDER BY p.user_id, p.ts, x.session_start""")
+      // freeze the rewritten plan under the conf (QueryExecution memoizes)
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("__graft_"),
+        s"RangeJoinBinning did not rewrite `$boundPredicate`:\n${plan.take(2000)}")
+      df
+    } finally prev.fold(s.conf.unset(RangeJoinBinning.BinSizeKey))(
+      v => s.conf.set(RangeJoinBinning.BinSizeKey, v))
+  }
+
   val defs: Seq[QDef] = Seq(
 
     QDef("s01_windowed_events", Some("""
@@ -316,43 +373,23 @@ object ExtensionsPack {
     // gates the rewritten plan's RESULTS against the same inequality
     // join, and RangeJoinBinningSpec pins the plan shape + exactness
     // fixtures (boundaries, degenerate intervals, orientation).
-    QDef("q34_range_join_rule", Some("""
-      WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
-      m AS (SELECT user_id, ts,
-              CASE WHEN lag(ts) OVER w IS NULL
-                     OR ts - lag(ts) OVER w >= INTERVAL '10 minutes' THEN 1 ELSE 0 END AS new_s
-            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-      s AS (SELECT user_id, ts,
-              sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
-            FROM m),
-      sess AS (SELECT user_id, min(ts) AS session_start,
-                      max(ts) + INTERVAL '10 minutes' AS session_end
-               FROM s GROUP BY user_id, sid)
-      SELECT e.user_id, e.ts, x.session_start
-      FROM e JOIN sess x ON e.user_id = x.user_id
-        AND e.ts >= x.session_start AND e.ts < x.session_end
-      ORDER BY 1, 2, 3""")) { (s, dir) =>
-      import graft.plans.RangeJoinBinning
-      Tables.events(s, dir)
-        .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("v"))
-        .createOrReplaceTempView("q34_points")
-      EventsStream.sessionized(Tables.events(s, dir))
-        .select(col("user_id").as("s_user"), col("session_start"),
-          unix_micros(col("session_start")).as("lo"),
-          unix_micros(col("session_end")).as("hi"))
-        .createOrReplaceTempView("q34_sess")
-      val prev = s.conf.getOption(RangeJoinBinning.BinSizeKey)
-      s.conf.set(RangeJoinBinning.BinSizeKey, "3600000000") // 1-hour bins, q23's choice
-      try {
-        val df = s.sql("""
-          SELECT p.user_id, p.ts, x.session_start
-          FROM q34_points p JOIN q34_sess x
-            ON p.user_id = x.s_user AND p.v >= x.lo AND p.v < x.hi
-          ORDER BY p.user_id, p.ts, x.session_start""")
-        df.queryExecution.executedPlan // freeze the rewritten plan under the conf
-        df
-      } finally prev.fold(s.conf.unset(RangeJoinBinning.BinSizeKey))(
-        v => s.conf.set(RangeJoinBinning.BinSizeKey, v))
+    QDef("q34_range_join_rule", Some(q34OracleSql)) { (s, dir) =>
+      q34Variant(s, dir, "p.v >= x.lo AND p.v < x.hi")
+    },
+
+    // q34b/q34c (r10 verdict #8): the rule accepts the plain BETWEEN
+    // shape and bound-first SQL — these twins DRIVE those written
+    // orientations from a gated entry, with the identical oracle answer
+    // (`v BETWEEN lo AND hi - 1` ≡ `v >= lo AND v < hi` on the integer
+    // micros domain; `lo <= v AND hi > v` is the flipped reading). Each
+    // run REQUIRES the rewrite actually fired (__graft_ bins in the
+    // plan), so a silently-unmatched arm fails the gate rather than
+    // passing through the naive join. ----
+    QDef("q34b_range_join_rule_between", Some(q34OracleSql)) { (s, dir) =>
+      q34Variant(s, dir, "p.v BETWEEN x.lo AND x.hi - 1")
+    },
+    QDef("q34c_range_join_rule_bound_first", Some(q34OracleSql)) { (s, dir) =>
+      q34Variant(s, dir, "x.lo <= p.v AND x.hi > p.v")
     },
 
     QDef("m01_media_meta", Some("""

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{QDef, Tables}
+import graft.{QDef, SessionMemos, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -348,6 +348,19 @@ object PipelinePack {
   private val maxDfCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
 
+  // session-scoped eviction (r10 verdict #5); registered at object init,
+  // strictly before the cache can be populated
+  SessionMemos.registerEvictor { dead =>
+    maxDfCache.filterInPlace { case ((s, _), _) => !dead(s) }
+    jacPairsCache.filterInPlace { case ((s, _, _, _), df) =>
+      if (dead(s)) { SessionMemos.safeUnpersist(df); false } else true
+    }
+  }
+
+  private[graft] def memoEntriesFor(session: SparkSession): Int =
+    maxDfCache.keysIterator.count(_._1 eq session) +
+      jacPairsCache.keysIterator.count(_._1 eq session)
+
   /** @param capEngageFactor when set (with `dfCap`), the cap engages ONLY
     * if the corpus's measured max shingle df exceeds `dfCap * factor` —
     * the regime where hot-shingle fanout (quadratic in df) dominates and
@@ -374,6 +387,7 @@ object PipelinePack {
           .agg(max(col("df"))).head.getLong(0)
         val maxDf = cacheKey match {
           case Some(k) =>
+            SessionMemos.arm(docs.sparkSession)
             maxDfCache.getOrElseUpdate((docs.sparkSession, k), probe())
           case None => probe()
         }
@@ -546,9 +560,46 @@ object PipelinePack {
     * discipline as [[graft.graph.GraphTables]]' BFS. Loud failure (not
     * silent wrong answers) if the log-round guard is ever hit.
     */
-  def nearDupClusters(docs: DataFrame, threshold: Double, dfCap: Option[Long] = None): DataFrame = {
-    val pairs = ngramJaccardPairs(docs, threshold, dfCap).select("doc_i", "doc_j")
-    connectedComponents(docs.select(col("doc_id")), pairs)._1
+  def nearDupClusters(
+      docs: DataFrame, threshold: Double, dfCap: Option[Long] = None,
+      cacheKey: Option[String] = None): DataFrame =
+    connectedComponents(docs.select(col("doc_id")),
+      jaccardPairsMemo(docs, threshold, dfCap, cacheKey))._1
+
+  /** Memoized canonical NEAR-DUP PAIR SET per (session, corpus key,
+    * threshold, dfCap) — the e04/d26 pairs discipline applied to the
+    * n-gram Jaccard family (r10 verdict #7): d13, d25 and d28 all need
+    * the pairs of the same corpus at the same threshold in one
+    * bench/verify process, and the pair set is tiny while its shingle
+    * self-join is the family's dominant cost. Keyless calls (tests,
+    * ad-hoc corpora) never touch the memo.
+    */
+  private val jacPairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Double, Long), DataFrame]
+
+  /** Test hooks, same contract as AnnPack.pairMemoEnabled/clearPairMemo:
+    * plan-shape specs need the raw join tree, and the CacheManager would
+    * substitute any structurally-equal plan with the persisted relation.
+    */
+  @volatile private[graft] var jacMemoEnabled = true
+  private[graft] def clearJacMemo(session: SparkSession): Unit =
+    jacPairsCache.filterInPlace { case ((s, _, _, _), df) =>
+      if (s eq session) { df.unpersist(blocking = true); false } else true
+    }
+
+  private def jaccardPairsMemo(
+      docs: DataFrame, threshold: Double, dfCap: Option[Long],
+      cacheKey: Option[String]): DataFrame = {
+    def compute(): DataFrame =
+      ngramJaccardPairs(docs, threshold, dfCap).select("doc_i", "doc_j")
+    cacheKey match {
+      case Some(k) if jacMemoEnabled =>
+        SessionMemos.arm(docs.sparkSession)
+        jacPairsCache.getOrElseUpdate(
+          (docs.sparkSession, k, threshold, dfCap.getOrElse(-1L)),
+          compute().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      case _ => compute()
+    }
   }
 
   /** d27 — the per-shard greedy packer: token-offset cumsum windowed by
@@ -565,6 +616,122 @@ object PipelinePack {
       .select(col("source"), col("doc_id"), col("n_tokens"),
         expr(s"start_off div $budget").as("bin"),
         (col("start_off") % budget).as("bin_offset"))
+  }
+
+  /** d30 — BPE-STYLE PHRASE-MERGE INDUCTION: the distributed core of
+    * subword/phrase vocabulary training (the merge loop of Sennrich et
+    * al. ACL'16, applied at token granularity — the word2phrase idea of
+    * Mikolov et al. 2013). `rounds` synchronous rounds, each engine-exact:
+    *
+    *   1. count adjacent token pairs corpus-wide (one shuffle on the
+    *      pair key, map-side partial combine);
+    *   2. adopt the single most frequent pair — ties broken (count DESC,
+    *      left ASC, right ASC), so the winner is deterministic;
+    *   3. merge its occurrences LEFT-TO-RIGHT NON-OVERLAPPING in every
+    *      document (`a a a` under winner (a,a) merges positions 0-1,
+    *      leaving the third `a`): within each maximal run of consecutive
+    *      match positions, merges happen at even offsets — a per-doc
+    *      window computation (gaps-and-islands), never a sequential scan
+    *      of the corpus.
+    *
+    * The merged token is `left + "+" + right`, so round 2 can merge a
+    * round-1 phrase with a neighbor (real BPE compounding). A fixed
+    * unroll rather than run-to-convergence — the same discipline as
+    * g23/g27/e09 — is what lets the DuckDB oracle re-derive every round
+    * bit-for-bit.
+    *
+    * Scale shape per round: one pair-count aggregate, a broadcast of the
+    * 1-row winner, two per-doc windows (state bounded by document
+    * length), one groupBy(doc_id) rebuild — the iterate-shuffle shape of
+    * pageRank, localCheckpoint per round keeping the plan flat. At
+    * 100 TB you induce merges on a sample and apply the learned table
+    * corpus-wide in one pass; the induction loop itself is rounds x this
+    * fixed cost.
+    *
+    * Returns (merged corpus (doc_id, toks), merge table (round, l, r, c)).
+    */
+  /** The d30/d30b oracle: [[phraseMerge]]'s three rounds unrolled as SQL
+    * CTEs — per round, the position table (q), the winning pair (w), the
+    * match positions (m), the gaps-and-islands run grouping (g), the
+    * even-offset merge starts (s), and the rebuilt corpus (tk).
+    */
+  private val phraseMergeCtes: String = {
+    def round(r: Int): String = s"""
+      p$r AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM tk${r - 1}),
+      q$r AS (SELECT doc_id, i - 1 AS p, toks[i] AS t,
+                CASE WHEN i < len(toks) THEN toks[i + 1] END AS tn
+              FROM p$r),
+      w$r AS (SELECT t AS wl, tn AS wr, count(*) AS c FROM q$r
+              WHERE tn IS NOT NULL GROUP BY 1, 2 ORDER BY c DESC, wl, wr LIMIT 1),
+      m$r AS (SELECT doc_id, p FROM q$r, w$r WHERE t = wl AND tn = wr),
+      g$r AS (SELECT doc_id, p,
+                p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+              FROM m$r),
+      s$r AS (SELECT doc_id, p FROM (
+                SELECT doc_id, p, p - min(p) OVER (PARTITION BY doc_id, grp) AS off
+                FROM g$r)
+              WHERE off % 2 = 0),
+      tk$r AS (SELECT a.doc_id,
+                 list(CASE WHEN s.p IS NOT NULL THEN a.t || '+' || a.tn ELSE a.t END
+                      ORDER BY a.p) AS toks
+               FROM q$r a
+               LEFT JOIN s$r s ON s.doc_id = a.doc_id AND s.p = a.p
+               LEFT JOIN s$r c ON c.doc_id = a.doc_id AND c.p = a.p - 1
+               WHERE c.p IS NULL
+               GROUP BY a.doc_id)"""
+    "WITH tk0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)," +
+      (1 to 3).map(round).mkString(",")
+  }
+
+  def phraseMerge(docs: DataFrame, rounds: Int = 3): (DataFrame, DataFrame) = {
+    var cur = docs.select(col("doc_id"), toks.as("toks"))
+    var merges = Vector.empty[DataFrame]
+    for (round <- 1 to rounds) {
+      val pos = cur.select(col("doc_id"),
+          explode(expr("transform(sequence(0, size(toks) - 1), " +
+            "i -> named_struct('p', i, 't', toks[i], " +
+            "'tn', if(i < size(toks) - 1, toks[i + 1], null)))")).as("x"))
+        .select(col("doc_id"), col("x.p").as("p"),
+          col("x.t").as("t"), col("x.tn").as("tn"))
+      // the corpus-wide winner: TakeOrdered (no global sort), 1 row,
+      // materialized once per round (it feeds both the merge and the
+      // merge table)
+      val win = pos.filter(col("tn").isNotNull)
+        .groupBy(col("t").as("wl"), col("tn").as("wr"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("wl"), col("wr"))
+        .limit(1)
+        .localCheckpoint()
+      merges :+= win.select(lit(round.toLong).as("round"),
+        col("wl").as("l"), col("wr").as("r"), col("c"))
+      // match positions -> greedy non-overlapping merge starts: within a
+      // run of consecutive matches, even offsets merge (position p+1 is
+      // consumed by the merge at p, which suppresses the match at p+1)
+      val wRn = Window.partitionBy("doc_id").orderBy("p")
+      val matches = pos.join(broadcast(win),
+          col("t") === col("wl") && col("tn") === col("wr"))
+        .select(col("doc_id"), col("p"))
+        .withColumn("grp", col("p") - row_number().over(wRn))
+      val wGrp = Window.partitionBy("doc_id", "grp")
+      val starts = matches
+        .withColumn("off", col("p") - min("p").over(wGrp))
+        .filter(col("off") % 2 === 0)
+        .select(col("doc_id"), col("p"), lit(1).as("ms"))
+      val consumed = starts.select(col("doc_id"), (col("p") + 1).as("p"),
+        lit(1).as("cons"))
+      cur = pos
+        .join(starts, Seq("doc_id", "p"), "left")
+        .join(consumed, Seq("doc_id", "p"), "left")
+        .filter(col("cons").isNull)
+        .select(col("doc_id"), col("p"),
+          when(col("ms") === 1, concat(col("t"), lit("+"), col("tn")))
+            .otherwise(col("t")).as("t"))
+        .groupBy("doc_id")
+        .agg(expr("transform(array_sort(collect_list(struct(p, t))), x -> x.t)")
+          .as("toks"))
+        .localCheckpoint() // flat plan per round, like pageRank/labelPropagation
+    }
+    (cur, merges.reduce(_ unionByName _))
   }
 
   /** d26 — SEMANTIC dedup (the SemDeDup shape, Abbas et al. 2023): the
@@ -620,8 +787,11 @@ object PipelinePack {
     * millionths; doc_id tie-break), flagging every doc `kept` 0/1 — see
     * [[keepBestFlags]] for the sort-free aggregate shape.
     */
-  def dedupKeepBest(docs: DataFrame, threshold: Double): DataFrame =
-    keepBestFlags(nearDupClusters(docs, threshold), docQuality(docs))
+  def dedupKeepBest(
+      docs: DataFrame, threshold: Double,
+      cacheKey: Option[String] = None): DataFrame =
+    keepBestFlags(nearDupClusters(docs, threshold, cacheKey = cacheKey),
+      docQuality(docs))
 
   /** Connected components over (doc_id) nodes and (doc_i, doc_j) edges:
     * returns (labels, rounds) where labels = (doc_id, cluster_id) with
@@ -1059,7 +1229,8 @@ object PipelinePack {
         SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a)
       SELECT id AS doc_id, min(r) AS cluster_id FROM reach
       GROUP BY id ORDER BY doc_id""")) { (s, dir) =>
-      nearDupClusters(Tables.documents(s, dir), threshold = 0.3).orderBy("doc_id")
+      nearDupClusters(Tables.documents(s, dir), threshold = 0.3,
+        cacheKey = Some(s"$dir/documents")).orderBy("doc_id")
     },
 
     // ---- d25: the dedup DECISION — which doc each cluster keeps. d13
@@ -1104,7 +1275,8 @@ object PipelinePack {
       SELECT doc_id, cluster_id,
              CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS kept
       FROM rk ORDER BY doc_id""")) { (s, dir) =>
-      dedupKeepBest(Tables.documents(s, dir), threshold = 0.3).orderBy("doc_id")
+      dedupKeepBest(Tables.documents(s, dir), threshold = 0.3,
+        cacheKey = Some(s"$dir/documents")).orderBy("doc_id")
     },
 
     // ---- d28: the CURATION MANIFEST — the end-to-end decision a
@@ -1178,7 +1350,7 @@ object PipelinePack {
         .cast("long")
       val split = docs.select(col("doc_id"),
         when(b < 204, "train").when(b < 230, "val").otherwise("test").as("split"))
-      dedupKeepBest(docs, threshold = 0.3)
+      dedupKeepBest(docs, threshold = 0.3, cacheKey = Some(s"$dir/documents"))
         .join(lang, "doc_id")
         .join(docQuality(docs).select(col("doc_id"), col("qm")), "doc_id")
         .join(split, "doc_id")
@@ -1741,6 +1913,40 @@ object PipelinePack {
         .filter(col("rk") <= col("quota"))
         .select(col("doc_id"), col("source"), col("rk"), col("wt"), col("quota"))
         .orderBy("doc_id")
+    },
+
+    // ---- d30: BPE-style phrase-merge induction (see [[phraseMerge]]) —
+    // the distributed merge loop of subword-vocabulary training. 3
+    // synchronous rounds: corpus-wide adjacent-pair count -> single most
+    // frequent pair (count DESC, lexicographic tie-break) -> greedy
+    // left-to-right non-overlapping merge in every doc (gaps-and-islands
+    // parity over per-doc windows, never a sequential corpus scan). The
+    // oracle unrolls the IDENTICAL three rounds in SQL, so every merge
+    // decision and every rebuilt document is bit-exact across engines. ----
+    QDef("d30_phrase_merge", Some(s"""
+      $phraseMergeCtes
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             array_to_string(toks, ' ') AS merged_text
+      FROM tk3 ORDER BY doc_id""")) { (s, dir) =>
+      phraseMerge(Tables.documents(s, dir), rounds = 3)._1
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+          concat_ws(" ", col("toks")).as("merged_text"))
+        .orderBy("doc_id")
+    },
+
+    // ---- d30b: the LEARNED MERGE TABLE of d30 — the artifact a
+    // tokenizer trainer actually ships (round, pair, corpus count at
+    // adoption time). Gates the decision sequence itself: a wrong
+    // tie-break or a miscounted pair in ANY round changes this table. ----
+    QDef("d30b_phrase_merge_table", Some(s"""
+      $phraseMergeCtes
+      SELECT CAST(1 AS BIGINT) AS round, wl AS l, wr AS r, CAST(c AS BIGINT) AS c FROM w1
+      UNION ALL SELECT CAST(2 AS BIGINT), wl, wr, CAST(c AS BIGINT) FROM w2
+      UNION ALL SELECT CAST(3 AS BIGINT), wl, wr, CAST(c AS BIGINT) FROM w3
+      ORDER BY round""")) { (s, dir) =>
+      phraseMerge(Tables.documents(s, dir), rounds = 3)._2
+        .select(col("round"), col("l"), col("r"), col("c"))
+        .orderBy("round")
     },
 
     // ---- d16: PII redaction (email + IPv4), the scrubbing pass every

@@ -38,6 +38,7 @@ class EntryAnalyzeSmokeSpec extends AnyFunSuite {
     "d22_bloom_decontamination", "d23_tfidf_top_terms", "d24_stratified_sample",
     "d25_dedup_keep_best", "d26_semantic_dedup", "d27_sequence_packing",
     "d28_curation_manifest", "d29_mixture_sample",
+    "d30_phrase_merge", "d30b_phrase_merge_table",
     "e01_ann_brute_topk", "e02_ann_ivf_topk", "e02b_ann_ivf_full_probe",
     "e02c_ann_ivf_recall_floor", "e02d_ann_ivf_int_topk",
     "e03_cosine_near_dup",
@@ -63,6 +64,7 @@ class EntryAnalyzeSmokeSpec extends AnyFunSuite {
     "m04_resize", "m05_frame_energy", "m06_png_decode",
     "m07_image_ahash", "m07b_image_ahash_pairs",
     "m07c_image_ahash64", "m07d_image_ahash64_pairs",
+    "q34b_range_join_rule_between", "q34c_range_join_rule_bound_first",
     "q01_pricing_summary", "q02_revenue_by_nation", "q03_shipping_priority",
     "q04_priority_with_heavy_items", "q05_top_customers",
     "q06_forecast_revenue", "q07_running_supplier_qty",

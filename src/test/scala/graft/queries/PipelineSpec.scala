@@ -481,6 +481,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(again === got)
   }
 
+  test("phrase merge: greedy non-overlap, deterministic winner, cross-round compounding") {
+    import spark.implicits._
+    // doc 1: (x,y) x3 — wins round 2, compounds in round 3;
+    // doc 2: (z,z) x4 — wins round 1 and exercises the overlapping-run
+    //        rule (z z z z z merges greedily to [z+z, z+z, z]);
+    // doc 3: single token — must pass through untouched.
+    val docs = Seq(
+      (1L, "x y x y x y"),
+      (2L, "z z z z z"),
+      (3L, "solo")).toDF("doc_id", "text")
+    val (merged, table) = PipelinePack.phraseMerge(docs, rounds = 3)
+    val got = merged.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(2L) === Seq("z+z", "z+z", "z"))
+    assert(got(1L) === Seq("x+y+x+y", "x+y"))
+    assert(got(3L) === Seq("solo"))
+    val gotTable = table.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      .sortBy(_._1)
+    assert(gotTable === Seq((1L, "z", "z", 4L), (2L, "x", "y", 3L),
+      (3L, "x+y", "x+y", 2L)))
+
+    // sequential plain-Scala twin of the same three rounds — the per-doc
+    // window formulation must equal a literal left-to-right greedy scan
+    def round(ds: Map[Long, Vector[String]]): (Map[Long, Vector[String]], (String, String, Long)) = {
+      val counts = ds.values.flatMap(ts => ts.zip(ts.drop(1)))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val ((l, r), c) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+      val nd = ds.view.mapValues { ts =>
+        val out = Vector.newBuilder[String]; var i = 0
+        while (i < ts.length) {
+          if (i + 1 < ts.length && ts(i) == l && ts(i + 1) == r) {
+            out += s"$l+$r"; i += 2
+          } else { out += ts(i); i += 1 }
+        }
+        out.result()
+      }.toMap
+      (nd, (l, r, c))
+    }
+    var tw = Map(1L -> Vector("x", "y", "x", "y", "x", "y"),
+      2L -> Vector("z", "z", "z", "z", "z"), 3L -> Vector("solo"))
+    val twTable = (1 to 3).map { i =>
+      val (nd, w) = round(tw); tw = nd; (i.toLong, w._1, w._2, w._3)
+    }
+    assert(got === tw.view.mapValues(_.toSeq).toMap)
+    assert(gotTable === twTable)
+  }
+
   test("keep-best dedup flags exactly the max-quality member of every cluster") {
     val docs = graft.Tables.documents(spark, dir)
     val got = PipelinePack.dedupKeepBest(docs, threshold = 0.3).collect()
