@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftExpressionBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native merge-table application for the phrase-merge family (d30c) —
+  * the leg of BPE-style tokenization that touches the full corpus.
+  *
+  * Semantics (identical to the induction's per-round gaps-and-islands
+  * rebuild in [[graft.queries.PipelinePack.phraseMerge]]): for each
+  * learned merge (l, r) IN ORDER, scan the document left to right; when
+  * the last emitted token equals l and the incoming token equals r, the
+  * pair collapses to `l + "+" + r` — greedy and non-overlapping by
+  * construction, because a collapsed token is strictly longer than l and
+  * so can never left-match the same merge again. On a sequence, "merge
+  * at even offsets within each run of matches" (the induction's window
+  * form) and this left-to-right scan are the same function.
+  *
+  * WHY a native expression and not a higher-order `aggregate` fold: the
+  * fold's per-token `concat(acc, array(t))` copies the accumulator, so a
+  * document of n tokens costs O(n^2) array writes per merge — fine on
+  * short rows, hostile on the long documents a 100 TB corpus actually
+  * contains. This expression is one primitive scan per merge round —
+  * O(merges x tokens), allocation-bounded by the output row — and
+  * participates in whole-stage codegen, so the apply pass stays a
+  * map-only projection at any document length. Same preference order as
+  * [[RhpSig]]: native Catalyst expression over HOF over UDF.
+  *
+  * Null contract: a null token array or null merge list yields null
+  * (null-safe eval); a null TOKEN never matches a merge and passes
+  * through; a merge row with a null side is skipped.
+  */
+object PhraseApply {
+
+  private val Plus = UTF8String.fromString("+")
+
+  /** Core loop, shared by interpreted eval and codegen. `merges` is an
+    * array of struct(l string, r string) in learned (round) order.
+    */
+  def applyMerges(toks: ArrayData, merges: ArrayData): ArrayData = {
+    val n0 = toks.numElements()
+    var cur = new Array[UTF8String](n0)
+    var i = 0
+    while (i < n0) {
+      cur(i) = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+      i += 1
+    }
+    var len = n0
+    var mi = 0
+    val nm = merges.numElements()
+    while (mi < nm) {
+      if (!merges.isNullAt(mi)) {
+        val m = merges.getStruct(mi, 2)
+        val l = if (m.isNullAt(0)) null else m.getUTF8String(0)
+        val r = if (m.isNullAt(1)) null else m.getUTF8String(1)
+        if (l != null && r != null) {
+          // in-place compaction: out index chases the scan index
+          var out = 0
+          i = 0
+          while (i < len) {
+            val t = cur(i)
+            if (out > 0 && t != null && cur(out - 1) != null &&
+                cur(out - 1).equals(l) && t.equals(r)) {
+              cur(out - 1) = UTF8String.concat(l, Plus, r)
+            } else {
+              cur(out) = t
+              out += 1
+            }
+            i += 1
+          }
+          len = out
+        }
+      }
+      mi += 1
+    }
+    val res = new Array[Any](len)
+    i = 0
+    while (i < len) { res(i) = cur(i); i += 1 }
+    new GenericArrayData(res)
+  }
+
+  /** Column form: `applyCol(toks, merges)` with toks array<string> and
+    * merges array<struct<l, r>>.
+    */
+  def applyCol(toks: Column, merges: Column): Column =
+    GraftExpressionBridge.toColumn(PhraseApplyExpr(
+      GraftExpressionBridge.toExpression(toks),
+      GraftExpressionBridge.toExpression(merges)))
+}
+
+case class PhraseApplyExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(s: StructType, _))
+        if s.length == 2 && s.forall(_.dataType == StringType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"phrase apply requires (ARRAY<STRING>, ARRAY<STRUCT<STRING, STRING>>), got ($l, $r)")
+  }
+
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override protected def nullSafeEval(t: Any, m: Any): Any =
+    PhraseApply.applyMerges(t.asInstanceOf[ArrayData], m.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, m) => {
+      s"${ev.value} = graft.functions.PhraseApply.applyMerges($t, $m);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PhraseApplyExpr =
+    copy(left = newLeft, right = newRight)
+}

@@ -355,11 +355,17 @@ object PipelinePack {
     jacPairsCache.filterInPlace { case ((s, _, _, _), df) =>
       if (dead(s)) { SessionMemos.safeUnpersist(df); false } else true
     }
+    phraseMergeCache.filterInPlace { case ((s, _, _), (a, b)) =>
+      if (dead(s)) {
+        SessionMemos.safeUnpersist(a); SessionMemos.safeUnpersist(b); false
+      } else true
+    }
   }
 
   private[graft] def memoEntriesFor(session: SparkSession): Int =
     maxDfCache.keysIterator.count(_._1 eq session) +
-      jacPairsCache.keysIterator.count(_._1 eq session)
+      jacPairsCache.keysIterator.count(_._1 eq session) +
+      phraseMergeCache.keysIterator.count(_._1 eq session)
 
   /** @param capEngageFactor when set (with `dfCap`), the cap engages ONLY
     * if the corpus's measured max shingle df exceeds `dfCap * factor` —
@@ -732,6 +738,78 @@ object PipelinePack {
         .localCheckpoint() // flat plan per round, like pageRank/labelPropagation
     }
     (cur, merges.reduce(_ unionByName _))
+  }
+
+  /** Memoized [[phraseMerge]] per (session, corpus key, rounds) — the
+    * jacPairsCache discipline applied to the induction loop (r11 verdict
+    * #2): d30, d30b and d30c all consume the SAME loop's two outputs
+    * (merged corpus, merge table) in one bench/verify process, and the
+    * loop is the family's entire cost (3 corpus-wide pair-count shuffles
+    * + rebuilds). Both outputs come from one execution, so the memo
+    * stores the pair; keyless calls (tests, ad-hoc corpora) never touch
+    * it.
+    */
+  private val phraseMergeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int), (DataFrame, DataFrame)]
+
+  /** Test hooks, same contract as [[jacMemoEnabled]]/[[clearJacMemo]]. */
+  @volatile private[graft] var phraseMemoEnabled = true
+  private[graft] def clearPhraseMemo(session: SparkSession): Unit =
+    phraseMergeCache.filterInPlace { case ((s, _, _), (a, b)) =>
+      if (s eq session) {
+        SessionMemos.safeUnpersist(a); SessionMemos.safeUnpersist(b); false
+      } else true
+    }
+
+  def phraseMergeMemo(
+      docs: DataFrame, rounds: Int = 3,
+      cacheKey: Option[String] = None): (DataFrame, DataFrame) =
+    cacheKey match {
+      case Some(k) if phraseMemoEnabled =>
+        SessionMemos.arm(docs.sparkSession)
+        phraseMergeCache.getOrElseUpdate((docs.sparkSession, k, rounds), {
+          val (merged, table) = phraseMerge(docs, rounds)
+          (merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+            table.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        })
+      case _ => phraseMerge(docs, rounds)
+    }
+
+  /** d30c — the APPLY PASS of phrase-merge: the operator a tokenizer
+    * pipeline actually runs at 100 TB. The induction loop
+    * ([[phraseMerge]]) runs on a sample; what touches the full corpus is
+    * THIS — a learned merge table broadcast to every task and applied to
+    * each document independently. Shape: the ordered table collapses to
+    * one array row (tiny aggregate), meets the corpus through a
+    * broadcast of that single row, and the merges apply per document via
+    * [[graft.functions.PhraseApplyExpr]] — a native codegen'd scan,
+    * greedy left-to-right non-overlapping, the same decision the
+    * induction's gaps-and-islands windows make, because on a sequence
+    * "merge at even offsets within each run of matches" IS the
+    * left-to-right greedy scan. (A higher-order `aggregate` fold
+    * computes the same thing but its per-token accumulator concat is
+    * O(len^2) per document — see the expression's scaladoc.)
+    * Per-document work only: no shuffle of the corpus, no window, no
+    * per-round corpus aggregates — a map-only pass whose cost is one
+    * read of the data regardless of corpus size (ExplainSpec pins the
+    * shape).
+    */
+  def applyMergeTable(docs: DataFrame, table: DataFrame): DataFrame = {
+    // round-ordered merge list as ONE array row: array_sort on
+    // struct(round,..) orders by the leading field, so the fold applies
+    // merges in the order they were learned
+    val merges = table.agg(
+      expr("transform(array_sort(collect_list(struct(round, l, r))), " +
+        "x -> struct(x.l AS l, x.r AS r))").as("ms"))
+    docs.select(col("doc_id"), toks.as("toks"))
+      .crossJoin(broadcast(merges))
+      .select(col("doc_id"), col("toks"),
+        graft.functions.PhraseApply.applyCol(col("toks"), col("ms")).as("merged"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens_in"),
+        size(col("merged")).cast("long").as("n_tokens_out"),
+        (size(col("toks")) - size(col("merged"))).cast("long").as("n_merges"),
+        concat_ws(" ", col("merged")).as("merged_text"))
   }
 
   /** d26 — SEMANTIC dedup (the SemDeDup shape, Abbas et al. 2023): the
@@ -1928,7 +2006,8 @@ object PipelinePack {
       SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
              array_to_string(toks, ' ') AS merged_text
       FROM tk3 ORDER BY doc_id""")) { (s, dir) =>
-      phraseMerge(Tables.documents(s, dir), rounds = 3)._1
+      phraseMergeMemo(Tables.documents(s, dir), rounds = 3,
+          cacheKey = Some(s"$dir/documents"))._1
         .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
           concat_ws(" ", col("toks")).as("merged_text"))
         .orderBy("doc_id")
@@ -1944,9 +2023,33 @@ object PipelinePack {
       UNION ALL SELECT CAST(2 AS BIGINT), wl, wr, CAST(c AS BIGINT) FROM w2
       UNION ALL SELECT CAST(3 AS BIGINT), wl, wr, CAST(c AS BIGINT) FROM w3
       ORDER BY round""")) { (s, dir) =>
-      phraseMerge(Tables.documents(s, dir), rounds = 3)._2
+      phraseMergeMemo(Tables.documents(s, dir), rounds = 3,
+          cacheKey = Some(s"$dir/documents"))._2
         .select(col("round"), col("l"), col("r"), col("c"))
         .orderBy("round")
+    },
+
+    // ---- d30c: the APPLY PASS — broadcast the learned merge table and
+    // rebuild every document in ONE map-only pass (see [[applyMergeTable]]).
+    // This is the leg that touches 100 TB; the induction (d30/d30b) runs
+    // on a sample. The oracle re-derives the applied corpus through the
+    // full unrolled induction (applying the learned merges in order to
+    // the original corpus IS what the induction's rebuilds computed), so
+    // a wrong fold decision — overlap handling, merge order, a
+    // compounding miss — diverges from tk3 bit-for-bit. ----
+    QDef("d30c_phrase_merge_apply", Some(s"""
+      $phraseMergeCtes
+      SELECT t0.doc_id,
+             CAST(len(t0.toks) AS BIGINT) AS n_tokens_in,
+             CAST(len(t3.toks) AS BIGINT) AS n_tokens_out,
+             CAST(len(t0.toks) - len(t3.toks) AS BIGINT) AS n_merges,
+             array_to_string(t3.toks, ' ') AS merged_text
+      FROM tk0 t0 JOIN tk3 t3 ON t0.doc_id = t3.doc_id
+      ORDER BY t0.doc_id""")) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val table = phraseMergeMemo(docs, rounds = 3,
+        cacheKey = Some(s"$dir/documents"))._2
+      applyMergeTable(docs, table).orderBy("doc_id")
     },
 
     // ---- d16: PII redaction (email + IPv4), the scrubbing pass every

@@ -38,7 +38,7 @@ class EntryAnalyzeSmokeSpec extends AnyFunSuite {
     "d22_bloom_decontamination", "d23_tfidf_top_terms", "d24_stratified_sample",
     "d25_dedup_keep_best", "d26_semantic_dedup", "d27_sequence_packing",
     "d28_curation_manifest", "d29_mixture_sample",
-    "d30_phrase_merge", "d30b_phrase_merge_table",
+    "d30_phrase_merge", "d30b_phrase_merge_table", "d30c_phrase_merge_apply",
     "e01_ann_brute_topk", "e02_ann_ivf_topk", "e02b_ann_ivf_full_probe",
     "e02c_ann_ivf_recall_floor", "e02d_ann_ivf_int_topk",
     "e03_cosine_near_dup",

@@ -56,6 +56,26 @@ class SessionMemosSpec extends AnyFunSuite {
     SessionMemos.evict(s2)
   }
 
+  test("phrase-merge memo: one induction per (session, corpus, rounds); evictable") {
+    // kept out of the RDD-id-set test above: the induction's per-round
+    // localCheckpoints pin RDDs the memo evictor does not own (they are
+    // released by the ContextCleaner once unreferenced), so the
+    // strict survivors assertion does not apply to this cache.
+    val s3 = spark.newSession()
+    val docs = Tables.documents(s3, dir)
+    val key = Some(s"$dir/documents")
+    val (m1, t1) = queries.PipelinePack.phraseMergeMemo(docs, rounds = 1, cacheKey = key)
+    t1.collect()
+    val entries = queries.PipelinePack.memoEntriesFor(s3)
+    assert(entries > 0)
+    val (m2, t2) = queries.PipelinePack.phraseMergeMemo(docs, rounds = 1, cacheKey = key)
+    // the SAME cached instances — the loop ran once for both consumers
+    assert((m1 eq m2) && (t1 eq t2))
+    assert(queries.PipelinePack.memoEntriesFor(s3) === entries)
+    SessionMemos.evict(s3)
+    assert(queries.PipelinePack.memoEntriesFor(s3) === 0)
+  }
+
   test("arm is idempotent per context") {
     val before = SessionMemos.armedCount
     SessionMemos.arm(spark)

@@ -1,0 +1,74 @@
+package graft.functions
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge semantics of the native merge-apply scan (d30c): greedy
+  * left-to-right non-overlap, cross-round compounding, and the null
+  * contract — each against hand-computed expectations, independent of
+  * the d30c oracle (which gates it end-to-end on the corpus).
+  */
+class PhraseApplySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def apply1(toks: Seq[String], merges: Seq[(String, String)]): Seq[String] = {
+    import spark.implicits._
+    val df = Seq(Tuple1(toks)).toDF("toks")
+      .withColumn("ms", typedLit(merges.map { case (l, r) => (l, r) }))
+      .select(PhraseApply.applyCol(col("toks"),
+        expr("transform(ms, x -> struct(x._1 AS l, x._2 AS r))")).as("out"))
+    df.head.getSeq[String](0)
+  }
+
+  test("greedy non-overlap: 'a a a' under (a,a) merges the first pair only") {
+    assert(apply1(Seq("a", "a", "a"), Seq(("a", "a"))) === Seq("a+a", "a"))
+    assert(apply1(Seq("a", "a", "a", "a"), Seq(("a", "a"))) === Seq("a+a", "a+a"))
+  }
+
+  test("compounding: round 2 merges a round-1 phrase with its neighbor") {
+    assert(apply1(Seq("the", "of", "a"), Seq(("the", "of"), ("the+of", "a")))
+      === Seq("the+of+a"))
+  }
+
+  test("merge order matters: later merges see earlier rounds' output") {
+    // (b,c) first consumes the b, so (a,b) never fires
+    assert(apply1(Seq("a", "b", "c"), Seq(("b", "c"), ("a", "b")))
+      === Seq("a", "b+c"))
+    // reversed priority: (a,b) fires, then (b,c) finds no bare b
+    assert(apply1(Seq("a", "b", "c"), Seq(("a", "b"), ("b", "c")))
+      === Seq("a+b", "c"))
+  }
+
+  test("no-match and empty inputs pass through") {
+    assert(apply1(Seq("x", "y"), Seq(("a", "b"))) === Seq("x", "y"))
+    assert(apply1(Seq.empty, Seq(("a", "b"))) === Seq.empty)
+    assert(apply1(Seq("a", "b"), Seq.empty) === Seq("a", "b"))
+  }
+
+  test("null tokens never match and survive the scan") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Seq[String]("a", null, "a", "a"))).toDF("toks")
+      .select(PhraseApply.applyCol(col("toks"),
+        expr("array(struct('a' AS l, 'a' AS r))")).as("out"))
+    assert(df.head.getSeq[String](0) === Seq("a", null, "a+a"))
+  }
+
+  test("matches the induction's window-form rebuild on a random corpus") {
+    // the two formulations of one semantics: per-round gaps-and-islands
+    // (phraseMerge) vs the native scan applying the learned table
+    import spark.implicits._
+    val rnd = new scala.util.Random(12)
+    val docs = (0 until 60).map { i =>
+      (i.toLong, (0 until 3 + rnd.nextInt(40)).map(_ => "t" + rnd.nextInt(4)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val (merged, table) = graft.queries.PipelinePack.phraseMerge(docs, rounds = 3)
+    val viaWindows = merged
+      .select(col("doc_id"), concat_ws(" ", col("toks")).as("m")).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val viaScan = graft.queries.PipelinePack.applyMergeTable(docs, table)
+      .select(col("doc_id"), col("merged_text")).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(viaScan === viaWindows)
+  }
+}

@@ -34,6 +34,17 @@ class ExplainSpec extends AnyFunSuite {
     try body finally graft.queries.AnnPack.pairMemoEnabled = true
   }
 
+  /** Same contract for PipelinePack's Jaccard pair memo: a memoized
+    * persisted pair set would print as an InMemoryTableScan where the
+    * shingle join tree should be, making plan-shape assertions depend on
+    * which suite ran first (ADVICE r11).
+    */
+  private def withoutJacMemo[A](body: => A): A = {
+    graft.queries.PipelinePack.jacMemoEnabled = false
+    graft.queries.PipelinePack.clearJacMemo(spark)
+    try body finally graft.queries.PipelinePack.jacMemoEnabled = true
+  }
+
   test("e04c (blocked regime): every nested-loop term is centroid-bounded; vector work is shared") {
     // e04c is the entry whose corpus has prunable structure, so the
     // adaptive choice takes the BLOCKED path — the plan-shape claims
@@ -188,7 +199,7 @@ class ExplainSpec extends AnyFunSuite {
     // per cluster per partition before the exchange; a Window node here
     // would mean every cluster member is shuffled and ranked just to
     // flag one keeper
-    val plan = planOf("d25_dedup_keep_best")
+    val plan = withoutJacMemo(planOf("d25_dedup_keep_best"))
     assert(!plan.contains("Window"), s"window sort in the keep argmax:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian product in:\n$plan")
     assert(plan.contains("partial_min_by") || plan.contains("min_by"),
@@ -219,5 +230,32 @@ class ExplainSpec extends AnyFunSuite {
     for (join <- Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
         "BroadcastNestedLoopJoin", "CartesianProduct"))
       assert(!plan.contains(join), s"$join on the probe leg:\n$plan")
+  }
+
+  test("d30c: the merge-apply pass is map-only — no corpus shuffle, no window") {
+    // The 100 TB leg of phrase-merge: the learned table meets the corpus
+    // only as a broadcast of ONE aggregated array row; each document is
+    // rebuilt by a per-row fold. Build the apply leg standalone (the
+    // table a learned artifact, as in production where it is read from a
+    // model store, not re-induced) and pin: the ONLY join is the 1-row
+    // broadcast (a BNLJ by construction — cross join with no keys), and
+    // the corpus side is never exchanged, sorted, or windowed.
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, dir)
+    val table = spark.createDataFrame(Seq(
+      (1L, "the", "of", 10L), (2L, "the+of", "a", 5L), (3L, "b", "c", 2L)))
+      .toDF("round", "l", "r", "c")
+    val applied = graft.queries.PipelinePack.applyMergeTable(docs, table)
+    applied.collect()
+    val s = applied.queryExecution.executedPlan.toString
+    val plan = { val i = s.indexOf("== Initial Plan =="); if (i >= 0) s.substring(0, i) else s }
+    for (bad <- Seq("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct", "Window"))
+      assert(!plan.contains(bad), s"$bad in the apply pass:\n$plan")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size === 1,
+      s"apply pass should meet the table exactly once, via broadcast:\n$plan")
+    // the corpus leg must be scan -> project: any Exchange beyond the
+    // 1-row table's broadcast would mean the corpus itself is shuffled
+    assert("Exchange".r.findAllIn(plan).size <= 2, // table agg + broadcast
+      s"corpus-side exchange in the apply pass:\n$plan")
   }
 }
