@@ -77,7 +77,10 @@ object SessionMemos {
 
   private[graft] def armedCount: Int = armedContexts.size
 
-  /** Unpersist that never lets a stopped-context error escape an evictor. */
+  /** Unpersist that never lets a stopped-context error escape an evictor
+    * (fatal errors — OOM, interrupts — still propagate; ADVICE r11).
+    */
   private[graft] def safeUnpersist(df: org.apache.spark.sql.DataFrame): Unit =
-    try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    try df.unpersist(blocking = false)
+    catch { case scala.util.control.NonFatal(_) => () }
 }

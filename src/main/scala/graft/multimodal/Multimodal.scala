@@ -51,10 +51,23 @@ object Multimodal {
     * pixel (x, y) of document `id` — pure integer arithmetic so a SQL
     * oracle can re-derive every pixel without a codec.
     */
-  private[multimodal] def pixel(id: Long, x: Int, y: Int): (Int, Int, Int) = (
-    ((id * 31 + x * 7 + y * 13) % 256).toInt,
-    ((id * 17 + x * 3 + y * 29) % 256).toInt,
-    ((id * 53 + x * 11 + y * 5) % 256).toInt)
+  private[multimodal] def pixel(id: Long, x: Int, y: Int): (Int, Int, Int) = {
+    // Per-BAND salt (r11 verdict #4): the base formula is linear in
+    // (id, x, y) and cycles mod 256, and ScaleUp's inter-copy stride
+    // (1e8) is ≡ 0 mod 256 — so without the salt, band-shifted rehearsal
+    // copies re-render near-identical raster families and every
+    // hash-banded index measures a degenerate hot-bucket corpus instead
+    // of scale behavior. The salt is 0 for band 0 — every production
+    // corpus (doc_id < 1e8), so all committed oracles are untouched —
+    // and for shifted bands it adds an (x*y)-nonlinear term that breaks
+    // the cross-band raster repeat while staying a pure integer function
+    // of (id, x, y) any relational oracle can re-derive.
+    val salt = (id / graft.tools.ScaleUp.Offset) * 1009L
+    val nl = salt * (x.toLong * y + x + 1)
+    (((id * 31 + x * 7 + y * 13 + nl) % 256).toInt,
+      ((id * 17 + x * 3 + y * 29 + nl * 3) % 256).toInt,
+      ((id * 53 + x * 11 + y * 5 + nl * 7) % 256).toInt)
+  }
 
   /** Fixture dims: `base` is the minimum edge — 4 for the m01–m07 corpus,
     * 8 for the m07c/m07d corpus whose 8x8 hash grid needs every cell
@@ -103,9 +116,13 @@ object Multimodal {
           lit(0L).as("duration_ms")).as("meta"))
   }
 
-  /** Offset separating a near-duplicate twin's doc_id from its source —
-    * far above every corpus doc_id, so `twin = src + TwinOffset` is
-    * injective and `id < TwinOffset` identifies originals.
+  /** Offset separating a near-duplicate twin's doc_id from its source.
+    * NOT globally above every corpus doc_id (ScaleUp's band-shifted
+    * corpora carry ids ~1e8): injectivity holds because no ORIGINAL id
+    * ever equals `src + TwinOffset` — true as long as each contiguous
+    * id band holds fewer than TwinOffset documents, which
+    * [[pngMediaWithTwins]] verifies with a one-pass guard rather than
+    * assuming (ADVICE r11).
     */
   val TwinOffset = 1000000L
 
@@ -121,6 +138,18 @@ object Multimodal {
   def pngMediaWithTwins(docs: DataFrame, base: Int = 8, every: Int = 7): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // twin-id injectivity guard (ADVICE r11): a corpus where some
+    // ORIGINAL id equals source + TwinOffset would silently alias a twin
+    // onto a real document and corrupt every downstream recovery count.
+    // One semi-join count over the (small, fixture-tier) id column —
+    // loud failure over silent collision.
+    val clashes = docs.select(col("doc_id"))
+      .filter(col("doc_id") % every === 0)
+      .select((col("doc_id") + TwinOffset).as("doc_id"))
+      .join(docs.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .count()
+    require(clashes == 0L,
+      s"$clashes original doc_ids collide with source+TwinOffset twin ids")
     docs.select(col("doc_id")).as[Long]
       .flatMap(id => if (id % every == 0) Seq((id, id, false), (id + TwinOffset, id, true))
                      else Seq((id, id, false)))

@@ -309,6 +309,34 @@ object ExtensionsPack {
         .orderBy("window_start", "rank")
     },
 
+    // s10: windowed adjacent-pair counts — the phrase-merge family's
+    // round-1 aggregate (d30 step 1) as an event-time-windowed entry: a
+    // tokenizer pipeline watching a live corpus tracks vocabulary drift
+    // with exactly this. The batch twin runs the SHARED streaming
+    // transform (PhraseStream.windowedPairCounts — watermark is a no-op
+    // on a static frame) over documents with the deterministic event
+    // time ts := epoch + doc_id minutes (the s06/s08 derivation), so the
+    // oracle gates the one transform both modes execute; StreamingSpec
+    // asserts closed-window parity for the incremental form. Scale
+    // shape: stateless map-side pair explosion, one windowed hash
+    // aggregate with micro-batch partial combine, state bounded by
+    // (windows x pair vocabulary). ----
+    QDef("s10_windowed_pair_counts", Some("""
+      WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      p AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tk),
+      q AS (SELECT doc_id, toks[i] AS l, toks[i + 1] AS r FROM p)
+      SELECT make_timestamp((doc_id // 60) * 3600 * 1000000) AS window_start,
+             l, r, count(*) AS n
+      FROM q GROUP BY 1, 2, 3
+      ORDER BY window_start, l, r""")) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select(timestamp_millis(col("doc_id") * 60000L).as("ts"), col("text"))
+        .as[graft.streaming.PhraseStream.TimedDoc]
+      graft.streaming.PhraseStream.windowedPairCounts(docs)
+        .orderBy("window_start", "l", "r")
+    },
+
     // as-of join (graft.operators.AsOfJoin): every click matched to the
     // user's most recent purchase at or before it — DuckDB's native ASOF
     // LEFT JOIN is the oracle, so the inclusive-tie and no-match-null

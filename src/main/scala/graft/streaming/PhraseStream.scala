@@ -1,0 +1,48 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** s10 — streaming phrase/vocab statistics: the windowed form of the
+  * phrase-merge family's round-1 aggregate (adjacent token-pair counts,
+  * [[graft.queries.PipelinePack.phraseMerge]] step 1) over a stream of
+  * timestamped documents. A tokenizer-training pipeline watching a live
+  * corpus runs exactly this to track vocabulary drift window by window.
+  *
+  * Shape: per-document pair explosion is stateless and map-side (slice +
+  * arrays_zip, no shuffle), then ONE windowed hash aggregate keyed by
+  * (event-time window, l, r) — partial counts combine inside each
+  * micro-batch before the shuffle, and state per window is bounded by
+  * the pair vocabulary, never the document volume. With a watermark and
+  * append mode, each window's counts emit exactly once when the
+  * watermark passes its close — the same closed-window discipline as
+  * s09's leaderboard, here with the plain windowed-aggregate operator
+  * because final-answer-per-window needs no custom state. The gated
+  * batch twin is `s10_windowed_pair_counts` (ExtensionsPack); the spec
+  * asserts closed-window parity between the two.
+  */
+object PhraseStream {
+
+  final case class TimedDoc(ts: Timestamp, text: String)
+
+  def windowedPairCounts(
+      docs: Dataset[TimedDoc],
+      windowMs: Long = 3600000L,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .select(col("ts"), split(col("text"), " ").as("w"))
+      .select(col("ts"), explode(expr(
+        // adjacent pairs as zip(w[0..n-2], w[1..n-1]); the CASE keeps
+        // single-token and empty documents from slicing negatively
+        "CASE WHEN size(w) < 2 THEN CAST(array() AS array<struct<l: string, r: string>>) " +
+          "ELSE transform(arrays_zip(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)), " +
+          "x -> struct(x['0'] AS l, x['1'] AS r)) END")).as("p"))
+      .groupBy(
+        window(col("ts"), s"$windowMs milliseconds"),
+        col("p.l").as("l"), col("p.r").as("r"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("l"), col("r"), col("n"))
+}

@@ -262,20 +262,27 @@ object ScaleRehearsal {
       val m07dPlanted = Tables.documents(spark, dir)
         .filter(col("doc_id") % 7 === 0).count()
       val twinOff = graft.multimodal.Multimodal.TwinOffset
-      val m07dRecovered = m07dPairs.count(r => r.getLong(1) == r.getLong(0) + twinOff)
+      // only PLANTED twins count: the source must be an every=7 multiple
+      // (a coincidental hash-near pair of two originals exactly
+      // TwinOffset apart must not inflate the recovery count; ADVICE r11)
+      val m07dRecovered = m07dPairs.count(r =>
+        r.getLong(1) == r.getLong(0) + twinOff && r.getLong(0) % 7 == 0)
       check("m07d_twin_recovery")(m07dRecovered * 2 > m07dPlanted,
         s"$m07dRecovered twin pairs recovered of $m07dPlanted planted")
       // Candidate volume straight from the block index (pre-hamming-
-      // check), at BOTH scales: the scale claim is the e07 discipline —
-      // the candidate FRACTION of the pair space must not grow with the
-      // corpus (a saturating index would bend toward 1). The absolute
-      // fraction is corpus-dependent: this synthetic raster family is
-      // arithmetically CORRELATED (pixel values cycle mod 256 and
-      // ScaleUp's 1e8 id shift is ≡ 0 mod 256, so block values repeat
-      // across copies — hot buckets by construction, the adversarial
-      // case for any hash-banded index), so the bound is stability plus
-      // a loose absolute ceiling, not a tight constant.
-      def m07dCandidates(docsDir: String): (Long, Long) = {
+      // check), at BOTH scales. The pixel function salts per id-band
+      // (r11 verdict #4: un-salted, band-shifted copies re-rendered
+      // near-identical rasters — 1e8 ≡ 0 mod 256 — and the 10x run
+      // measured a degenerate hot-bucket corpus, 101x candidate growth,
+      // ~410 candidates/doc), so bucket occupancy at 10x now behaves
+      // like a real heterogeneous image corpus and the invariants can be
+      // ABSOLUTE: bounded candidates per document, and total candidate
+      // growth at worst linear in the scale factor. A banding regression
+      // (fewer/wider blocks, a collapsed hash) reproduces the degenerate
+      // signature and fails both. Measured under the salt: base
+      // ~40.5 cand/doc (the base band is internally correlated by
+      // construction), 10x ~6.2 cand/doc, growth 1.53x.
+      def m07dCandidates(docsDir: String): (Long, Long, Long) = {
         val hs = graft.multimodal.Multimodal.imageAHash(
           graft.multimodal.Multimodal.pngMediaWithTwins(
             Tables.documents(spark, docsDir), base = 8, every = 7), grid = 8)
@@ -290,17 +297,22 @@ object ScaleRehearsal {
             Seq("blk", "bv"))
           .filter(col("ida") < col("idb"))
           .select("ida", "idb").distinct().count()
-        (cand, n * (n - 1) / 2)
+        (cand, n, n * (n - 1) / 2)
       }
-      val (m07dCandBase, m07dSpaceBase) = m07dCandidates(baseDir)
-      val (m07dCand, imgPairSpace) = m07dCandidates(dir)
+      val (m07dCandBase, m07dNBase, m07dSpaceBase) = m07dCandidates(baseDir)
+      val (m07dCand, m07dN, imgPairSpace) = m07dCandidates(dir)
       val m07dFracBase = m07dCandBase.toDouble / m07dSpaceBase
       val m07dFrac10x = m07dCand.toDouble / imgPairSpace
-      check("m07d_candidate_fraction_stable")(
-        m07dFrac10x <= m07dFracBase * 1.5 + 0.002,
-        s"10x fraction $m07dFrac10x vs base $m07dFracBase — the index is saturating")
-      check("m07d_candidates_bounded_fraction")(m07dFrac10x < 0.05,
-        s"$m07dCand candidates vs pair space $imgPairSpace (${m07dFrac10x * 100}%)")
+      val m07dPerDoc10x = m07dCand.toDouble / m07dN
+      // absolute per-document bound: 80 is ~13x headroom over the
+      // measured 6.2 and far under the pre-salt degenerate ~410
+      check("m07d_candidates_per_doc_bounded")(m07dPerDoc10x <= 80.0,
+        s"$m07dPerDoc10x candidates/doc at 10x ($m07dCand over $m07dN docs)")
+      // total growth at worst linear in the factor (measured 1.53x;
+      // the pre-salt hot-bucket corpus grew 101x and fails loudly)
+      check("m07d_candidate_growth_linear")(
+        m07dCand <= m07dCandBase * factor,
+        s"candidates $m07dCandBase -> $m07dCand at ${factor}x (superlinear)")
 
       // 16. q35 funnel at 10x (r10 verdict #6): the stage tables stay
       // keyed aggregates — no window over the event stream, no product —
@@ -328,6 +340,8 @@ object ScaleRehearsal {
         s""""g25_nodes":$g25Nodes,""" +
         s""""m07d_cand_base":$m07dCandBase,"m07d_cand_10x":$m07dCand,""" +
         s""""m07d_frac_base":$m07dFracBase,"m07d_frac_10x":$m07dFrac10x,""" +
+        s""""m07d_per_doc_base":${m07dCandBase.toDouble / m07dNBase},""" +
+        s""""m07d_per_doc_10x":$m07dPerDoc10x,""" +
         s""""m07d_pairs_10x":${m07dPairs.length},"m07d_twins_recovered":$m07dRecovered,""" +
         s""""q35_rows_base":$q35Base,"q35_rows_10x":$q35Rows,""" +
         s""""failures":${failures.size}}""")

@@ -275,7 +275,11 @@ object StreamingScaleRehearsal {
       val s09Streamed = spark.table(s09Name).collect()
         .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getString(2), r.getLong(3)))
       val s09Emitted = s09Streamed.map(_._1).toSet
-      check("s09_emitted_once")(s09Streamed.length == s09Streamed.distinct.length,
+      // key on (window, rank) exactly as claimed: a window re-emitted
+      // with a CHANGED count/type would slip a full-tuple distinct
+      // (ADVICE r11) — it must fail here, not only in the parity check
+      check("s09_emitted_once")(
+        s09Streamed.length == s09Streamed.map(t => (t._1, t._2)).distinct.length,
         "duplicate (window, rank) emissions")
       val s09All = spark.read.parquet(s09Dir)
       val s09ExpectedAll = {

@@ -82,7 +82,8 @@ class EntryAnalyzeSmokeSpec extends AnyFunSuite {
     "s01_windowed_events", "s02_dedup_events", "s03_session_windows",
     "s04_click_attribution", "s05_click_attribution_outer",
     "s06_user_activity_state", "s07_streaming_dedup_flags",
-    "s08_streaming_dedup_ttl_flags", "s09_trending_types")
+    "s08_streaming_dedup_ttl_flags", "s09_trending_types",
+    "s10_windowed_pair_counts")
 
   test("registry holds exactly the pinned entry-name set") {
     val got = SparkEntry.queries.keySet

@@ -482,4 +482,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "horizon fixture should keep some candidate pairs")
     assert(got === expected)
   }
+
+  test("s10 windowed pair counts: closed windows emit once, batch-identical") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.PhraseStream
+    import PhraseStream.TimedDoc
+    val input = MemoryStream[TimedDoc]
+    // 10-minute windows, zero lag so a window closes as soon as any
+    // event lands past it. ts from t(1), never t(0): rows at/behind the
+    // initial watermark (0) are dropped as late before the operator
+    // (the s09 epoch-0 fixture trap, TrendingLateReproSpec).
+    val query = PhraseStream.windowedPairCounts(
+        input.toDS(), windowMs = 600000L, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("s10_test")
+      .outputMode(OutputMode.Append()).start()
+    def rows() = spark.table("s10_test").collect()
+      .map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    try {
+      // window [0,10): two docs across two micro-batches — "a b" counts
+      // (a,b) once; "a b c a b" counts (a,b) twice more, plus (b,c),(c,a)
+      input.addData(TimedDoc(t(1), "a b"))
+      query.processAllAvailable()
+      input.addData(TimedDoc(t(5), "a b c a b"))
+      query.processAllAvailable()
+      assert(rows() === Set.empty, "no emission before the window closes")
+      // single-token and empty docs contribute no pairs but DO advance
+      // the watermark past the close
+      input.addData(TimedDoc(t(12), "solo"), TimedDoc(t(13), ""))
+      query.processAllAvailable()
+      assert(rows() === Set(
+        (0L, "a", "b", 3L), (0L, "b", "c", 1L), (0L, "c", "a", 1L)),
+        "closed window emits its final pair counts exactly once")
+      // batch parity on the same data through the SAME transform
+      val batch = PhraseStream.windowedPairCounts(
+          Seq(TimedDoc(t(1), "a b"), TimedDoc(t(5), "a b c a b"),
+            TimedDoc(t(12), "solo"), TimedDoc(t(13), "")).toDS(),
+          windowMs = 600000L)
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getString(2), r.getLong(3)))
+        .toSet
+      assert(batch === Set(
+        (0L, "a", "b", 3L), (0L, "b", "c", 1L), (0L, "c", "a", 1L)),
+        "batch over the same frame matches the closed window (open windows have no pairs)")
+    } finally query.stop()
+  }
 }
