@@ -516,6 +516,76 @@ object AnnPack {
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
   }
 
+  /** e10 — IVF-PQ: the classic two-level layering (Jégou TPAMI'11) the
+    * ANN guide (PLANS.md §21) describes, now an exercised entry. The
+    * coarse quantizer is e02d's integer cell geometry (whole-vector
+    * int8 L2 to the first NumCentroids vectors; candidates come ONLY
+    * from the query's nprobe nearest cells via the cell equi-join), and
+    * the fine stage is e08's PQ machinery (per-subspace integer codes,
+    * broadcast per-query ADC distance table) scoring just those
+    * candidates — so the scan is cell-bounded like IVF *and* reads
+    * 1-nibble-per-subspace codes instead of float vectors like PQ. The
+    * exact cosine re-rank of the shortlist recovers what the coarse
+    * codes lose. 100 TB shape: one element-table pass builds cells and
+    * codes; serving touches corpus/cells × codes bytes per query batch;
+    * every join is a broadcast or cell/code equi-join, never a corpus
+    * scan per query. Integer arithmetic end to end before the re-rank,
+    * so the DuckDB oracle re-derives cells, codes, ADC and the
+    * shortlist bit-for-bit.
+    */
+  def ivfPqTopK(
+      emb: DataFrame, dim: Int,
+      nprobe: Int = NProbe, subDim: Int = PqSubDim, kc: Int = PqCentroids,
+      shortlist: Int = PqCandidates): DataFrame = {
+    val embC = emb.localCheckpoint()
+    val (el, cb, codes) = pqIndex(embC, dim, subDim, kc)
+    // coarse cells: e02d's geometry over the SAME element table (m is a
+    // function of d, so el is one row per (vec_id, d) — safe to reuse)
+    val cent = broadcast(el.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("ccid"), col("d"), col("q").as("ccq")))
+    val d2 = el.select(col("vec_id"), col("d"), col("q")).join(cent, "d")
+      .groupBy(col("vec_id"), col("ccid"))
+      .agg(sum((col("q") - col("ccq")) * (col("q") - col("ccq"))).as("d2"))
+    val wA = Window.partitionBy("vec_id").orderBy(col("d2"), col("ccid"))
+    val cells = d2.withColumn("rn", row_number().over(wA))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("ccid").as("cell"))
+    val probes = d2.filter(col("vec_id") < NumQueries)
+      .withColumn("rn", row_number().over(wA))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("ccid").as("cell"))
+    // candidate (q, vector) pairs from probed cells only
+    val cnd0 = cells.join(probes, "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+    // ADC over candidates only: codes ⋈ broadcast distance table
+    val dt = broadcast(
+      el.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("m"), col("d"), col("q").as("qq"))
+        .join(cb, Seq("m", "d"))
+        .groupBy(col("q_id"), col("m"), col("cid"))
+        .agg(sum((col("qq") - col("cq")) * (col("qq") - col("cq"))).as("dq2")))
+    val wCand = Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))
+    val cand = cnd0.join(codes, "vec_id")
+      .join(dt, Seq("q_id", "m", "cid"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("dq2")).as("adc"))
+      .withColumn("rn", row_number().over(wCand))
+      .filter(col("rn") <= shortlist)
+      .select(col("q_id"), col("vec_id"))
+    // exact re-rank of the shortlist only (the e01-pinned tie discipline)
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .join(embC.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(embC.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("embedding"), col("q_emb")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
+  }
+
   /** CTE chain re-deriving the RHP index relationally over `cv` (the
     * clustered corpus): e05's quantization per element, the md5 ±1
     * planes, integer projections, bucket keys, candidate pairs, and the
@@ -687,10 +757,12 @@ object AnnPack {
       pcb0 AS MATERIALIZED (SELECT m, cid, d, cq FROM cb)""" +
       (1 to PqKmIters).map(pqKmIterSql).mkString
 
-  /** PQ serving CTEs against codebook CTE `cbName`: encode, per-query
-    * distance table, ADC scan, shortlist, exact re-rank → `prk`.
+  /** PQ encode CTEs against codebook CTE `cbName`: per-(vector,
+    * subspace) codes and the per-query distance table — the half shared
+    * by the full-corpus ADC scan (e08) and the cell-restricted one
+    * (e10).
     */
-  private def pqServeCtes(cbName: String): String = s""",
+  private def pqEncodeCtes(cbName: String): String = s""",
       asg AS (SELECT e.vec_id, e.m, c.cid,
                 sum((e.q - c.cq) * (e.q - c.cq)) AS d2
               FROM mel e JOIN $cbName c ON c.m = e.m AND c.d = e.d
@@ -702,7 +774,12 @@ object AnnPack {
       dt AS (SELECT e.vec_id AS q_id, e.m, c.cid,
                sum((e.q - c.cq) * (e.q - c.cq)) AS dq2
              FROM mel e JOIN $cbName c ON c.m = e.m AND c.d = e.d
-             WHERE e.vec_id < $NumQueries GROUP BY 1, 2, 3),
+             WHERE e.vec_id < $NumQueries GROUP BY 1, 2, 3)"""
+
+  /** PQ serving CTEs against codebook CTE `cbName`: encode, per-query
+    * distance table, ADC scan, shortlist, exact re-rank → `prk`.
+    */
+  private def pqServeCtes(cbName: String): String = pqEncodeCtes(cbName) + s""",
       adc AS (SELECT dt.q_id, co.vec_id, sum(dt.dq2) AS adc
               FROM codes co JOIN dt ON dt.m = co.m AND dt.cid = co.cid
               WHERE co.vec_id != dt.q_id GROUP BY 1, 2),
@@ -719,6 +796,43 @@ object AnnPack {
               FROM sc3)"""
 
   private val pqRankCtes: String = pqCbCtes + pqServeCtes("cb")
+
+  /** e10's oracle chain: the PQ codebook + encode CTEs plus e02d's
+    * coarse integer cells over the same `qe`, with the ADC scan
+    * restricted to candidates from the query's $NProbe probed cells —
+    * ending in `prk` like the PQ chains, so the recall-floor CTEs
+    * compose unchanged.
+    */
+  private val ivfPqRankCtes: String = pqCbCtes + s""",
+      cent2 AS (SELECT vec_id AS ccid, d, q AS ccq FROM qe WHERE vec_id < $NumCentroids),
+      cdd AS (SELECT e.vec_id, c.ccid, sum((e.q - c.ccq) * (e.q - c.ccq)) AS d2
+              FROM qe e JOIN cent2 c ON c.d = e.d GROUP BY 1, 2),
+      ccl AS (SELECT vec_id, ccid AS cell FROM (
+              SELECT vec_id, ccid,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY d2, ccid) AS rn
+              FROM cdd) WHERE rn = 1),
+      cpr AS (SELECT vec_id AS q_id, ccid AS cell FROM (
+              SELECT vec_id, ccid,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY d2, ccid) AS rn
+              FROM cdd WHERE vec_id < $NumQueries) WHERE rn <= $NProbe),
+      cnd0 AS (SELECT p.q_id, c.vec_id
+               FROM ccl c JOIN cpr p ON p.cell = c.cell
+               WHERE c.vec_id != p.q_id)""" + pqEncodeCtes("cb") + s""",
+      adc AS (SELECT c0.q_id, c0.vec_id, sum(dt.dq2) AS adc
+              FROM cnd0 c0 JOIN codes co ON co.vec_id = c0.vec_id
+                           JOIN dt ON dt.q_id = c0.q_id AND dt.m = co.m AND dt.cid = co.cid
+              GROUP BY 1, 2),
+      cnd AS (SELECT q_id, vec_id FROM (
+              SELECT q_id, vec_id,
+                     row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rn
+              FROM adc) WHERE rn <= $PqCandidates),
+      sc3 AS (SELECT cnd.q_id, cnd.vec_id,
+                list_cosine_similarity(e.embedding, qq.embedding) AS c
+              FROM cnd JOIN cv e ON e.vec_id = cnd.vec_id
+                       JOIN cv qq ON qq.vec_id = cnd.q_id),
+      prk AS (SELECT q_id, vec_id,
+                row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rank
+              FROM sc3)"""
 
   /** e08c's oracle chain: md5 seed → trained codebook → the same serving
     * pipeline, all bit-exact.
@@ -1605,6 +1719,62 @@ object AnnPack {
           expr("baseline_hits * 1000000L div total").as("baseline_recall_millionths"),
           when(col("trained_hits") * 1000000L >= lit(800000L) * col("total"), 1L)
             .otherwise(0L).as("meets_floor"))
+    },
+
+    // ---- e10: IVF-PQ — the two-level composition (coarse integer
+    // cells bound the scan, PQ codes make the scan cheap, exact cosine
+    // re-ranks the shortlist). Fully oracle-gated: cells, codes, the
+    // ADC scores and the shortlist are integer/string arithmetic DuckDB
+    // re-derives bit-for-bit; only the final re-rank rides the
+    // e01-pinned cosine tie discipline. Runs on the clustered corpus
+    // like the other PQ entries (the regime where recall is
+    // meaningful). ----
+    QDef("e10_ann_ivfpq_topk", Some(s"""
+      WITH $clusteredCvCtes,
+      $ivfPqRankCtes
+      SELECT q_id, rank, vec_id AS neighbor_id FROM prk
+      WHERE rank <= $K ORDER BY q_id, rank""")) { (s, dir) =>
+      val emb = embeddings(s, dir)
+      val cv = clusteredEmbeddings(emb, Some(s"$dir/embeddings"))
+      ivfPqTopK(cv, dimOf(emb, Some(s"$dir/embeddings#dim")))
+        .orderBy("q_id", "rank")
+    },
+
+    // ---- e10b: IVF-PQ recall floor, e08b-style — the composed index
+    // pays BOTH approximations (cell-bounded candidates AND coarse
+    // codes), so its recall against relationally re-derived brute force
+    // is the number that decides whether the layering is servable; the
+    // 0.8 floor matches the single-stage indexes it composes. ----
+    QDef("e10b_ann_ivfpq_recall_floor", Some(s"""
+      WITH $clusteredCvCtes,
+      $ivfPqRankCtes,
+      pq AS (SELECT q_id, vec_id FROM prk WHERE rank <= $K),
+      bs AS (SELECT q.vec_id AS q_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id) AS rank
+             FROM cv e CROSS JOIN (SELECT * FROM cv WHERE vec_id < $NumQueries) q
+             WHERE e.vec_id != q.vec_id),
+      brute AS (SELECT q_id, vec_id FROM bs WHERE rank <= $K),
+      h AS (SELECT count(*) AS hits FROM pq JOIN brute USING (q_id, vec_id)),
+      tot AS (SELECT count(*) AS total FROM brute)
+      SELECT CAST($K AS BIGINT) AS k,
+             CAST(hits AS BIGINT) AS hits,
+             CAST(total AS BIGINT) AS total,
+             CAST((hits * 1000000) // total AS BIGINT) AS recall_millionths,
+             CAST(CASE WHEN hits * 1000000 >= 800000 * total THEN 1 ELSE 0 END AS BIGINT) AS meets_floor
+      FROM h, tot""")) { (s, dir) =>
+      val emb = embeddings(s, dir)
+      val cv = clusteredEmbeddings(emb, Some(s"$dir/embeddings"))
+      val pq = ivfPqTopK(cv, dimOf(emb, Some(s"$dir/embeddings#dim")))
+        .select(col("q_id"), col("neighbor_id"))
+      val brute = bruteForceTopK(cv).select(col("q_id"), col("neighbor_id"))
+      pq.join(brute, Seq("q_id", "neighbor_id"))
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(brute.agg(count(lit(1)).as("total")))
+        .select(lit(K.toLong).as("k"), col("hits"), col("total"),
+          expr("hits * 1000000L div total").as("recall_millionths"),
+          when(col("hits") * 1000000L >= lit(800000L) * col("total"), 1L).otherwise(0L)
+            .as("meets_floor"))
     },
 
     // ---- e09: the k-means TRAINING loop itself, fully oracle-gated —

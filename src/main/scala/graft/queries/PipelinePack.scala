@@ -544,6 +544,64 @@ object PipelinePack {
         expr("covered * 1000000L div n_tokens"))
   }
 
+  /** d31 — the REMOVAL pass for d20's metric (the transform the span
+    * dedup pipeline actually runs at 100 TB, as d30c is to d30): every
+    * token position covered by an n-gram occurrence whose gram also
+    * appears in an EARLIER document (min doc_id over the gram — the
+    * keep-first policy d01/d13 already pin for whole documents) is
+    * excised, and the survivors are reassembled in order. The earliest
+    * document keeps all its occurrences, so every duplicated span
+    * survives exactly once corpus-wide; intra-document repetition is
+    * deliberately untouched (that is d14's signal, not cross-doc dedup).
+    *
+    * Scale shape: the same inverted-index aggregate as d20 (min doc_id
+    * per gram instead of distinct-doc count — map-side combining, one
+    * shuffle linear in total tokens, no doc x doc term), gaps-and-
+    * islands merges the doomed starts into per-doc intervals (one row
+    * per duplicated start, never one per covered position), and the
+    * rebuild is array-local: intervals meet their document in ONE
+    * doc_id equi-join and the position filter + reassembly run inside
+    * per-row array expressions — no position-level shuffle anywhere.
+    */
+  def dupSpanRemoval(docs: DataFrame, n: Int = 10): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).as("n_tokens"))
+    val g = toks.select(col("doc_id"), col("n_tokens"),
+      explode(when(col("n_tokens") >= n,
+          expr(s"transform(sequence(1, size(ws) - ${n - 1}), " +
+            s"s -> struct(s AS s, concat_ws(' ', slice(ws, s, $n)) AS gram))"))
+        .otherwise(array())).as("x"))
+      .select(col("doc_id"), col("x.s").as("s"), col("x.gram").as("gram"))
+    // keep-first: the gram's earliest document owns it; later occurrences
+    // are doomed. (d20's `nd > 1` marks the first doc too — a metric
+    // counts every copy, a removal pass must leave one.)
+    val firstDoc = g.groupBy("gram").agg(min(col("doc_id")).as("d0"))
+    val doomed = g.join(firstDoc, "gram")
+      .filter(col("doc_id") > col("d0"))
+      .select(col("doc_id"), col("s"))
+    // merge doomed starts into disjoint [lo, hi] token intervals per doc
+    val wDoc = Window.partitionBy("doc_id").orderBy("s")
+    val spans = doomed
+      .withColumn("newIsland",
+        when(col("s") - lag(col("s"), 1).over(wDoc) >= n, 1L).otherwise(0L))
+      .withColumn("island", sum(col("newIsland")).over(wDoc))
+      .groupBy("doc_id", "island")
+      .agg(min(col("s")).as("lo"), (max(col("s")) + n - 1).as("hi"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("lo"), col("hi"))).as("rm"))
+    // rebuild: drop positions inside any interval, rejoin the rest
+    toks.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"""filter(
+            transform(sequence(1, size(ws)), p -> struct(p AS p, ws[p - 1] AS w)),
+            x -> rm IS NULL OR NOT exists(rm, r -> x.p >= r.lo AND x.p <= r.hi))""")
+          .as("keep"))
+      .select(col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        (col("n_tokens") - size(col("keep"))).cast("long").as("n_removed"),
+        array_join(expr("transform(keep, x -> x.w)"), " ").as("clean_text"))
+  }
+
   /** Dedup CLUSTERING: near-dup pairs closed into connected components,
     * every document labeled with its component's minimum doc_id (the
     * canonical representative a keep-one dedup retains). Pairs alone
@@ -2050,6 +2108,39 @@ object PipelinePack {
       val table = phraseMergeMemo(docs, rounds = 3,
         cacheKey = Some(s"$dir/documents"))._2
       applyMergeTable(docs, table).orderBy("doc_id")
+    },
+
+    // ---- d31: cross-document duplicated-span REMOVAL — the transform
+    // d20's metric exists to justify (Lee et al., ACL'22: span-level
+    // dedup, not just doc-level): positions covered by a 10-gram whose
+    // gram appeared in an earlier document are excised; the earliest
+    // document keeps every occurrence, so each duplicated span survives
+    // exactly once corpus-wide. Same inverted-index + gaps-and-islands
+    // shape as d20 (no doc x doc term, shuffle linear in total tokens);
+    // the rebuild is one doc_id equi-join + per-row array expressions.
+    // The oracle re-derives removal position-by-position and the
+    // reassembled text byte-for-byte. ----
+    QDef("d31_dup_span_removal", Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      pos AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 8)) s FROM tok),
+      g AS (SELECT doc_id, s, list_aggregate(ws[s:s+9], 'string_agg', ' ') AS gram FROM pos),
+      f0 AS (SELECT gram, min(doc_id) AS d0 FROM g GROUP BY gram),
+      dup AS (SELECT g.doc_id, g.s FROM g JOIN f0 ON f0.gram = g.gram AND g.doc_id > f0.d0),
+      cov AS (SELECT DISTINCT doc_id, unnest(range(s, s + 10)) AS p FROM dup),
+      tp AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS p, ws FROM tok),
+      keep AS (SELECT tp.doc_id, tp.p, tp.ws[tp.p] AS w
+               FROM tp LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.p = tp.p
+               WHERE cov.p IS NULL),
+      agg AS (SELECT doc_id, count(*) AS n_kept,
+                     string_agg(w, ' ' ORDER BY p) AS clean_text
+              FROM keep GROUP BY doc_id),
+      nt AS (SELECT doc_id, len(ws) AS n_tokens FROM tok)
+      SELECT nt.doc_id, CAST(nt.n_tokens AS BIGINT) AS n_tokens,
+             CAST(nt.n_tokens - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed,
+             coalesce(agg.clean_text, '') AS clean_text
+      FROM nt LEFT JOIN agg ON agg.doc_id = nt.doc_id
+      ORDER BY nt.doc_id""")) { (s, dir) =>
+      dupSpanRemoval(Tables.documents(s, dir)).orderBy("doc_id")
     },
 
     // ---- d16: PII redaction (email + IPv4), the scrubbing pass every

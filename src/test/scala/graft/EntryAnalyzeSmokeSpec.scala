@@ -39,6 +39,7 @@ class EntryAnalyzeSmokeSpec extends AnyFunSuite {
     "d25_dedup_keep_best", "d26_semantic_dedup", "d27_sequence_packing",
     "d28_curation_manifest", "d29_mixture_sample",
     "d30_phrase_merge", "d30b_phrase_merge_table", "d30c_phrase_merge_apply",
+    "d31_dup_span_removal",
     "e01_ann_brute_topk", "e02_ann_ivf_topk", "e02b_ann_ivf_full_probe",
     "e02c_ann_ivf_recall_floor", "e02d_ann_ivf_int_topk",
     "e03_cosine_near_dup",
@@ -48,6 +49,7 @@ class EntryAnalyzeSmokeSpec extends AnyFunSuite {
     "e07b_ann_rhp_lsh_recall_floor", "e08_ann_pq_topk",
     "e08b_ann_pq_recall_floor", "e08c_ann_pq_trained_topk",
     "e08d_ann_pq_trained_recall_floor", "e09_kmeans_train",
+    "e10_ann_ivfpq_topk", "e10b_ann_ivfpq_recall_floor",
     "g01_nodes", "g02_edges", "g03_properties", "g04_entity_index",
     "g05_lookup_entity", "g06_neighbors", "g07_get_edge", "g08_counts",
     "g09_traverse", "g10_traverse_filtered", "g11_frontier_edges",

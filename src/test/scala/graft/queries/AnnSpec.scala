@@ -459,6 +459,27 @@ class AnnSpec extends AnyFunSuite {
     assert(perQuery.keySet === (0L until AnnPack.NumQueries.toLong).toSet)
   }
 
+  test("IVF-PQ recall on the clustered corpus meets the e10b floor") {
+    // the composed index pays both approximations (cell-bounded
+    // candidates AND coarse ADC codes): its recall against brute force
+    // is the servability number, and the shortlist must still be
+    // exactly K deep per query after the exact re-rank
+    import org.apache.spark.sql.functions.{col, size => asize}
+    val emb = graft.Tables.embeddings(spark, dir)
+    val cv = AnnPack.clusteredEmbeddings(emb)
+    val dim = emb.select(asize(col("embedding"))).head.getInt(0)
+    val got = AnnPack.ivfPqTopK(cv, dim).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val bf = AnnPack.bruteForceTopK(cv).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(bf.size === AnnPack.K * AnnPack.NumQueries)
+    val recall = (bf & got).size.toDouble / bf.size
+    assert(recall >= 0.8, s"IVF-PQ recall $recall under the 0.8 floor " +
+      s"(missed ${(bf -- got).size} of ${bf.size})")
+    val perQ = AnnPack.ivfPqTopK(cv, dim).groupBy("q_id").count().collect()
+    assert(perQ.length === AnnPack.NumQueries && perQ.forall(_.getLong(1) == AnnPack.K))
+  }
+
   test("RHP signatures match a plain-Scala int-quantized recompute bit for bit") {
     import graft.functions.RhpSig
     import org.apache.spark.sql.functions.col

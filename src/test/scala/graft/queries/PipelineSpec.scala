@@ -207,6 +207,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("dup-span removal: keep-first, exact positions, text rebuilt byte-for-byte") {
+    val docs = graft.Tables.documents(spark, dir)
+    val n = 10
+    val got = PipelinePack.dupSpanRemoval(docs, n).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(' '))
+    // gram -> earliest doc containing it (the keep-first owner)
+    val firstOf = scala.collection.mutable.Map.empty[String, Long]
+    for ((id, ws) <- texts; i <- 0 to ws.length - n) {
+      val g = ws.slice(i, i + n).mkString(" ")
+      firstOf.updateWith(g)(o => Some(o.fold(id)(math.min(_, id))))
+    }
+    val expected = texts.map { case (id, ws) =>
+      val removed = (for {
+        i <- 0 to ws.length - n
+        if firstOf(ws.slice(i, i + n).mkString(" ")) < id
+        p <- i until i + n
+      } yield p).toSet
+      val kept = ws.indices.filterNot(removed).map(ws)
+      id -> ((ws.length.toLong, removed.size.toLong, kept.mkString(" ")))
+    }.toMap
+    assert(expected.values.exists(_._2 > 0), "fixture should remove some spans")
+    assert(expected.values.exists(_._2 == 0), "fixture should keep some docs whole")
+    assert(got === expected)
+  }
+
   test("template corpus: dfCap is non-vacuous, loses only footer-only pairs, prunes >5x volume") {
     val docs = PipelinePack.templateDocs(graft.Tables.documents(spark, dir))
     def sh(t: String): Set[String] = t.split(' ').sliding(3).map(_.mkString(" ")).toSet

@@ -106,6 +106,25 @@ class ExplainSpec extends AnyFunSuite {
       s"non-equi join in:\n$plan")
   }
 
+  test("d31: span removal has no doc x doc term; the rebuild meets intervals once by doc_id") {
+    // the d20-family scale claim carried over to the removal pass: the
+    // inverted index and gaps-and-islands keep everything keyed — any
+    // product term means the gram index degenerated into pairwise compare
+    val plan = planOf("d31_dup_span_removal")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in:\n$plan")
+  }
+
+  test("e10: IVF-PQ candidates come from the cell equi-join; ADC meets codes by key") {
+    // the composed index's scale claim: vectors reach queries ONLY via
+    // cells ⋈ probes, the ADC table is a broadcast met by (q_id, m, cid)
+    // equi-keys, and the exact re-rank touches just the shortlist — any
+    // product term means a stage degenerated into the scan it bounds
+    val plan = planOf("e10_ann_ivfpq_topk")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in:\n$plan")
+  }
+
   test("e07: LSH candidates come from bucket equi-joins, never a scan product") {
     // the entire point of the bucketed index: query vectors meet corpus
     // vectors ONLY through the (table, key) equi-join; the exact re-rank
