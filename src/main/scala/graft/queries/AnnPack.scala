@@ -29,6 +29,13 @@ object AnnPack {
   val NumQueries = 10
   val NumCentroids = 16
   val NProbe = 4
+  /** e11's probe width: filtered search probes 2x the cells to offset
+    * the label predicate's ~10% selectivity (standard filtered-ANN
+    * compensation — recall is gated by e11b at the same 0.8 floor as
+    * the unfiltered config). */
+  val FilteredNProbe = 8
+  /** The label value e06/e11 filter on (~10% of the corpus at every SF). */
+  val FilterLabel = 3
   val ClusterCopies = 3
   val ClusteredThreshold = 0.8
   /** RHP-LSH index shape: `RhpBits`-bit bucket keys (2^B buckets/table)
@@ -134,6 +141,22 @@ object AnnPack {
     emb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
 
+  /** Exact label-filtered top-k (e06's reference semantics, reused as
+    * e11b's recall denominator): queries from the FULL corpus, corpus
+    * side restricted to `label = labelValue`, exact cosine ranking.
+    */
+  def filteredTopK(emb: DataFrame, labelValue: Int): DataFrame = {
+    val scored = emb.filter(col("label") === labelValue)
+      .crossJoin(broadcast(queries(emb)))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("embedding"), col("q_emb")).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
+  }
+
   /** Exact top-k: (q_id, rank, neighbor_id). */
   def bruteForceTopK(emb: DataFrame): DataFrame = {
     val scored = emb.crossJoin(broadcast(queries(emb)))
@@ -205,7 +228,29 @@ object AnnPack {
     * assignment pass, candidates by cell equi-join, never a corpus scan
     * per query.
     */
-  def ivfTopKInt(emb: DataFrame, nprobe: Int = NProbe): DataFrame = {
+  def ivfTopKInt(emb: DataFrame, nprobe: Int = NProbe): DataFrame =
+    ivfTopKIntImpl(emb, nprobe, None)
+
+  /** e11 — metadata-FILTERED IVF search: [[ivfTopKInt]]'s integer cell
+    * geometry with a label predicate applied to the INDEX side before
+    * the cell⋈probe join (in a real deployment the label rides the
+    * posting list, so the filter prunes candidates during the
+    * posting-list scan — pre-filtering, not post-filtering the top-k,
+    * which under a selective predicate would return < k usable hits).
+    * The candidate volume shrinks by the predicate's selectivity; the
+    * standard compensation for that selectivity is a higher nprobe
+    * (default 2x the unfiltered serving config), which keeps recall at
+    * the e02c floor while still scanning only nprobe/cells of the
+    * *filtered* corpus. Exact-cosine re-rank on the surviving
+    * candidates, e01 tie discipline.
+    */
+  def ivfTopKIntFiltered(
+      emb: DataFrame, labelValue: Int,
+      nprobe: Int = FilteredNProbe): DataFrame =
+    ivfTopKIntImpl(emb, nprobe, Some(labelValue))
+
+  private def ivfTopKIntImpl(
+      emb: DataFrame, nprobe: Int, labelValue: Option[Int]): DataFrame = {
     val el = int8Quantize(emb)
       .select(col("vec_id"), col("dim").as("d"), col("q"))
       .localCheckpoint() // feeds assignment AND probe ranking
@@ -225,9 +270,17 @@ object AnnPack {
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("q_id"), col("cid").as("cell"))
+    // index side: under a label predicate only matching vectors keep
+    // posting-list rows (filter BEFORE the probe join, so candidate
+    // volume is selectivity x cell fraction, never post-filtered top-k)
+    val idxCells = labelValue match {
+      case Some(v) =>
+        cells.join(emb.filter(col("label") === v).select(col("vec_id")), "vec_id")
+      case None => cells
+    }
     // candidates through the probed cells only; exact cosine re-rank
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    cells.join(probes, "cell")
+    idxCells.join(probes, "cell")
       .filter(col("vec_id") =!= col("q_id"))
       .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
       .join(broadcast(emb.filter(col("vec_id") < NumQueries)
@@ -533,14 +586,14 @@ object AnnPack {
     * so the DuckDB oracle re-derives cells, codes, ADC and the
     * shortlist bit-for-bit.
     */
-  def ivfPqTopK(
-      emb: DataFrame, dim: Int,
-      nprobe: Int = NProbe, subDim: Int = PqSubDim, kc: Int = PqCentroids,
-      shortlist: Int = PqCandidates): DataFrame = {
-    val embC = emb.localCheckpoint()
-    val (el, cb, codes) = pqIndex(embC, dim, subDim, kc)
-    // coarse cells: e02d's geometry over the SAME element table (m is a
-    // function of d, so el is one row per (vec_id, d) — safe to reuse)
+  /** e10's coarse candidate stage — (q_id, vec_id) pairs from the
+    * query's nprobe nearest integer cells (e02d's geometry over the PQ
+    * element table; m is a function of d, so el is one row per
+    * (vec_id, d) and the whole-vector distance is safe to compute on
+    * it). Exposed (like [[rhpCandidates]] / [[blockedCells]]) so the
+    * scale rehearsal can measure candidate volume directly.
+    */
+  private[graft] def ivfCoarseCandidates(el: DataFrame, nprobe: Int = NProbe): DataFrame = {
     val cent = broadcast(el.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("ccid"), col("d"), col("q").as("ccq")))
     val d2 = el.select(col("vec_id"), col("d"), col("q")).join(cent, "d")
@@ -554,10 +607,25 @@ object AnnPack {
       .withColumn("rn", row_number().over(wA))
       .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("q_id"), col("ccid").as("cell"))
-    // candidate (q, vector) pairs from probed cells only
-    val cnd0 = cells.join(probes, "cell")
+    cells.join(probes, "cell")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"))
+  }
+
+  /** The rehearsal-facing form of [[ivfCoarseCandidates]]: builds the
+    * element table from a raw corpus.
+    */
+  private[graft] def ivfPqCandidates(
+      emb: DataFrame, nprobe: Int = NProbe, subDim: Int = PqSubDim): DataFrame =
+    ivfCoarseCandidates(pqElements(emb.localCheckpoint(), subDim), nprobe)
+
+  def ivfPqTopK(
+      emb: DataFrame, dim: Int,
+      nprobe: Int = NProbe, subDim: Int = PqSubDim, kc: Int = PqCentroids,
+      shortlist: Int = PqCandidates): DataFrame = {
+    val embC = emb.localCheckpoint()
+    val (el, cb, codes) = pqIndex(embC, dim, subDim, kc)
+    val cnd0 = ivfCoarseCandidates(el, nprobe)
     // ADC over candidates only: codes ⋈ broadcast distance table
     val dt = broadcast(
       el.filter(col("vec_id") < NumQueries)
@@ -1277,16 +1345,103 @@ object AnnPack {
         FROM scored)
       SELECT q_id, rank, vec_id AS neighbor_id FROM ranked
       WHERE rank <= $K ORDER BY q_id, rank""")) { (s, dir) =>
+      filteredTopK(embeddings(s, dir), FilterLabel).orderBy("q_id", "rank")
+    },
+
+    // ---- e11: FILTERED IVF — the filter + ANN composition at the scale
+    // shape (e06 is the exact reference; it scans the whole filtered
+    // slice per query, which at 100 TB only works when the label is the
+    // partition key). e11 pre-filters e02d's posting lists by the label
+    // and probes 2x the cells to offset the ~10% selectivity; fully
+    // hash-gated — DuckDB re-derives cells, the filtered candidate set,
+    // and the shortlist bit-for-bit (integer cell geometry). ----
+    QDef("e11_ann_ivf_filtered_topk", Some(s"""
+      WITH cv AS (SELECT vec_id, embedding FROM embeddings),
+      $int8QeCtes,
+      cent AS (SELECT vec_id AS cid, d, q AS cq FROM qe WHERE vec_id < $NumCentroids),
+      dd AS (SELECT e.vec_id, c.cid, sum((e.q - c.cq) * (e.q - c.cq)) AS d2
+             FROM qe e JOIN cent c ON c.d = e.d GROUP BY 1, 2),
+      cells AS (SELECT vec_id, cid AS cell FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                FROM dd) WHERE rn = 1),
+      lbl AS (SELECT vec_id FROM embeddings WHERE label = $FilterLabel),
+      prb AS (SELECT vec_id AS q_id, cid AS cell FROM (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+              FROM dd WHERE vec_id < $NumQueries) WHERE rn <= $FilteredNProbe),
+      cnd AS (SELECT p.q_id, c.vec_id
+              FROM cells c JOIN lbl l ON l.vec_id = c.vec_id
+                           JOIN prb p ON p.cell = c.cell
+              WHERE c.vec_id != p.q_id),
+      sc AS (SELECT cnd.q_id, cnd.vec_id,
+               list_cosine_similarity(e.embedding, qq.embedding) AS c
+             FROM cnd JOIN cv e ON e.vec_id = cnd.vec_id
+                      JOIN cv qq ON qq.vec_id = cnd.q_id),
+      rk AS (SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rank
+             FROM sc)
+      SELECT q_id, rank, vec_id AS neighbor_id FROM rk
+      WHERE rank <= $K ORDER BY q_id, rank""")) { (s, dir) =>
+      ivfTopKIntFiltered(embeddings(s, dir), FilterLabel).orderBy("q_id", "rank")
+    },
+
+    // ---- e11b: e11's recall floor vs the exact filtered reference
+    // (e06's semantics), e02c-style — one integer row, the oracle
+    // re-derives BOTH pipelines relationally. Gates that the 2x-nprobe
+    // compensation actually holds the 0.8 floor under the filter. ----
+    QDef("e11b_ann_ivf_filtered_recall_floor", Some(s"""
+      WITH cv AS (SELECT vec_id, embedding FROM embeddings),
+      $int8QeCtes,
+      cent AS (SELECT vec_id AS cid, d, q AS cq FROM qe WHERE vec_id < $NumCentroids),
+      dd AS (SELECT e.vec_id, c.cid, sum((e.q - c.cq) * (e.q - c.cq)) AS d2
+             FROM qe e JOIN cent c ON c.d = e.d GROUP BY 1, 2),
+      cells AS (SELECT vec_id, cid AS cell FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                FROM dd) WHERE rn = 1),
+      lbl AS (SELECT vec_id FROM embeddings WHERE label = $FilterLabel),
+      prb AS (SELECT vec_id AS q_id, cid AS cell FROM (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+              FROM dd WHERE vec_id < $NumQueries) WHERE rn <= $FilteredNProbe),
+      cnd AS (SELECT p.q_id, c.vec_id
+              FROM cells c JOIN lbl l ON l.vec_id = c.vec_id
+                           JOIN prb p ON p.cell = c.cell
+              WHERE c.vec_id != p.q_id),
+      rk AS (SELECT cnd.q_id, cnd.vec_id,
+               row_number() OVER (PARTITION BY cnd.q_id
+                 ORDER BY list_cosine_similarity(e.embedding, qq.embedding) DESC, cnd.vec_id) AS rank
+             FROM cnd JOIN cv e ON e.vec_id = cnd.vec_id
+                      JOIN cv qq ON qq.vec_id = cnd.q_id),
+      ivf AS (SELECT q_id, vec_id FROM rk WHERE rank <= $K),
+      q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < $NumQueries),
+      bs AS (SELECT q.q_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY list_cosine_similarity(e.embedding, q.q_emb) DESC, e.vec_id) AS rank
+             FROM embeddings e CROSS JOIN q
+             WHERE e.label = $FilterLabel AND e.vec_id != q.q_id),
+      brute AS (SELECT q_id, vec_id FROM bs WHERE rank <= $K),
+      h AS (SELECT count(*) AS hits FROM ivf JOIN brute USING (q_id, vec_id)),
+      tot AS (SELECT count(*) AS total FROM brute)
+      SELECT CAST($K AS BIGINT) AS k,
+             CAST(hits AS BIGINT) AS hits,
+             CAST(total AS BIGINT) AS total,
+             CAST((hits * 1000000) // total AS BIGINT) AS recall_millionths,
+             CAST(CASE WHEN hits * 1000000 >= 800000 * total THEN 1 ELSE 0 END AS BIGINT) AS meets_floor
+      FROM h, tot""")) { (s, dir) =>
       val emb = embeddings(s, dir)
-      val scored = emb.filter(col("label") === 3).crossJoin(broadcast(queries(emb)))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          cosine(col("embedding"), col("q_emb")).as("cos"))
-      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-      scored.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= K)
-        .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
-        .orderBy("q_id", "rank")
+      val ivf = ivfTopKIntFiltered(emb, FilterLabel)
+        .select(col("q_id"), col("neighbor_id"))
+      val brute = filteredTopK(emb, FilterLabel)
+        .select(col("q_id"), col("neighbor_id"))
+      ivf.join(brute, Seq("q_id", "neighbor_id"))
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(brute.agg(count(lit(1)).as("total")))
+        .select(lit(K.toLong).as("k"), col("hits"), col("total"),
+          expr("hits * 1000000L div total").as("recall_millionths"),
+          when(col("hits") * 1000000L >= lit(800000L) * col("total"), 1L).otherwise(0L)
+            .as("meets_floor"))
     },
 
     // ---- e02: FLOAT-cosine IVF at the production nprobe < cells — the

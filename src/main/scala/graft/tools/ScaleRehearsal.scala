@@ -110,6 +110,31 @@ object ScaleRehearsal {
         !d20Plan.contains("CartesianProduct") && !d20Plan.contains("BroadcastNestedLoopJoin"),
         d20Plan.take(1500))
 
+      // 4c. d31 span REMOVAL at 10x (r12): same skeleton as d20, plus
+      // the removal contract under the band-replicated corpus — every
+      // non-first band copy is gram-for-gram owned by band 0, so rows
+      // out = rows in (one per doc), removal stays position-bounded
+      // (n_removed <= n_tokens on every row), and the plan stays
+      // product-free. A join-key bug (gram collision, doc_id overflow)
+      // breaks the bound loudly.
+      val d31Df = SparkEntry.queries("d31_dup_span_removal")(spark, dir)
+      val d31Plan = finalPlan(d31Df)
+      check("d31_no_product")(
+        !d31Plan.contains("CartesianProduct") && !d31Plan.contains("BroadcastNestedLoopJoin"),
+        d31Plan.take(1500))
+      val d31N = Tables.documents(spark, dir).count()
+      val d31Rows = d31Df.count()
+      check("d31_rows_total")(d31Rows == d31N, s"$d31Rows rows for $d31N docs")
+      val d31Bad = {
+        import org.apache.spark.sql.functions.col
+        d31Df.filter(col("n_removed") > col("n_tokens") ||
+          col("n_removed") < 0).count()
+      }
+      check("d31_removal_bounded")(d31Bad == 0L,
+        s"$d31Bad rows with n_removed outside [0, n_tokens]")
+      val d31Removed = d31Df.agg(org.apache.spark.sql.functions.sum("n_removed"))
+        .head.getLong(0)
+
       // 5. s04 stream-stream interval join's batch twin at 10x: the
       // user_id equi-key must keep the join a sort-merge/shuffled-hash
       // join — the interval predicate must never degrade it to a
@@ -221,6 +246,30 @@ object ScaleRehearsal {
       check("e08_encode_complete")(
         pqCodes == pqN * pqSubspaces,
         s"$pqCodes codes for $pqN vectors x $pqSubspaces subspaces")
+
+      // 12b. e10 IVF-PQ at 10x (r12): the coarse cells keep bounding the
+      // scan — the candidate fraction of (queries x corpus) is a cell-
+      // geometry property (~nprobe/cells on balanced cells) independent
+      // of N, so it must stay flat as the corpus grows; a fraction that
+      // jumps means cell assignment collapsed (centroid ties, saturated
+      // d2) and the PQ scan degenerated toward the full corpus.
+      val e10Plan = finalPlan(SparkEntry.queries("e10_ann_ivfpq_topk")(spark, dir))
+      check("e10_no_product")(
+        !e10Plan.contains("CartesianProduct") && !e10Plan.contains("BroadcastNestedLoopJoin"),
+        e10Plan.take(1500))
+      def ivfPqStats(d: String): (Long, Long) = {
+        val emb = Tables.embeddings(spark, d)
+        val cv = AnnPack.clusteredEmbeddings(emb)
+        (AnnPack.ivfPqCandidates(cv).count(), cv.count())
+      }
+      val (e10CandBase, e10NBase) = ivfPqStats(baseDir)
+      val (e10Cand10x, e10N10x) = ivfPqStats(dir)
+      val e10FracBase = e10CandBase.toDouble / (e10NBase * AnnPack.NumQueries)
+      val e10Frac10x = e10Cand10x.toDouble / (e10N10x * AnnPack.NumQueries)
+      check("e10_candidates_sublinear_fraction")(e10Frac10x < 0.5,
+        s"10x candidate fraction $e10Frac10x — cell bound no better than a half-scan")
+      check("e10_candidate_fraction_stable")(e10Frac10x <= e10FracBase * 1.5 + 0.02,
+        s"fraction grew $e10FracBase -> $e10Frac10x at ${factor}x")
 
       // 13. e09 k-means at 10x: every Lloyd round stays broadcast
       // equi-joins (no product), and the trained assignment is total —
@@ -336,6 +385,9 @@ object ScaleRehearsal {
         s""""certify_leaves_span1024":$leavesFine,""" +
         s""""e07_cand_base":$e07CandBase,"e07_cand_10x":$e07Cand10x,""" +
         s""""e07_frac_base":$fracBase,"e07_frac_10x":$frac10x,""" +
+        s""""e10_cand_base":$e10CandBase,"e10_cand_10x":$e10Cand10x,""" +
+        s""""e10_frac_base":$e10FracBase,"e10_frac_10x":$e10Frac10x,""" +
+        s""""d31_rows_10x":$d31Rows,"d31_removed_tokens_10x":$d31Removed,""" +
         s""""e08_codes":$pqCodes,"e09_clusters":$e09Clusters,""" +
         s""""g25_nodes":$g25Nodes,""" +
         s""""m07d_cand_base":$m07dCandBase,"m07d_cand_10x":$m07dCand,""" +

@@ -317,6 +317,76 @@ object StreamingScaleRehearsal {
       check("s09_batches_cover_chunks")(s09Curve.length >= chunks,
         s"${s09Curve.length} progress entries < $chunks chunks")
 
+      // ---- s10: windowed adjacent-pair counts (r12) — the vocabulary-
+      // drift aggregate under the s09 discipline: a timestamped document
+      // stream (factor x the documents table, timeline extended, every
+      // 7th doc arriving 1800s late inside the 3600s watermark), one
+      // windowed hash aggregate. Checks: (a) each (window, l, r) emitted
+      // once; (b) closed-window parity against an INDEPENDENT batch
+      // recompute (index-arithmetic pair construction, unix_millis
+      // bucketing — not the shared transform); (c) state bounded by
+      // (open windows x pair vocabulary), never document volume.
+      val s10WindowMs = 3600000L
+      val docsB = Tables.documents(spark, srcDir).select(col("doc_id"), col("text"))
+      val nDocsB = docsB.count()
+      val s10Scaled = (0 until factor).map(i => docsB.select(
+          (col("doc_id") + lit(nDocsB * i)).as("seq"), col("text")))
+        .reduce(_ unionByName _)
+        .select(
+          timestamp_seconds(expr("seq div 2") + lit(86400L)).as("ts"),
+          col("text"),
+          timestamp_seconds(expr("seq div 2") + lit(86400L) +
+            when(col("seq") % 7 === 0, 1800L).otherwise(0L)).as("arrival"))
+      val s10Work = s"$work/paircounts"
+      val (s10Dir, _) = writeTimeChunks(spark, s10Scaled, s10Work, chunks,
+        orderCol = "arrival")
+      val s10Name = "s10_rehearsal"
+      val s10Curve = runWithCurve(spark, s10Dir, s10Work, s10Name, format = "memory") { df =>
+        graft.streaming.PhraseStream.windowedPairCounts(
+          df.select(col("ts"), col("text")).as[graft.streaming.PhraseStream.TimedDoc],
+          windowMs = s10WindowMs, watermarkDelay = "3600 seconds")
+      }
+      val s10Streamed = spark.table(s10Name).collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getString(2), r.getLong(3)))
+      val s10Emitted = s10Streamed.map(_._1).toSet
+      check("s10_emitted_once")(
+        s10Streamed.length == s10Streamed.map(t => (t._1, t._2, t._3)).distinct.length,
+        "duplicate (window, l, r) emissions")
+      val s10All = spark.read.parquet(s10Dir)
+      val s10ExpectedAll = s10All
+        .select(expr(s"(unix_millis(ts) div $s10WindowMs) * $s10WindowMs").as("w"),
+          split(col("text"), " ").as("tk"))
+        .select(col("w"), explode(when(size(col("tk")) >= 2,
+            expr("transform(sequence(0, size(tk) - 2), i -> struct(tk[i] AS l, tk[i + 1] AS r))"))
+          .otherwise(expr("CAST(array() AS array<struct<l: string, r: string>>)"))).as("p"))
+        .groupBy(col("w"), col("p.l"), col("p.r")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      val s10WindowsTotal = s10ExpectedAll.map(_._1).toSet.size
+      // at horizon, exactly the windows within (watermark + window) of
+      // max event time may stay open — an ABSOLUTE bound of 2 here, not
+      // s09's 80% ratio (s10's 7-window timeline makes 2 open = 29%)
+      check("s10_all_but_open_windows_closed")(
+        s10WindowsTotal >= 5 && s10Emitted.size >= s10WindowsTotal - 2,
+        s"${s10Emitted.size} windows emitted of $s10WindowsTotal")
+      val s10ExpectedEmitted = s10ExpectedAll.filter(e => s10Emitted.contains(e._1)).toSet
+      check("s10_closed_window_parity_with_late_docs")(
+        s10Streamed.toSet == s10ExpectedEmitted,
+        s"streamed ${s10Streamed.length} != expected ${s10ExpectedEmitted.size}; " +
+          s"missing=${(s10ExpectedEmitted -- s10Streamed.toSet).take(3)} " +
+          s"extra=${(s10Streamed.toSet -- s10ExpectedEmitted).take(3)}")
+      val s10Max = s10Curve.map(_._2).max
+      val s10Vocab = s10ExpectedAll.map(t => (t._2, t._3)).toSet.size
+      val s10ArrSpanMs = {
+        val b = s10All.agg(min(unix_millis(col("arrival"))),
+          max(unix_millis(col("arrival")))).head()
+        b.getLong(1) - b.getLong(0)
+      }
+      val s10OpenBound = (s10ArrSpanMs / chunks + 3600000L) / s10WindowMs + 2
+      check("s10_state_open_windows_x_vocab")(s10Max <= 4 * s10OpenBound * s10Vocab,
+        s"max state $s10Max rows vs 4 x $s10OpenBound open windows x $s10Vocab pair vocab")
+      check("s10_batches_cover_chunks")(s10Curve.length >= chunks,
+        s"${s10Curve.length} progress entries < $chunks chunks")
+
       def curveJson(c: Seq[(Long, Long)]): String =
         c.map { case (in, st) => s"[$in,$st]" }.mkString("[", ",", "]")
       val json =
@@ -329,8 +399,13 @@ object StreamingScaleRehearsal {
           s""""s09_max_state":$s09Max,"s09_open_bound":$s09OpenBound,""" +
           s""""s09_windows_emitted":${s09Emitted.size},"s09_windows_total":$s09WindowsTotal,""" +
           s""""s09_tuples":${s09Streamed.length},""" +
+          s""""s10_max_state":$s10Max,"s10_open_bound":$s10OpenBound,""" +
+          s""""s10_pair_vocab":$s10Vocab,""" +
+          s""""s10_windows_emitted":${s10Emitted.size},"s10_windows_total":$s10WindowsTotal,""" +
+          s""""s10_tuples":${s10Streamed.length},""" +
           s""""s03_curve":${curveJson(s03Curve)},"s05_curve":${curveJson(s05Curve)},""" +
           s""""s08_curve":${curveJson(s08Curve)},"s09_curve":${curveJson(s09Curve)},""" +
+          s""""s10_curve":${curveJson(s10Curve)},""" +
           s""""failures":${failures.size}}"""
       println(json)
       sys.env.get("SPARK_GRAFT_STREHEARSAL_OUT").foreach { p =>

@@ -459,6 +459,24 @@ class AnnSpec extends AnyFunSuite {
     assert(perQuery.keySet === (0L until AnnPack.NumQueries.toLong).toSet)
   }
 
+  test("filtered IVF: every hit satisfies the label predicate and recall meets the e11b floor") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.embeddings(spark, dir)
+    val got = AnnPack.ivfTopKIntFiltered(emb, AnnPack.FilterLabel).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    // the pre-filter is a correctness property, not just recall: a
+    // post-filter formulation would surface out-of-label neighbors here
+    val labeled = emb.filter(col("label") === AnnPack.FilterLabel)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.forall { case (_, n) => labeled(n) },
+      s"out-of-label neighbors: ${got.filterNot(p => labeled(p._2)).take(5)}")
+    val exact = AnnPack.filteredTopK(emb, AnnPack.FilterLabel).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.8, s"filtered-IVF recall@${AnnPack.K} dropped to $recall " +
+      s"(2x-nprobe compensation no longer offsets the label selectivity)")
+  }
+
   test("IVF-PQ recall on the clustered corpus meets the e10b floor") {
     // the composed index pays both approximations (cell-bounded
     // candidates AND coarse ADC codes): its recall against brute force

@@ -182,6 +182,20 @@ class ExplainSpec extends AnyFunSuite {
       s"assignment/probe argmax should push partial group limits:\n$plan")
   }
 
+  test("e11: filtered-IVF candidates stay a cell equi-join with the label pre-filter") {
+    val plan = planOf("e11_ann_ivf_filtered_topk")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"assignment/probe argmax should push partial group limits:\n$plan")
+    // the label predicate must prune the index side before the probe
+    // join — it reaches the embeddings scan as a pushed filter, never a
+    // post-filter on ranked output
+    assert(plan.contains("PushedFilters: [IsNotNull(label), EqualTo(label,3)]") ||
+      plan.contains("EqualTo(label,3)"),
+      s"label filter not pushed to the scan:\n$plan")
+  }
+
   test("d24: the rank<=k quota becomes a map-side window group limit") {
     // the optimizer must turn `row_number() <= 5` into WindowGroupLimit
     // (partial top-k per input partition BEFORE the stratum shuffle) —
