@@ -326,6 +326,53 @@ object PipelinePack {
       .filter(col("jaccard") >= JaccardThreshold)
   }
 
+  /** d32 — INCREMENTAL ingest dedup: the daily-batch form of d03. A
+    * delta of newly arriving documents (fixture split: `doc_id %
+    * deltaMod == deltaRes`, ~10% of the corpus) is deduplicated against
+    * the EXISTING corpus plus the delta's own earlier rows, without ever
+    * re-pairing corpus x corpus. Candidates come from the same banded
+    * MinHash substrate as d03 ([[bandSignatures]]), joined delta x
+    * corpus and delta x earlier-delta on (band, sig) — at 100 TB the
+    * corpus side of that join is a MAINTAINED signature index (a
+    * persisted table bucketed by (band, sig), appended as batches
+    * commit), so each ingest scans the delta once, probes the index, and
+    * never touches corpus text except for the O(|delta|) verified
+    * candidates. Verification is the exact shingle Jaccard
+    * ([[verifyPairs]], threshold [[JaccardThreshold]]); the decision per
+    * delta doc is the minimum verified partner id (deterministic
+    * representative), `is_new = 1` when no partner survives.
+    *
+    * Output: one row per delta doc — (doc_id, dup_of nullable, is_new).
+    * The DuckDB oracle re-derives the decision from the EXHAUSTIVE delta
+    * x eligible-partner Jaccard, so the entry gates end-to-end recall of
+    * the banded path (the d03 discipline: on this corpus LSH == brute at
+    * threshold 0.5).
+    */
+  def incrementalIngestDedup(
+      docs: DataFrame, deltaMod: Long = 10L, deltaRes: Long = 7L): DataFrame = {
+    val bands = bandSignatures(docs)
+    val isDelta = col("doc_id") % deltaMod === deltaRes
+    val bDelta = bands.filter(isDelta)
+    val bCorpus = bands.filter(!isDelta)
+    // delta x corpus: any corpus partner is "earlier" (already ingested)
+    val candCorpus = bDelta.as("x").join(bCorpus.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
+      .select(col("x.doc_id").as("doc_i"), col("y.doc_id").as("doc_j"))
+    // delta x delta: only earlier rows of the same batch are eligible
+    val candDelta = bDelta.as("x").join(bDelta.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("y.doc_id") < col("x.doc_id"))
+      .select(col("x.doc_id").as("doc_i"), col("y.doc_id").as("doc_j"))
+    val cands = candCorpus.unionByName(candDelta).distinct()
+    val dup = verifyPairs(docs, cands)
+      .groupBy("doc_i").agg(min(col("doc_j")).as("dup_of"))
+      .select(col("doc_i").as("doc_id"), col("dup_of"))
+    docs.filter(isDelta).select(col("doc_id"))
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        when(col("dup_of").isNull, 1L).otherwise(0L).as("is_new"))
+  }
+
   /** Exact n-gram Jaccard similarity pairs via the shingle inverted
     * index: docs meet ONLY through an equi-join on a shared shingle (any
     * pair with J >= t shares one, so recall is 1.0 by construction at any
@@ -897,6 +944,92 @@ object PipelinePack {
     docs.select(col("doc_id"),
       (size(array_distinct(toks)).cast("long") * 1000000L).divide(nTok)
         .cast("long").as("qm"))
+  }
+
+  /** d33 — per-source quota (domain cap): keep the top-`cap` documents
+    * of every source by the d05 distinct-token quality signal (doc_id
+    * tie-break). The curation move behind Gopher/CCNet-style domain
+    * caps: without it one over-crawled host dominates the mixture; with
+    * a quality-ordered cap the budget keeps each source's best. Unlike
+    * d24 (hash-uniform k-sample — a NEUTRAL quota for eval slices) the
+    * order key here is a quality signal, so the cap is a curation
+    * decision, not a sample. Plan: one shuffle on the source key and a
+    * rank that Spark rewrites to a map-side WindowGroupLimit — each
+    * partition forwards at most `cap` rows per source into the
+    * exchange, so no source is ever fully sorted and the shuffle volume
+    * is O(sources x cap), not O(corpus). At 100 TB source cardinality
+    * (hosts/domains) is huge but per-key state is `cap` rows — the
+    * aggregate-side skew of a hot domain is bounded by the group limit
+    * on the map side.
+    */
+  def sourceCap(docs: DataFrame, cap: Int = 10): DataFrame = {
+    val nTok = size(toks).cast("long")
+    val w = Window.partitionBy("source")
+      .orderBy(col("qm").desc, col("doc_id").asc)
+    docs.select(col("source"), col("doc_id"),
+        (size(array_distinct(toks)).cast("long") * 1000000L).divide(nTok)
+          .cast("long").as("qm"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= cap)
+  }
+
+  /** d34 — the FINAL TRAINING SHUFFLE: a deterministic global
+    * permutation of the corpus into `shards` shard files, each
+    * internally hash-ordered — what every training run does last, and
+    * the step naive implementations pay a global sort for. Shard
+    * assignment and within-shard position both derive from one salted
+    * md5 (the d24/d29 hash discipline: reproducible across runs,
+    * machines, and engines; no RNG state), so the permutation is
+    * auditable and re-runnable. Plan: ONE hash exchange on the shard
+    * key plus a per-shard local sort (the window's partitionBy IS
+    * repartition + sortWithinPartitions) — there is no
+    * rangepartitioning exchange and no global ordering anywhere, which
+    * is the property that survives 100 TB: shard files write in
+    * parallel, each executor sorts only its own shard's slice, and the
+    * output is byte-identical however many executors ran. ExplainSpec
+    * pins the no-range-exchange shape.
+    */
+  def trainingShardShuffle(docs: DataFrame, shards: Int = 32): DataFrame = {
+    val h = md5(concat(col("doc_id").cast("string"), lit(":shuffle:v1")))
+    val w = Window.partitionBy("shard").orderBy(col("h").asc, col("doc_id").asc)
+    docs.select(col("doc_id"), h.as("h"))
+      .withColumn("shard",
+        (conv(substring(col("h"), 1, 2), 16, 10).cast("long") % shards))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "pos")
+  }
+
+  /** d35 — token-level quality classifier, the fastText-shaped filter
+    * every web-scale corpus passes through (CCNet, GPT-3's WebText
+    * classifier), distilled to its distributable core: TRAIN = per-token
+    * label-likelihood ratios over a labeled slice (two aggregates);
+    * APPLY = score every document as the mean ratio of its token
+    * occurrences (one broadcast hash join + one aggregate). Labels here
+    * derive from the source index's parity (even sources "curated", odd
+    * "raw" — deterministic, so the oracle re-trains bit-identically);
+    * production swaps in any labeled slice. All arithmetic is integer
+    * millionths with +1/+2 Laplace smoothing; out-of-vocabulary tokens
+    * score the 500000 prior, and the vocabulary is bounded by a minDf
+    * FILTER (an aggregate threshold — no global top-V sort), which is
+    * what keeps the broadcast side small at any corpus size: natural-
+    * language vocabulary with df >= 5 grows sub-linearly in corpus
+    * size. The apply leg never shuffles the corpus beyond the per-doc
+    * aggregate; `div` keeps the mean in exact integer arithmetic.
+    */
+  def tokenQualityClassifier(docs: DataFrame, minDf: Long = 5L): DataFrame = {
+    val tokens = docs.select(col("doc_id"), col("source"), explode(toks).as("w"))
+      .withColumn("good", substring(col("source"), 4, 10).cast("long") % 2 === 0)
+    val vocab = tokens.groupBy("w").agg(
+        sum(when(col("good"), 1L).otherwise(0L)).as("cg"),
+        count(lit(1)).as("ct"))
+      .filter(col("ct") >= minDf)
+      .select(col("w"),
+        expr("(cg + 1) * 1000000 div (ct + 2)").cast("long").as("ratio"))
+    tokens.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        expr("sum(coalesce(ratio, 500000)) div count(1)").cast("long")
+          .as("score_millionths"))
   }
 
   /** Flag the max-quality member (doc_id tie-break) of every cluster:
@@ -2141,6 +2274,142 @@ object PipelinePack {
       FROM nt LEFT JOIN agg ON agg.doc_id = nt.doc_id
       ORDER BY nt.doc_id""")) { (s, dir) =>
       dupSpanRemoval(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
+    // ---- d32: INCREMENTAL ingest dedup — a ~10% delta batch against
+    // the existing corpus + its own earlier rows, banded-LSH candidates
+    // (the corpus side is a maintained signature index at scale, so an
+    // ingest never re-pairs corpus x corpus), exact-Jaccard verify, min
+    // verified partner as the decision. Oracle = EXHAUSTIVE delta x
+    // eligible-partner recompute (gates banded recall end-to-end, the
+    // d03 discipline). ----
+    QDef("d32_incremental_ingest_dedup", Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      idx AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) i FROM tok),
+      sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM idx),
+      pairs AS (SELECT a.doc_id AS d, b.doc_id AS p, count(*) AS inter
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id != b.doc_id
+        WHERE a.doc_id % 10 = 7 AND (b.doc_id % 10 != 7 OR b.doc_id < a.doc_id)
+        GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      ver AS (SELECT p.d, p.p FROM pairs p
+                JOIN sizes sa ON sa.doc_id = p.d
+                JOIN sizes sb ON sb.doc_id = p.p
+              WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5),
+      dec AS (SELECT d AS doc_id, min(p) AS dup_of FROM ver GROUP BY 1)
+      SELECT dd.doc_id, dec.dup_of,
+             CAST(CASE WHEN dec.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_new
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) dd
+        LEFT JOIN dec ON dec.doc_id = dd.doc_id
+      ORDER BY dd.doc_id""")) { (s, dir) =>
+      incrementalIngestDedup(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
+    // ---- s11: streaming decontamination at ingest — d22's Bloom-probe
+    // report as an event-time-windowed entry (DecontaminationStream, the
+    // shared batch/stream transform; StreamingSpec gates closed-window
+    // parity across micro-batch splits). The oracle re-derives n_docs +
+    // exact contamination per window relationally and pins d22's two
+    // error-direction gates: missed = 0 (Bloom has no false negatives)
+    // and the per-window FP bound. The eval-gram collect() is bounded by
+    // the benchmark corpus (d15b/d22's size contract). ----
+    QDef("s11_streaming_decontamination", Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      pos AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) i FROM tok),
+      g5 AS (SELECT DISTINCT doc_id, list_aggregate(ws[i:i+4], 'string_agg', ' ') AS g FROM pos),
+      ev AS (SELECT DISTINCT g FROM g5 WHERE doc_id % 10 = 0),
+      ex AS (SELECT DISTINCT g5.doc_id FROM g5 JOIN ev USING (g) WHERE g5.doc_id % 10 != 0),
+      b AS (SELECT t.doc_id,
+              make_timestamp((t.doc_id // 60) * 3600 * 1000000) AS window_start,
+              CASE WHEN ex.doc_id IS NULL THEN 0 ELSE 1 END AS is_ex
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 10 != 0) t
+              LEFT JOIN ex ON ex.doc_id = t.doc_id)
+      SELECT window_start, count(*) AS n_docs,
+             CAST(sum(is_ex) AS BIGINT) AS n_exact_contaminated,
+             CAST(0 AS BIGINT) AS missed, CAST(0 AS BIGINT) AS fp_bound_exceeded
+      FROM b GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val evalGrams = grams(docs.filter(col("doc_id") % 10 === 0), 5)
+        .select("g").distinct().collect().map(_.getString(0)).toSet
+      val timed = docs.filter(col("doc_id") % 10 =!= 0)
+        .select(timestamp_millis(col("doc_id") * 60000L).as("ts"), col("text"))
+      graft.streaming.DecontaminationStream
+        .windowedContaminationReport(timed, evalGrams)
+        .orderBy("window_start")
+    },
+
+    // ---- d33: per-source quota (domain cap) — keep each source's
+    // top-10 docs by the d05 quality signal (see [[sourceCap]]). The
+    // rank<=cap filter becomes a map-side WindowGroupLimit (pinned in
+    // ExplainSpec), so shuffle volume is O(sources x cap) whatever the
+    // corpus size; vs d24, the order key is QUALITY (curation), not a
+    // salted hash (neutral sampling). ----
+    QDef("d33_source_quality_cap", Some("""
+      WITH q AS (SELECT source, doc_id,
+                   (len(list_distinct(string_split(text, ' '))) * 1000000)
+                     // len(string_split(text, ' ')) AS qm
+                 FROM documents),
+      r AS (SELECT source, doc_id, qm,
+              row_number() OVER (PARTITION BY source ORDER BY qm DESC, doc_id) AS rk
+            FROM q)
+      SELECT source, doc_id, qm, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 10
+      ORDER BY source, rk""")) { (s, dir) =>
+      sourceCap(Tables.documents(s, dir)).orderBy("source", "rk")
+    },
+
+    // ---- d34: the final training shuffle — deterministic global
+    // permutation into 32 hash-ordered shards with NO global sort (see
+    // [[trainingShardShuffle]]): one hash exchange on the shard key +
+    // per-shard local sort; ExplainSpec pins the absence of a
+    // rangepartitioning exchange. The oracle re-derives shard and
+    // position from the same salted md5. ----
+    QDef("d34_training_shard_shuffle", Some("""
+      WITH h AS (SELECT doc_id,
+                   md5(CAST(doc_id AS VARCHAR) || ':shuffle:v1') AS h
+                 FROM documents),
+      s AS (SELECT doc_id, h,
+              CAST(('0x' || substr(h, 1, 2)) AS BIGINT) % 32 AS shard FROM h)
+      SELECT doc_id, shard,
+             CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+      FROM s ORDER BY doc_id""")) { (s, dir) =>
+      trainingShardShuffle(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
+    // ---- d35: token-level quality classifier (see
+    // [[tokenQualityClassifier]]) — train per-token label-likelihood
+    // ratios on the source-parity labels, score every doc as the mean
+    // ratio of its token occurrences (OOV -> 500000 prior). Integer
+    // millionths + `div` end to end, so the oracle re-trains AND
+    // re-scores bit-identically; ExplainSpec pins the broadcast apply
+    // join. The synthetic 31-word vocabulary has no token under the
+    // minDf floor, so the entry derives a deterministic rare-token
+    // augmentation in-plan (the d16/e03c discipline) — ' xq<doc_id>' on
+    // every 7th doc, df=1 — keeping the OOV-prior branch gated on real
+    // rows in both engines. ----
+    QDef("d35_token_quality_classifier", Some("""
+      WITH aug AS (SELECT doc_id, source,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN text || ' xq' || CAST(doc_id AS VARCHAR)
+                          ELSE text END AS text
+                   FROM documents),
+      tk AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+             FROM aug),
+      lab AS (SELECT doc_id, w,
+                CAST(substr(source, 4) AS BIGINT) % 2 = 0 AS good FROM tk),
+      v AS (SELECT w,
+              (sum(CASE WHEN good THEN 1 ELSE 0 END) + 1) * 1000000
+                // (count(*) + 2) AS ratio
+            FROM lab GROUP BY w HAVING count(*) >= 5),
+      sc AS (SELECT l.doc_id, coalesce(v.ratio, 500000) AS r
+             FROM lab l LEFT JOIN v USING (w))
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(r) // count(*) AS BIGINT) AS score_millionths
+      FROM sc GROUP BY doc_id ORDER BY doc_id""")) { (s, dir) =>
+      val aug = Tables.documents(s, dir).withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" xq"), col("doc_id").cast("string")))
+          .otherwise(col("text")))
+      tokenQualityClassifier(aug).orderBy("doc_id")
     },
 
     // ---- d16: PII redaction (email + IPv4), the scrubbing pass every

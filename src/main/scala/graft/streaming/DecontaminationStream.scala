@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** s11 — streaming decontamination at ingest: the live form of d22's
+  * Bloom-probe report ([[graft.queries.PipelinePack.bloomDecontaminationReport]]).
+  * A training-data pipeline that admits documents continuously runs the
+  * benchmark-contamination check AT INGEST TIME — before a contaminated
+  * document ever lands in the corpus — instead of as a batch sweep
+  * afterwards. Together with d32 (incremental dedup against the corpus
+  * signature index) this is the streaming ingest gate.
+  *
+  * Shape: the eval side is a benchmark suite — a few thousand documents
+  * whatever the corpus size (d15b's broadcast contract) — so its
+  * distinct n-grams compress into a Bloom filter and an exact-set
+  * broadcast built ONCE on the driver before the stream starts. Each
+  * arriving document is then a stateless projection: one pass over its
+  * n-grams probing broadcast state (no join node, no per-doc shuffle),
+  * followed by ONE windowed hash aggregate — counts per event-time
+  * window, state bounded by open windows, emitted exactly once at
+  * watermark close (the s10 discipline).
+  *
+  * Output mirrors d22's error-direction gates per window: `missed`
+  * (exact-contaminated but not Bloom-flagged) is 0 UNCONDITIONALLY —
+  * Bloom filters have no false negatives, the only error direction
+  * decontamination tolerates — and `fp_bound_exceeded` pins the
+  * doc-level false-positive count under 5% of max(window, 100) docs.
+  * Both are re-derivable relationally, so the batch twin
+  * (`s11_streaming_decontamination`, PipelinePack) is fully
+  * oracle-gated even though the Bloom bit array itself is not
+  * SQL-expressible.
+  */
+object DecontaminationStream {
+
+  /** The shared batch/stream transform. `docs` carries (ts: timestamp,
+    * text: string); `evalGrams` is the benchmark n-gram set (driver-side
+    * by the d15b/d22 size contract). Determinism: the filter's bit array
+    * is an OR of per-item bit sets over a fixed (numBits, numHashes)
+    * geometry, so insertion order cannot change a bit and the flagged
+    * set is a pure function of (evalGrams, fpp).
+    */
+  def windowedContaminationReport(
+      docs: DataFrame,
+      evalGrams: Set[String],
+      n: Int = 5,
+      fpp: Double = 1e-4,
+      windowMs: Long = 3600000L,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val sc = docs.sparkSession.sparkContext
+    val bf = BloomFilter.create(math.max(evalGrams.size, 1).toLong, fpp)
+    evalGrams.foreach(bf.putString)
+    val bfB = sc.broadcast(bf)
+    val exB = sc.broadcast(evalGrams)
+    val nn = n
+    // One probe per document (not per gram): flags short-circuit, the
+    // gram iterator never materializes, and the row stays inside a
+    // single projection — the stream side has no join node at all.
+    val probe = udf((ws: Seq[String]) => {
+      var flagged = false
+      var exact = false
+      if (ws != null && ws.length >= nn) {
+        val it = ws.sliding(nn)
+        while (it.hasNext && !(flagged && exact)) {
+          val g = it.next().mkString(" ")
+          if (!flagged && bfB.value.mightContainString(g)) flagged = true
+          if (!exact && exB.value.contains(g)) exact = true
+        }
+      }
+      (flagged, exact)
+    })
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .select(col("ts"), probe(split(col("text"), " ")).as("c"))
+      .groupBy(window(col("ts"), s"$windowMs milliseconds"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("c._2"), 1L).otherwise(0L)).as("n_exact_contaminated"),
+        sum(when(col("c._2") && !col("c._1"), 1L).otherwise(0L)).as("missed"),
+        sum(when(col("c._1") && !col("c._2"), 1L).otherwise(0L)).as("fp"))
+      .select(
+        col("window.start").as("window_start"),
+        col("n_docs"), col("n_exact_contaminated"), col("missed"),
+        when(col("fp") * 20L > greatest(col("n_docs"), lit(100L)), 1L)
+          .otherwise(0L).as("fp_bound_exceeded"))
+  }
+}

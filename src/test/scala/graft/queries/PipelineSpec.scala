@@ -182,6 +182,98 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental ingest dedup equals the exhaustive delta-vs-earlier recompute") {
+    val docs = graft.Tables.documents(spark, dir)
+    val got = PipelinePack.incrementalIngestDedup(docs).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2))).toSet
+
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def sh(t: String): Set[String] = t.split(' ').sliding(3).map(_.mkString(" ")).toSet
+    val deltaIds = texts.map(_._1).filter(_ % 10 == 7)
+    val expected = deltaIds.map { d =>
+      val sd = sh(texts.toMap.apply(d))
+      val partners = for {
+        (p, tp) <- texts
+        // eligible: already-ingested corpus doc, or an earlier delta row
+        if p != d && (p % 10 != 7 || p < d)
+        sp = sh(tp)
+        inter = (sd & sp).size
+        if inter.toDouble / (sd.size + sp.size - inter) >= 0.5
+      } yield p
+      (d, partners.minOption, if (partners.isEmpty) 1L else 0L)
+    }.toSet
+    assert(expected.exists(_._3 == 0L), "fixture should flag some delta doc as dup")
+    assert(expected.exists(_._3 == 1L), "fixture should keep some delta doc")
+    assert(got === expected)
+    // exactly one decision row per delta doc
+    assert(got.map(_._1) === deltaIds.toSet)
+  }
+
+  test("d33 source cap keeps exactly the top-10 per source by (quality desc, doc_id)") {
+    val docs = graft.Tables.documents(spark, dir)
+    val got = PipelinePack.sourceCap(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val rows = docs.select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val expected = rows.toSeq.groupBy(_._1).flatMap { case (src, grp) =>
+      val ranked = grp.map { case (_, id, text) =>
+        val ws = text.split(' ')
+        (id, ws.distinct.length.toLong * 1000000L / ws.length)
+      }.sortBy { case (id, qm) => (-qm, id) }.take(10)
+      ranked.zipWithIndex.map { case ((id, qm), i) => (src, id, qm, i + 1L) }
+    }.toSet
+    assert(got === expected)
+    // the cap must actually bite: every source has more docs than the cap
+    assert(rows.groupBy(_._1).forall(_._2.length > 10))
+  }
+
+  test("d34 shard shuffle is a permutation with dense hash-ordered positions") {
+    val docs = graft.Tables.documents(spark, dir)
+    val got = PipelinePack.trainingShardShuffle(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val expected = ids.toSeq.map { id =>
+      val h = md5hex(s"$id:shuffle:v1")
+      (id, h, java.lang.Long.parseLong(h.take(2), 16) % 32)
+    }.groupBy(_._3).flatMap { case (shard, grp) =>
+      grp.sortBy { case (id, h, _) => (h, id) }.zipWithIndex
+        .map { case ((id, _, _), i) => (id, shard, i + 1L) }
+    }.toSet
+    assert(got.toSet === expected)
+    assert(got.map(_._1).distinct.length === ids.length, "every doc exactly once")
+    assert(got.map(_._2).distinct.length > 1, "fixture spans multiple shards")
+  }
+
+  test("d35 classifier scores equal a plain-Scala retrain + rescore") {
+    // the entry's rare-token augmentation, so the OOV branch is live
+    val docs = graft.Tables.documents(spark, dir).withColumn("text",
+      when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" xq"), col("doc_id").cast("string")))
+        .otherwise(col("text")))
+    val got = PipelinePack.tokenQualityClassifier(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rows = docs.select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val occ = rows.flatMap { case (id, src, text) =>
+      val good = src.drop(3).toLong % 2 == 0
+      text.split(' ').map(w => (id, w, good))
+    }
+    val vocab = occ.groupBy(_._2).collect {
+      case (w, os) if os.length >= 5 =>
+        w -> (os.count(_._3) + 1L) * 1000000L / (os.length + 2L)
+    }
+    // OOV prior path must be exercised: some occurrence's token is below minDf
+    assert(occ.exists { case (_, w, _) => !vocab.contains(w) },
+      "fixture should have at least one out-of-vocabulary occurrence")
+    val expected = occ.groupBy(_._1).map { case (id, os) =>
+      val scores = os.map { case (_, w, _) => vocab.getOrElse(w, 500000L) }
+      (id, os.length.toLong, scores.sum / os.length)
+    }.toSet
+    assert(got === expected)
+  }
+
   test("dup-span coverage equals a plain-Scala exhaustive recompute") {
     val docs = graft.Tables.documents(spark, dir)
     val n = 10

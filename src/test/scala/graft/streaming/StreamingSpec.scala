@@ -483,6 +483,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("s11 streaming decontamination: closed windows emit once, batch-identical") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{DecontaminationStream, PhraseStream}
+    import PhraseStream.TimedDoc
+    // benchmark side: two 5-grams from one "eval doc"
+    val evalGrams = Set("w1 w2 w3 w4 w5", "w2 w3 w4 w5 w6")
+    val input = MemoryStream[TimedDoc]
+    val query = DecontaminationStream.windowedContaminationReport(
+        input.toDS().toDF(), evalGrams,
+        windowMs = 600000L, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("s11_test")
+      .outputMode(OutputMode.Append()).start()
+    def rows() = spark.table("s11_test").collect()
+      .map(r => (r.getTimestamp(0).getTime / 60000, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    try {
+      // window [0,10): a contaminated doc (carries an eval 5-gram mid-
+      // text), a clean doc, and a too-short doc, across two micro-batches
+      input.addData(TimedDoc(t(1), "pre w1 w2 w3 w4 w5 post"))
+      query.processAllAvailable()
+      input.addData(TimedDoc(t(5), "x1 x2 x3 x4 x5 x6"), TimedDoc(t(6), "a b"))
+      query.processAllAvailable()
+      assert(rows() === Set.empty, "no emission before the window closes")
+      input.addData(TimedDoc(t(12), "tail y1 y2 y3 y4 y5"))
+      query.processAllAvailable()
+      assert(rows() === Set((0L, 3L, 1L, 0L, 0L)),
+        "closed window emits (n_docs=3, exact=1, missed=0, fp_ok) exactly once")
+      // batch parity on the same frame through the SAME transform
+      val batch = DecontaminationStream.windowedContaminationReport(
+          Seq(TimedDoc(t(1), "pre w1 w2 w3 w4 w5 post"),
+            TimedDoc(t(5), "x1 x2 x3 x4 x5 x6"), TimedDoc(t(6), "a b"),
+            TimedDoc(t(12), "tail y1 y2 y3 y4 y5")).toDF(), evalGrams,
+          windowMs = 600000L)
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(batch === Set((0L, 3L, 1L, 0L, 0L), (10L, 1L, 0L, 0L, 0L)),
+        "batch over the same frame matches, plus the window the stream holds open")
+    } finally query.stop()
+  }
+
   test("s10 windowed pair counts: closed windows emit once, batch-identical") {
     implicit val sql = spark.sqlContext
     import spark.implicits._

@@ -182,6 +182,44 @@ class ExplainSpec extends AnyFunSuite {
       s"assignment/probe argmax should push partial group limits:\n$plan")
   }
 
+  test("d32: incremental dedup meets the corpus only through (band, sig) equi-joins") {
+    val plan = planOf("d32_incremental_ingest_dedup")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in:\n$plan")
+  }
+
+  test("d33: the quality cap becomes a map-side window group limit") {
+    // same contract as d24: rank<=cap must prune per input partition
+    // BEFORE the source-key exchange — a hot domain's rows must not all
+    // cross the wire to be sorted and then dropped
+    val plan = planOf("d33_source_quality_cap")
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in:\n$plan")
+  }
+
+  test("d34: the training shuffle never range-partitions (no global sort)") {
+    // the permutation's whole point at scale: one hashpartitioning
+    // exchange on the shard key + per-shard local sort. The orderBy in
+    // the QDef is dump determinism, not part of the operator — assert
+    // on the raw operator plan.
+    val df = graft.queries.PipelinePack
+      .trainingShardShuffle(graft.Tables.documents(spark, dir))
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    val plan = { val i = s.indexOf("== Initial Plan =="); if (i >= 0) s.substring(0, i) else s }
+    assert(!plan.contains("rangepartitioning"),
+      s"global sort exchange in the shard shuffle:\n$plan")
+    assert(plan.contains("hashpartitioning"), s"expected one shard-key exchange in:\n$plan")
+  }
+
+  test("d35: the classifier's apply leg reaches the corpus via a broadcast join") {
+    val plan = planOf("d35_token_quality_classifier")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab should broadcast onto the token stream:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must not shuffle on the token key:\n$plan")
+  }
+
   test("e11: filtered-IVF candidates stay a cell equi-join with the label pre-filter") {
     val plan = planOf("e11_ann_ivf_filtered_topk")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
