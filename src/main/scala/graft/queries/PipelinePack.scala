@@ -350,6 +350,24 @@ object PipelinePack {
     */
   def incrementalIngestDedup(
       docs: DataFrame, deltaMod: Long = 10L, deltaRes: Long = 7L): DataFrame = {
+    val isDelta = col("doc_id") % deltaMod === deltaRes
+    val cands = incrementalCandidates(docs, deltaMod, deltaRes)
+    val dup = verifyPairs(docs, cands)
+      .groupBy("doc_i").agg(min(col("doc_j")).as("dup_of"))
+      .select(col("doc_i").as("doc_id"), col("dup_of"))
+    docs.filter(isDelta).select(col("doc_id"))
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        when(col("dup_of").isNull, 1L).otherwise(0L).as("is_new"))
+  }
+
+  /** d32's candidate step, exposed so ScaleRehearsal measures the
+    * PRODUCTION derivation (the g21 forward-degree discipline): the
+    * delta meets the corpus and its own earlier rows ONLY through
+    * (band, sig) equi-joins.
+    */
+  private[graft] def incrementalCandidates(
+      docs: DataFrame, deltaMod: Long = 10L, deltaRes: Long = 7L): DataFrame = {
     val bands = bandSignatures(docs)
     val isDelta = col("doc_id") % deltaMod === deltaRes
     val bDelta = bands.filter(isDelta)
@@ -363,14 +381,7 @@ object PipelinePack {
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("y.doc_id") < col("x.doc_id"))
       .select(col("x.doc_id").as("doc_i"), col("y.doc_id").as("doc_j"))
-    val cands = candCorpus.unionByName(candDelta).distinct()
-    val dup = verifyPairs(docs, cands)
-      .groupBy("doc_i").agg(min(col("doc_j")).as("dup_of"))
-      .select(col("doc_i").as("doc_id"), col("dup_of"))
-    docs.filter(isDelta).select(col("doc_id"))
-      .join(dup, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("dup_of"),
-        when(col("dup_of").isNull, 1L).otherwise(0L).as("is_new"))
+    candCorpus.unionByName(candDelta).distinct()
   }
 
   /** Exact n-gram Jaccard similarity pairs via the shingle inverted

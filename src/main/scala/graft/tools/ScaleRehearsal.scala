@@ -135,6 +135,36 @@ object ScaleRehearsal {
       val d31Removed = d31Df.agg(org.apache.spark.sql.functions.sum("n_removed"))
         .head.getLong(0)
 
+      // 4d. d32 incremental ingest dedup at 10x (r12): the ingest-cost
+      // claim — the delta meets the corpus only through the (band, sig)
+      // index, so candidate volume grows with the delta (~factor x under
+      // the token-disjoint copies: cross-copy bands share no shingles),
+      // stays far under the delta x corpus pair space, and every delta
+      // doc gets exactly one decision row. Candidates measured on the
+      // PRODUCTION derivation (PipelinePack.incrementalCandidates).
+      val d32Df = SparkEntry.queries("d32_incremental_ingest_dedup")(spark, dir)
+      val d32Plan = finalPlan(d32Df)
+      check("d32_no_product")(
+        !d32Plan.contains("CartesianProduct") && !d32Plan.contains("BroadcastNestedLoopJoin"),
+        d32Plan.take(1500))
+      val d32Delta = Tables.documents(spark, dir)
+        .filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 7).count()
+      val d32Rows = d32Df.count()
+      check("d32_rows_total")(d32Rows == d32Delta,
+        s"$d32Rows decision rows for $d32Delta delta docs")
+      val d32CandBase = graft.queries.PipelinePack
+        .incrementalCandidates(Tables.documents(spark, baseDir)).count()
+      val d32CandBig = graft.queries.PipelinePack
+        .incrementalCandidates(Tables.documents(spark, dir)).count()
+      val d32Ratio = d32CandBig.toDouble / math.max(d32CandBase, 1L)
+      val d32N = Tables.documents(spark, dir).count()
+      val d32PairSpace = d32Delta * (d32N - 1)
+      check("d32_candidates_linear")(
+        d32Ratio >= factor * 0.8 && d32Ratio <= factor * 1.2,
+        s"candidates $d32CandBase -> $d32CandBig (x$d32Ratio) — expected ~${factor}x")
+      check("d32_candidates_subquadratic")(d32CandBig * 100 < d32PairSpace,
+        s"$d32CandBig candidates vs delta-pair space $d32PairSpace")
+
       // 5. s04 stream-stream interval join's batch twin at 10x: the
       // user_id equi-key must keep the join a sort-merge/shuffled-hash
       // join — the interval predicate must never degrade it to a
@@ -388,6 +418,9 @@ object ScaleRehearsal {
         s""""e10_cand_base":$e10CandBase,"e10_cand_10x":$e10Cand10x,""" +
         s""""e10_frac_base":$e10FracBase,"e10_frac_10x":$e10Frac10x,""" +
         s""""d31_rows_10x":$d31Rows,"d31_removed_tokens_10x":$d31Removed,""" +
+        s""""d32_cand_base":$d32CandBase,"d32_cand_10x":$d32CandBig,""" +
+        s""""d32_ratio":$d32Ratio,"d32_delta_docs_10x":$d32Delta,""" +
+        s""""d32_delta_pair_space":$d32PairSpace,""" +
         s""""e08_codes":$pqCodes,"e09_clusters":$e09Clusters,""" +
         s""""g25_nodes":$g25Nodes,""" +
         s""""m07d_cand_base":$m07dCandBase,"m07d_cand_10x":$m07dCand,""" +

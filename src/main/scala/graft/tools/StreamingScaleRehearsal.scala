@@ -387,6 +387,88 @@ object StreamingScaleRehearsal {
       check("s10_batches_cover_chunks")(s10Curve.length >= chunks,
         s"${s10Curve.length} progress entries < $chunks chunks")
 
+      // ---- s11: streaming decontamination (r12) — the ingest gate
+      // under the s10 discipline: factor x timestamped documents
+      // (original doc_id % 10 == 0 held out as the eval side, every 7th
+      // arriving 1800s late inside the 3600s watermark), eval grams
+      // built ONCE driver-side (the d15b size contract), each doc a
+      // stateless broadcast probe, ONE windowed aggregate. Checks:
+      // (a) one report row per closed window; (b) n_docs and
+      // n_exact_contaminated match an INDEPENDENT batch recompute (a
+      // gram equi-join — not the shared probe); (c) the error-direction
+      // gates hold on every emitted row (missed = 0, FP bound); (d)
+      // state is bounded by OPEN WINDOWS ALONE (one row each) — the
+      // tightest state contract of any streaming entry.
+      val s11Work = s"$work/decontam"
+      val s11EvalGrams: Set[String] = docsB.filter(col("doc_id") % 10 === 0)
+        .select("text").collect()
+        .flatMap(_.getString(0).split(' ').sliding(5).filter(_.length == 5)
+          .map(_.mkString(" "))).toSet
+      val s11Scaled = (0 until factor).map(i =>
+          docsB.filter(col("doc_id") % 10 =!= 0).select(
+            (col("doc_id") + lit(nDocsB * i)).as("seq"), col("text")))
+        .reduce(_ unionByName _)
+        .select(col("seq"),
+          timestamp_seconds(expr("seq div 2") + lit(86400L)).as("ts"),
+          col("text"),
+          timestamp_seconds(expr("seq div 2") + lit(86400L) +
+            when(col("seq") % 7 === 0, 1800L).otherwise(0L)).as("arrival"))
+      val (s11Dir, _) = writeTimeChunks(spark, s11Scaled, s11Work, chunks,
+        orderCol = "arrival")
+      val s11Name = "s11_rehearsal"
+      val s11Curve = runWithCurve(spark, s11Dir, s11Work, s11Name, format = "memory") { df =>
+        graft.streaming.DecontaminationStream.windowedContaminationReport(
+          df.select(col("ts"), col("text")), s11EvalGrams,
+          windowMs = 3600000L, watermarkDelay = "3600 seconds")
+      }
+      val s11Streamed = spark.table(s11Name).collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      val s11Emitted = s11Streamed.map(_._1).toSet
+      check("s11_emitted_once")(
+        s11Streamed.length == s11Emitted.size, "duplicate window emissions")
+      check("s11_error_directions_per_window")(
+        s11Streamed.forall(t => t._4 == 0L && t._5 == 0L),
+        s"rows violating missed=0/FP bound: " +
+          s"${s11Streamed.filter(t => t._4 != 0L || t._5 != 0L).take(3).mkString(",")}")
+      val s11All = spark.read.parquet(s11Dir)
+      val s11EvalDf = s11EvalGrams.toSeq.toDF("g")
+      val s11Contam = s11All
+        .select(col("seq"), split(col("text"), " ").as("tk"))
+        .select(col("seq"), explode(when(size(col("tk")) >= 5,
+            expr("transform(sequence(0, size(tk) - 5), i -> concat_ws(' ', slice(tk, i + 1, 5)))"))
+          .otherwise(expr("CAST(array() AS array<string>)"))).as("g"))
+        .join(s11EvalDf, "g").select("seq").distinct()
+        .withColumn("c", lit(1L))
+      val s11ExpectedAll = s11All
+        .select(col("seq"), expr("(unix_millis(ts) div 3600000) * 3600000").as("w"))
+        .join(s11Contam, Seq("seq"), "left")
+        .groupBy("w").agg(count(lit(1)).as("n"),
+          sum(coalesce(col("c"), lit(0L))).as("x"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val s11WindowsTotal = s11ExpectedAll.map(_._1).toSet.size
+      check("s11_all_but_open_windows_closed")(
+        s11WindowsTotal >= 5 && s11Emitted.size >= s11WindowsTotal - 2,
+        s"${s11Emitted.size} windows emitted of $s11WindowsTotal")
+      val s11ExpectedEmitted = s11ExpectedAll
+        .filter(e => s11Emitted.contains(e._1)).map(e => (e._1, e._2, e._3)).toSet
+      check("s11_closed_window_parity_with_late_docs")(
+        s11Streamed.map(t => (t._1, t._2, t._3)).toSet == s11ExpectedEmitted,
+        s"streamed ${s11Streamed.length} != expected ${s11ExpectedEmitted.size}; " +
+          s"missing=${(s11ExpectedEmitted -- s11Streamed.map(t => (t._1, t._2, t._3))).take(3)} " +
+          s"extra=${(s11Streamed.map(t => (t._1, t._2, t._3)).toSet -- s11ExpectedEmitted).take(3)}")
+      val s11Max = s11Curve.map(_._2).max
+      val s11ArrSpanMs = {
+        val b = s11All.agg(min(unix_millis(col("arrival"))),
+          max(unix_millis(col("arrival")))).head()
+        b.getLong(1) - b.getLong(0)
+      }
+      val s11OpenBound = (s11ArrSpanMs / chunks + 3600000L) / 3600000L + 2
+      check("s11_state_open_windows_only")(s11Max <= 4 * s11OpenBound,
+        s"max state $s11Max rows vs 4 x $s11OpenBound open windows (no vocab term)")
+      check("s11_batches_cover_chunks")(s11Curve.length >= chunks,
+        s"${s11Curve.length} progress entries < $chunks chunks")
+
       def curveJson(c: Seq[(Long, Long)]): String =
         c.map { case (in, st) => s"[$in,$st]" }.mkString("[", ",", "]")
       val json =
@@ -403,6 +485,10 @@ object StreamingScaleRehearsal {
           s""""s10_pair_vocab":$s10Vocab,""" +
           s""""s10_windows_emitted":${s10Emitted.size},"s10_windows_total":$s10WindowsTotal,""" +
           s""""s10_tuples":${s10Streamed.length},""" +
+          s""""s11_max_state":$s11Max,"s11_open_bound":$s11OpenBound,""" +
+          s""""s11_windows_emitted":${s11Emitted.size},"s11_windows_total":$s11WindowsTotal,""" +
+          s""""s11_eval_grams":${s11EvalGrams.size},""" +
+          s""""s11_curve":${curveJson(s11Curve)},""" +
           s""""s03_curve":${curveJson(s03Curve)},"s05_curve":${curveJson(s05Curve)},""" +
           s""""s08_curve":${curveJson(s08Curve)},"s09_curve":${curveJson(s09Curve)},""" +
           s""""s10_curve":${curveJson(s10Curve)},""" +
