@@ -322,6 +322,11 @@ object AnnPack {
     pairsCache.filterInPlace { case ((s, _, _, _), df) =>
       if (dead(s)) { SessionMemos.safeUnpersist(df); false } else true
     }
+    pqIdxCache.filterInPlace { case ((s, _), (_, el, _, codes)) =>
+      if (dead(s)) {
+        SessionMemos.safeUnpersist(el); SessionMemos.safeUnpersist(codes); false
+      } else true
+    }
   }
 
   /** Test accessor: memo entries held for `session` across this object's
@@ -332,7 +337,8 @@ object AnnPack {
       countCache.keysIterator.count(_._1 eq session) +
       cellsCache.keysIterator.count(_._1 eq session) +
       pqCodebookCache.keysIterator.count(_._1 eq session) +
-      pairsCache.keysIterator.count(_._1 eq session)
+      pairsCache.keysIterator.count(_._1 eq session) +
+      pqIdxCache.keysIterator.count(_._1 eq session)
 
   /** e07 — approximate top-k via random-hyperplane LSH (Charikar
     * STOC'02), the bucketed alternative to e02's IVF: no codebook and no
@@ -531,15 +537,75 @@ object AnnPack {
     (el, cb, codes)
   }
 
+  /** Memoized PQ index per (session, key): the corpus pin, element
+    * table, broadcast codebook and ENCODED CODES. The encode — the
+    * el ⋈ codebook join that fans each element row out by Kc before the
+    * per-(vector, subspace) argmin — is BY FAR the heaviest leg of every
+    * PQ entry and is identical across e08/e08b/e08d-baseline/e10/e10b
+    * (md5 codebook) and across e08c/e08d (trained); one build per
+    * (session, corpus, geometry, codebook kind) is the "build the index
+    * once, serve from it" contract PLANS.md §21 describes — the
+    * jacPairs/pqTrainCodebook memo discipline applied to encoding. The
+    * key folds every geometry parameter plus the caller's codebook tag
+    * (r10 advice #1); el and codes persist MEMORY_AND_DISK and are
+    * unpersisted by [[clearPqIdxMemo]] / session eviction.
+    */
+  private val pqIdxCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame, DataFrame, DataFrame)]
+
+  /** Test hook (the pairMemo discipline): plan-shape specs need the
+    * un-cached join tree, not an InMemoryTableScan.
+    */
+  @volatile private[graft] var pqIdxMemoEnabled = true
+
+  private[graft] def clearPqIdxMemo(session: SparkSession): Unit =
+    pqIdxCache.filterInPlace { case ((s, _), (_, el, _, codes)) =>
+      if (s eq session) {
+        el.unpersist(blocking = true); codes.unpersist(blocking = true); false
+      } else true
+    }
+
+  /** `cbTag` distinguishes codebook PROVENANCE in the memo key ("md5" /
+    * "trained"); callers passing an explicit codebook must pass a tag
+    * that uniquely identifies it for the cacheKey's corpus — the trained
+    * codebook is itself memoized per corpus, so the tag is stable.
+    */
+  private def pqIndexMemo(
+      emb: DataFrame, dim: Int, subDim: Int, kc: Int,
+      codebook: Option[DataFrame], cbTag: String,
+      cacheKey: Option[String]): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    def build(persist: Boolean): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      val embC = emb.localCheckpoint()
+      val (el0, cb, codes0) = pqIndex(embC, dim, subDim, kc, codebook)
+      if (!persist) (embC, el0, cb, codes0)
+      else {
+        // el is read again per entry (distance tables, e10's coarse
+        // stage); codes is the expensive product. CacheManager
+        // substitutes the persisted el into codes' plan on execution.
+        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        (embC, el0.persist(lvl), cb, codes0.persist(lvl))
+      }
+    }
+    cacheKey match {
+      case Some(k) if pqIdxMemoEnabled =>
+        SessionMemos.arm(emb.sparkSession)
+        pqIdxCache.getOrElseUpdate(
+          (emb.sparkSession, s"$k#$dim/$subDim/$kc/$cbTag"), build(persist = true))
+      case _ => build(persist = false)
+    }
+  }
+
   def pqTopK(
       emb: DataFrame, dim: Int,
       subDim: Int = PqSubDim, kc: Int = PqCentroids,
       shortlist: Int = PqCandidates,
-      codebook: Option[DataFrame] = None): DataFrame = {
+      codebook: Option[DataFrame] = None,
+      cbTag: String = "md5",
+      cacheKey: Option[String] = None): DataFrame = {
     // pin the (in-plan-derived) corpus once: it feeds the index build,
-    // the re-rank embedding lookup and the query broadcast
-    val embC = emb.localCheckpoint()
-    val (el, cb, codes) = pqIndex(embC, dim, subDim, kc, codebook)
+    // the re-rank embedding lookup and the query broadcast. Keyed calls
+    // share the pinned corpus AND the encoded codes across entries.
+    val (embC, el, cb, codes) = pqIndexMemo(emb, dim, subDim, kc, codebook, cbTag, cacheKey)
     // per-query distance table: Q x M x Kc integer distances, broadcast
     val dt = broadcast(
       el.filter(col("vec_id") < NumQueries)
@@ -622,9 +688,12 @@ object AnnPack {
   def ivfPqTopK(
       emb: DataFrame, dim: Int,
       nprobe: Int = NProbe, subDim: Int = PqSubDim, kc: Int = PqCentroids,
-      shortlist: Int = PqCandidates): DataFrame = {
-    val embC = emb.localCheckpoint()
-    val (el, cb, codes) = pqIndex(embC, dim, subDim, kc)
+      shortlist: Int = PqCandidates,
+      cacheKey: Option[String] = None): DataFrame = {
+    // nprobe is SERVING-side only — the index (and so the memo key) is
+    // nprobe-independent, which is exactly why e10/e10b share e08's
+    // md5-codebook index
+    val (embC, el, cb, codes) = pqIndexMemo(emb, dim, subDim, kc, None, "md5", cacheKey)
     val cnd0 = ivfCoarseCandidates(el, nprobe)
     // ADC over candidates only: codes ⋈ broadcast distance table
     val dt = broadcast(
@@ -1741,7 +1810,8 @@ object AnnPack {
       WHERE rank <= $K ORDER BY q_id, rank""")) { (s, dir) =>
       val emb = embeddings(s, dir)
       val cv = clusteredEmbeddings(emb, Some(s"$dir/embeddings"))
-      pqTopK(cv, dimOf(emb, Some(s"$dir/embeddings#dim")))
+      pqTopK(cv, dimOf(emb, Some(s"$dir/embeddings#dim")),
+          cacheKey = Some(s"$dir/embeddings"))
         .orderBy("q_id", "rank")
     },
 
@@ -1770,7 +1840,8 @@ object AnnPack {
       FROM h, tot""")) { (s, dir) =>
       val emb = embeddings(s, dir)
       val cv = clusteredEmbeddings(emb, Some(s"$dir/embeddings"))
-      val pq = pqTopK(cv, dimOf(emb, Some(s"$dir/embeddings#dim")))
+      val pq = pqTopK(cv, dimOf(emb, Some(s"$dir/embeddings#dim")),
+          cacheKey = Some(s"$dir/embeddings"))
         .select(col("q_id"), col("neighbor_id"))
       val brute = bruteForceTopK(cv).select(col("q_id"), col("neighbor_id"))
       pq.join(brute, Seq("q_id", "neighbor_id"))
@@ -1798,7 +1869,8 @@ object AnnPack {
       val cv = clusteredEmbeddings(emb, Some(s"$dir/embeddings"))
       val dim = dimOf(emb, Some(s"$dir/embeddings#dim"))
       pqTopK(cv, dim, codebook = Some(pqTrainCodebook(cv, dim,
-        cacheKey = Some(s"$dir/embeddings#pqtrained"))))
+        cacheKey = Some(s"$dir/embeddings#pqtrained"))),
+        cbTag = "trained", cacheKey = Some(s"$dir/embeddings"))
         .orderBy("q_id", "rank")
     },
 
@@ -1859,9 +1931,11 @@ object AnnPack {
       val cv = clusteredEmbeddings(emb, Some(s"$dir/embeddings"))
       val dim = dimOf(emb, Some(s"$dir/embeddings#dim"))
       val trained = pqTopK(cv, dim, codebook = Some(pqTrainCodebook(cv, dim,
-        cacheKey = Some(s"$dir/embeddings#pqtrained"))))
+        cacheKey = Some(s"$dir/embeddings#pqtrained"))),
+        cbTag = "trained", cacheKey = Some(s"$dir/embeddings"))
         .select(col("q_id"), col("neighbor_id"))
-      val baseline = pqTopK(cv, dim).select(col("q_id"), col("neighbor_id"))
+      val baseline = pqTopK(cv, dim, cacheKey = Some(s"$dir/embeddings"))
+        .select(col("q_id"), col("neighbor_id"))
       val brute = bruteForceTopK(cv).select(col("q_id"), col("neighbor_id"))
       trained.join(brute, Seq("q_id", "neighbor_id"))
         .agg(count(lit(1)).as("trained_hits"))
@@ -1891,7 +1965,8 @@ object AnnPack {
       WHERE rank <= $K ORDER BY q_id, rank""")) { (s, dir) =>
       val emb = embeddings(s, dir)
       val cv = clusteredEmbeddings(emb, Some(s"$dir/embeddings"))
-      ivfPqTopK(cv, dimOf(emb, Some(s"$dir/embeddings#dim")))
+      ivfPqTopK(cv, dimOf(emb, Some(s"$dir/embeddings#dim")),
+          cacheKey = Some(s"$dir/embeddings"))
         .orderBy("q_id", "rank")
     },
 
@@ -1920,7 +1995,8 @@ object AnnPack {
       FROM h, tot""")) { (s, dir) =>
       val emb = embeddings(s, dir)
       val cv = clusteredEmbeddings(emb, Some(s"$dir/embeddings"))
-      val pq = ivfPqTopK(cv, dimOf(emb, Some(s"$dir/embeddings#dim")))
+      val pq = ivfPqTopK(cv, dimOf(emb, Some(s"$dir/embeddings#dim")),
+          cacheKey = Some(s"$dir/embeddings"))
         .select(col("q_id"), col("neighbor_id"))
       val brute = bruteForceTopK(cv).select(col("q_id"), col("neighbor_id"))
       pq.join(brute, Seq("q_id", "neighbor_id"))

@@ -76,6 +76,26 @@ class SessionMemosSpec extends AnyFunSuite {
     assert(queries.PipelinePack.memoEntriesFor(s3) === 0)
   }
 
+  test("pq index memo: one encode per (session, corpus, geometry, codebook); evictable") {
+    // the r12 memo behind the PQ family: e08/e08b/e08d-baseline/e10/e10b
+    // must serve from ONE encoded-codes build. Key identity is observed
+    // through entry count (the tuple's DataFrames are built inside the
+    // memo, so instance equality is the getOrElseUpdate contract).
+    val s4 = spark.newSession()
+    val emb = Tables.embeddings(s4, dir)
+    val dim = emb.selectExpr("size(embedding)").head.getInt(0)
+    val key = Some(s"$dir/embeddings#memospec")
+    val before = queries.AnnPack.memoEntriesFor(s4)
+    queries.AnnPack.pqTopK(emb, dim, cacheKey = key).collect()
+    val after1 = queries.AnnPack.memoEntriesFor(s4)
+    assert(after1 > before)
+    queries.AnnPack.pqTopK(emb, dim, cacheKey = key).collect()
+    // a second keyed call adds NO entry — the index was reused
+    assert(queries.AnnPack.memoEntriesFor(s4) === after1)
+    SessionMemos.evict(s4)
+    assert(queries.AnnPack.memoEntriesFor(s4) === 0)
+  }
+
   test("arm is idempotent per context") {
     val before = SessionMemos.armedCount
     SessionMemos.arm(spark)

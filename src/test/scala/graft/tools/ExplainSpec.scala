@@ -45,6 +45,16 @@ class ExplainSpec extends AnyFunSuite {
     try body finally graft.queries.PipelinePack.jacMemoEnabled = true
   }
 
+  /** Same contract for the PQ index memo (r12): a persisted codes/el
+    * table would print as an InMemoryTableScan where the encode join
+    * tree should be.
+    */
+  private def withoutPqIdxMemo[A](body: => A): A = {
+    graft.queries.AnnPack.pqIdxMemoEnabled = false
+    graft.queries.AnnPack.clearPqIdxMemo(spark)
+    try body finally graft.queries.AnnPack.pqIdxMemoEnabled = true
+  }
+
   test("e04c (blocked regime): every nested-loop term is centroid-bounded; vector work is shared") {
     // e04c is the entry whose corpus has prunable structure, so the
     // adaptive choice takes the BLOCKED path — the plan-shape claims
@@ -120,7 +130,7 @@ class ExplainSpec extends AnyFunSuite {
     // cells ⋈ probes, the ADC table is a broadcast met by (q_id, m, cid)
     // equi-keys, and the exact re-rank touches just the shortlist — any
     // product term means a stage degenerated into the scan it bounds
-    val plan = planOf("e10_ann_ivfpq_topk")
+    val plan = withoutPqIdxMemo(planOf("e10_ann_ivfpq_topk"))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"non-equi join in:\n$plan")
   }
@@ -250,7 +260,7 @@ class ExplainSpec extends AnyFunSuite {
     // back by id. A nested-loop or cartesian term would mean the
     // compressed-domain scan degenerated into the vector product it
     // exists to avoid.
-    val plan = planOf("e08_ann_pq_topk")
+    val plan = withoutPqIdxMemo(planOf("e08_ann_pq_topk"))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"non-equi join in:\n$plan")
     // the ADC shortlist (rank <= 80) must plan as a partial top-k per
