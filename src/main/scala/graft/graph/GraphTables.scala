@@ -109,10 +109,14 @@ object GraphTables {
         false
       } else true
     }
+    triCache.filterInPlace { case ((s, _), df) =>
+      if (dead(s)) { graft.SessionMemos.safeUnpersist(df); false } else true
+    }
   }
 
   private[graft] def memoEntriesFor(session: SparkSession): Int =
-    cache.keysIterator.count(_._1 eq session)
+    cache.keysIterator.count(_._1 eq session) +
+      triCache.keysIterator.count(_._1 eq session)
 
   /** Derive nodes / edges / properties from a validated signal log.
     *
@@ -295,6 +299,33 @@ object GraphTables {
       .select(col("node_id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
 
+  /** Memoized per-node triangle counts per (session, key) — g26's
+    * clustering coefficient is DEFINED over g21's triangle table, so the
+    * two entries otherwise run the whole orientation + wedge-join chain
+    * twice (the two heaviest graph entries at sf1: ~14.5s each). Same
+    * lifecycle as every other memo: persisted, evictor-registered,
+    * memo-off hook for plan assertions (ScaleRehearsal checks the RAW
+    * [[triangleCounts]] plan, which this wrapper never caches).
+    */
+  private val triCache = TrieMap.empty[(SparkSession, String), DataFrame]
+
+  @volatile private[graft] var triMemoEnabled = true
+
+  private[graft] def clearTriMemo(session: SparkSession): Unit =
+    triCache.filterInPlace { case ((s, _), df) =>
+      if (s eq session) { df.unpersist(blocking = true); false } else true
+    }
+
+  def triangleCountsMemo(g: GraphFrames, cacheKey: Option[String]): DataFrame =
+    cacheKey match {
+      case Some(k) if triMemoEnabled =>
+        val spark = g.nodes.sparkSession
+        graft.SessionMemos.arm(spark)
+        triCache.getOrElseUpdate((spark, k), triangleCounts(g)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      case _ => triangleCounts(g)
+    }
+
   /** Common-neighbor similarity over the undirected simple graph: for
     * every node pair sharing at least one neighbor, the shared-neighbor
     * count and the neighbor-set Jaccard (integer millionths, floor).
@@ -422,8 +453,8 @@ object GraphTables {
     * aggregate. Integer arithmetic end to end, so the oracle is
     * bit-exact like g21/g23.
     */
-  def clusteringCoefficient(g: GraphFrames): DataFrame = {
-    val t = triangleCounts(g)
+  def clusteringCoefficient(g: GraphFrames, cacheKey: Option[String] = None): DataFrame = {
+    val t = triangleCountsMemo(g, cacheKey)
     val und = undirectedSimpleEdges(g)
     val deg = und.select(col("u").as("node_id"))
       .union(und.select(col("v").as("node_id")))

@@ -342,7 +342,8 @@ object GraphPack {
       SELECT n.node_id, CAST(count(p.node_id) AS BIGINT) AS n_triangles
       FROM nodes n LEFT JOIN pern p ON p.node_id = n.node_id
       GROUP BY n.node_id ORDER BY n.node_id""")) { (s, dir) =>
-      GraphTables.triangleCounts(GraphTables.forDir(s, dir)).orderBy("node_id")
+      GraphTables.triangleCountsMemo(GraphTables.forDir(s, dir), Some(dir))
+        .orderBy("node_id")
     },
 
     // ---- analytics extension: common-neighbor similarity (link
@@ -565,7 +566,7 @@ object GraphPack {
                   ELSE 0 END AS BIGINT) AS coeff_millionths
       FROM tcnt t LEFT JOIN dg d ON d.node_id = t.node_id
       ORDER BY t.node_id""")) { (s, dir) =>
-      GraphTables.clusteringCoefficient(GraphTables.forDir(s, dir))
+      GraphTables.clusteringCoefficient(GraphTables.forDir(s, dir), Some(dir))
         .orderBy("node_id")
     },
 

@@ -180,7 +180,11 @@ object ScaleRehearsal {
       // the max FORWARD degree — within the O(sqrt E) bound that makes
       // the plan skew-proof (vs raw degree, which a hub node can blow up)
       import org.apache.spark.sql.functions._
-      val g21Plan = finalPlan(SparkEntry.queries("g21_triangle_counts")(spark, dir))
+      // RAW triangleCounts, not the g21 entry: the entry serves from the
+      // r12 triangle memo, whose persisted table would print as a cached
+      // scan and make the no-cartesian check vacuous
+      val g21Plan = finalPlan(
+        graft.graph.GraphTables.triangleCounts(graft.graph.GraphTables.forDir(spark, dir)))
       check("g21_no_cartesian")(!g21Plan.contains("CartesianProduct"), g21Plan.take(1500))
       // measured on the PRODUCTION derivation (GraphTables.forwardEdges),
       // so the invariant tracks the orientation triangleCounts actually
