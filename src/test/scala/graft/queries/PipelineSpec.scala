@@ -246,6 +246,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.map(_._2).distinct.length > 1, "fixture spans multiple shards")
   }
 
+  test("d34 output is invariant to input partitioning (the executor-count claim)") {
+    // the operator's scale contract: shard + position derive from the
+    // salted hash alone, so however the corpus arrives partitioned the
+    // output rows are identical — re-run under three layouts and compare
+    val docs = graft.Tables.documents(spark, dir)
+    def run(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      PipelinePack.trainingShardShuffle(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val base = run(docs)
+    assert(run(docs.repartition(1)) === base)
+    assert(run(docs.repartition(17, col("source"))) === base)
+  }
+
   test("d35 classifier scores equal a plain-Scala retrain + rescore") {
     // the entry's rare-token augmentation, so the OOV branch is live
     val docs = graft.Tables.documents(spark, dir).withColumn("text",
