@@ -83,4 +83,23 @@ object SessionMemos {
   private[graft] def safeUnpersist(df: org.apache.spark.sql.DataFrame): Unit =
     try df.unpersist(blocking = false)
     catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Release the RDD blocks behind any localCheckpoint leaves in `df`'s
+    * plan (ADVICE r12): `Dataset.unpersist` only clears the plan-keyed
+    * CacheManager entry, while a checkpointed Dataset is backed by an
+    * RDD persisted at the RDD level — without this, those blocks wait
+    * for the ContextCleaner to GC the reference, a slow leak in
+    * long-lived sessions touching many corpora. Only call on memo
+    * EVICTION: a localCheckpoint'd RDD cannot recompute after unpersist
+    * (its lineage is truncated by design), which is safe exactly because
+    * the evicted entry is dropped from the map and any later caller
+    * rebuilds from source.
+    */
+  private[graft] def releaseCheckpoints(df: org.apache.spark.sql.DataFrame): Unit =
+    try df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        try lr.rdd.unpersist(blocking = false)
+        catch { case scala.util.control.NonFatal(_) => () }
+      case _ => ()
+    } catch { case scala.util.control.NonFatal(_) => () }
 }

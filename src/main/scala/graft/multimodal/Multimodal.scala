@@ -22,6 +22,23 @@ object Multimodal {
 
   val FeatureDim = 16
 
+  /** Corpora whose twin-id injectivity guard already ran green, keyed by
+    * (session, canonical-plan semantic hash, every). The guard is an
+    * eager count() job; without the memo every pngMediaWithTwins CALL
+    * paid a full doc_id scan at DataFrame-construction time (ADVICE
+    * r12) — a surprising side effect for callers that only build the
+    * plan. Entries are just receipts (Unit), so eviction is reference
+    * cleanup only.
+    */
+  private val twinGuardCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, Int, Int), Unit]
+
+  graft.SessionMemos.registerEvictor { dead =>
+    twinGuardCache.filterInPlace { case ((s, _, _), _) => !dead(s) }
+  }
+
+  private[multimodal] def twinGuardCacheSize: Int = twinGuardCache.size
+
   val mediaSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("media", BinaryType, nullable = false),
@@ -142,14 +159,23 @@ object Multimodal {
     // ORIGINAL id equals source + TwinOffset would silently alias a twin
     // onto a real document and corrupt every downstream recovery count.
     // One semi-join count over the (small, fixture-tier) id column —
-    // loud failure over silent collision.
-    val clashes = docs.select(col("doc_id"))
-      .filter(col("doc_id") % every === 0)
-      .select((col("doc_id") + TwinOffset).as("doc_id"))
-      .join(docs.select(col("doc_id")), Seq("doc_id"), "left_semi")
-      .count()
-    require(clashes == 0L,
-      s"$clashes original doc_ids collide with source+TwinOffset twin ids")
+    // loud failure over silent collision. Memoized per (session, corpus
+    // plan, every) so repeated construction over the same corpus pays
+    // the scan once per session (ADVICE r12), keyed by the canonicalized
+    // plan's semantic hash — the same identity Spark's own CacheManager
+    // uses to equate plans.
+    val guardKey = (spark,
+      docs.queryExecution.analyzed.canonicalized.semanticHash(), every)
+    twinGuardCache.getOrElseUpdate(guardKey, {
+      graft.SessionMemos.arm(spark)
+      val clashes = docs.select(col("doc_id"))
+        .filter(col("doc_id") % every === 0)
+        .select((col("doc_id") + TwinOffset).as("doc_id"))
+        .join(docs.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .count()
+      require(clashes == 0L,
+        s"$clashes original doc_ids collide with source+TwinOffset twin ids")
+    })
     docs.select(col("doc_id")).as[Long]
       .flatMap(id => if (id % every == 0) Seq((id, id, false), (id + TwinOffset, id, true))
                      else Seq((id, id, false)))

@@ -322,9 +322,11 @@ object AnnPack {
     pairsCache.filterInPlace { case ((s, _, _, _), df) =>
       if (dead(s)) { SessionMemos.safeUnpersist(df); false } else true
     }
-    pqIdxCache.filterInPlace { case ((s, _), (_, el, _, codes)) =>
+    pqIdxCache.filterInPlace { case ((s, _), (embC, el, _, codes)) =>
       if (dead(s)) {
-        SessionMemos.safeUnpersist(el); SessionMemos.safeUnpersist(codes); false
+        SessionMemos.safeUnpersist(el); SessionMemos.safeUnpersist(codes)
+        SessionMemos.releaseCheckpoints(embC)
+        false
       } else true
     }
   }
@@ -559,9 +561,13 @@ object AnnPack {
   @volatile private[graft] var pqIdxMemoEnabled = true
 
   private[graft] def clearPqIdxMemo(session: SparkSession): Unit =
-    pqIdxCache.filterInPlace { case ((s, _), (_, el, _, codes)) =>
+    pqIdxCache.filterInPlace { case ((s, _), (embC, el, _, codes)) =>
       if (s eq session) {
-        el.unpersist(blocking = true); codes.unpersist(blocking = true); false
+        el.unpersist(blocking = true); codes.unpersist(blocking = true)
+        // the pinned corpus is a localCheckpoint — its blocks live at the
+        // RDD level, invisible to Dataset.unpersist (ADVICE r12)
+        SessionMemos.releaseCheckpoints(embC)
+        false
       } else true
     }
 

@@ -16,6 +16,24 @@ import org.apache.spark.sql.functions._
   */
 object ExtensionsPack {
 
+  /** The documents corpus with the multimodal-oracle band invariant
+    * ENFORCED in-plan (ADVICE r12): every m-entry's DuckDB oracle
+    * re-derives pixels from the unsalted (doc_id, x, y) formula, while
+    * [[Multimodal.pixel]] salts bands with doc_id >= ScaleUp.Offset.
+    * The assert lives inside the doc_id expression itself — column
+    * pruning can't drop it, no eager job runs, and pointing the verify
+    * harness at a band-shifted ScaleUp corpus fails loudly at execution
+    * instead of as a wall of hash mismatches.
+    */
+  private def oracleDocs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, dir).withColumn("doc_id",
+      when(assert_true(col("doc_id") < lit(graft.tools.ScaleUp.Offset),
+          lit("oracle-gated multimodal corpus must keep doc_id < " +
+            "ScaleUp.Offset: the per-band pixel salt is not encoded " +
+            "in the DuckDB oracles")).isNull,
+        col("doc_id")))
+
   /** One oracle for the q34 family: all three written orientations ask
     * the identical point-in-session-interval question, so DuckDB answers
     * it once in the canonical form.
@@ -420,6 +438,14 @@ object ExtensionsPack {
       q34Variant(s, dir, "x.lo <= p.v AND x.hi > p.v")
     },
 
+    // Every m-entry's DuckDB oracle re-derives pixels from the UNSALTED
+    // (doc_id, x, y) formula, but Multimodal.pixel adds a per-band salt
+    // for doc_id >= ScaleUp.Offset (the band-shifted rehearsal corpora).
+    // oracleDocs makes that invariant ENFORCED rather than assumed
+    // (ADVICE r12): the guard lives inside the doc_id expression itself
+    // (so column pruning can't drop it) and raises at execution if the
+    // verify harness is ever pointed at a salted band — a loud failure
+    // instead of 100% hash mismatches.
     QDef("m01_media_meta", Some("""
       SELECT doc_id,
              CASE WHEN doc_id % 3 = 0 THEN 'png'
@@ -430,7 +456,7 @@ object ExtensionsPack {
              length(text) * 10 AS duration_ms,
              strlen(text) AS n_bytes
       FROM documents ORDER BY doc_id""")) { (s, dir) =>
-      Multimodal.mediaFromDocuments(Tables.documents(s, dir))
+      Multimodal.mediaFromDocuments(oracleDocs(s, dir))
         .select(
           col("doc_id"),
           col("meta.format").as("format"),
@@ -468,7 +494,7 @@ object ExtensionsPack {
       FROM dims d LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.dim = d.dim
       ORDER BY d.doc_id, d.dim""")) { (s, dir) =>
       Multimodal.decodeFeatures(
-          Multimodal.pngMediaFromDocuments(Tables.documents(s, dir)))
+          Multimodal.pngMediaFromDocuments(oracleDocs(s, dir)))
         .select(col("doc_id"), col("n_channel_bytes"),
           posexplode(col("features")).as(Seq("dim", "value")))
         .select(col("doc_id"), col("dim").cast("long").as("dim"),
@@ -498,7 +524,7 @@ object ExtensionsPack {
       FROM c GROUP BY doc_id, w, h
       ORDER BY doc_id""")) { (s, dir) =>
       Multimodal.decodeImage(
-          Multimodal.pngMediaFromDocuments(Tables.documents(s, dir)))
+          Multimodal.pngMediaFromDocuments(oracleDocs(s, dir)))
         .orderBy("doc_id")
     },
 
@@ -527,7 +553,7 @@ object ExtensionsPack {
       FROM cm JOIN gm ON gm.doc_id = cm.doc_id
       GROUP BY cm.doc_id ORDER BY cm.doc_id""")) { (s, dir) =>
       Multimodal.imageAHash(
-          Multimodal.pngMediaFromDocuments(Tables.documents(s, dir)))
+          Multimodal.pngMediaFromDocuments(oracleDocs(s, dir)))
         .orderBy("doc_id")
     },
 
@@ -573,7 +599,7 @@ object ExtensionsPack {
       FROM pr WHERE bit_count(xor(ha, hb)) <= 1
       ORDER BY id_a, id_b""")) { (s, dir) =>
       val hs = Multimodal.imageAHash(
-        Multimodal.pngMediaFromDocuments(Tables.documents(s, dir)))
+        Multimodal.pngMediaFromDocuments(oracleDocs(s, dir)))
       val blocks = hs.select(col("doc_id"), col("ahash"),
         explode(expr("transform(sequence(0, 1), " +
           "f -> named_struct('blk', f, 'bv', shiftright(ahash, 8 * f) & 255))")).as("x"))
@@ -619,7 +645,7 @@ object ExtensionsPack {
       FROM cm JOIN gm ON gm.doc_id = cm.doc_id
       GROUP BY cm.doc_id ORDER BY cm.doc_id""")) { (s, dir) =>
       Multimodal.imageAHash(
-          Multimodal.pngMediaFromDocuments(Tables.documents(s, dir), base = 8), grid = 8)
+          Multimodal.pngMediaFromDocuments(oracleDocs(s, dir), base = 8), grid = 8)
         .orderBy("doc_id")
     },
 
@@ -669,7 +695,7 @@ object ExtensionsPack {
       FROM pr WHERE bit_count(xor(ha, hb)) <= 3
       ORDER BY id_a, id_b""")) { (s, dir) =>
       val hs = Multimodal.imageAHash(
-        Multimodal.pngMediaWithTwins(Tables.documents(s, dir), base = 8, every = 7),
+        Multimodal.pngMediaWithTwins(oracleDocs(s, dir), base = 8, every = 7),
         grid = 8)
       val blocks = hs.select(col("doc_id"), col("ahash"),
         explode(expr("transform(sequence(0, 3), " +
@@ -699,7 +725,7 @@ object ExtensionsPack {
       o AS (SELECT doc_id, frame, (len * frame) // nf AS off, len FROM x)
       SELECT doc_id, frame, off AS "offset", least(off + 32, len) - off AS n_bytes
       FROM o ORDER BY doc_id, frame""")) { (s, dir) =>
-      Multimodal.frameSample(Multimodal.mediaFromDocuments(Tables.documents(s, dir)), frames = 4)
+      Multimodal.frameSample(Multimodal.mediaFromDocuments(oracleDocs(s, dir)), frames = 4)
         .select(col("doc_id"), col("frame").cast("long").as("frame"), col("offset"),
           octet_length(col("frame_bytes")).cast("long").as("n_bytes"))
         .orderBy("doc_id", "frame")
@@ -724,7 +750,7 @@ object ExtensionsPack {
       FROM d LEFT JOIN ch ON ch.doc_id = d.doc_id
       GROUP BY d.doc_id, d.n
       ORDER BY d.doc_id""")) { (s, dir) =>
-      Multimodal.resize(Multimodal.mediaFromDocuments(Tables.documents(s, dir)),
+      Multimodal.resize(Multimodal.mediaFromDocuments(oracleDocs(s, dir)),
           targetW = 16, targetH = 16)
         .select(col("doc_id"),
           col("out_w").cast("long").as("out_w"),
@@ -752,7 +778,7 @@ object ExtensionsPack {
              CAST(MAX(v) AS BIGINT) AS peak
       FROM b GROUP BY doc_id, frame
       ORDER BY doc_id, frame""")) { (s, dir) =>
-      Multimodal.frameEnergy(Multimodal.mediaFromDocuments(Tables.documents(s, dir)))
+      Multimodal.frameEnergy(Multimodal.mediaFromDocuments(oracleDocs(s, dir)))
         .orderBy("doc_id", "frame")
     },
   )

@@ -450,7 +450,9 @@ object PipelinePack {
     }
     phraseMergeCache.filterInPlace { case ((s, _, _), (a, b)) =>
       if (dead(s)) {
-        SessionMemos.safeUnpersist(a); SessionMemos.safeUnpersist(b); false
+        SessionMemos.safeUnpersist(a); SessionMemos.safeUnpersist(b)
+        SessionMemos.releaseCheckpoints(a); SessionMemos.releaseCheckpoints(b)
+        false
       } else true
     }
   }
@@ -909,7 +911,11 @@ object PipelinePack {
   private[graft] def clearPhraseMemo(session: SparkSession): Unit =
     phraseMergeCache.filterInPlace { case ((s, _, _), (a, b)) =>
       if (s eq session) {
-        SessionMemos.safeUnpersist(a); SessionMemos.safeUnpersist(b); false
+        SessionMemos.safeUnpersist(a); SessionMemos.safeUnpersist(b)
+        // the induction loop's last-round localCheckpoints back both
+        // outputs' plans at the RDD level (ADVICE r12)
+        SessionMemos.releaseCheckpoints(a); SessionMemos.releaseCheckpoints(b)
+        false
       } else true
     }
 
@@ -1065,7 +1071,7 @@ object PipelinePack {
     */
   def tokenQualityClassifier(docs: DataFrame, minDf: Long = 5L): DataFrame = {
     val tokens = docs.select(col("doc_id"), col("source"), explode(toks).as("w"))
-      .withColumn("good", substring(col("source"), 4, 10).cast("long") % 2 === 0)
+      .withColumn("good", expr("substring(source, 4)").cast("long") % 2 === 0)
     val vocab = tokens.groupBy("w").agg(
         sum(when(col("good"), 1L).otherwise(0L)).as("cg"),
         count(lit(1)).as("ct"))

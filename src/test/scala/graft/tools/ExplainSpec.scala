@@ -17,7 +17,8 @@ class ExplainSpec extends AnyFunSuite {
     * subtree.
     */
   private def planOf(name: String): String = {
-    val q = (graft.queries.AnnPack.defs ++ graft.queries.PipelinePack.defs)
+    val q = (graft.queries.AnnPack.defs ++ graft.queries.PipelinePack.defs ++
+        graft.queries.GraphPack.defs)
       .find(_.name == name).getOrElse(fail(s"no qdef $name"))
     val df = q.run(spark, dir)
     df.collect()
@@ -62,6 +63,25 @@ class ExplainSpec extends AnyFunSuite {
     graft.queries.PipelinePack.sigMemoEnabled = false
     graft.queries.PipelinePack.clearSigMemo(spark)
     try body finally graft.queries.PipelinePack.sigMemoEnabled = true
+  }
+
+  /** And for the triangle-count memo (ADVICE r12): g21/g26 called through
+    * the entry surface would otherwise print the memo's
+    * InMemoryTableScan where the wedge-join tree should be.
+    */
+  private def withoutTriMemo[A](body: => A): A = {
+    graft.graph.GraphTables.triMemoEnabled = false
+    graft.graph.GraphTables.clearTriMemo(spark)
+    try body finally graft.graph.GraphTables.triMemoEnabled = true
+  }
+
+  test("g21: triangles meet through wedge equi-joins, never a product") {
+    // the oriented wedge join IS the scale mechanism (each triangle
+    // counted once via lo<hi orientation); a product term means the
+    // orientation degenerated into all-pairs
+    val plan = withoutTriMemo(planOf("g21_triangle_counts"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in:\n$plan")
   }
 
   test("e04c (blocked regime): every nested-loop term is centroid-bounded; vector work is shared") {
