@@ -392,6 +392,93 @@ object PipelinePack {
         when(col("dup_of").isNull, 1L).otherwise(0L).as("is_new"))
   }
 
+  /** d36 — d32's incremental ingest dedup served from the PERSISTED
+    * signature index ([[graft.sources.SignatureIndex]]): the corpus side
+    * of the candidate join is a maintained bucketed TABLE loaded from
+    * disk, not a recompute of corpus MinHashes — the build/probe split
+    * d32's own docstring promises. The flow a 100 TB deployment runs per
+    * ingest batch:
+    *
+    *   1. `ensure` serves the committed index (filesystem-metadata
+    *      fingerprint check; builds base-v1 ONCE if absent/stale — the
+    *      only corpus-wide signature pass in the index's lifetime);
+    *   2. the delta's signatures are computed in-flight (O(|delta|));
+    *   3. candidates = deltaSigs ⋈ index on (band, sig) — the index side
+    *      is a bucketed scan with NO Exchange (ExplainSpec pins it);
+    *      partner eligibility (corpus doc, or earlier same-batch doc) is
+    *      the join residual, so the result is d32's candidate set exactly
+    *      — which ALSO makes the probe idempotent under index
+    *      maintenance: once the delta's own signatures are appended
+    *      ([[graft.streaming.SignatureIndexStream]]'s foreachBatch leg),
+    *      re-probing yields the same candidates (self-pairs drop on
+    *      doc_id inequality, same-batch pairs on the earlier-row rule);
+    *   4. exact-Jaccard verify + min-partner decision, shared with d32.
+    *
+    * Gated by d32's EXHAUSTIVE oracle — the served index must reproduce
+    * the recomputed path bit-for-bit.
+    */
+  def indexedIngestDedup(
+      spark: SparkSession, dir: String,
+      deltaMod: Long = 10L, deltaRes: Long = 7L,
+      indexRoot: String = "/tmp/graft_sigindex"): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isDelta = col("doc_id") % deltaMod === deltaRes
+    val cands = indexedCandidates(spark, dir, deltaMod, deltaRes, indexRoot)
+    val dup = verifyPairs(docs, cands)
+      .groupBy("doc_i").agg(min(col("doc_j")).as("dup_of"))
+      .select(col("doc_i").as("doc_id"), col("dup_of"))
+    docs.filter(isDelta).select(col("doc_id"))
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        when(col("dup_of").isNull, 1L).otherwise(0L).as("is_new"))
+  }
+
+  /** Streaming-maintenance hook: a micro-batch's band signatures, for
+    * [[graft.streaming.SignatureIndexStream]]'s foreachBatch append leg
+    * (same derivation the index base was built with).
+    */
+  private[graft] def bandSignaturesOf(docs: DataFrame): DataFrame =
+    bandSignatures(docs)
+
+  /** d36's candidate step alone (index served, delta probed), exposed so
+    * ScaleRehearsal measures the PRODUCTION probe cost — the invariant is
+    * that candidates scale with the DELTA while the index side is a
+    * loaded table, not a rebuild (the d32/incrementalCandidates
+    * discipline applied to the persisted path).
+    */
+  private[graft] def indexedCandidates(
+      spark: SparkSession, dir: String,
+      deltaMod: Long = 10L, deltaRes: Long = 7L,
+      indexRoot: String = "/tmp/graft_sigindex"): DataFrame = {
+    import graft.sources.SignatureIndex
+    val docs = Tables.documents(spark, dir)
+    val isDelta = col("doc_id") % deltaMod === deltaRes
+    val path = s"$indexRoot/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_m${deltaMod}r$deltaRes"
+    val fp = SignatureIndex.dirFingerprint(s"$dir/documents.parquet")
+    val idx = SignatureIndex.ensure(
+      spark, bandSignatures(docs.filter(!isDelta)), path, fp)
+    val deltaSigs = bandSignatures(docs.filter(isDelta))
+    // probe leg: delta meets the SERVED index (which, at probe time,
+    // holds everything committed BEFORE this batch). The residual partner
+    // guard makes the probe idempotent under maintenance: once this
+    // batch's own signatures are appended, re-probing still yields the
+    // same set (self-pairs drop on inequality, same-batch pairs on the
+    // earlier-row rule).
+    val candIndex = deltaSigs.as("x").join(idx.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") =!= col("y.doc_id") &&
+          (col("y.doc_id") % deltaMod =!= deltaRes ||
+            col("y.doc_id") < col("x.doc_id")))
+      .select(col("x.doc_id").as("doc_i"), col("y.doc_id").as("doc_j"))
+    // in-flight leg: the batch self-dedups against its own earlier rows
+    // (they are not in the index yet — d32's candDelta, unchanged)
+    val candBatch = deltaSigs.as("x").join(deltaSigs.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("y.doc_id") < col("x.doc_id"))
+      .select(col("x.doc_id").as("doc_i"), col("y.doc_id").as("doc_j"))
+    candIndex.unionByName(candBatch).distinct()
+  }
+
   /** d32's candidate step, exposed so ScaleRehearsal measures the
     * PRODUCTION derivation (the g21 forward-degree discipline): the
     * delta meets the corpus and its own earlier rows ONLY through
@@ -2358,6 +2445,34 @@ object PipelinePack {
       ORDER BY dd.doc_id""")) { (s, dir) =>
       incrementalIngestDedup(Tables.documents(s, dir),
         cacheKey = Some(s"$dir/documents")).orderBy("doc_id")
+    },
+
+    // ---- d36: d32 served from the PERSISTED signature index — the
+    // corpus side of the candidate join is the maintained bucketed table
+    // (SignatureIndex build/probe split), loaded not rebuilt; decision
+    // semantics and the EXHAUSTIVE oracle are d32's verbatim, so the
+    // entry gates that the served index reproduces the recomputed path
+    // bit-for-bit. ----
+    QDef("d36_indexed_ingest_dedup", Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      idx AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) i FROM tok),
+      sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM idx),
+      pairs AS (SELECT a.doc_id AS d, b.doc_id AS p, count(*) AS inter
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id != b.doc_id
+        WHERE a.doc_id % 10 = 7 AND (b.doc_id % 10 != 7 OR b.doc_id < a.doc_id)
+        GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      ver AS (SELECT p.d, p.p FROM pairs p
+                JOIN sizes sa ON sa.doc_id = p.d
+                JOIN sizes sb ON sb.doc_id = p.p
+              WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5),
+      dec AS (SELECT d AS doc_id, min(p) AS dup_of FROM ver GROUP BY 1)
+      SELECT dd.doc_id, dec.dup_of,
+             CAST(CASE WHEN dec.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_new
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) dd
+        LEFT JOIN dec ON dec.doc_id = dd.doc_id
+      ORDER BY dd.doc_id""")) { (s, dir) =>
+      indexedIngestDedup(s, dir).orderBy("doc_id")
     },
 
     // ---- s11: streaming decontamination at ingest — d22's Bloom-probe

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.queries.PipelinePack
+import graft.sources.SignatureIndex
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming maintenance of the persisted MinHash signature index — the
+  * third leg of the build/probe/maintain split: d36 PROBES the committed
+  * index, [[SignatureIndex.build]] creates it, and this keeps it current
+  * as documents stream in, so tomorrow's ingest batch probes an index
+  * that already contains today's.
+  *
+  * Each micro-batch's band signatures are appended as one immutable
+  * segment named by the batch id. Idempotence is layered twice:
+  *
+  *   - [[SignatureIndex.append]] is a manifest-gated no-op when
+  *     "batch-<id>" is already committed — the durable analogue of
+  *     [[StreamingGraphIngest]]'s in-memory batchId guard (it survives
+  *     process restarts because the dedup ledger IS the manifest);
+  *   - candidate generation downstream `.distinct()`s on (doc_i, doc_j),
+  *     so even a hypothetical double-commit could only cost storage.
+  *
+  * Appends never rewrite the base: publishing a version is O(files)
+  * hardlinking plus one O(|batch|) segment write, and readers keep the
+  * version they resolved (the GraphPersistence CURRENT-pointer
+  * contract), so maintenance and serving never block each other.
+  *
+  * The batch-id segment naming is valid per checkpoint lineage (ids are
+  * monotonic within one checkpoint); a NEW pipeline against an existing
+  * index should pass a distinguishing `segPrefix` — mirroring the
+  * guardLineage reset in [[StreamingGraphIngest.start]].
+  */
+object SignatureIndexStream {
+
+  /** foreachBatch body (public for deterministic unit testing): compute
+    * the micro-batch's signatures with the exact derivation the base was
+    * built with, append as an idempotent segment. Returns whether the
+    * segment was newly committed (false = replay, skipped).
+    */
+  def processBatch(
+      batch: DataFrame, batchId: Long, indexPath: String,
+      segPrefix: String = "batch"): Boolean =
+    if (batch.isEmpty) false
+    else SignatureIndex.append(
+      PipelinePack.bandSignaturesOf(batch), s"$segPrefix-$batchId", indexPath)
+
+  /** Wire a streaming documents source (doc_id, text) into the index
+    * maintenance loop. With `checkpointDir` set, a restart resumes at the
+    * first unprocessed offset and the manifest absorbs the one-batch
+    * replay a crash between offset-write and commit-write produces.
+    */
+  def start(
+      docs: DataFrame,
+      indexPath: String,
+      queryName: String,
+      checkpointDir: Option[String] = None,
+      segPrefix: String = "batch"): StreamingQuery = {
+    val w = docs.writeStream
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, indexPath, segPrefix); ()
+      }
+    checkpointDir.foreach(d => w.option("checkpointLocation", d))
+    w.start()
+  }
+}

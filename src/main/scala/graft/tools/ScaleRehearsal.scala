@@ -165,6 +165,38 @@ object ScaleRehearsal {
       check("d32_candidates_subquadratic")(d32CandBig * 100 < d32PairSpace,
         s"$d32CandBig candidates vs delta-pair space $d32PairSpace")
 
+      // 4e. d36 — d32 served from the PERSISTED signature index (r13):
+      // the build/probe split's two scale claims. (1) Serving LOADS the
+      // index: the first run may pay the one-time base build, but a
+      // second probe over the same corpus performs ZERO builds — pure
+      // metadata + bucketed table scan (the "loaded, not rebuilt"
+      // contract). (2) Probe cost scales with the DELTA: candidates from
+      // the served index grow ~factor x, exactly the d32 linearity band,
+      // and the decision output stays one row per delta doc, identical
+      // to the recomputed path's.
+      val d36CandBase = graft.queries.PipelinePack
+        .indexedCandidates(spark, baseDir).count()
+      val buildsAfterFirst = graft.sources.SignatureIndex.buildCount
+      val d36CandBig = graft.queries.PipelinePack
+        .indexedCandidates(spark, dir).count()
+      // warm re-probe at 10x: index must serve, never rebuild
+      val d36CandBig2 = graft.queries.PipelinePack
+        .indexedCandidates(spark, dir).count()
+      val buildsWarm = graft.sources.SignatureIndex.buildCount - buildsAfterFirst
+      check("d36_index_loaded_not_rebuilt")(buildsWarm <= 1 && d36CandBig2 == d36CandBig,
+        s"$buildsWarm builds across the 10x probe + warm re-probe (want <=1: the one-time base build)")
+      val d36Ratio = d36CandBig.toDouble / math.max(d36CandBase, 1L)
+      check("d36_probe_scales_with_delta")(
+        d36Ratio >= factor * 0.8 && d36Ratio <= factor * 1.2,
+        s"indexed candidates $d36CandBase -> $d36CandBig (x$d36Ratio) — expected ~${factor}x")
+      val d36Df = SparkEntry.queries("d36_indexed_ingest_dedup")(spark, dir)
+      val d36Mismatch = d36Df.unionByName(d32Df).groupBy("doc_id")
+        .agg(org.apache.spark.sql.functions.countDistinct(
+          org.apache.spark.sql.functions.struct("dup_of", "is_new")).as("v"))
+        .filter(org.apache.spark.sql.functions.col("v") =!= 1).count()
+      check("d36_decisions_match_d32")(d36Mismatch == 0L,
+        s"$d36Mismatch delta docs decided differently by the served index")
+
       // 5. s04 stream-stream interval join's batch twin at 10x: the
       // user_id equi-key must keep the join a sort-merge/shuffled-hash
       // join — the interval predicate must never degrade it to a
@@ -425,6 +457,8 @@ object ScaleRehearsal {
         s""""d32_cand_base":$d32CandBase,"d32_cand_10x":$d32CandBig,""" +
         s""""d32_ratio":$d32Ratio,"d32_delta_docs_10x":$d32Delta,""" +
         s""""d32_delta_pair_space":$d32PairSpace,""" +
+        s""""d36_cand_base":$d36CandBase,"d36_cand_10x":$d36CandBig,""" +
+        s""""d36_ratio":$d36Ratio,"d36_warm_builds":$buildsWarm,""" +
         s""""e08_codes":$pqCodes,"e09_clusters":$e09Clusters,""" +
         s""""g25_nodes":$g25Nodes,""" +
         s""""m07d_cand_base":$m07dCandBase,"m07d_cand_10x":$m07dCand,""" +

@@ -1,0 +1,131 @@
+package graft.sources
+
+import graft.SparkTestSession
+import graft.queries.PipelinePack
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** The persisted signature index's lifecycle contract: build/serve
+  * round-trip, warm serves that never rebuild, manifest-gated idempotent
+  * appends, snapshot isolation across versions, and the streaming
+  * maintenance leg's replay behavior. The probe-side PLAN claims
+  * (bucketed scan, no Exchange on the index side) are pinned in
+  * ExplainSpec; the end-to-end decision parity is d36's exhaustive
+  * DuckDB oracle.
+  */
+class SignatureIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docs = graft.Tables.documents(spark, dir)
+
+  private def freshPath(): String =
+    Files.createTempDirectory("sigidx").toString
+
+  private def sigRows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+  test("build + serve round-trips the exact signature table, bucketed") {
+    val path = freshPath()
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    SignatureIndex.build(PipelinePack.bandSignaturesOf(corpus), path, "fp1", buckets = 4)
+    val served = SignatureIndex.serve(spark, path)
+    assert(sigRows(served) === sigRows(PipelinePack.bandSignaturesOf(corpus)))
+    // the catalog entry carries the bucket spec (the no-Exchange probe
+    // side depends on it; the plan-level pin lives in ExplainSpec)
+    val tbl = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_sig_idx_"))
+    assert(tbl.nonEmpty)
+    val ddl = spark.sql(s"SHOW CREATE TABLE `${tbl.head}`").head.getString(0)
+    assert(ddl.contains("CLUSTERED BY (band, sig)") && ddl.contains("INTO 4 BUCKETS"),
+      ddl)
+  }
+
+  test("ensure serves warm without rebuilding; a changed fingerprint rebuilds") {
+    val path = freshPath()
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7).limit(50)
+    def sigs = PipelinePack.bandSignaturesOf(corpus)
+    val before = SignatureIndex.buildCount
+    SignatureIndex.ensure(spark, sigs, path, "fpA", buckets = 4)
+    assert(SignatureIndex.buildCount === before + 1)
+    // warm serve: fingerprint matches -> metadata only, no build
+    SignatureIndex.ensure(spark, sigs, path, "fpA", buckets = 4)
+    assert(SignatureIndex.buildCount === before + 1)
+    assert(SignatureIndex.currentVersion(path) === Some("v1"))
+    // stale: the corpus regenerated under the same path
+    SignatureIndex.ensure(spark, sigs, path, "fpB", buckets = 4)
+    assert(SignatureIndex.buildCount === before + 2)
+    assert(SignatureIndex.currentVersion(path) === Some("v2"))
+  }
+
+  test("append commits once per segment name and unions into the served table") {
+    val path = freshPath()
+    val base = docs.filter(col("doc_id") < 100 && col("doc_id") % 10 =!= 7)
+    val delta = docs.filter(col("doc_id") < 100 && col("doc_id") % 10 === 7)
+    SignatureIndex.build(PipelinePack.bandSignaturesOf(base), path, "fp", buckets = 4)
+    val v1 = sigRows(SignatureIndex.serve(spark, path))
+
+    assert(SignatureIndex.append(PipelinePack.bandSignaturesOf(delta), "batch-0", path))
+    val v2 = sigRows(SignatureIndex.serve(spark, path))
+    assert(v2 === v1 ++ sigRows(PipelinePack.bandSignaturesOf(delta)))
+    assert(SignatureIndex.currentVersion(path) === Some("v2"))
+
+    // replayed segment: manifest-gated no-op — same version, same rows
+    assert(!SignatureIndex.append(PipelinePack.bandSignaturesOf(delta), "batch-0", path))
+    assert(SignatureIndex.currentVersion(path) === Some("v2"))
+    assert(sigRows(SignatureIndex.serve(spark, path)) === v2)
+  }
+
+  test("versions are isolated snapshots: v1's files survive the v2 commit") {
+    val path = freshPath()
+    val base = docs.filter(col("doc_id") < 60)
+    SignatureIndex.build(PipelinePack.bandSignaturesOf(base), path, "fp", buckets = 4)
+    SignatureIndex.append(
+      PipelinePack.bandSignaturesOf(docs.filter(col("doc_id") >= 60 && col("doc_id") < 80)),
+      "batch-1", path)
+    // the superseded version directory is still a complete, readable table
+    val v1 = spark.read.parquet(s"$path/v1")
+    assert(v1.count() === PipelinePack.bandSignaturesOf(base).count())
+    assert(SignatureIndex.readMeta(path).get.segments === Seq("base-v1", "batch-1"))
+  }
+
+  test("streaming maintenance: replayed micro-batch is skipped, fresh ones commit") {
+    val path = freshPath()
+    val base = docs.filter(col("doc_id") < 60)
+    SignatureIndex.build(PipelinePack.bandSignaturesOf(base), path, "fp", buckets = 4)
+    val b0 = docs.filter(col("doc_id") >= 60 && col("doc_id") < 70)
+    val b1 = docs.filter(col("doc_id") >= 70 && col("doc_id") < 80)
+    assert(graft.streaming.SignatureIndexStream.processBatch(b0, 0L, path))
+    // crash-window replay of batch 0: the manifest is the durable guard
+    assert(!graft.streaming.SignatureIndexStream.processBatch(b0, 0L, path))
+    assert(graft.streaming.SignatureIndexStream.processBatch(b1, 1L, path))
+    val rows = sigRows(SignatureIndex.serve(spark, path))
+    val want = sigRows(PipelinePack.bandSignaturesOf(docs.filter(col("doc_id") < 80)))
+    assert(rows === want)
+  }
+
+  test("d36 equals d32: the served index reproduces the recomputed path exactly") {
+    val d32 = graft.SparkEntry.queries("d32_incremental_ingest_dedup")(spark, dir)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val d36 = graft.SparkEntry.queries("d36_indexed_ingest_dedup")(spark, dir)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(d36 === d32)
+    assert(d36.nonEmpty)
+  }
+
+  test("a crashed publish never corrupts CURRENT: orphan segments are invisible") {
+    val path = freshPath()
+    val base = docs.filter(col("doc_id") < 60)
+    SignatureIndex.build(PipelinePack.bandSignaturesOf(base), path, "fp", buckets = 4)
+    // simulate a writer that died after the segment write, before publish:
+    // the segment dir exists but no manifest references it
+    val seg = Paths.get(path, "seg", "orphan")
+    Files.createDirectories(seg)
+    Files.writeString(seg.resolve("part-00000-dead_00000.parquet"), "")
+    assert(SignatureIndex.currentVersion(path) === Some("v1"))
+    assert(SignatureIndex.readMeta(path).get.segments === Seq("base-v1"))
+    val served = sigRows(SignatureIndex.serve(spark, path))
+    assert(served === sigRows(PipelinePack.bandSignaturesOf(base)))
+  }
+}

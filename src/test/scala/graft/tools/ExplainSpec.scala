@@ -75,6 +75,75 @@ class ExplainSpec extends AnyFunSuite {
     try body finally graft.graph.GraphTables.triMemoEnabled = true
   }
 
+  test("d36: the index side is a bucketed scan with no Exchange; the corpus is never re-minhashed") {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+
+    // ReusedExchange subtrees are NOT traversed: a reused exchange reads
+    // the original's shuffle files, so nodes under it never re-execute —
+    // counting them would double-charge shared work
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case _: ReusedExchangeExec => Nil
+      case _ => p.children.flatMap(flatten)
+    })
+
+    // broadcast off: at fixture scale AQE would broadcast the delta side
+    // (and skip the bucketed scan as useless); the claim under pin is the
+    // 100 TB shape, where neither side broadcasts and the index's bucket
+    // layout is what spares it the shuffle.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = graft.queries.PipelinePack.defs
+        .find(_.name == "d36_indexed_ingest_dedup").getOrElse(fail("no d36"))
+      val df = q.run(spark, dir)
+      df.collect()
+      val all = flatten(df.queryExecution.executedPlan)
+
+      // 1. the probe join meets the index through its bucket layout:
+      //    the index-side subtree has a bucketed file scan and NO shuffle
+      val probeJoins = all.collect {
+        case j: SortMergeJoinExec
+          if j.leftKeys.map(_.toString).exists(_.contains("band")) => (j.left, j.right)
+        case j: ShuffledHashJoinExec
+          if j.leftKeys.map(_.toString).exists(_.contains("band")) => (j.left, j.right)
+      }
+      assert(probeJoins.nonEmpty, s"no (band, sig) candidate join found:\n$df")
+      def bucketScans(p: SparkPlan) = flatten(p).collect {
+        case f: FileSourceScanExec if f.bucketedScan => f
+      }
+      val idxSides = probeJoins.map { case (l, r) =>
+        Seq(l, r).find(s => bucketScans(s).nonEmpty)
+      }
+      assert(idxSides.exists(_.isDefined),
+        s"no bucketed index-side scan under the candidate join:\n${df.queryExecution.executedPlan}")
+      idxSides.flatten.foreach { side =>
+        val shuffles = flatten(side).collect { case s: ShuffleExchangeLike => s }
+        assert(shuffles.isEmpty,
+          s"Exchange above the bucketed index scan — bucket layout unused:\n$side")
+      }
+
+      // 2. exactly ONE partial MinHash aggregation executes — the
+      //    DELTA's (final aggs above the shared exchange re-read its
+      //    shuffle files, never source text). A corpus-side recompute
+      //    would add a second partial over a different scan.
+      import org.apache.spark.sql.catalyst.expressions.aggregate.{Partial, PartialMerge}
+      val sigPartials = all.collect {
+        case a: BaseAggregateExec
+          if a.aggregateExpressions.exists(e =>
+            (e.mode == Partial || e.mode == PartialMerge) &&
+              e.toString.contains("xxhash64")) => a
+      }
+      assert(sigPartials.size <= 1,
+        s"${sigPartials.size} partial MinHash aggregates — corpus side re-minhashed?")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("g21: triangles meet through wedge equi-joins, never a product") {
     // the oriented wedge join IS the scale mechanism (each triangle
     // counted once via lo<hi orientation); a product term means the
