@@ -228,8 +228,21 @@ object AnnPack {
     * assignment pass, candidates by cell equi-join, never a corpus scan
     * per query.
     */
-  def ivfTopKInt(emb: DataFrame, nprobe: Int = NProbe): DataFrame =
-    ivfTopKIntImpl(emb, nprobe, None)
+  /** The serving cell count for the integer-IVF family (e02d/e10/e11):
+    * the e04 `chooseCells` √N discipline applied to the production
+    * geometry (r12 verdict #3) — cells ≈ √N clamped to [NumCentroids,
+    * 4096], derived from the memoized corpus count instead of a fixed
+    * fixture-scale 16. The DuckDB oracles mirror the derivation with a
+    * count() subquery, so the geometry stays bit-for-bit gateable at any
+    * SF (the d10b oracle-mirrored-conditional discipline).
+    */
+  private def servingCells(emb: DataFrame, cacheKey: Option[String]): Int =
+    adaptiveCells(corpusCount(emb, cacheKey.map(_ + "#ivfN")))
+
+  def ivfTopKInt(
+      emb: DataFrame, nprobe: Int = NProbe,
+      cacheKey: Option[String] = None): DataFrame =
+    ivfTopKIntImpl(emb, nprobe, None, servingCells(emb, cacheKey))
 
   /** e11 — metadata-FILTERED IVF search: [[ivfTopKInt]]'s integer cell
     * geometry with a label predicate applied to the INDEX side before
@@ -246,16 +259,17 @@ object AnnPack {
     */
   def ivfTopKIntFiltered(
       emb: DataFrame, labelValue: Int,
-      nprobe: Int = FilteredNProbe): DataFrame =
-    ivfTopKIntImpl(emb, nprobe, Some(labelValue))
+      nprobe: Int = FilteredNProbe,
+      cacheKey: Option[String] = None): DataFrame =
+    ivfTopKIntImpl(emb, nprobe, Some(labelValue), servingCells(emb, cacheKey))
 
   private def ivfTopKIntImpl(
-      emb: DataFrame, nprobe: Int, labelValue: Option[Int]): DataFrame = {
+      emb: DataFrame, nprobe: Int, labelValue: Option[Int], nCells: Int): DataFrame = {
     val el = int8Quantize(emb)
       .select(col("vec_id"), col("dim").as("d"), col("q"))
       .localCheckpoint() // feeds assignment AND probe ranking
     val cent = broadcast(
-      el.filter(col("vec_id") < NumCentroids)
+      el.filter(col("vec_id") < nCells)
         .select(col("vec_id").as("cid"), col("d"), col("q").as("cq")))
     // integer-L2 distance of every vector to every centroid — reused for
     // corpus assignment (rn = 1) and query probe lists (rn <= nprobe)
@@ -665,8 +679,10 @@ object AnnPack {
     * it). Exposed (like [[rhpCandidates]] / [[blockedCells]]) so the
     * scale rehearsal can measure candidate volume directly.
     */
-  private[graft] def ivfCoarseCandidates(el: DataFrame, nprobe: Int = NProbe): DataFrame = {
-    val cent = broadcast(el.filter(col("vec_id") < NumCentroids)
+  private[graft] def ivfCoarseCandidates(
+      el: DataFrame, nprobe: Int = NProbe,
+      nCells: Int = NumCentroids): DataFrame = {
+    val cent = broadcast(el.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("ccid"), col("d"), col("q").as("ccq")))
     val d2 = el.select(col("vec_id"), col("d"), col("q")).join(cent, "d")
       .groupBy(col("vec_id"), col("ccid"))
@@ -688,8 +704,11 @@ object AnnPack {
     * element table from a raw corpus.
     */
   private[graft] def ivfPqCandidates(
-      emb: DataFrame, nprobe: Int = NProbe, subDim: Int = PqSubDim): DataFrame =
-    ivfCoarseCandidates(pqElements(emb.localCheckpoint(), subDim), nprobe)
+      emb: DataFrame, nprobe: Int = NProbe, subDim: Int = PqSubDim): DataFrame = {
+    val embC = emb.localCheckpoint()
+    ivfCoarseCandidates(pqElements(embC, subDim), nprobe,
+      adaptiveCells(embC.count()))
+  }
 
   def ivfPqTopK(
       emb: DataFrame, dim: Int,
@@ -700,7 +719,7 @@ object AnnPack {
     // nprobe-independent, which is exactly why e10/e10b share e08's
     // md5-codebook index
     val (embC, el, cb, codes) = pqIndexMemo(emb, dim, subDim, kc, None, "md5", cacheKey)
-    val cnd0 = ivfCoarseCandidates(el, nprobe)
+    val cnd0 = ivfCoarseCandidates(el, nprobe, servingCells(embC, cacheKey))
     // ADC over candidates only: codes ⋈ broadcast distance table
     val dt = broadcast(
       el.filter(col("vec_id") < NumQueries)
@@ -947,7 +966,8 @@ object AnnPack {
     * compose unchanged.
     */
   private val ivfPqRankCtes: String = pqCbCtes + s""",
-      cent2 AS (SELECT vec_id AS ccid, d, q AS ccq FROM qe WHERE vec_id < $NumCentroids),
+      nac2 AS (SELECT CAST(least(4096, greatest($NumCentroids, round(sqrt(CAST(count(*) AS DOUBLE))))) AS BIGINT) AS a FROM cv),
+      cent2 AS (SELECT vec_id AS ccid, d, q AS ccq FROM qe WHERE vec_id < (SELECT a FROM nac2)),
       cdd AS (SELECT e.vec_id, c.ccid, sum((e.q - c.ccq) * (e.q - c.ccq)) AS d2
               FROM qe e JOIN cent2 c ON c.d = e.d GROUP BY 1, 2),
       ccl AS (SELECT vec_id, ccid AS cell FROM (
@@ -1433,7 +1453,8 @@ object AnnPack {
     QDef("e11_ann_ivf_filtered_topk", Some(s"""
       WITH cv AS (SELECT vec_id, embedding FROM embeddings),
       $int8QeCtes,
-      cent AS (SELECT vec_id AS cid, d, q AS cq FROM qe WHERE vec_id < $NumCentroids),
+      nac AS (SELECT CAST(least(4096, greatest($NumCentroids, round(sqrt(CAST(count(*) AS DOUBLE))))) AS BIGINT) AS a FROM cv),
+      cent AS (SELECT vec_id AS cid, d, q AS cq FROM qe WHERE vec_id < (SELECT a FROM nac)),
       dd AS (SELECT e.vec_id, c.cid, sum((e.q - c.cq) * (e.q - c.cq)) AS d2
              FROM qe e JOIN cent c ON c.d = e.d GROUP BY 1, 2),
       cells AS (SELECT vec_id, cid AS cell FROM (
@@ -1458,7 +1479,8 @@ object AnnPack {
              FROM sc)
       SELECT q_id, rank, vec_id AS neighbor_id FROM rk
       WHERE rank <= $K ORDER BY q_id, rank""")) { (s, dir) =>
-      ivfTopKIntFiltered(embeddings(s, dir), FilterLabel).orderBy("q_id", "rank")
+      ivfTopKIntFiltered(embeddings(s, dir), FilterLabel,
+        cacheKey = Some(s"$dir/embeddings#raw")).orderBy("q_id", "rank")
     },
 
     // ---- e11b: e11's recall floor vs the exact filtered reference
@@ -1468,7 +1490,8 @@ object AnnPack {
     QDef("e11b_ann_ivf_filtered_recall_floor", Some(s"""
       WITH cv AS (SELECT vec_id, embedding FROM embeddings),
       $int8QeCtes,
-      cent AS (SELECT vec_id AS cid, d, q AS cq FROM qe WHERE vec_id < $NumCentroids),
+      nac AS (SELECT CAST(least(4096, greatest($NumCentroids, round(sqrt(CAST(count(*) AS DOUBLE))))) AS BIGINT) AS a FROM cv),
+      cent AS (SELECT vec_id AS cid, d, q AS cq FROM qe WHERE vec_id < (SELECT a FROM nac)),
       dd AS (SELECT e.vec_id, c.cid, sum((e.q - c.cq) * (e.q - c.cq)) AS d2
              FROM qe e JOIN cent c ON c.d = e.d GROUP BY 1, 2),
       cells AS (SELECT vec_id, cid AS cell FROM (
@@ -1506,7 +1529,8 @@ object AnnPack {
              CAST(CASE WHEN hits * 1000000 >= 800000 * total THEN 1 ELSE 0 END AS BIGINT) AS meets_floor
       FROM h, tot""")) { (s, dir) =>
       val emb = embeddings(s, dir)
-      val ivf = ivfTopKIntFiltered(emb, FilterLabel)
+      val ivf = ivfTopKIntFiltered(emb, FilterLabel,
+        cacheKey = Some(s"$dir/embeddings#raw"))
         .select(col("q_id"), col("neighbor_id"))
       val brute = filteredTopK(emb, FilterLabel)
         .select(col("q_id"), col("neighbor_id"))
@@ -1616,7 +1640,8 @@ object AnnPack {
     QDef("e02d_ann_ivf_int_topk", Some(s"""
       WITH cv AS (SELECT vec_id, embedding FROM embeddings),
       $int8QeCtes,
-      cent AS (SELECT vec_id AS cid, d, q AS cq FROM qe WHERE vec_id < $NumCentroids),
+      nac AS (SELECT CAST(least(4096, greatest($NumCentroids, round(sqrt(CAST(count(*) AS DOUBLE))))) AS BIGINT) AS a FROM cv),
+      cent AS (SELECT vec_id AS cid, d, q AS cq FROM qe WHERE vec_id < (SELECT a FROM nac)),
       dd AS (SELECT e.vec_id, c.cid, sum((e.q - c.cq) * (e.q - c.cq)) AS d2
              FROM qe e JOIN cent c ON c.d = e.d GROUP BY 1, 2),
       cells AS (SELECT vec_id, cid AS cell FROM (
@@ -1639,7 +1664,8 @@ object AnnPack {
              FROM sc)
       SELECT q_id, rank, vec_id AS neighbor_id FROM rk
       WHERE rank <= $K ORDER BY q_id, rank""")) { (s, dir) =>
-      ivfTopKInt(embeddings(s, dir)).orderBy("q_id", "rank")
+      ivfTopKInt(embeddings(s, dir),
+        cacheKey = Some(s"$dir/embeddings#raw")).orderBy("q_id", "rank")
     },
 
     // ---- int8 quantization: per-vector symmetric scale, exploded rows ----
