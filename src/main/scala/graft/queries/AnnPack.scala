@@ -748,6 +748,102 @@ object AnnPack {
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
   }
 
+  /** e12's BUILD: the e10 IVF-PQ artifacts — pinned clustered corpus,
+    * coarse centroid elements, cell assignments, PQ codebook and codes —
+    * as one [[graft.sources.AnnIndex.Artifacts]], derived by exactly the
+    * machinery e10 serves from in-session (pqIndexMemo + the
+    * ivfCoarseCandidates assignment), so the persisted tables reproduce
+    * the session memo bit-for-bit and e10's oracle gates the served path
+    * unchanged.
+    */
+  private def ivfPqArtifacts(
+      spark: SparkSession, dir: String): graft.sources.AnnIndex.Artifacts = {
+    val emb = embeddings(spark, dir)
+    val key = Some(s"$dir/embeddings")
+    val cv = clusteredEmbeddings(emb, key)
+    val dim = dimOf(emb, Some(s"$dir/embeddings#dim"))
+    val (embC, el, cb, codes) = pqIndexMemo(cv, dim, PqSubDim, PqCentroids, None, "md5", key)
+    val nCells = servingCells(embC, key)
+    val centroids = el.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("ccid"), col("d"), col("q").as("ccq"))
+    val d2 = el.select(col("vec_id"), col("d"), col("q"))
+      .join(broadcast(centroids), "d")
+      .groupBy(col("vec_id"), col("ccid"))
+      .agg(sum((col("q") - col("ccq")) * (col("q") - col("ccq"))).as("d2"))
+    val wA = Window.partitionBy("vec_id").orderBy(col("d2"), col("ccid"))
+    val cells = d2.withColumn("rn", row_number().over(wA))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("ccid").as("cell"))
+    graft.sources.AnnIndex.Artifacts(
+      vectors = embC, centroids = centroids, cells = cells,
+      codebook = cb, codes = codes)
+  }
+
+  /** e12 — e10's IVF-PQ serving path over the PERSISTED index
+    * ([[graft.sources.AnnIndex]]): a fresh session answers top-k from
+    * five table scans — vectors, centroids, cells, codebook, codes —
+    * with NO corpus encode anywhere in the plan (the one aggregate
+    * quantizes the NumQueries-row query batch). The build runs once per
+    * corpus fingerprint; warm serves are pure metadata + scans
+    * (ExplainSpec pins: every file scan reads the index path, no
+    * (vec_id, m) encode window; ScaleRehearsal receipts zero warm
+    * builds). Bit-identical to [[ivfPqTopK]] by construction — same
+    * integer geometry, same tie disciplines, same shortlist — so e10's
+    * DuckDB oracle gates the served path end to end.
+    */
+  def servedIvfPqTopK(
+      spark: SparkSession, dir: String,
+      nprobe: Int = NProbe, shortlist: Int = PqCandidates,
+      indexRoot: String = "/tmp/graft_annindex"): DataFrame = {
+    import graft.sources.AnnIndex
+    val path = s"$indexRoot/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_ivfpq"
+    val fp = graft.sources.SignatureIndex.dirFingerprint(s"$dir/embeddings.parquet") +
+      s"#ivfpq/$PqSubDim/$PqCentroids/md5"
+    val t = AnnIndex.ensure(spark, ivfPqArtifacts(spark, dir), path, fp)
+    // the query batch, quantized at serve time from the index's OWN
+    // vector store (serving never touches the source corpus)
+    val qel = int8Quantize(t.vectors.filter(col("vec_id") < NumQueries))
+      .select(col("vec_id").as("q_id"), col("dim").as("d"), col("q"),
+        expr(s"dim div $PqSubDim").as("m"))
+    // coarse probes: nprobe nearest persisted centroids per query
+    val wP = Window.partitionBy("q_id").orderBy(col("d2"), col("ccid"))
+    val probes = qel.join(broadcast(t.centroids), "d")
+      .groupBy(col("q_id"), col("ccid"))
+      .agg(sum((col("q") - col("ccq")) * (col("q") - col("ccq"))).as("d2"))
+      .withColumn("rn", row_number().over(wP))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("ccid").as("cell"))
+    // candidates: posting-list scan through the probed cells only
+    val cnd0 = t.cells.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+    // ADC: per-query distance table over the persisted codebook,
+    // broadcast against the bucketed code table
+    val dt = broadcast(
+      qel.join(t.codebook, Seq("m", "d"))
+        .groupBy(col("q_id"), col("m"), col("cid"))
+        .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("dq2")))
+    val wCand = Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))
+    val cand = cnd0.join(t.codes, "vec_id")
+      .join(dt, Seq("q_id", "m", "cid"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("dq2")).as("adc"))
+      .withColumn("rn", row_number().over(wCand))
+      .filter(col("rn") <= shortlist)
+      .select(col("q_id"), col("vec_id"))
+    // exact re-rank from the persisted vector store (e01 tie discipline)
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .join(t.vectors.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(t.vectors.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("embedding"), col("q_emb")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
+  }
+
   /** CTE chain re-deriving the RHP index relationally over `cv` (the
     * clustered corpus): e05's quantization per element, the md5 ±1
     * planes, integer projections, bucket keys, candidate pairs, and the
@@ -2038,6 +2134,20 @@ object AnnPack {
           expr("hits * 1000000L div total").as("recall_millionths"),
           when(col("hits") * 1000000L >= lit(800000L) * col("total"), 1L).otherwise(0L)
             .as("meets_floor"))
+    },
+
+    // ---- e12: e10 served from the PERSISTED ANN index — the
+    // index/serve split (AnnIndex): a fresh session answers top-k from
+    // the five index tables with no corpus encode in the plan; the
+    // query batch is the only thing quantized at serve time. Same
+    // integer geometry and tie disciplines as e10, so e10's oracle
+    // gates the served path bit-for-bit. ----
+    QDef("e12_ann_served_topk", Some(s"""
+      WITH $clusteredCvCtes,
+      $ivfPqRankCtes
+      SELECT q_id, rank, vec_id AS neighbor_id FROM prk
+      WHERE rank <= $K ORDER BY q_id, rank""")) { (s, dir) =>
+      servedIvfPqTopK(s, dir).orderBy("q_id", "rank")
     },
 
     // ---- e09: the k-means TRAINING loop itself, fully oracle-gated —

@@ -1,0 +1,157 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+/** The ANN serving index as PERSISTED, versioned tables — the index/serve
+  * split for the IVF-PQ family (r12 verdict #2): e10's codes + codebook
+  * and the coarse cell assignments were session memos (`pqIdxCache`,
+  * `cellsCache`), so every fresh session re-encoded the corpus before it
+  * could answer a query. A deployment builds the index ONCE per corpus
+  * snapshot and serves top-k from the tables across sessions; only the
+  * query batch is quantized at serve time.
+  *
+  * One version = five immutable Parquet tables under `<path>/v<N>/`:
+  *
+  *   - `vectors`   (vec_id, embedding)  — the raw store, read by the
+  *     exact re-rank and the query batch (a vector index OWNS its
+  *     vectors; serving never touches the source corpus);
+  *   - `centroids` (ccid, d, ccq)       — coarse int8 centroid elements;
+  *   - `cells`     (vec_id, cell)       — coarse assignment posting
+  *     lists, clustered by cell;
+  *   - `codebook`  (m, cid, d, cq)      — PQ per-subspace centroids;
+  *   - `codes`     (vec_id, m, cid)     — PQ codes, BUCKETED by vec_id
+  *     so the candidate ⋈ codes join reads the big side shuffle-free
+  *     (registered as an external bucketed catalog table at serve, the
+  *     [[SignatureIndex]]/[[BucketedTables]] discipline).
+  *
+  * Versioning is [[graft.graph.GraphPersistence]]'s CURRENT-pointer
+  * contract: a build writes a fresh `v<N>` and atomically swaps CURRENT;
+  * readers always see a complete committed version and a crashed build
+  * leaves the previous version serving. Staleness is caught by the same
+  * filesystem-metadata fingerprint [[SignatureIndex]] uses.
+  */
+object AnnIndex {
+
+  /** The served tables of one committed version. */
+  final case class Served(
+      vectors: DataFrame, centroids: DataFrame, cells: DataFrame,
+      codebook: DataFrame, codes: DataFrame)
+
+  /** The artifacts a build persists (same shapes as [[Served]]). */
+  final case class Artifacts(
+      vectors: DataFrame, centroids: DataFrame, cells: DataFrame,
+      codebook: DataFrame, codes: DataFrame)
+
+  /** Builds this JVM ran — the rehearsal receipt that serving is reads. */
+  @volatile private[graft] var buildCount: Long = 0L
+
+  private val pathLocks = TrieMap.empty[String, Object]
+  private def lockFor(path: String): Object =
+    pathLocks.getOrElseUpdate(Paths.get(path).toAbsolutePath.toString, new Object)
+
+  private def currentPointer(path: String): Path = Paths.get(path, "CURRENT")
+
+  def currentVersion(path: String): Option[String] = {
+    val p = currentPointer(path)
+    if (Files.exists(p)) Some(Files.readString(p).trim) else None
+  }
+
+  def readFingerprint(path: String): Option[String] = currentVersion(path).map { v =>
+    Files.readAllLines(Paths.get(path, v, "_meta")).asScala
+      .map(_.split("=", 2)).collect { case Array("fingerprint", value) => value }
+      .headOption.getOrElse("")
+  }
+
+  private def readBuckets(path: String, v: String): Int =
+    Files.readAllLines(Paths.get(path, v, "_meta")).asScala
+      .map(_.split("=", 2)).collect { case Array("buckets", value) => value.toInt }
+      .headOption.getOrElse(32)
+
+  def build(a: Artifacts, path: String, fingerprint: String,
+      buckets: Int = 32): Unit = lockFor(path).synchronized {
+    val next = currentVersion(path)
+      .map(_.stripPrefix("v").toLong).getOrElse(0L) + 1
+    val vdir = s"$path/v$next"
+    a.vectors.write.mode(SaveMode.Overwrite).parquet(s"$vdir/vectors")
+    a.centroids.write.mode(SaveMode.Overwrite).parquet(s"$vdir/centroids")
+    // posting-list locality: a probed cell reads contiguous rows
+    a.cells.repartition(org.apache.spark.sql.functions.col("cell"))
+      .sortWithinPartitions("cell", "vec_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$vdir/cells")
+    a.codebook.write.mode(SaveMode.Overwrite).parquet(s"$vdir/codebook")
+    // codes bucketed by vec_id: the only public bucketed-write API is a
+    // catalog write — throwaway external table, files stay (the
+    // SignatureIndex.writeSegment pattern)
+    val spark = a.codes.sparkSession
+    val tmp = s"graft_annseg_${math.abs(vdir.hashCode)}_${System.nanoTime()}"
+    a.codes.selectExpr("CAST(vec_id AS BIGINT) AS vec_id",
+        "CAST(m AS BIGINT) AS m", "CAST(cid AS BIGINT) AS cid")
+      .write.format("parquet")
+      .bucketBy(buckets, "vec_id").sortBy("vec_id")
+      .option("path", s"$vdir/codes")
+      .mode(SaveMode.Overwrite)
+      .saveAsTable(tmp)
+    spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
+    Files.writeString(Paths.get(vdir, "_meta"),
+      s"buckets=$buckets\nfingerprint=$fingerprint\n", StandardCharsets.UTF_8)
+    val tmpPtr = Paths.get(path, ".CURRENT.tmp")
+    Files.createDirectories(Paths.get(path))
+    Files.writeString(tmpPtr, s"v$next", StandardCharsets.UTF_8)
+    Files.move(tmpPtr, currentPointer(path),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    buildCount += 1
+  }
+
+  private def tablePrefix(path: String): String = {
+    val h = java.lang.Integer.toHexString(
+      Paths.get(path).toAbsolutePath.toString.hashCode)
+    s"graft_ann_idx_$h"
+  }
+
+  /** Serve the committed version: plain Parquet reads for the small
+    * tables, an external BUCKETED catalog table for codes — a fresh
+    * session answers top-k from these five scans, with no corpus encode
+    * anywhere in the plan (ExplainSpec pins it for e12).
+    */
+  def serve(spark: SparkSession, path: String): Served =
+    lockFor(path).synchronized {
+      val v = currentVersion(path).getOrElse(
+        throw new IllegalStateException(s"ANN index not initialized: $path"))
+      val vdir = s"$path/$v"
+      val prefix = tablePrefix(path)
+      val tbl = s"${prefix}_$v"
+      if (!spark.catalog.tableExists(tbl)) {
+        spark.catalog.listTables().collect()
+          .filter(t => t.name.startsWith(s"${prefix}_v") && t.name != tbl)
+          .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `${t.name}`"))
+        spark.sql(
+          s"""CREATE TABLE `$tbl` (vec_id BIGINT, m BIGINT, cid BIGINT)
+             |USING parquet
+             |CLUSTERED BY (vec_id) SORTED BY (vec_id)
+             |INTO ${readBuckets(path, v)} BUCKETS
+             |LOCATION '$vdir/codes'""".stripMargin)
+      }
+      Served(
+        vectors = spark.read.parquet(s"$vdir/vectors"),
+        centroids = spark.read.parquet(s"$vdir/centroids"),
+        cells = spark.read.parquet(s"$vdir/cells"),
+        codebook = spark.read.parquet(s"$vdir/codebook"),
+        codes = spark.table(tbl))
+    }
+
+  /** Serve a committed version matching `fingerprint`, building from the
+    * by-name `artifacts` only when absent or stale — a warm serve is
+    * pure metadata, never an encode.
+    */
+  def ensure(spark: SparkSession, artifacts: => Artifacts, path: String,
+      fingerprint: String, buckets: Int = 32): Served =
+    lockFor(path).synchronized {
+      if (!readFingerprint(path).contains(fingerprint))
+        build(artifacts, path, fingerprint, buckets)
+      serve(spark, path)
+    }
+}

@@ -337,6 +337,25 @@ object ScaleRehearsal {
       check("e10_candidate_fraction_stable")(e10Frac10x <= e10FracBase * 1.5 + 0.02,
         s"fraction grew $e10FracBase -> $e10Frac10x at ${factor}x")
 
+      // 12b. e12 — e10 served from the persisted ANN index (r13): the
+      // index/serve split's receipt at 10x. First serve may pay the
+      // one-time build; the re-serve must be ZERO builds (pure table
+      // scans), and the served decisions must match the in-session e10
+      // path row for row.
+      val e12First = SparkEntry.queries("e12_ann_served_topk")(spark, dir)
+      val e12Rows = e12First.count()
+      val annBuilds0 = graft.sources.AnnIndex.buildCount
+      val e12Again = SparkEntry.queries("e12_ann_served_topk")(spark, dir).count()
+      val annWarmBuilds = graft.sources.AnnIndex.buildCount - annBuilds0
+      check("e12_index_loaded_not_reencoded")(annWarmBuilds == 0 && e12Again == e12Rows,
+        s"$annWarmBuilds builds on the warm re-serve")
+      val e10Df = SparkEntry.queries("e10_ann_ivfpq_topk")(spark, dir)
+      val e12Mismatch = e12First.unionByName(e10Df).groupBy("q_id", "rank")
+        .agg(org.apache.spark.sql.functions.countDistinct("neighbor_id").as("v"))
+        .filter(org.apache.spark.sql.functions.col("v") =!= 1).count()
+      check("e12_matches_e10")(e12Mismatch == 0L,
+        s"$e12Mismatch (q_id, rank) slots served differently by the persisted index")
+
       // 13. e09 k-means at 10x: every Lloyd round stays broadcast
       // equi-joins (no product), and the trained assignment is total —
       // one cluster per vector, more than one cluster used (training on
@@ -459,6 +478,7 @@ object ScaleRehearsal {
         s""""d32_delta_pair_space":$d32PairSpace,""" +
         s""""d36_cand_base":$d36CandBase,"d36_cand_10x":$d36CandBig,""" +
         s""""d36_ratio":$d36Ratio,"d36_warm_builds":$buildsWarm,""" +
+        s""""e12_rows_10x":$e12Rows,"e12_warm_builds":$annWarmBuilds,""" +
         s""""e08_codes":$pqCodes,"e09_clusters":$e09Clusters,""" +
         s""""g25_nodes":$g25Nodes,""" +
         s""""m07d_cand_base":$m07dCandBase,"m07d_cand_10x":$m07dCand,""" +

@@ -1,0 +1,73 @@
+package graft.sources
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Lifecycle contract of the persisted ANN index: build-once/serve-warm,
+  * fingerprint-forced rebuilds, snapshot isolation, and e12 == e10
+  * serving parity. The plan-level claims (index-only scans, no encode,
+  * bucketed codes) are pinned in ExplainSpec; end-to-end decisions are
+  * gated by e10's exhaustive DuckDB oracle on the e12 entry.
+  */
+class AnnIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def tinyArtifacts(tag: Int): AnnIndex.Artifacts = {
+    import spark.implicits._
+    AnnIndex.Artifacts(
+      vectors = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f + tag)))
+        .toDF("vec_id", "embedding"),
+      centroids = Seq((0L, 0L, 127L), (0L, 1L, 0L)).toDF("ccid", "d", "ccq"),
+      cells = Seq((0L, 0L), (1L, 0L)).toDF("vec_id", "cell"),
+      codebook = Seq((0L, 0L, 0L, 5L)).toDF("m", "cid", "d", "cq"),
+      codes = Seq((0L, 0L, 0L), (1L, 0L, 0L)).toDF("vec_id", "m", "cid"))
+  }
+
+  test("ensure builds once, serves warm, rebuilds on a changed fingerprint") {
+    val path = Files.createTempDirectory("annidx").toString
+    val before = AnnIndex.buildCount
+    AnnIndex.ensure(spark, tinyArtifacts(0), path, "fpA", buckets = 2)
+    assert(AnnIndex.buildCount === before + 1)
+    assert(AnnIndex.currentVersion(path) === Some("v1"))
+    // warm: metadata only
+    val served = AnnIndex.ensure(spark, tinyArtifacts(0), path, "fpA", buckets = 2)
+    assert(AnnIndex.buildCount === before + 1)
+    assert(served.codes.count() === 2L)
+    assert(served.vectors.count() === 2L)
+    // stale: corpus regenerated
+    AnnIndex.ensure(spark, tinyArtifacts(1), path, "fpB", buckets = 2)
+    assert(AnnIndex.buildCount === before + 2)
+    assert(AnnIndex.currentVersion(path) === Some("v2"))
+    // the superseded version is still a complete readable snapshot
+    assert(spark.read.parquet(s"$path/v1/vectors").count() === 2L)
+  }
+
+  test("the served codes table carries the vec_id bucket spec") {
+    val path = Files.createTempDirectory("annidx").toString
+    AnnIndex.ensure(spark, tinyArtifacts(0), path, "fp", buckets = 2)
+    val tbl = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_ann_idx_"))
+    assert(tbl.nonEmpty)
+    val ddl = spark.sql(s"SHOW CREATE TABLE `${tbl.sorted.last}`").head.getString(0)
+    assert(ddl.contains("CLUSTERED BY (vec_id)") && ddl.contains("INTO 2 BUCKETS"), ddl)
+  }
+
+  test("e12 equals e10: the served index reproduces the in-session path exactly") {
+    val e10 = graft.SparkEntry.queries("e10_ann_ivfpq_topk")(spark, dir)
+      .orderBy("q_id", "rank").collect().map(_.toString).toSeq
+    val e12 = graft.SparkEntry.queries("e12_ann_served_topk")(spark, dir)
+      .orderBy("q_id", "rank").collect().map(_.toString).toSeq
+    assert(e12 === e10)
+    assert(e12.nonEmpty)
+  }
+
+  test("a second e12 serve performs zero builds — loaded, not re-encoded") {
+    graft.SparkEntry.queries("e12_ann_served_topk")(spark, dir).collect()
+    val before = AnnIndex.buildCount
+    graft.SparkEntry.queries("e12_ann_served_topk")(spark, dir).collect()
+    assert(AnnIndex.buildCount === before)
+  }
+}

@@ -75,22 +75,38 @@ class ExplainSpec extends AnyFunSuite {
     try body finally graft.graph.GraphTables.triMemoEnabled = true
   }
 
-  test("d36: the index side is a bucketed scan with no Exchange; the corpus is never re-minhashed") {
-    import org.apache.spark.sql.execution._
+  /** Every EXECUTED node of the final adaptive plan. ReusedExchange
+    * subtrees are NOT traversed: a reused exchange reads the original's
+    * shuffle files, so nodes under it never re-execute — counting them
+    * would double-charge shared work.
+    */
+  private def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
-    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
-
-    // ReusedExchange subtrees are NOT traversed: a reused exchange reads
-    // the original's shuffle files, so nodes under it never re-execute —
-    // counting them would double-charge shared work
-    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    p +: (p match {
       case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
       case q: QueryStageExec => flatten(q.plan)
       case _: ReusedExchangeExec => Nil
       case _ => p.children.flatMap(flatten)
     })
+  }
+
+  /** Run `body` with broadcast joins disabled — the 100 TB posture,
+    * where neither join side broadcasts and bucket layouts are what
+    * spare the index tables their shuffles.
+    */
+  private def withoutBroadcast[A](body: => A): A = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("d36: the index side is a bucketed scan with no Exchange; the corpus is never re-minhashed") {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
 
     // broadcast off: at fixture scale AQE would broadcast the delta side
     // (and skip the bucketed scan as useless); the claim under pin is the
@@ -142,6 +158,41 @@ class ExplainSpec extends AnyFunSuite {
       assert(sigPartials.size <= 1,
         s"${sigPartials.size} partial MinHash aggregates — corpus side re-minhashed?")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("e12: serving reads ONLY index tables — no corpus scan, no encode, bucketed codes") {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.window.WindowExec
+    withoutBroadcast {
+      val q = graft.queries.AnnPack.defs
+        .find(_.name == "e12_ann_served_topk").getOrElse(fail("no e12"))
+      val df = q.run(spark, dir)
+      df.collect()
+      val all = flatten(df.queryExecution.executedPlan)
+
+      // 1. every file scan reads the PERSISTED index — the source corpus
+      //    (embeddings.parquet) never appears in a serving plan
+      val scans = all.collect { case f: FileSourceScanExec => f }
+      assert(scans.nonEmpty, "no file scans — expected index-table reads")
+      val outside = scans.flatMap(_.relation.location.rootPaths.map(_.toString))
+        .filterNot(_.contains("graft_annindex"))
+      assert(outside.isEmpty, s"serving scanned non-index paths: $outside")
+
+      // 2. no encode: the PQ encode's signature is a window partitioned
+      //    by (vec_id, m) ranking centroids per corpus element — serving
+      //    windows rank per QUERY only
+      val encodeWindows = all.collect {
+        case w: WindowExec
+          if w.partitionSpec.size >= 2 &&
+            w.partitionSpec.map(_.toString).exists(_.contains("vec_id")) => w
+      }
+      assert(encodeWindows.isEmpty,
+        s"corpus encode window in a serving plan:\n${encodeWindows.mkString("\n")}")
+
+      // 3. the candidate ⋈ codes join reads the code table bucket-aligned
+      assert(all.exists { case f: FileSourceScanExec => f.bucketedScan; case _ => false },
+        "codes scan not bucketed — the vec_id bucket layout is unused")
+    }
   }
 
   test("g21: triangles meet through wedge equi-joins, never a product") {
