@@ -1,0 +1,158 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftExpressionBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Native Bloom-probe expressions for the decontamination gate (s11/d22)
+  * — replacing the per-row Scala tuple UDF (r12 verdict / advice): Spark
+  * ships `BloomFilterMightContain` for exactly this shape but keeps it
+  * out of the public registry, so the probe follows this codebase's own
+  * preference order ([[RhpSig]], [[PhraseApply]]): a codegen'd Catalyst
+  * expression over broadcast-sized reference state, no ScalaUDF
+  * catalyst⇄Scala row conversion in the hot path.
+  *
+  * Both expressions carry the SERIALIZED filter (and, for the document
+  * probe, the exact gram set) as constructor state: it ships to
+  * executors once per stage inside the task binary — the same transport
+  * Spark's own runtime row-level Bloom filtering uses — and
+  * deserializes once per JVM via transient lazy fields, which is what
+  * makes the expression usable from whole-stage-generated code through
+  * a single `addReferenceObj` virtual call per row.
+  *
+  * Hash parity: [[BloomFilter.putString]] hashes the UTF-8 bytes of the
+  * item, and the probes here hash `UTF8String.getBytes` — the same byte
+  * sequence — so a filter built from `String`s on the driver and probed
+  * with `UTF8String`s in generated code has NO false negatives across
+  * the boundary (the gate's one non-negotiable direction).
+  */
+object BloomProbe {
+
+  private[functions] val Space = UTF8String.fromString(" ")
+
+  def serialize(bf: BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Per-DOCUMENT contamination probe (s11's shape): one left-to-right
+    * pass over the token array's n-gram windows, short-circuiting once
+    * both flags are set; returns struct(flagged, exact). The row never
+    * leaves a single projection — no join node, no per-doc shuffle.
+    */
+  def reportCol(toks: Column, bloomBytes: Array[Byte],
+      evalGrams: Array[String], n: Int): Column =
+    GraftExpressionBridge.toColumn(ContaminationProbeExpr(
+      GraftExpressionBridge.toExpression(toks), bloomBytes, evalGrams, n))
+
+  /** Per-GRAM Bloom membership (d22's probe leg): boolean, codegen'd. */
+  def containsCol(gram: Column, bloomBytes: Array[Byte]): Column =
+    GraftExpressionBridge.toColumn(BloomContainsExpr(
+      GraftExpressionBridge.toExpression(gram), bloomBytes))
+}
+
+case class ContaminationProbeExpr(
+    child: Expression, bloomBytes: Array[Byte],
+    evalGrams: Array[String], n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("flagged", BooleanType, nullable = false),
+    StructField("exact", BooleanType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"contamination probe requires ARRAY<STRING>, got $other")
+  }
+
+  @transient private lazy val bf: BloomFilter =
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bloomBytes))
+
+  @transient private lazy val exactSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](math.max(evalGrams.length * 2, 16))
+    evalGrams.foreach(g => s.add(UTF8String.fromString(g)))
+    s
+  }
+
+  /** Shared by interpreted eval and codegen (the PhraseApply idiom). */
+  def probe(arr: ArrayData): InternalRow = {
+    var flagged = false
+    var exact = false
+    val len = arr.numElements()
+    if (len >= n) {
+      val toks = new Array[UTF8String](len)
+      var i = 0
+      while (i < len) {
+        toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+        i += 1
+      }
+      val win = new Array[UTF8String](n)
+      i = 0
+      while (i + n <= len && !(flagged && exact)) {
+        var ok = true
+        var j = 0
+        while (j < n) {
+          val t = toks(i + j)
+          if (t == null) ok = false
+          win(j) = t
+          j += 1
+        }
+        if (ok) {
+          val g = UTF8String.concatWs(BloomProbe.Space, win: _*)
+          if (!flagged && bf.mightContainBinary(g.getBytes)) flagged = true
+          if (!exact && exactSet.contains(g)) exact = true
+        }
+        i += 1
+      }
+    }
+    new GenericInternalRow(Array[Any](flagged, exact))
+  }
+
+  override protected def nullSafeEval(t: Any): Any =
+    probe(t.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cprobe", this, classOf[ContaminationProbeExpr].getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $ref.probe($t);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ContaminationProbeExpr =
+    copy(child = newChild)
+}
+
+case class BloomContainsExpr(child: Expression, bloomBytes: Array[Byte])
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom probe requires STRING, got $other")
+  }
+
+  @transient private lazy val bf: BloomFilter =
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bloomBytes))
+
+  def contains(g: UTF8String): Boolean = bf.mightContainBinary(g.getBytes)
+
+  override protected def nullSafeEval(g: Any): Any =
+    contains(g.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bprobe", this, classOf[BloomContainsExpr].getName)
+    nullSafeCodeGen(ctx, ev, g => s"${ev.value} = $ref.contains($g);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomContainsExpr =
+    copy(child = newChild)
+}

@@ -167,16 +167,19 @@ object PipelinePack {
     val tr = sh.filter(col("doc_id") % evalMod =!= 0)
     val evG = sh.filter(col("doc_id") % evalMod === 0).select("g").distinct()
     val nEv = math.max(evG.count(), 1L)
-    val bf = spark.sparkContext.broadcast(evG.stat.bloomFilter("g", nEv, fpp))
-    // A scalar UDF is the right tool here: there is no built-in Bloom
-    // probe expression in the public surface, and the probe is O(1) per
-    // row against broadcast state (the same shape Spark's own runtime
-    // row-level filtering uses internally).
-    val probe = udf((g: String) => bf.value.mightContainString(g))
+    // Native codegen'd probe (graft.functions.BloomProbe) instead of a
+    // scalar UDF (r12 advice): Spark's own might_contain expression is
+    // registry-internal, so the probe follows the RhpSig/PhraseApply
+    // preference order — the serialized filter rides the expression into
+    // the task binary and the per-row probe stays inside whole-stage
+    // codegen with no catalyst⇄Scala conversion.
+    val bfBytes = graft.functions.BloomProbe.serialize(
+      evG.stat.bloomFilter("g", nEv, fpp))
     val trDocs = tr.select("doc_id").distinct()
     val exact = tr.join(evG, Seq("g"), "left_semi").select("doc_id").distinct()
       .withColumn("is_exact", lit(1))
-    val flagged = tr.filter(probe(col("g"))).select("doc_id").distinct()
+    val flagged = tr.filter(graft.functions.BloomProbe.containsCol(col("g"), bfBytes))
+      .select("doc_id").distinct()
       .withColumn("is_flagged", lit(1))
     trDocs.join(exact, Seq("doc_id"), "left").join(flagged, Seq("doc_id"), "left")
       .agg(

@@ -48,37 +48,27 @@ object DecontaminationStream {
       fpp: Double = 1e-4,
       windowMs: Long = 3600000L,
       watermarkDelay: String = "10 minutes"): DataFrame = {
-    val sc = docs.sparkSession.sparkContext
     val bf = BloomFilter.create(math.max(evalGrams.size, 1).toLong, fpp)
     evalGrams.foreach(bf.putString)
-    val bfB = sc.broadcast(bf)
-    val exB = sc.broadcast(evalGrams)
-    val nn = n
-    // One probe per document (not per gram): flags short-circuit, the
-    // gram iterator never materializes, and the row stays inside a
-    // single projection — the stream side has no join node at all.
-    val probe = udf((ws: Seq[String]) => {
-      var flagged = false
-      var exact = false
-      if (ws != null && ws.length >= nn) {
-        val it = ws.sliding(nn)
-        while (it.hasNext && !(flagged && exact)) {
-          val g = it.next().mkString(" ")
-          if (!flagged && bfB.value.mightContainString(g)) flagged = true
-          if (!exact && exB.value.contains(g)) exact = true
-        }
-      }
-      (flagged, exact)
-    })
+    // One probe per document (not per gram): flags short-circuit inside
+    // the native expression, the gram list never materializes, and the
+    // row stays inside a single codegen'd projection — the stream side
+    // has no join node and no ScalaUDF row conversion (r12 advice; the
+    // RhpSig/PhraseApply preference order). The filter + exact set ride
+    // the expression's reference state into the task binary.
+    val probe = graft.functions.BloomProbe.reportCol(
+      split(col("text"), " "),
+      graft.functions.BloomProbe.serialize(bf),
+      evalGrams.toArray.sorted, n)
     docs
       .withWatermark("ts", watermarkDelay)
-      .select(col("ts"), probe(split(col("text"), " ")).as("c"))
+      .select(col("ts"), probe.as("c"))
       .groupBy(window(col("ts"), s"$windowMs milliseconds"))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(when(col("c._2"), 1L).otherwise(0L)).as("n_exact_contaminated"),
-        sum(when(col("c._2") && !col("c._1"), 1L).otherwise(0L)).as("missed"),
-        sum(when(col("c._1") && !col("c._2"), 1L).otherwise(0L)).as("fp"))
+        sum(when(col("c.exact"), 1L).otherwise(0L)).as("n_exact_contaminated"),
+        sum(when(col("c.exact") && !col("c.flagged"), 1L).otherwise(0L)).as("missed"),
+        sum(when(col("c.flagged") && !col("c.exact"), 1L).otherwise(0L)).as("fp"))
       .select(
         col("window.start").as("window_start"),
         col("n_docs"), col("n_exact_contaminated"), col("missed"),

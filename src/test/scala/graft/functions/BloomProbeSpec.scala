@@ -1,0 +1,79 @@
+package graft.functions
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.util.sketch.BloomFilter
+
+/** The native Bloom probe's two contracts: hash PARITY with the
+  * driver-side putString build (no false negatives across the
+  * String/UTF8String boundary — the gate's one non-negotiable error
+  * direction) and exact-flag equivalence with a plain Scala recompute
+  * over the sliding n-gram windows.
+  */
+class BloomProbeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("containsCol: zero false negatives against a putString-built filter") {
+    import spark.implicits._
+    val grams = (0 until 2000).map(i => s"gram token number $i with salt ${i * 31}")
+    val bf = BloomFilter.create(grams.size.toLong, 1e-4)
+    grams.foreach(bf.putString)
+    val bytes = BloomProbe.serialize(bf)
+    val hits = grams.toDF("g")
+      .filter(BloomProbe.containsCol(col("g"), bytes)).count()
+    assert(hits === grams.size.toLong, "a member probed negative — hash mismatch")
+  }
+
+  test("containsCol: non-members are mostly rejected (the filter filters)") {
+    import spark.implicits._
+    val grams = (0 until 2000).map(i => s"member $i")
+    val bf = BloomFilter.create(grams.size.toLong, 1e-4)
+    grams.foreach(bf.putString)
+    val bytes = BloomProbe.serialize(bf)
+    val fp = (0 until 2000).map(i => s"outsider $i").toDF("g")
+      .filter(BloomProbe.containsCol(col("g"), bytes)).count()
+    assert(fp <= 5, s"$fp false positives of 2000 at fpp 1e-4")
+  }
+
+  test("reportCol matches a plain-Scala sliding-window recompute") {
+    import spark.implicits._
+    val n = 3
+    val docs = Seq(
+      "a b c d e",        // contains eval gram "b c d"
+      "x y z w",          // clean
+      "b c d",            // exactly one gram, contaminated
+      "a b",              // shorter than n: no grams at all
+      "c d e f g h")      // clean
+    val evalGrams = Set("b c d", "q q q")
+    val bf = BloomFilter.create(evalGrams.size.toLong, 1e-4)
+    evalGrams.foreach(bf.putString)
+    val got = docs.toDF("text")
+      .select(col("text"),
+        BloomProbe.reportCol(split(col("text"), " "),
+          BloomProbe.serialize(bf), evalGrams.toArray.sorted, n).as("c"))
+      .select(col("text"), col("c.flagged"), col("c.exact"))
+      .collect().map(r => r.getString(0) -> (r.getBoolean(1), r.getBoolean(2))).toMap
+    val want = docs.map { t =>
+      val grams = t.split(" ").sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+      val exact = grams.exists(evalGrams.contains)
+      // fpp 1e-4 on a 2-item filter: flagged == exact on this fixture
+      t -> (exact, exact)
+    }.toMap
+    assert(got === want)
+  }
+
+  test("null contract: null array yields null; null tokens never form grams") {
+    import spark.implicits._
+    val bf = BloomFilter.create(1L, 1e-4)
+    bf.putString("a b")
+    val bytes = BloomProbe.serialize(bf)
+    val df = Seq(Some("a b c"), None).toDF("text")
+      .select(BloomProbe.reportCol(split(col("text"), " "), bytes,
+        Array("a b"), 2).as("c"))
+    val rows = df.collect()
+    assert(rows.count(_.isNullAt(0)) === 1)
+    val hit = rows.find(!_.isNullAt(0)).get.getStruct(0)
+    assert(hit.getBoolean(0) && hit.getBoolean(1))
+  }
+}

@@ -450,16 +450,31 @@ class ExplainSpec extends AnyFunSuite {
         expr("transform(sequence(0, size(ts) - 5), i -> concat_ws(' ', slice(ts, i + 1, 5)))"))
         .as("g"))
     val evG = sh.filter(col("doc_id") % 10 === 0).select("g").distinct()
-    val bf = spark.sparkContext.broadcast(
+    val bfBytes = graft.functions.BloomProbe.serialize(
       evG.stat.bloomFilter("g", math.max(evG.count(), 1L), 1e-4))
-    val probe = udf((g: String) => bf.value.mightContainString(g))
     val flagged = sh.filter(col("doc_id") % 10 =!= 0)
-      .filter(probe(col("g"))).select("doc_id").distinct()
+      .filter(graft.functions.BloomProbe.containsCol(col("g"), bfBytes))
+      .select("doc_id").distinct()
     flagged.collect()
     val plan = flagged.queryExecution.executedPlan.toString
     for (join <- Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
         "BroadcastNestedLoopJoin", "CartesianProduct"))
       assert(!plan.contains(join), s"$join on the probe leg:\n$plan")
+    // the probe is the NATIVE expression, not a ScalaUDF (r12 advice)
+    assert(plan.contains("bloomcontains"), s"native probe missing:\n$plan")
+    assert(!plan.contains("UDF"), s"ScalaUDF on the probe leg:\n$plan")
+  }
+
+  test("s11: the stream-side probe is a UDF-free codegen'd projection") {
+    // the decontamination gate's per-document probe must stay inside
+    // whole-stage codegen: one native expression, no ScalaUDF conversion,
+    // no join node anywhere in the report plan
+    val plan = planOf("s11_streaming_decontamination")
+    assert(plan.contains("contaminationprobe"), s"native probe missing:\n$plan")
+    assert(!plan.contains("UDF"), s"ScalaUDF on the stream side:\n$plan")
+    for (join <- Seq("SortMergeJoin", "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin", "CartesianProduct"))
+      assert(!plan.contains(join), s"$join in the report plan:\n$plan")
   }
 
   test("d30c: the merge-apply pass is map-only — no corpus shuffle, no window") {
