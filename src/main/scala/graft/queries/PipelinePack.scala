@@ -1142,6 +1142,36 @@ object PipelinePack {
       .select("doc_id", "shard", "pos")
   }
 
+  /** d34's SHARD-COUNT CONTRACT (r12 verdict): shard count IS the
+    * parallelism AND the per-task sort volume — within-shard positions
+    * come from one row_number per shard, so a shard must fit a task.
+    * A fixed `shards = 32` at 100 TB would be ~3 TB/task; the production
+    * parameter is TARGET SHARD BYTES, and the count derives from the
+    * measured corpus: shards = max(minShards, ceil(bytes / target)).
+    * The md5 assignment is uniform, so rows/shard concentrates tightly
+    * around corpus/shards whatever the corpus size (the rehearsal bounds
+    * max/mean at 10×) — a few hundred MB per shard keeps every shard a
+    * healthy task and shard files write in parallel with no global sort,
+    * exactly [[trainingShardShuffle]]'s plan.
+    */
+  def shardCountFor(corpusBytes: Long,
+      targetShardBytes: Long = 256L << 20, minShards: Int = 32): Int =
+    math.max(minShards.toLong,
+      (corpusBytes + targetShardBytes - 1) / targetShardBytes).toInt
+
+  /** [[trainingShardShuffle]] with the shard count derived from measured
+    * corpus bytes (one cheap sum aggregate) and a target shard size —
+    * the form a deployment calls. Same permutation law; only the modulus
+    * scales with the corpus.
+    */
+  def trainingShardShuffleSized(
+      docs: DataFrame,
+      targetShardBytes: Long = 256L << 20, minShards: Int = 32): DataFrame = {
+    val bytes = docs.agg(sum(octet_length(col("text"))).cast("long"))
+      .head.getLong(0)
+    trainingShardShuffle(docs, shardCountFor(bytes, targetShardBytes, minShards))
+  }
+
   /** d35 — token-level quality classifier, the fastText-shaped filter
     * every web-scale corpus passes through (CCNet, GPT-3's WebText
     * classifier), distilled to its distributable core: TRAIN = per-token

@@ -197,6 +197,38 @@ object ScaleRehearsal {
       check("d36_decisions_match_d32")(d36Mismatch == 0L,
         s"$d36Mismatch delta docs decided differently by the served index")
 
+      // 4f. d34 shard-count contract (r13): shards-as-parallelism means
+      // rows/shard is the per-task sort volume — the SIZED form must
+      // keep it bounded as the corpus grows (shards scale with bytes,
+      // mean rows/shard stays ~constant) and the md5 assignment must
+      // stay balanced (max/mean bounded) so no shard becomes the
+      // straggler task. Fixture-scale target: base bytes / 32, so the
+      // base corpus derives ~32 shards and the 10x corpus ~10x that.
+      import org.apache.spark.sql.functions.{count => fCount, lit => fLit, max => fMax}
+      val d34Target = math.max(1L,
+        Tables.documents(spark, baseDir)
+          .agg(org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.octet_length(
+              org.apache.spark.sql.functions.col("text"))).cast("long"))
+          .head.getLong(0) / 32L)
+      def shardStats(docsDir: String): (Long, Double, Long) = {
+        val perShard = graft.queries.PipelinePack
+          .trainingShardShuffleSized(Tables.documents(spark, docsDir),
+            targetShardBytes = d34Target, minShards = 8)
+          .groupBy("shard").agg(fCount(fLit(1)).as("n"))
+        val r = perShard.agg(fCount(fLit(1)), org.apache.spark.sql.functions.avg("n"),
+          fMax("n")).head
+        (r.getLong(0), r.getDouble(1), r.getLong(2))
+      }
+      val (d34ShardsBase, d34MeanBase, _) = shardStats(baseDir)
+      val (d34Shards10x, d34Mean10x, d34Max10x) = shardStats(dir)
+      check("d34_shards_scale_with_corpus")(
+        d34Shards10x >= d34ShardsBase * factor * 8 / 10,
+        s"shards $d34ShardsBase -> $d34Shards10x at ${factor}x (want ~${factor}x)")
+      check("d34_rows_per_shard_bounded")(
+        d34Mean10x <= d34MeanBase * 1.3 + 1 && d34Max10x <= 2 * d34Mean10x + 8,
+        s"mean rows/shard $d34MeanBase -> $d34Mean10x, max $d34Max10x at 10x")
+
       // 5. s04 stream-stream interval join's batch twin at 10x: the
       // user_id equi-key must keep the join a sort-merge/shuffled-hash
       // join — the interval predicate must never degrade it to a
@@ -479,6 +511,8 @@ object ScaleRehearsal {
         s""""d36_cand_base":$d36CandBase,"d36_cand_10x":$d36CandBig,""" +
         s""""d36_ratio":$d36Ratio,"d36_warm_builds":$buildsWarm,""" +
         s""""e12_rows_10x":$e12Rows,"e12_warm_builds":$annWarmBuilds,""" +
+        s""""d34_shards_base":$d34ShardsBase,"d34_shards_10x":$d34Shards10x,""" +
+        s""""d34_mean_rows_per_shard_10x":$d34Mean10x,"d34_max_rows_per_shard_10x":$d34Max10x,""" +
         s""""e08_codes":$pqCodes,"e09_clusters":$e09Clusters,""" +
         s""""g25_nodes":$g25Nodes,""" +
         s""""m07d_cand_base":$m07dCandBase,"m07d_cand_10x":$m07dCand,""" +

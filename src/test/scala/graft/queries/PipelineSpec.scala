@@ -246,6 +246,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.map(_._2).distinct.length > 1, "fixture spans multiple shards")
   }
 
+  test("d34 sized form: shard count derives from bytes/target, same permutation law") {
+    val docs = graft.Tables.documents(spark, dir)
+    // the contract arithmetic (r13): shards = max(min, ceil(bytes/target))
+    assert(PipelinePack.shardCountFor(0L) === 32)
+    assert(PipelinePack.shardCountFor(100L << 40) === (100L << 40) / (256L << 20))
+    assert(PipelinePack.shardCountFor((256L << 20) + 1, minShards = 1) === 2)
+    // the sized form is trainingShardShuffle at the derived modulus —
+    // only the shard count changes, never the permutation law
+    val bytes = docs.agg(sum(octet_length(col("text"))).cast("long")).head.getLong(0)
+    val target = math.max(1L, bytes / 7L) // fixture-scale: derive ~7 shards
+    val n = PipelinePack.shardCountFor(bytes, target, minShards = 1)
+    assert(n >= 7 && n <= 8, s"derived $n shards from $bytes bytes / $target target")
+    val sized = PipelinePack.trainingShardShuffleSized(docs, target, minShards = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = PipelinePack.trainingShardShuffle(docs, n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sized === direct)
+  }
+
   test("d34 output is invariant to input partitioning (the executor-count claim)") {
     // the operator's scale contract: shard + position derive from the
     // salted hash alone, so however the corpus arrives partitioned the
