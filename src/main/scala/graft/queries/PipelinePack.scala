@@ -482,6 +482,100 @@ object PipelinePack {
     candIndex.unionByName(candBatch).distinct()
   }
 
+  /** d37 — the INCREMENTAL CURATION MANIFEST: the full ingest gate a
+    * delta batch flows through before touching the training set,
+    * composed from the gated building blocks and costed by the DELTA,
+    * never the corpus (r12 verdict #6):
+    *
+    *   1. '''incremental dedup''' (d32's law, d36's index at 100 TB):
+    *      banded candidates against corpus + earlier-delta, exact-Jaccard
+    *      verify, min-partner decision — a duplicate is not admitted and
+    *      does not consume source quota;
+    *   2. '''decontamination''' (d15/s11's contract): a delta doc sharing
+    *      any distinct 5-gram with the benchmark corpus (the external
+    *      eval slice — NOT part of the store) is rejected; the eval side
+    *      is benchmark-sized whatever the corpus;
+    *   3. '''source quota''' (d33's law, incremental form): surviving
+    *      delta docs rank per source by (quality desc, doc_id) and are
+    *      admitted while existing-count + rank <= cap. The existing
+    *      per-source counts are one column-pruned aggregate here; at
+    *      100 TB they are a maintained stats table beside the signature
+    *      index (tiny: one row per source) — the only corpus-touching
+    *      term in the gate, and it is metadata, not text;
+    *   4. '''manifest fields''' (d28's laws): language-ID, quality
+    *      millionths, the deterministic split, and the final
+    *      in_training_set bit = admitted ∧ en ∧ quality ≥ 0.4 ∧ train.
+    *
+    * Output: ONE decision row per delta doc. The DuckDB oracle
+    * re-derives the entire composition (exhaustive dedup recompute,
+    * exact contamination, the ranked quota, d28's field laws), so the
+    * entry gates the PIPELINE composition, incremental form included.
+    */
+  def incrementalManifest(
+      spark: SparkSession, dir: String,
+      deltaMod: Long = 10L, deltaRes: Long = 7L, evalRes: Long = 0L,
+      cap: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isDelta = col("doc_id") % deltaMod === deltaRes
+    val isEval = col("doc_id") % deltaMod === evalRes
+    // the store never contains benchmark docs: dedup runs over
+    // (corpus ∪ delta) with the eval slice excluded entirely
+    val store = docs.filter(!isEval)
+    val delta = docs.filter(isDelta)
+    val dedup = incrementalIngestDedup(store, deltaMod, deltaRes,
+      cacheKey = Some(s"$dir/documents#noeval"))
+    // exact benchmark containment on the delta only (the admission
+    // decision is exact; the Bloom is the streaming transport, s11)
+    val evalG = grams(docs.filter(isEval), 5).select("g").distinct()
+    val contaminated = grams(delta, 5).join(evalG, Seq("g"), "left_semi")
+      .select("doc_id").distinct().withColumn("contaminated", lit(1L))
+    // admission quota per source: survivors rank by quality; existing
+    // counts come from the (maintained) per-source stats
+    val existing = docs.filter(!isDelta && !isEval)
+      .groupBy("source").agg(count(lit(1)).as("n_existing"))
+    val base = delta.select(col("doc_id"), col("source"))
+      .join(docQuality(delta), "doc_id")
+      .join(dedup.select(col("doc_id"), col("is_new")), "doc_id")
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("qm"), col("is_new"),
+        coalesce(col("contaminated"), lit(0L)).as("contaminated"))
+    val wCap = Window.partitionBy("source").orderBy(col("qm").desc, col("doc_id").asc)
+    val ranked = base.filter(col("is_new") === 1L && col("contaminated") === 0L)
+      .withColumn("rk", row_number().over(wCap).cast("long"))
+      .join(existing, Seq("source"), "left")
+      .select(col("doc_id"),
+        when(col("rk") + coalesce(col("n_existing"), lit(0L)) <= cap, 1L)
+          .otherwise(0L).as("cap_admitted"))
+    // d28's field laws on the delta
+    val hits = (ws: Seq[String]) =>
+      expr(s"size(filter(split(text, ' '), x -> x IN (${ws.map(w => s"'$w'").mkString(", ")})))")
+    val lang = delta.select(col("doc_id"),
+      when(hits(Seq("the", "a", "of")) > 0, "en")
+        .when(hits(Seq("der", "und", "die")) > 0, "de")
+        .when(hits(Seq("le", "et", "la")) > 0, "fr")
+        .otherwise("unknown").as("lang"))
+    val b = conv(substring(md5(concat(col("doc_id").cast("string"), lit(":split:v1"))), 1, 2), 16, 10)
+      .cast("long")
+    val split = delta.select(col("doc_id"),
+      when(b < 204, "train").when(b < 230, "val").otherwise("test").as("split"))
+    base
+      .join(ranked, Seq("doc_id"), "left")
+      .join(lang, "doc_id")
+      .join(split, "doc_id")
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("qm").as("quality_millionths"),
+        col("is_new"), col("contaminated"),
+        coalesce(col("cap_admitted"), lit(0L)).as("cap_admitted"),
+        col("split"))
+      .withColumn("admitted",
+        when(col("is_new") === 1L && col("contaminated") === 0L &&
+          col("cap_admitted") === 1L, 1L).otherwise(0L))
+      .withColumn("in_training_set",
+        when(col("admitted") === 1L && col("lang") === "en" &&
+          col("quality_millionths") >= 400000L && col("split") === "train", 1L)
+          .otherwise(0L))
+  }
+
   /** d32's candidate step, exposed so ScaleRehearsal measures the
     * PRODUCTION derivation (the g21 forward-degree discipline): the
     * delta meets the corpus and its own earlier rows ONLY through
@@ -2506,6 +2600,87 @@ object PipelinePack {
         LEFT JOIN dec ON dec.doc_id = dd.doc_id
       ORDER BY dd.doc_id""")) { (s, dir) =>
       indexedIngestDedup(s, dir).orderBy("doc_id")
+    },
+
+    // ---- d37: the INCREMENTAL curation manifest — the composed ingest
+    // gate (see [[incrementalManifest]]): delta flows d32-dedup →
+    // exact decontamination vs the external benchmark slice →
+    // d33-quota (existing + rank <= cap) → d28's field laws. One
+    // decision row per delta doc; the oracle re-derives the whole
+    // composition (exhaustive dedup, exact containment, ranked quota,
+    // lang/split/quality laws). ----
+    QDef("d37_incremental_manifest", Some("""
+      WITH del AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 10 = 7),
+      st AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0),
+      tok AS (SELECT doc_id, string_split(text, ' ') ws FROM st),
+      idx AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) i FROM tok),
+      sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM idx),
+      pairs AS (SELECT a.doc_id AS d, b.doc_id AS p, count(*) AS inter
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id != b.doc_id
+        WHERE a.doc_id % 10 = 7 AND (b.doc_id % 10 != 7 OR b.doc_id < a.doc_id)
+        GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      dup AS (SELECT p.d AS doc_id FROM pairs p
+                JOIN sizes sa ON sa.doc_id = p.d
+                JOIN sizes sb ON sb.doc_id = p.p
+              WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5
+              GROUP BY 1),
+      nw AS (SELECT del.doc_id,
+               CASE WHEN dup.doc_id IS NULL THEN 1 ELSE 0 END AS is_new
+             FROM del LEFT JOIN dup USING (doc_id)),
+      tok5 AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      pos5 AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) i FROM tok5),
+      g5 AS (SELECT DISTINCT doc_id, list_aggregate(ws[i:i+4], 'string_agg', ' ') AS g FROM pos5),
+      ev AS (SELECT DISTINCT g FROM g5 WHERE doc_id % 10 = 0),
+      ct AS (SELECT DISTINCT g5.doc_id FROM g5 JOIN ev USING (g) WHERE g5.doc_id % 10 = 7),
+      q AS (SELECT doc_id,
+              (len(list_distinct(string_split(text, ' '))) * 1000000)
+                // len(string_split(text, ' ')) AS qm
+            FROM del),
+      exc AS (SELECT source, count(*) AS n_existing FROM documents
+              WHERE doc_id % 10 NOT IN (0, 7) GROUP BY source),
+      surv AS (SELECT del.doc_id, del.source, q.qm
+               FROM del JOIN q USING (doc_id) JOIN nw USING (doc_id)
+                 LEFT JOIN ct ON ct.doc_id = del.doc_id
+               WHERE nw.is_new = 1 AND ct.doc_id IS NULL),
+      rkq AS (SELECT doc_id, source,
+                row_number() OVER (PARTITION BY source ORDER BY qm DESC, doc_id) AS rk
+              FROM surv),
+      capd AS (SELECT rkq.doc_id,
+                 CASE WHEN rk + coalesce(exc.n_existing, 0) <= 10 THEN 1 ELSE 0 END
+                   AS cap_admitted
+               FROM rkq LEFT JOIN exc USING (source)),
+      lg AS (SELECT doc_id, CASE
+               WHEN len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'of'))) > 0 THEN 'en'
+               WHEN len(list_filter(string_split(text, ' '), x -> x IN ('der', 'und', 'die'))) > 0 THEN 'de'
+               WHEN len(list_filter(string_split(text, ' '), x -> x IN ('le', 'et', 'la'))) > 0 THEN 'fr'
+               ELSE 'unknown' END AS lang
+             FROM del),
+      sp AS (SELECT doc_id,
+               CASE WHEN b < 204 THEN 'train' WHEN b < 230 THEN 'val' ELSE 'test' END AS split
+             FROM (SELECT doc_id,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split:v1'), 1, 2)) AS BIGINT) AS b
+                   FROM del)),
+      fin AS (SELECT del.doc_id, del.source, lg.lang,
+                CAST(q.qm AS BIGINT) AS quality_millionths,
+                CAST(nw.is_new AS BIGINT) AS is_new,
+                CAST(CASE WHEN ct.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS contaminated,
+                CAST(coalesce(capd.cap_admitted, 0) AS BIGINT) AS cap_admitted,
+                sp.split
+              FROM del JOIN nw USING (doc_id) JOIN q USING (doc_id)
+                LEFT JOIN ct ON ct.doc_id = del.doc_id
+                LEFT JOIN capd ON capd.doc_id = del.doc_id
+                JOIN lg USING (doc_id) JOIN sp USING (doc_id))
+      SELECT doc_id, source, lang, quality_millionths, is_new, contaminated,
+             cap_admitted, split,
+             CAST(CASE WHEN is_new = 1 AND contaminated = 0 AND cap_admitted = 1
+                  THEN 1 ELSE 0 END AS BIGINT) AS admitted,
+             CAST(CASE WHEN is_new = 1 AND contaminated = 0 AND cap_admitted = 1
+                        AND lang = 'en' AND quality_millionths >= 400000
+                        AND split = 'train'
+                  THEN 1 ELSE 0 END AS BIGINT) AS in_training_set
+      FROM fin ORDER BY doc_id""")) { (s, dir) =>
+      incrementalManifest(s, dir).orderBy("doc_id")
     },
 
     // ---- s11: streaming decontamination at ingest — d22's Bloom-probe

@@ -197,6 +197,35 @@ object ScaleRehearsal {
       check("d36_decisions_match_d32")(d36Mismatch == 0L,
         s"$d36Mismatch delta docs decided differently by the served index")
 
+      // 4e2. d37 — the composed incremental ingest gate (r13): one
+      // decision row per delta doc at 10x, every gate non-vacuous (a
+      // vacuous branch means the fixture stopped exercising the
+      // composition), and no product anywhere — the dedup leg's
+      // delta-linearity is the d32/d36 invariant above; the other legs
+      // are delta-bounded joins by construction (eval side benchmark-
+      // sized, quota rank windowed per source over survivors only).
+      val d37Df = SparkEntry.queries("d37_incremental_manifest")(spark, dir)
+      val d37Plan = finalPlan(d37Df)
+      check("d37_no_product")(
+        !d37Plan.contains("CartesianProduct") && !d37Plan.contains("BroadcastNestedLoopJoin"),
+        d37Plan.take(1500))
+      val d37Agg = d37Df.agg(
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.sum("is_new"),
+        org.apache.spark.sql.functions.sum("contaminated"),
+        org.apache.spark.sql.functions.sum("admitted"),
+        org.apache.spark.sql.functions.sum("in_training_set")).head
+      val (d37Rows, d37New, d37Cont, d37Adm, d37Train) =
+        (d37Agg.getLong(0), d37Agg.getLong(1), d37Agg.getLong(2),
+          d37Agg.getLong(3), d37Agg.getLong(4))
+      check("d37_one_decision_per_delta_doc")(d37Rows == d32Delta,
+        s"$d37Rows manifest rows for $d32Delta delta docs")
+      check("d37_gates_nonvacuous")(
+        d37New > 0 && d37New < d37Rows && d37Cont > 0 &&
+          d37Adm > 0 && d37Adm < d37New && d37Train > 0 && d37Train <= d37Adm,
+        s"is_new $d37New / contaminated $d37Cont / admitted $d37Adm / " +
+          s"in_training $d37Train of $d37Rows")
+
       // 4f. d34 shard-count contract (r13): shards-as-parallelism means
       // rows/shard is the per-task sort volume — the SIZED form must
       // keep it bounded as the corpus grows (shards scale with bytes,
@@ -511,6 +540,7 @@ object ScaleRehearsal {
         s""""d36_cand_base":$d36CandBase,"d36_cand_10x":$d36CandBig,""" +
         s""""d36_ratio":$d36Ratio,"d36_warm_builds":$buildsWarm,""" +
         s""""e12_rows_10x":$e12Rows,"e12_warm_builds":$annWarmBuilds,""" +
+        s""""d37_rows_10x":$d37Rows,"d37_admitted_10x":$d37Adm,""" +
         s""""d34_shards_base":$d34ShardsBase,"d34_shards_10x":$d34Shards10x,""" +
         s""""d34_mean_rows_per_shard_10x":$d34Mean10x,"d34_max_rows_per_shard_10x":$d34Max10x,""" +
         s""""e08_codes":$pqCodes,"e09_clusters":$e09Clusters,""" +
