@@ -713,6 +713,63 @@ object ExtensionsPack {
         .orderBy("id_a", "id_b")
     },
 
+    // s12: the STREAMING image-dedup gate — m07d's banded aHash near-dup
+    // as the multimodal member of the ingest gate, run through the real
+    // band-bucket keyed-state operator (ImageDedupStream.imagePairs:
+    // flatMapGroupsWithState over (block, value) buckets with the hash
+    // in state, verified hamming <= 3 inside the transition), flagging
+    // every image that near-duplicates an EARLIER one (keep-first, the
+    // s07 discipline). Oracle: m07d's exhaustive hash re-derivation +
+    // the flag law — so bucket recall is gated, not assumed.
+    // StreamingSpec drives the cross-batch form; StreamingScaleRehearsal
+    // holds the TTL state-plateau receipt. ----
+    QDef("s12_streaming_image_dedup_flags", Some("""
+      WITH ids AS (SELECT doc_id, doc_id AS src, FALSE AS tw FROM documents
+                   UNION ALL
+                   SELECT doc_id + 1000000, doc_id, TRUE FROM documents WHERE doc_id % 7 = 0),
+      d AS (SELECT doc_id, src, tw, src % 13 + 8 AS w, src % 11 + 8 AS h FROM ids),
+      px AS (SELECT doc_id, src, tw, w, h, unnest(range(0, w * h)) AS i FROM d),
+      c AS (SELECT doc_id, w, h, i,
+              CASE WHEN tw AND i = 0 THEN 255
+                   ELSE (src * 31 + (i % w) * 7 + (i // w) * 13) % 256 END AS r,
+              CASE WHEN tw AND i = 0 THEN 255
+                   ELSE (src * 17 + (i % w) * 3 + (i // w) * 29) % 256 END AS g,
+              CASE WHEN tw AND i = 0 THEN 255
+                   ELSE (src * 53 + (i % w) * 11 + (i // w) * 5) % 256 END AS b
+            FROM px),
+      cell AS (SELECT doc_id,
+                 ((i // w) * 8 // h) * 8 + ((i % w) * 8 // w) AS cl,
+                 r + g + b AS l
+               FROM c),
+      cm AS (SELECT doc_id, cl, sum(l) // count(*) AS m FROM cell GROUP BY 1, 2),
+      gm AS (SELECT doc_id, sum(m) // 64 AS g FROM cm GROUP BY 1),
+      hs AS (SELECT cm.doc_id,
+               CAST(sum(CASE WHEN cm.m <= gm.g THEN 0
+                             WHEN cl = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+                             ELSE CAST(CAST(1 AS BIGINT) << cl AS HUGEINT) END)
+                 AS BIGINT) AS ahash
+             FROM cm JOIN gm ON gm.doc_id = cm.doc_id GROUP BY cm.doc_id),
+      vr AS (SELECT doc_id, ahash, f AS blk,
+               (ahash >> (16 * f)) & 65535 AS bv
+             FROM hs, (SELECT unnest(range(0, 4)) AS f)),
+      pr AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.ahash AS ha, b.ahash AS hb
+             FROM vr a JOIN vr b
+               ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id),
+      dup AS (SELECT DISTINCT id_b AS doc_id FROM pr
+              WHERE bit_count(xor(ha, hb)) <= 3)
+      SELECT ids.doc_id,
+             CAST(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS dup_of_earlier
+      FROM ids LEFT JOIN dup USING (doc_id)
+      ORDER BY ids.doc_id""")) { (s, dir) =>
+      graft.streaming.ImageDedupStream.dupOfEarlierFlags(
+          Multimodal.imageAHash(
+            Multimodal.pngMediaWithTwins(oracleDocs(s, dir), base = 8, every = 7),
+            grid = 8))
+        .orderBy("doc_id")
+    },
+
     // Frame sampling is pure offset arithmetic over the payload length
     // (n = min(4, max(len/32, 1)); offset_f = len*f/n; the slice stops at
     // the payload end), so the gated projection is integer-only and DuckDB

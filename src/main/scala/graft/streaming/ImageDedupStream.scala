@@ -1,0 +1,171 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** s12 — streaming IMAGE near-duplicate gate: the multimodal member of
+  * the ingest gate (d32/d36 text dedup, s11 decontamination, and THIS),
+  * the continuous form of m07d's banded 64-bit aHash near-dup.
+  *
+  * Index shape is m07d's exactly: a 64-bit perceptual hash splits into
+  * four 16-bit Manku blocks, and hamming <= 3 pigeonholes the differing
+  * bits into at most 3 blocks — so a qualifying pair ALWAYS shares one
+  * (block, value) bucket. State lives per bucket (the s07/s08
+  * discipline) and holds (id, ahash) entries — the hash rides along (8
+  * bytes/entry), so the TRUE-hamming verification happens inside the
+  * state transition and the operator emits VERIFIED pairs directly: no
+  * post-join back to a hash table, which in a stream would mean a
+  * second stateful operator.
+  *
+  * [[imagePairs]] is the unbounded twin the s12 batch entry gates
+  * against m07d's exhaustive oracle (batch execution feeds each
+  * bucket's full iterator through one transition, emitting exactly the
+  * banded equi-join's verified pair set). [[imagePairsTtl]] is the
+  * horizon-bounded production form (EventTimeTimeout + watermark, the
+  * candidatePairsTtl eviction law: an entry older than watermark -
+  * horizon can never pair again); StreamingScaleRehearsal holds its
+  * state-plateau receipt.
+  */
+object ImageDedupStream {
+
+  final case class BlockSig(docId: Long, ahash: Long, band: Int, sig: Long)
+  final case class HashEntry(id: Long, ahash: Long)
+  final case class ImgBucketState(entries: Seq[HashEntry])
+  final case class ImagePair(docI: Long, docJ: Long, hamming: Long)
+
+  final case class BlockSigTs(
+      docId: Long, ahash: Long, band: Int, sig: Long, ts: java.sql.Timestamp)
+  final case class TimedHashEntry(id: Long, ahash: Long, tsMs: Long)
+  final case class ImgBucketStateTs(entries: Seq[TimedHashEntry])
+
+  /** The four 16-bit Manku block keys of an aHash table (doc_id, ahash)
+    * as (docId, ahash, band, sig) rows — band is the block index, sig
+    * the block value, exactly the (band, sig) bucket shape the text
+    * dedup streams (s07/s08) key state by.
+    */
+  def blockSignatures(hashes: DataFrame): DataFrame =
+    hashes.select(col("doc_id").as("docId"), col("ahash"),
+        explode(expr("transform(sequence(0, 3), " +
+          "f -> named_struct('band', CAST(f AS INT), 'sig', shiftright(ahash, 16 * f) & 65535))"))
+          .as("x"))
+      .select(col("docId"), col("ahash"), col("x.band").as("band"), col("x.sig").as("sig"))
+
+  /** [[blockSignatures]] with an event-time column carried through (the
+    * input must provide `ts`), for the TTL form.
+    */
+  def blockSignaturesTs(hashes: DataFrame): DataFrame =
+    hashes.select(col("doc_id").as("docId"), col("ahash"),
+        explode(expr("transform(sequence(0, 3), " +
+          "f -> named_struct('band', CAST(f AS INT), 'sig', shiftright(ahash, 16 * f) & 65535))"))
+          .as("x"), col("ts"))
+      .select(col("docId"), col("ahash"), col("x.band").as("band"),
+        col("x.sig").as("sig"), col("ts"))
+
+  private def hamming(a: Long, b: Long): Long =
+    java.lang.Long.bitCount(a ^ b).toLong
+
+  /** Verified image near-dup pairs from band-bucket keyed state: every
+    * arriving (id, ahash) pairs (smaller id first) with each bucket-mate
+    * — remembered or within-batch — whose true hamming distance is
+    * within `maxHamming`. Downstream must `distinct` (a pair can share
+    * up to 4 blocks).
+    */
+  def imagePairs(
+      sigs: Dataset[BlockSig], maxHamming: Int = 3): Dataset[ImagePair] = {
+    import sigs.sparkSession.implicits._
+    sigs
+      .groupByKey(s => (s.band, s.sig))
+      .flatMapGroupsWithState[ImgBucketState, ImagePair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_, it, state: GroupState[ImgBucketState]) =>
+          val prior = state.getOption.map(_.entries).getOrElse(Vector.empty)
+          val incoming = it.map(s => HashEntry(s.docId, s.ahash)).toVector
+            .distinct.sortBy(_.id)
+          val cross = for {
+            n <- incoming; o <- prior
+            if o.id != n.id && hamming(o.ahash, n.ahash) <= maxHamming
+          } yield ImagePair(math.min(o.id, n.id), math.max(o.id, n.id),
+            hamming(o.ahash, n.ahash))
+          val intra = for {
+            i <- incoming.indices; j <- (i + 1) until incoming.size
+            if hamming(incoming(i).ahash, incoming(j).ahash) <= maxHamming
+          } yield ImagePair(incoming(i).id, incoming(j).id,
+            hamming(incoming(i).ahash, incoming(j).ahash))
+          state.update(ImgBucketState((prior ++ incoming).distinct))
+          (cross ++ intra).iterator
+      }
+  }
+
+  /** Horizon-bounded verified pairs — candidatePairsTtl's eviction law
+    * with the hash in state: two images pair only when their event
+    * times are within `horizonMs`, entries behind (watermark - horizon)
+    * are evicted as unable to ever pair again, and an idle bucket
+    * expires whole via EventTimeTimeout. Batch execution degenerates to
+    * the pure horizon predicate (the s08 discipline).
+    */
+  def imagePairsTtl(
+      sigs: Dataset[BlockSigTs], horizonMs: Long,
+      maxHamming: Int = 3,
+      watermarkDelay: String = "0 seconds"): Dataset[ImagePair] = {
+    import sigs.sparkSession.implicits._
+    val wmed = sigs.withWatermark("ts", watermarkDelay)
+    wmed
+      .groupByKey(s => (s.band, s.sig))
+      .flatMapGroupsWithState[ImgBucketStateTs, ImagePair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (_, it, state: GroupState[ImgBucketStateTs]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm =
+              try state.getCurrentWatermarkMs()
+              catch { case _: UnsupportedOperationException => Long.MinValue }
+            val keepFrom = if (wm == Long.MinValue) Long.MinValue else wm - horizonMs
+            val prior = state.getOption.map(_.entries).getOrElse(Vector.empty)
+              .filter(_.tsMs >= keepFrom)
+            val incoming = it.map(s => (s.docId, s.ahash, s.ts.getTime)).toVector
+              .groupBy(_._1)
+              .map { case (id, xs) => TimedHashEntry(id, xs.head._2, xs.map(_._3).max) }
+              .toVector.sortBy(_.id)
+            val cross = for {
+              n <- incoming; o <- prior
+              if o.id != n.id && math.abs(n.tsMs - o.tsMs) <= horizonMs &&
+                hamming(o.ahash, n.ahash) <= maxHamming
+            } yield ImagePair(math.min(o.id, n.id), math.max(o.id, n.id),
+              hamming(o.ahash, n.ahash))
+            val intra = for {
+              i <- incoming.indices; j <- (i + 1) until incoming.size
+              if math.abs(incoming(i).tsMs - incoming(j).tsMs) <= horizonMs &&
+                hamming(incoming(i).ahash, incoming(j).ahash) <= maxHamming
+            } yield ImagePair(incoming(i).id, incoming(j).id,
+              hamming(incoming(i).ahash, incoming(j).ahash))
+            val kept = (prior ++ incoming)
+              .groupBy(_.id)
+              .map { case (id, xs) => TimedHashEntry(id, xs.head.ahash, xs.map(_.tsMs).max) }
+              .toVector.filter(_.tsMs >= keepFrom).sortBy(_.id)
+            if (kept.isEmpty) state.remove()
+            else {
+              state.update(ImgBucketStateTs(kept))
+              state.setTimeoutTimestamp(kept.map(_.tsMs).max + horizonMs)
+            }
+            (cross ++ intra).iterator
+          }
+      }
+  }
+
+  /** Keep-first flags over an aHash table (the s12 batch entry's shape):
+    * a document is flagged when it verified-pairs with any EARLIER id —
+    * the same stateful operator, batch-executed, so the exhaustive
+    * oracle gates the bucket machinery's recall.
+    */
+  def dupOfEarlierFlags(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val spark = hashes.sparkSession
+    import spark.implicits._
+    val sigs = blockSignatures(hashes).as[BlockSig]
+    val dups = imagePairs(sigs, maxHamming).toDF()
+      .select(col("docJ").as("doc_id")).distinct()
+      .withColumn("f", lit(1L))
+    hashes.select(col("doc_id")).join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("f"), lit(0L)).as("dup_of_earlier"))
+  }
+}

@@ -232,6 +232,48 @@ object StreamingScaleRehearsal {
         s"max state $s08Max vs total signature rows $sigTotal — " +
           "without eviction state would approach the input")
 
+      // ---- s12: the TTL image-dedup gate's state bound (r13) — the
+      // multimodal member of the ingest gate run at factor x: real PNG
+      // decode + 64-bit aHash once on the base corpus (with planted
+      // twins), copies id- and time-shifted like s08, streamed through
+      // imagePairsTtl (hash-in-state, verified hamming inside the
+      // transition) with the same 600s horizon. Live state = in-horizon
+      // docs x 4 block buckets + the current batch — the eviction law is
+      // identical to s08's, and the copies sit nDocs seconds apart so
+      // cross-copy self-pairs are horizon-rejected.
+      val imgBase = graft.multimodal.Multimodal.imageAHash(
+          graft.multimodal.Multimodal.pngMediaWithTwins(docsBase, base = 8, every = 7),
+          grid = 8)
+        .select(col("doc_id"), col("ahash"))
+        .localCheckpoint() // one decode for all copies
+      val nImg = imgBase.count()
+      val imgSigsScaled = (0 until factor).map { i =>
+        graft.streaming.ImageDedupStream.blockSignaturesTs(
+          imgBase.select((col("doc_id") + lit(Offset * 2 * i)).as("doc_id"),
+            col("ahash"))
+            .withColumn("rn0", row_number().over(
+              org.apache.spark.sql.expressions.Window.orderBy("doc_id")))
+            .withColumn("ts", timestamp_seconds(col("rn0") + lit(nImg * i)))
+            .drop("rn0"))
+      }.reduce(_ unionByName _)
+      val imgWork = s"$work/imgdedup"
+      val (imgDir, imgTotal) = writeTimeChunks(spark, imgSigsScaled, imgWork, chunks)
+      val s12Curve = runWithCurve(spark, imgDir, imgWork, "s12_rehearsal") { df =>
+        import spark.implicits._
+        graft.streaming.ImageDedupStream
+          .imagePairsTtl(df.as[graft.streaming.ImageDedupStream.BlockSigTs], dedupHorizonMs)
+          .toDF()
+      }
+      val s12Max = s12Curve.map(_._2).max
+      val steadyS12 = 4L * (dedupHorizonMs / 1000L) // 1 image/second, 4 blocks each
+      val imgBatchRows = imgTotal / chunks
+      check("s12_batches_cover_chunks")(s12Curve.length >= chunks,
+        s"${s12Curve.length} progress entries < $chunks chunks")
+      check("s12_bucket_state_plateaus")(s12Max <= 4 * (steadyS12 + imgBatchRows),
+        s"max state $s12Max vs 4x(steady $steadyS12 + batch $imgBatchRows)")
+      check("s12_state_not_input")(s12Max * 10 <= imgTotal,
+        s"max state $s12Max vs total block rows $imgTotal")
+
       // ---- s09: trending top-k at window close under OUT-OF-ORDER
       // arrival (r10 verdict #6). A synthetic 20-events/second stream
       // (factor x the events table, copies extending the timeline) where
@@ -478,6 +520,8 @@ object StreamingScaleRehearsal {
           s""""s05_max_state":$s05Max,"s05_steady_estimate":$steadyS05,""" +
           s""""s08_max_state":$s08Max,"s08_steady_estimate":$steadyS08,""" +
           s""""s08_sig_rows":$sigTotal,"s08_horizon_ms":$dedupHorizonMs,""" +
+          s""""s12_max_state":$s12Max,"s12_steady_estimate":$steadyS12,""" +
+          s""""s12_block_rows":$imgTotal,""" +
           s""""s09_max_state":$s09Max,"s09_open_bound":$s09OpenBound,""" +
           s""""s09_windows_emitted":${s09Emitted.size},"s09_windows_total":$s09WindowsTotal,""" +
           s""""s09_tuples":${s09Streamed.length},""" +

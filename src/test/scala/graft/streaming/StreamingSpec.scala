@@ -378,6 +378,83 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("s12 image dedup: batch-2 twin pairs with its batch-1 original out of state, verified in-state") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.ImageDedupStream
+    import ImageDedupStream.{BlockSig, ImagePair}
+    val input = MemoryStream[BlockSig]
+    val query = ImageDedupStream.imagePairs(input.toDS())
+      .writeStream.format("memory").queryName("simg_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: doc 1's hash 0xF0; doc 9 shares block-0 bucket (same low
+      // 16 bits 0x00F0) but sits 4+ bits away from BOTH doc 1 and the
+      // upcoming doc 2 — a banding collision the in-state hamming verify
+      // must reject
+      input.addData(BlockSig(1, 0xF0L, 0, 0xF0L), BlockSig(9, 0x0F0000F0L, 0, 0xF0L))
+      query.processAllAvailable()
+      assert(spark.table("simg_test").collect().isEmpty,
+        "hamming-4 bucket-mates must not pair")
+      // batch 2: doc 2 is doc 1's near-twin (hamming 1) in the same
+      // bucket — pairs with the REMEMBERED entry, out of a batch it
+      // never saw
+      input.addData(BlockSig(2, 0xF1L, 0, 0xF0L))
+      query.processAllAvailable()
+      val got = spark.table("simg_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === Set((1L, 2L, 1L)))
+    } finally query.stop()
+
+    // batch parity: the same stateful operator over the twins corpus
+    // emits exactly m07d's banded equi-join verified pair set
+    val hs = graft.multimodal.Multimodal.imageAHash(
+      graft.multimodal.Multimodal.pngMediaWithTwins(
+        graft.Tables.documents(spark, "/root/testdata/sf0.001"), base = 8, every = 7),
+      grid = 8).localCheckpoint()
+    val sigs = ImageDedupStream.blockSignatures(hs).as[BlockSig]
+    val gotPairs = ImageDedupStream.imagePairs(sigs).collect()
+      .map(p => (p.docI, p.docJ, p.hamming)).toSet
+    val m07d = graft.queries.ExtensionsPack.defs
+      .find(_.name == "m07d_image_ahash64_pairs").get
+      .run(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotPairs === m07d)
+    assert(gotPairs.nonEmpty, "the twin fixture must recover planted pairs")
+  }
+
+  test("s12 TTL: watermark advance evicts image bucket entries; evicted images stop pairing") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.ImageDedupStream
+    import ImageDedupStream.BlockSigTs
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val input = MemoryStream[BlockSigTs]
+    val query = ImageDedupStream.imagePairsTtl(input.toDS(), horizonMs = 10000L)
+      .writeStream.format("memory").queryName("simg_ttl_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(BlockSigTs(1, 0xF0L, 0, 0xF0L, ts(0)))
+      query.processAllAvailable()
+      // advance the watermark far past doc 1's ts + horizon
+      input.addData(BlockSigTs(50, 0xABCD0000L, 1, 7L, ts(100)))
+      query.processAllAvailable()
+      // doc 2, hamming 1 from doc 1, same bucket, strictly above the
+      // watermark (a row AT the watermark is dropped as late) but 101s
+      // after the EVICTED doc 1: no pair may emerge
+      input.addData(BlockSigTs(2, 0xF1L, 0, 0xF0L, ts(101)))
+      query.processAllAvailable()
+      val got = spark.table("simg_ttl_test").collect()
+      assert(got.isEmpty, s"evicted image paired: ${got.mkString}")
+      // a fresh near-twin inside the horizon still pairs
+      input.addData(BlockSigTs(3, 0xF3L, 0, 0xF0L, ts(105)))
+      query.processAllAvailable()
+      val all = spark.table("simg_ttl_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(all === Set((2L, 3L)))
+    } finally query.stop()
+  }
+
   test("trending top-k emits each closed window exactly once, matching the batch twin") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
