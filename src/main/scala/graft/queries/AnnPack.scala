@@ -257,11 +257,38 @@ object AnnPack {
     * *filtered* corpus. Exact-cosine re-rank on the surviving
     * candidates, e01 tie discipline.
     */
+  /** e11's probe width, MEASURED (r13, retiring the fixed 2x
+    * [[FilteredNProbe]] — which stopped holding the 0.8 recall floor
+    * once [[servingCells]] grew the cell count past the fixture 16):
+    * filtering by a predicate of selectivity s shrinks candidate volume
+    * to s x (nprobe/cells) x N, so holding the UNFILTERED candidate
+    * budget means probing nprobe/s cells, capped at every cell. The
+    * selectivity is one memoized metadata count; the DuckDB oracles
+    * mirror the derivation with the identical count()/ceil arithmetic
+    * (the d10b oracle-mirrored-conditional discipline). At fixture
+    * scale the cap engages (cells < nprobe/s — the filtered slice is
+    * scanned whole, recall 1.0); at production scale (cells → 4096)
+    * the same rule probes nprobe/s ≈ 40 of thousands of cells.
+    */
+  private def filteredNProbeFor(
+      emb: DataFrame, labelValue: Int, nCells: Int,
+      cacheKey: Option[String]): Int = {
+    val n = corpusCount(emb, cacheKey.map(_ + "#ivfN"))
+    val nl = corpusCount(emb.filter(col("label") === labelValue),
+      cacheKey.map(_ + s"#lbl$labelValue"))
+    val s = nl.toDouble / n.toDouble
+    if (s <= 0d) nCells
+    else math.min(nCells.toLong, math.ceil(NProbe / s).toLong).toInt
+  }
+
   def ivfTopKIntFiltered(
       emb: DataFrame, labelValue: Int,
-      nprobe: Int = FilteredNProbe,
-      cacheKey: Option[String] = None): DataFrame =
-    ivfTopKIntImpl(emb, nprobe, Some(labelValue), servingCells(emb, cacheKey))
+      nprobe: Option[Int] = None,
+      cacheKey: Option[String] = None): DataFrame = {
+    val nCells = servingCells(emb, cacheKey)
+    val np = nprobe.getOrElse(filteredNProbeFor(emb, labelValue, nCells, cacheKey))
+    ivfTopKIntImpl(emb, np, Some(labelValue), nCells)
+  }
 
   private def ivfTopKIntImpl(
       emb: DataFrame, nprobe: Int, labelValue: Option[Int], nCells: Int): DataFrame = {
@@ -1551,6 +1578,10 @@ object AnnPack {
       $int8QeCtes,
       nac AS (SELECT CAST(least(4096, greatest($NumCentroids, round(sqrt(CAST(count(*) AS DOUBLE))))) AS BIGINT) AS a FROM cv),
       cent AS (SELECT vec_id AS cid, d, q AS cq FROM qe WHERE vec_id < (SELECT a FROM nac)),
+      sel AS (SELECT CAST(count(*) FILTER (WHERE label = $FilterLabel) AS DOUBLE)
+                       / count(*) AS s FROM embeddings),
+      np AS (SELECT least((SELECT a FROM nac),
+                          CAST(ceil($NProbe / s) AS BIGINT)) AS p FROM sel),
       dd AS (SELECT e.vec_id, c.cid, sum((e.q - c.cq) * (e.q - c.cq)) AS d2
              FROM qe e JOIN cent c ON c.d = e.d GROUP BY 1, 2),
       cells AS (SELECT vec_id, cid AS cell FROM (
@@ -1561,7 +1592,7 @@ object AnnPack {
       prb AS (SELECT vec_id AS q_id, cid AS cell FROM (
               SELECT vec_id, cid,
                      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-              FROM dd WHERE vec_id < $NumQueries) WHERE rn <= $FilteredNProbe),
+              FROM dd WHERE vec_id < $NumQueries) WHERE rn <= (SELECT p FROM np)),
       cnd AS (SELECT p.q_id, c.vec_id
               FROM cells c JOIN lbl l ON l.vec_id = c.vec_id
                            JOIN prb p ON p.cell = c.cell
@@ -1588,6 +1619,10 @@ object AnnPack {
       $int8QeCtes,
       nac AS (SELECT CAST(least(4096, greatest($NumCentroids, round(sqrt(CAST(count(*) AS DOUBLE))))) AS BIGINT) AS a FROM cv),
       cent AS (SELECT vec_id AS cid, d, q AS cq FROM qe WHERE vec_id < (SELECT a FROM nac)),
+      sel AS (SELECT CAST(count(*) FILTER (WHERE label = $FilterLabel) AS DOUBLE)
+                       / count(*) AS s FROM embeddings),
+      np AS (SELECT least((SELECT a FROM nac),
+                          CAST(ceil($NProbe / s) AS BIGINT)) AS p FROM sel),
       dd AS (SELECT e.vec_id, c.cid, sum((e.q - c.cq) * (e.q - c.cq)) AS d2
              FROM qe e JOIN cent c ON c.d = e.d GROUP BY 1, 2),
       cells AS (SELECT vec_id, cid AS cell FROM (
@@ -1598,7 +1633,7 @@ object AnnPack {
       prb AS (SELECT vec_id AS q_id, cid AS cell FROM (
               SELECT vec_id, cid,
                      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-              FROM dd WHERE vec_id < $NumQueries) WHERE rn <= $FilteredNProbe),
+              FROM dd WHERE vec_id < $NumQueries) WHERE rn <= (SELECT p FROM np)),
       cnd AS (SELECT p.q_id, c.vec_id
               FROM cells c JOIN lbl l ON l.vec_id = c.vec_id
                            JOIN prb p ON p.cell = c.cell

@@ -41,7 +41,8 @@ class EntryAnalyzeSmokeSpec extends AnyFunSuite {
     "d30_phrase_merge", "d30b_phrase_merge_table", "d30c_phrase_merge_apply",
     "d31_dup_span_removal", "d32_incremental_ingest_dedup",
     "d33_source_quality_cap", "d34_training_shard_shuffle",
-    "d35_token_quality_classifier",
+    "d35_token_quality_classifier", "d36_indexed_ingest_dedup",
+    "d37_incremental_manifest",
     "e01_ann_brute_topk", "e02_ann_ivf_topk", "e02b_ann_ivf_full_probe",
     "e02c_ann_ivf_recall_floor", "e02d_ann_ivf_int_topk",
     "e03_cosine_near_dup",
@@ -53,6 +54,7 @@ class EntryAnalyzeSmokeSpec extends AnyFunSuite {
     "e08d_ann_pq_trained_recall_floor", "e09_kmeans_train",
     "e10_ann_ivfpq_topk", "e10b_ann_ivfpq_recall_floor",
     "e11_ann_ivf_filtered_topk", "e11b_ann_ivf_filtered_recall_floor",
+    "e12_ann_served_topk",
     "g01_nodes", "g02_edges", "g03_properties", "g04_entity_index",
     "g05_lookup_entity", "g06_neighbors", "g07_get_edge", "g08_counts",
     "g09_traverse", "g10_traverse_filtered", "g11_frontier_edges",
@@ -88,7 +90,8 @@ class EntryAnalyzeSmokeSpec extends AnyFunSuite {
     "s04_click_attribution", "s05_click_attribution_outer",
     "s06_user_activity_state", "s07_streaming_dedup_flags",
     "s08_streaming_dedup_ttl_flags", "s09_trending_types",
-    "s10_windowed_pair_counts", "s11_streaming_decontamination")
+    "s10_windowed_pair_counts", "s11_streaming_decontamination",
+    "s12_streaming_image_dedup_flags")
 
   test("registry holds exactly the pinned entry-name set") {
     val got = SparkEntry.queries.keySet
