@@ -626,6 +626,7 @@ object PipelinePack {
   // strictly before the cache can be populated
   SessionMemos.registerEvictor { dead =>
     maxDfCache.filterInPlace { case ((s, _), _) => !dead(s) }
+    minDfCache.filterInPlace { case ((s, _, _), _) => !dead(s) }
     bandSigCache.filterInPlace { case ((s, _), df) =>
       if (dead(s)) { SessionMemos.safeUnpersist(df); false } else true
     }
@@ -643,6 +644,7 @@ object PipelinePack {
 
   private[graft] def memoEntriesFor(session: SparkSession): Int =
     maxDfCache.keysIterator.count(_._1 eq session) +
+      minDfCache.keysIterator.count(_._1 eq session) +
       bandSigCache.keysIterator.count(_._1 eq session) +
       jacPairsCache.keysIterator.count(_._1 eq session) +
       phraseMergeCache.keysIterator.count(_._1 eq session)
@@ -1283,6 +1285,47 @@ object PipelinePack {
     * size. The apply leg never shuffles the corpus beyond the per-doc
     * aggregate; `div` keeps the mean in exact integer arithmetic.
     */
+  /** d35's vocabulary floor, MEASURED (r13, retiring the fixed
+    * `minDf = 5` default as a production magic number): the broadcast
+    * side of the apply join is the vocabulary, so its size — not a df
+    * floor — is the real contract. The probe measures vocabulary size
+    * at each rung of a fixed ladder (one distinct-word aggregate,
+    * memoized per corpus) and picks the SMALLEST rung whose vocabulary
+    * fits `vocabBudget`; on any natural corpus the base rung wins (df>=5
+    * vocabulary grows sub-linearly), and a pathological corpus (machine
+    * ids, hashes) escalates instead of blowing the broadcast. The DuckDB
+    * oracle mirrors the ladder decision in SQL (the d10b
+    * oracle-mirrored-conditional discipline), so BOTH branches stay
+    * gated; PipelineSpec exercises the escalation branch with a tiny
+    * budget.
+    */
+  private val MinDfLadder = Seq(5L, 50L, 500L, 5000L, 50000L)
+
+  private val minDfCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Long), Long]
+
+  private[graft] def chooseMinDf(
+      docs: DataFrame, vocabBudget: Long = 1000000L,
+      cacheKey: Option[String] = None): Long = {
+    def probe(): Long = {
+      val aggs = MinDfLadder.map(k =>
+        sum(when(col("ct") >= k, 1L).otherwise(0L)).as(s"v$k"))
+      val sizes = docs.select(explode(toks).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("ct"))
+        .agg(aggs.head, aggs.tail: _*)
+        .head
+      MinDfLadder.zipWithIndex
+        .collectFirst { case (k, i) if sizes.getLong(i) <= vocabBudget => k }
+        .getOrElse(MinDfLadder.last)
+    }
+    cacheKey match {
+      case Some(k) =>
+        SessionMemos.arm(docs.sparkSession)
+        minDfCache.getOrElseUpdate((docs.sparkSession, k, vocabBudget), probe())
+      case None => probe()
+    }
+  }
+
   def tokenQualityClassifier(docs: DataFrame, minDf: Long = 5L): DataFrame = {
     val tokens = docs.select(col("doc_id"), col("source"), explode(toks).as("w"))
       .withColumn("good", expr("substring(source, 4)").cast("long") % 2 === 0)
@@ -2774,10 +2817,15 @@ object PipelinePack {
              FROM aug),
       lab AS (SELECT doc_id, w,
                 CAST(substr(source, 4) AS BIGINT) % 2 = 0 AS good FROM tk),
+      dfs AS (SELECT w, count(*) AS ct FROM tk GROUP BY w),
+      lad AS (SELECT coalesce(
+                (SELECT min(k) FROM (VALUES (5), (50), (500), (5000), (50000)) t(k)
+                 WHERE (SELECT count(*) FROM dfs WHERE ct >= k) <= 1000000),
+                50000) AS k),
       v AS (SELECT w,
               (sum(CASE WHEN good THEN 1 ELSE 0 END) + 1) * 1000000
                 // (count(*) + 2) AS ratio
-            FROM lab GROUP BY w HAVING count(*) >= 5),
+            FROM lab GROUP BY w HAVING count(*) >= (SELECT k FROM lad)),
       sc AS (SELECT l.doc_id, coalesce(v.ratio, 500000) AS r
              FROM lab l LEFT JOIN v USING (w))
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
@@ -2787,7 +2835,9 @@ object PipelinePack {
         when(col("doc_id") % 7 === 0,
           concat(col("text"), lit(" xq"), col("doc_id").cast("string")))
           .otherwise(col("text")))
-      tokenQualityClassifier(aug).orderBy("doc_id")
+      tokenQualityClassifier(aug,
+        minDf = chooseMinDf(aug, cacheKey = Some(s"$dir/documents#d35aug")))
+        .orderBy("doc_id")
     },
 
     // ---- d16: PII redaction (email + IPv4), the scrubbing pass every

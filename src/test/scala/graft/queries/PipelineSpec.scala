@@ -246,6 +246,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.map(_._2).distinct.length > 1, "fixture spans multiple shards")
   }
 
+  test("d35 minDf probe: base rung on natural vocab, escalation under a tiny budget") {
+    val docs = graft.Tables.documents(spark, dir)
+    // the synthetic corpus's df>=5 vocabulary is far under the production
+    // budget — the base rung wins and d35's behavior is unchanged
+    assert(PipelinePack.chooseMinDf(docs) === 5L)
+    // a pathological budget forces the ladder up: the chosen rung must be
+    // the SMALLEST whose vocabulary fits, and the classifier still runs
+    // (every token OOV -> the 500000 prior)
+    val rung = PipelinePack.chooseMinDf(docs, vocabBudget = 3L)
+    assert(rung > 5L, s"ladder did not escalate under budget 3 (got $rung)")
+    val vocabAtRung = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("ct"))
+      .filter(col("ct") >= rung).count()
+    assert(vocabAtRung <= 3L || rung == 50000L,
+      s"rung $rung leaves $vocabAtRung words over budget 3")
+    val scored = PipelinePack.tokenQualityClassifier(docs, minDf = rung)
+    assert(scored.count() === docs.count())
+  }
+
   test("d34 sized form: shard count derives from bytes/target, same permutation law") {
     val docs = graft.Tables.documents(spark, dir)
     // the contract arithmetic (r13): shards = max(min, ceil(bytes/target))
