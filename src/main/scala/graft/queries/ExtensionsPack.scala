@@ -16,23 +16,13 @@ import org.apache.spark.sql.functions._
   */
 object ExtensionsPack {
 
-  /** The documents corpus with the multimodal-oracle band invariant
-    * ENFORCED in-plan (ADVICE r12): every m-entry's DuckDB oracle
-    * re-derives pixels from the unsalted (doc_id, x, y) formula, while
-    * [[Multimodal.pixel]] salts bands with doc_id >= ScaleUp.Offset.
-    * The assert lives inside the doc_id expression itself — column
-    * pruning can't drop it, no eager job runs, and pointing the verify
-    * harness at a band-shifted ScaleUp corpus fails loudly at execution
-    * instead of as a wall of hash mismatches.
-    */
-  private def oracleDocs(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame =
-    Tables.documents(s, dir).withColumn("doc_id",
-      when(assert_true(col("doc_id") < lit(graft.tools.ScaleUp.Offset),
-          lit("oracle-gated multimodal corpus must keep doc_id < " +
-            "ScaleUp.Offset: the per-band pixel salt is not encoded " +
-            "in the DuckDB oracles")).isNull,
-        col("doc_id")))
+  // The multimodal oracles encode Multimodal.pixel's per-band salt
+  // directly (ADVICE r12, resolved the other way after the r13 rehearsal
+  // showed entries must legitimately RUN on band-shifted corpora): each
+  // channel formula carries the (doc_id // ScaleUp.Offset)-derived
+  // nonlinear term, so oracle parity holds at ANY id band — no runtime
+  // guard needed, and pointing verify at a ScaleUp output now compares
+  // correctly instead of failing.
 
   /** One oracle for the q34 family: all three written orientations ask
     * the identical point-in-session-interval question, so DuckDB answers
@@ -456,7 +446,7 @@ object ExtensionsPack {
              length(text) * 10 AS duration_ms,
              strlen(text) AS n_bytes
       FROM documents ORDER BY doc_id""")) { (s, dir) =>
-      Multimodal.mediaFromDocuments(oracleDocs(s, dir))
+      Multimodal.mediaFromDocuments(Tables.documents(s, dir))
         .select(
           col("doc_id"),
           col("meta.format").as("format"),
@@ -483,9 +473,9 @@ object ExtensionsPack {
       px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM d),
       xy AS (SELECT doc_id, i % w AS x, i // w AS y FROM px),
       ch AS (SELECT doc_id,
-               unnest([(doc_id * 31 + x * 7 + y * 13) % 256,
-                       (doc_id * 17 + x * 3 + y * 29) % 256,
-                       (doc_id * 53 + x * 11 + y * 5) % 256]) AS v
+               unnest([(doc_id * 31 + x * 7 + y * 13 + (doc_id // 100000000) * 1009 * (x * y + x + 1)) % 256,
+                       (doc_id * 17 + x * 3 + y * 29 + (doc_id // 100000000) * 1009 * (x * y + x + 1) * 3) % 256,
+                       (doc_id * 53 + x * 11 + y * 5 + (doc_id // 100000000) * 1009 * (x * y + x + 1) * 7) % 256]) AS v
              FROM xy),
       cnt AS (SELECT doc_id, v % ${Multimodal.FeatureDim} AS dim, count(*) AS c
               FROM ch GROUP BY 1, 2),
@@ -494,7 +484,7 @@ object ExtensionsPack {
       FROM dims d LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.dim = d.dim
       ORDER BY d.doc_id, d.dim""")) { (s, dir) =>
       Multimodal.decodeFeatures(
-          Multimodal.pngMediaFromDocuments(oracleDocs(s, dir)))
+          Multimodal.pngMediaFromDocuments(Tables.documents(s, dir)))
         .select(col("doc_id"), col("n_channel_bytes"),
           posexplode(col("features")).as(Seq("dim", "value")))
         .select(col("doc_id"), col("dim").cast("long").as("dim"),
@@ -511,9 +501,9 @@ object ExtensionsPack {
       WITH d AS (SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h FROM documents),
       px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM d),
       c AS (SELECT doc_id, w, h, i,
-              (doc_id * 31 + (i % w) * 7 + (i // w) * 13) % 256 AS r,
-              (doc_id * 17 + (i % w) * 3 + (i // w) * 29) % 256 AS g,
-              (doc_id * 53 + (i % w) * 11 + (i // w) * 5) % 256 AS b
+              (doc_id * 31 + (i % w) * 7 + (i // w) * 13 + (doc_id // 100000000) * 1009 * ((i % w) * (i // w) + (i % w) + 1)) % 256 AS r,
+              (doc_id * 17 + (i % w) * 3 + (i // w) * 29 + (doc_id // 100000000) * 1009 * ((i % w) * (i // w) + (i % w) + 1) * 3) % 256 AS g,
+              (doc_id * 53 + (i % w) * 11 + (i // w) * 5 + (doc_id // 100000000) * 1009 * ((i % w) * (i // w) + (i % w) + 1) * 7) % 256 AS b
             FROM px)
       SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
              count(*) AS n_pixels,
@@ -524,7 +514,7 @@ object ExtensionsPack {
       FROM c GROUP BY doc_id, w, h
       ORDER BY doc_id""")) { (s, dir) =>
       Multimodal.decodeImage(
-          Multimodal.pngMediaFromDocuments(oracleDocs(s, dir)))
+          Multimodal.pngMediaFromDocuments(Tables.documents(s, dir)))
         .orderBy("doc_id")
     },
 
@@ -537,9 +527,9 @@ object ExtensionsPack {
       WITH d AS (SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h FROM documents),
       px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM d),
       c AS (SELECT doc_id, w, h, i,
-              (doc_id * 31 + (i % w) * 7 + (i // w) * 13) % 256 AS r,
-              (doc_id * 17 + (i % w) * 3 + (i // w) * 29) % 256 AS g,
-              (doc_id * 53 + (i % w) * 11 + (i // w) * 5) % 256 AS b
+              (doc_id * 31 + (i % w) * 7 + (i // w) * 13 + (doc_id // 100000000) * 1009 * ((i % w) * (i // w) + (i % w) + 1)) % 256 AS r,
+              (doc_id * 17 + (i % w) * 3 + (i // w) * 29 + (doc_id // 100000000) * 1009 * ((i % w) * (i // w) + (i % w) + 1) * 3) % 256 AS g,
+              (doc_id * 53 + (i % w) * 11 + (i // w) * 5 + (doc_id // 100000000) * 1009 * ((i % w) * (i // w) + (i % w) + 1) * 7) % 256 AS b
             FROM px),
       cell AS (SELECT doc_id,
                  ((i // w) * 4 // h) * 4 + ((i % w) * 4 // w) AS cl,
@@ -553,7 +543,7 @@ object ExtensionsPack {
       FROM cm JOIN gm ON gm.doc_id = cm.doc_id
       GROUP BY cm.doc_id ORDER BY cm.doc_id""")) { (s, dir) =>
       Multimodal.imageAHash(
-          Multimodal.pngMediaFromDocuments(oracleDocs(s, dir)))
+          Multimodal.pngMediaFromDocuments(Tables.documents(s, dir)))
         .orderBy("doc_id")
     },
 
@@ -573,9 +563,9 @@ object ExtensionsPack {
       WITH d AS (SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h FROM documents),
       px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM d),
       c AS (SELECT doc_id, w, h, i,
-              (doc_id * 31 + (i % w) * 7 + (i // w) * 13) % 256 AS r,
-              (doc_id * 17 + (i % w) * 3 + (i // w) * 29) % 256 AS g,
-              (doc_id * 53 + (i % w) * 11 + (i // w) * 5) % 256 AS b
+              (doc_id * 31 + (i % w) * 7 + (i // w) * 13 + (doc_id // 100000000) * 1009 * ((i % w) * (i // w) + (i % w) + 1)) % 256 AS r,
+              (doc_id * 17 + (i % w) * 3 + (i // w) * 29 + (doc_id // 100000000) * 1009 * ((i % w) * (i // w) + (i % w) + 1) * 3) % 256 AS g,
+              (doc_id * 53 + (i % w) * 11 + (i // w) * 5 + (doc_id // 100000000) * 1009 * ((i % w) * (i // w) + (i % w) + 1) * 7) % 256 AS b
             FROM px),
       cell AS (SELECT doc_id,
                  ((i // w) * 4 // h) * 4 + ((i % w) * 4 // w) AS cl,
@@ -599,7 +589,7 @@ object ExtensionsPack {
       FROM pr WHERE bit_count(xor(ha, hb)) <= 1
       ORDER BY id_a, id_b""")) { (s, dir) =>
       val hs = Multimodal.imageAHash(
-        Multimodal.pngMediaFromDocuments(oracleDocs(s, dir)))
+        Multimodal.pngMediaFromDocuments(Tables.documents(s, dir)))
       val blocks = hs.select(col("doc_id"), col("ahash"),
         explode(expr("transform(sequence(0, 1), " +
           "f -> named_struct('blk', f, 'bv', shiftright(ahash, 8 * f) & 255))")).as("x"))
@@ -627,9 +617,9 @@ object ExtensionsPack {
       WITH d AS (SELECT doc_id, doc_id % 13 + 8 AS w, doc_id % 11 + 8 AS h FROM documents),
       px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM d),
       c AS (SELECT doc_id, w, h, i,
-              (doc_id * 31 + (i % w) * 7 + (i // w) * 13) % 256 AS r,
-              (doc_id * 17 + (i % w) * 3 + (i // w) * 29) % 256 AS g,
-              (doc_id * 53 + (i % w) * 11 + (i // w) * 5) % 256 AS b
+              (doc_id * 31 + (i % w) * 7 + (i // w) * 13 + (doc_id // 100000000) * 1009 * ((i % w) * (i // w) + (i % w) + 1)) % 256 AS r,
+              (doc_id * 17 + (i % w) * 3 + (i // w) * 29 + (doc_id // 100000000) * 1009 * ((i % w) * (i // w) + (i % w) + 1) * 3) % 256 AS g,
+              (doc_id * 53 + (i % w) * 11 + (i // w) * 5 + (doc_id // 100000000) * 1009 * ((i % w) * (i // w) + (i % w) + 1) * 7) % 256 AS b
             FROM px),
       cell AS (SELECT doc_id,
                  ((i // w) * 8 // h) * 8 + ((i % w) * 8 // w) AS cl,
@@ -645,7 +635,7 @@ object ExtensionsPack {
       FROM cm JOIN gm ON gm.doc_id = cm.doc_id
       GROUP BY cm.doc_id ORDER BY cm.doc_id""")) { (s, dir) =>
       Multimodal.imageAHash(
-          Multimodal.pngMediaFromDocuments(oracleDocs(s, dir), base = 8), grid = 8)
+          Multimodal.pngMediaFromDocuments(Tables.documents(s, dir), base = 8), grid = 8)
         .orderBy("doc_id")
     },
 
@@ -665,11 +655,11 @@ object ExtensionsPack {
       px AS (SELECT doc_id, src, tw, w, h, unnest(range(0, w * h)) AS i FROM d),
       c AS (SELECT doc_id, w, h, i,
               CASE WHEN tw AND i = 0 THEN 255
-                   ELSE (src * 31 + (i % w) * 7 + (i // w) * 13) % 256 END AS r,
+                   ELSE (src * 31 + (i % w) * 7 + (i // w) * 13 + (src // 100000000) * 1009 * ((i % w) * (i // w) + (i % w) + 1)) % 256 END AS r,
               CASE WHEN tw AND i = 0 THEN 255
-                   ELSE (src * 17 + (i % w) * 3 + (i // w) * 29) % 256 END AS g,
+                   ELSE (src * 17 + (i % w) * 3 + (i // w) * 29 + (src // 100000000) * 1009 * ((i % w) * (i // w) + (i % w) + 1) * 3) % 256 END AS g,
               CASE WHEN tw AND i = 0 THEN 255
-                   ELSE (src * 53 + (i % w) * 11 + (i // w) * 5) % 256 END AS b
+                   ELSE (src * 53 + (i % w) * 11 + (i // w) * 5 + (src // 100000000) * 1009 * ((i % w) * (i // w) + (i % w) + 1) * 7) % 256 END AS b
             FROM px),
       cell AS (SELECT doc_id,
                  ((i // w) * 8 // h) * 8 + ((i % w) * 8 // w) AS cl,
@@ -695,7 +685,7 @@ object ExtensionsPack {
       FROM pr WHERE bit_count(xor(ha, hb)) <= 3
       ORDER BY id_a, id_b""")) { (s, dir) =>
       val hs = Multimodal.imageAHash(
-        Multimodal.pngMediaWithTwins(oracleDocs(s, dir), base = 8, every = 7),
+        Multimodal.pngMediaWithTwins(Tables.documents(s, dir), base = 8, every = 7),
         grid = 8)
       val blocks = hs.select(col("doc_id"), col("ahash"),
         explode(expr("transform(sequence(0, 3), " +
@@ -731,11 +721,11 @@ object ExtensionsPack {
       px AS (SELECT doc_id, src, tw, w, h, unnest(range(0, w * h)) AS i FROM d),
       c AS (SELECT doc_id, w, h, i,
               CASE WHEN tw AND i = 0 THEN 255
-                   ELSE (src * 31 + (i % w) * 7 + (i // w) * 13) % 256 END AS r,
+                   ELSE (src * 31 + (i % w) * 7 + (i // w) * 13 + (src // 100000000) * 1009 * ((i % w) * (i // w) + (i % w) + 1)) % 256 END AS r,
               CASE WHEN tw AND i = 0 THEN 255
-                   ELSE (src * 17 + (i % w) * 3 + (i // w) * 29) % 256 END AS g,
+                   ELSE (src * 17 + (i % w) * 3 + (i // w) * 29 + (src // 100000000) * 1009 * ((i % w) * (i // w) + (i % w) + 1) * 3) % 256 END AS g,
               CASE WHEN tw AND i = 0 THEN 255
-                   ELSE (src * 53 + (i % w) * 11 + (i // w) * 5) % 256 END AS b
+                   ELSE (src * 53 + (i % w) * 11 + (i // w) * 5 + (src // 100000000) * 1009 * ((i % w) * (i // w) + (i % w) + 1) * 7) % 256 END AS b
             FROM px),
       cell AS (SELECT doc_id,
                  ((i // w) * 8 // h) * 8 + ((i % w) * 8 // w) AS cl,
@@ -765,7 +755,7 @@ object ExtensionsPack {
       ORDER BY ids.doc_id""")) { (s, dir) =>
       graft.streaming.ImageDedupStream.dupOfEarlierFlags(
           Multimodal.imageAHash(
-            Multimodal.pngMediaWithTwins(oracleDocs(s, dir), base = 8, every = 7),
+            Multimodal.pngMediaWithTwins(Tables.documents(s, dir), base = 8, every = 7),
             grid = 8))
         .orderBy("doc_id")
     },
@@ -782,7 +772,7 @@ object ExtensionsPack {
       o AS (SELECT doc_id, frame, (len * frame) // nf AS off, len FROM x)
       SELECT doc_id, frame, off AS "offset", least(off + 32, len) - off AS n_bytes
       FROM o ORDER BY doc_id, frame""")) { (s, dir) =>
-      Multimodal.frameSample(Multimodal.mediaFromDocuments(oracleDocs(s, dir)), frames = 4)
+      Multimodal.frameSample(Multimodal.mediaFromDocuments(Tables.documents(s, dir)), frames = 4)
         .select(col("doc_id"), col("frame").cast("long").as("frame"), col("offset"),
           octet_length(col("frame_bytes")).cast("long").as("n_bytes"))
         .orderBy("doc_id", "frame")
@@ -807,7 +797,7 @@ object ExtensionsPack {
       FROM d LEFT JOIN ch ON ch.doc_id = d.doc_id
       GROUP BY d.doc_id, d.n
       ORDER BY d.doc_id""")) { (s, dir) =>
-      Multimodal.resize(Multimodal.mediaFromDocuments(oracleDocs(s, dir)),
+      Multimodal.resize(Multimodal.mediaFromDocuments(Tables.documents(s, dir)),
           targetW = 16, targetH = 16)
         .select(col("doc_id"),
           col("out_w").cast("long").as("out_w"),
@@ -835,7 +825,7 @@ object ExtensionsPack {
              CAST(MAX(v) AS BIGINT) AS peak
       FROM b GROUP BY doc_id, frame
       ORDER BY doc_id, frame""")) { (s, dir) =>
-      Multimodal.frameEnergy(Multimodal.mediaFromDocuments(oracleDocs(s, dir)))
+      Multimodal.frameEnergy(Multimodal.mediaFromDocuments(Tables.documents(s, dir)))
         .orderBy("doc_id", "frame")
     },
   )
