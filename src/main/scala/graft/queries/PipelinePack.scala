@@ -1233,7 +1233,12 @@ object PipelinePack {
     val w = Window.partitionBy("shard").orderBy(col("h").asc, col("doc_id").asc)
     docs.select(col("doc_id"), h.as("h"))
       .withColumn("shard",
-        (conv(substring(col("h"), 1, 2), 16, 10).cast("long") % shards))
+        // 8 hex digits (32 bits) of the md5, not 2: a byte-wide prefix
+        // CAPS the operator at 256 shards forever — the r13 rehearsal
+        // caught the sized form silently folding 554 derived shards
+        // into 256. 2^32 >> any realistic shard count keeps the modulus
+        // uniform.
+        (conv(substring(col("h"), 1, 8), 16, 10).cast("long") % shards))
       .withColumn("pos", row_number().over(w).cast("long"))
       .select("doc_id", "shard", "pos")
   }
@@ -2789,7 +2794,7 @@ object PipelinePack {
                    md5(CAST(doc_id AS VARCHAR) || ':shuffle:v1') AS h
                  FROM documents),
       s AS (SELECT doc_id, h,
-              CAST(('0x' || substr(h, 1, 2)) AS BIGINT) % 32 AS shard FROM h)
+              CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % 32 AS shard FROM h)
       SELECT doc_id, shard,
              CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
       FROM s ORDER BY doc_id""")) { (s, dir) =>

@@ -236,7 +236,7 @@ class PipelineSpec extends AnyFunSuite {
     val ids = docs.select("doc_id").collect().map(_.getLong(0))
     val expected = ids.toSeq.map { id =>
       val h = md5hex(s"$id:shuffle:v1")
-      (id, h, java.lang.Long.parseLong(h.take(2), 16) % 32)
+      (id, h, java.lang.Long.parseLong(h.take(8), 16) % 32)
     }.groupBy(_._3).flatMap { case (shard, grp) =>
       grp.sortBy { case (id, h, _) => (h, id) }.zipWithIndex
         .map { case ((id, _, _), i) => (id, shard, i + 1L) }
