@@ -242,7 +242,7 @@ object AnnPack {
   def ivfTopKInt(
       emb: DataFrame, nprobe: Int = NProbe,
       cacheKey: Option[String] = None): DataFrame =
-    ivfTopKIntImpl(emb, nprobe, None, servingCells(emb, cacheKey))
+    ivfTopKIntImpl(emb, nprobe, None, servingCells(emb, cacheKey), cacheKey)
 
   /** e11 — metadata-FILTERED IVF search: [[ivfTopKInt]]'s integer cell
     * geometry with a label predicate applied to the INDEX side before
@@ -287,27 +287,60 @@ object AnnPack {
       cacheKey: Option[String] = None): DataFrame = {
     val nCells = servingCells(emb, cacheKey)
     val np = nprobe.getOrElse(filteredNProbeFor(emb, labelValue, nCells, cacheKey))
-    ivfTopKIntImpl(emb, np, Some(labelValue), nCells)
+    ivfTopKIntImpl(emb, np, Some(labelValue), nCells, cacheKey)
+  }
+
+  /** Memoized coarse cell ASSIGNMENT per (session, corpus key, cells) —
+    * r13: the adaptive √N geometry made assignment (N x cells integer
+    * distances) the dominant cost of every in-session int-IVF entry, and
+    * assignment is INDEX-BUILD work: e02d/e10/e10b/e11/e11b all serve
+    * from one corpus's cell table, so one process computes it once (the
+    * pqIndexMemo discipline; e12's persisted AnnIndex is the
+    * cross-session form). Keyless calls (rehearsals measuring the raw
+    * derivation, ad-hoc corpora) never touch the memo.
+    */
+  private val coarseCellsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  @volatile private[graft] var coarseMemoEnabled = true
+
+  private[graft] def clearCoarseMemo(session: SparkSession): Unit =
+    coarseCellsCache.filterInPlace { case ((s, _), df) =>
+      if (s eq session) { df.unpersist(blocking = true); false } else true
+    }
+
+  private def coarseCellsMemo(cacheKey: Option[String], tag: String)(
+      build: => DataFrame): DataFrame = cacheKey match {
+    case Some(k) if coarseMemoEnabled =>
+      val df = build
+      SessionMemos.arm(df.sparkSession)
+      coarseCellsCache.getOrElseUpdate((df.sparkSession, s"$k#$tag"),
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    case _ => build
   }
 
   private def ivfTopKIntImpl(
-      emb: DataFrame, nprobe: Int, labelValue: Option[Int], nCells: Int): DataFrame = {
+      emb: DataFrame, nprobe: Int, labelValue: Option[Int], nCells: Int,
+      cacheKey: Option[String]): DataFrame = {
     val el = int8Quantize(emb)
       .select(col("vec_id"), col("dim").as("d"), col("q"))
       .localCheckpoint() // feeds assignment AND probe ranking
     val cent = broadcast(
       el.filter(col("vec_id") < nCells)
         .select(col("vec_id").as("cid"), col("d"), col("q").as("cq")))
-    // integer-L2 distance of every vector to every centroid — reused for
-    // corpus assignment (rn = 1) and query probe lists (rn <= nprobe)
-    val d2 = el.join(cent, "d")
+    // integer-L2 distance to every centroid. The corpus-wide assignment
+    // (rn = 1) is the heavy leg and is MEMOIZED per corpus/geometry; the
+    // query probe list recomputes its own tiny d2 (NumQueries x cells)
+    def d2Of(rows: DataFrame) = rows.join(cent, "d")
       .groupBy(col("vec_id"), col("cid"))
       .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("d2"))
     val wAssign = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
-    val cells = d2.withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid").as("cell"))
-    val probes = d2.filter(col("vec_id") < NumQueries)
+    val cells = coarseCellsMemo(cacheKey, s"int8cells$nCells") {
+      d2Of(el).withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("cell"))
+    }
+    val probes = d2Of(el.filter(col("vec_id") < NumQueries))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("q_id"), col("cid").as("cell"))
@@ -357,6 +390,9 @@ object AnnPack {
     dimCache.filterInPlace { case ((s, _), _) => !dead(s) }
     countCache.filterInPlace { case ((s, _), _) => !dead(s) }
     cellsCache.filterInPlace { case ((s, _, _), _) => !dead(s) }
+    coarseCellsCache.filterInPlace { case ((s, _), df) =>
+      if (dead(s)) { SessionMemos.safeUnpersist(df); false } else true
+    }
     pqCodebookCache.filterInPlace { case ((s, _), df) =>
       if (dead(s)) { SessionMemos.safeUnpersist(df); false } else true
     }
@@ -379,6 +415,7 @@ object AnnPack {
     dimCache.keysIterator.count(_._1 eq session) +
       countCache.keysIterator.count(_._1 eq session) +
       cellsCache.keysIterator.count(_._1 eq session) +
+      coarseCellsCache.keysIterator.count(_._1 eq session) +
       pqCodebookCache.keysIterator.count(_._1 eq session) +
       pairsCache.keysIterator.count(_._1 eq session) +
       pqIdxCache.keysIterator.count(_._1 eq session)
@@ -708,17 +745,24 @@ object AnnPack {
     */
   private[graft] def ivfCoarseCandidates(
       el: DataFrame, nprobe: Int = NProbe,
-      nCells: Int = NumCentroids): DataFrame = {
+      nCells: Int = NumCentroids,
+      cacheKey: Option[String] = None): DataFrame = {
     val cent = broadcast(el.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("ccid"), col("d"), col("q").as("ccq")))
-    val d2 = el.select(col("vec_id"), col("d"), col("q")).join(cent, "d")
+    // corpus assignment memoized per corpus/geometry (index-build work,
+    // see coarseCellsMemo); the query probe list recomputes its own tiny
+    // d2 over NumQueries rows
+    def d2Of(rows: DataFrame) = rows.select(col("vec_id"), col("d"), col("q"))
+      .join(cent, "d")
       .groupBy(col("vec_id"), col("ccid"))
       .agg(sum((col("q") - col("ccq")) * (col("q") - col("ccq"))).as("d2"))
     val wA = Window.partitionBy("vec_id").orderBy(col("d2"), col("ccid"))
-    val cells = d2.withColumn("rn", row_number().over(wA))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("ccid").as("cell"))
-    val probes = d2.filter(col("vec_id") < NumQueries)
+    val cells = coarseCellsMemo(cacheKey, s"pqcoarse$nCells") {
+      d2Of(el).withColumn("rn", row_number().over(wA))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("ccid").as("cell"))
+    }
+    val probes = d2Of(el.filter(col("vec_id") < NumQueries))
       .withColumn("rn", row_number().over(wA))
       .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("q_id"), col("ccid").as("cell"))
@@ -746,7 +790,7 @@ object AnnPack {
     // nprobe-independent, which is exactly why e10/e10b share e08's
     // md5-codebook index
     val (embC, el, cb, codes) = pqIndexMemo(emb, dim, subDim, kc, None, "md5", cacheKey)
-    val cnd0 = ivfCoarseCandidates(el, nprobe, servingCells(embC, cacheKey))
+    val cnd0 = ivfCoarseCandidates(el, nprobe, servingCells(embC, cacheKey), cacheKey)
     // ADC over candidates only: codes ⋈ broadcast distance table
     val dt = broadcast(
       el.filter(col("vec_id") < NumQueries)
