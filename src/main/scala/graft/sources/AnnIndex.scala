@@ -1,38 +1,51 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import scala.collection.concurrent.TrieMap
-import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.functions.col
+import java.nio.file.Paths
 
 /** The ANN serving index as PERSISTED, versioned tables — the index/serve
   * split for the IVF-PQ family (r12 verdict #2): e10's codes + codebook
   * and the coarse cell assignments were session memos (`pqIdxCache`,
   * `cellsCache`), so every fresh session re-encoded the corpus before it
   * could answer a query. A deployment builds the index ONCE per corpus
-  * snapshot and serves top-k from the tables across sessions; only the
-  * query batch is quantized at serve time.
+  * snapshot, keeps it CURRENT with delta appends as the vector corpus
+  * grows (r14 verdict #2 — the maintenance leg [[SignatureIndex]] already
+  * had), and serves top-k from the tables across sessions; only the query
+  * batch is quantized at serve time.
   *
-  * One version = five immutable Parquet tables under `<path>/v<N>/`:
+  * One version = five tables under `<path>/v<N>/` (hardlinked segment
+  * snapshots via [[VersionedIndex]], which owns the CURRENT-pointer,
+  * locking and catalog discipline):
   *
   *   - `vectors`   (vec_id, embedding)  — the raw store, read by the
   *     exact re-rank and the query batch (a vector index OWNS its
   *     vectors; serving never touches the source corpus);
-  *   - `centroids` (ccid, d, ccq)       — coarse int8 centroid elements;
+  *   - `centroids` (ccid, d, ccq)       — coarse int8 centroid elements
+  *     (IMMUTABLE after the base build — appends assign to them);
   *   - `cells`     (vec_id, cell)       — coarse assignment posting
   *     lists, clustered by cell;
-  *   - `codebook`  (m, cid, d, cq)      — PQ per-subspace centroids;
+  *   - `codebook`  (m, cid, d, cq)      — PQ per-subspace centroids
+  *     (immutable like the centroids);
   *   - `codes`     (vec_id, m, cid)     — PQ codes, BUCKETED by vec_id
-  *     so the candidate ⋈ codes join reads the big side shuffle-free
-  *     (registered as an external bucketed catalog table at serve, the
-  *     [[SignatureIndex]]/[[BucketedTables]] discipline).
+  *     so the candidate ⋈ codes join reads the big side shuffle-free.
   *
-  * Versioning is [[graft.graph.GraphPersistence]]'s CURRENT-pointer
-  * contract: a build writes a fresh `v<N>` and atomically swaps CURRENT;
-  * readers always see a complete committed version and a crashed build
-  * leaves the previous version serving. Staleness is caught by the same
-  * filesystem-metadata fingerprint [[SignatureIndex]] uses.
+  * [[append]] is the maintenance contract: a delta batch's vectors are
+  * assigned to the COMMITTED centroids and encoded against the COMMITTED
+  * codebook (never a retrain — quantization of a new point against a
+  * frozen codebook is O(delta), the standard IVF maintenance move), then
+  * committed as one manifest-gated segment under the CURRENT swap, so a
+  * replayed micro-batch commits exactly once. The quality escape valve is
+  * [[retrainDue]]: when appended vectors outgrow `maxAppendFraction` of
+  * the base, the geometry was trained on a minority of the corpus and the
+  * operator should schedule a full [[build]] (which re-derives √N cells
+  * over everything); until then appends preserve EXACT build-equivalence
+  * — assignment and encoding are per-vector functions of the frozen
+  * geometry, so serve-after-appends is bit-identical to a rebuild that
+  * uses the same centroids/codebook (e13's oracle gate).
+  *
+  * Locks are scoped (r14 verdict #6): builds/appends hold the per-path
+  * write lock; [[serve]] and warm [[ensure]]s never take it.
   */
 object AnnIndex {
 
@@ -41,117 +54,153 @@ object AnnIndex {
       vectors: DataFrame, centroids: DataFrame, cells: DataFrame,
       codebook: DataFrame, codes: DataFrame)
 
-  /** The artifacts a build persists (same shapes as [[Served]]). */
+  /** The artifacts a base build persists (same shapes as [[Served]]). */
   final case class Artifacts(
       vectors: DataFrame, centroids: DataFrame, cells: DataFrame,
       codebook: DataFrame, codes: DataFrame)
 
+  /** A delta batch's contribution: new vectors with their assignments to
+    * the committed centroids and codes against the committed codebook.
+    * The immutable centroid/codebook tables have no delta form.
+    */
+  final case class Delta(vectors: DataFrame, cells: DataFrame, codes: DataFrame)
+
+  /** Estimated bytes per (vec_id, m, cid) code row — feeds
+    * [[VersionedIndex.bucketsFor]] when the caller doesn't pin a count.
+    */
+  private val EstCodeRowBytes = 24L
+
   /** Builds this JVM ran — the rehearsal receipt that serving is reads. */
   @volatile private[graft] var buildCount: Long = 0L
 
-  private val pathLocks = TrieMap.empty[String, Object]
-  private def lockFor(path: String): Object =
-    pathLocks.getOrElseUpdate(Paths.get(path).toAbsolutePath.toString, new Object)
+  def currentVersion(path: String): Option[String] =
+    VersionedIndex.currentVersion(path)
 
-  private def currentPointer(path: String): Path = Paths.get(path, "CURRENT")
+  def readFingerprint(path: String): Option[String] =
+    VersionedIndex.readMeta(path).map(_.fingerprint)
 
-  def currentVersion(path: String): Option[String] = {
-    val p = currentPointer(path)
-    if (Files.exists(p)) Some(Files.readString(p).trim) else None
-  }
+  private val Tables = Seq("vectors", "centroids", "cells", "codebook", "codes")
 
-  def readFingerprint(path: String): Option[String] = currentVersion(path).map { v =>
-    Files.readAllLines(Paths.get(path, v, "_meta")).asScala
-      .map(_.split("=", 2)).collect { case Array("fingerprint", value) => value }
-      .headOption.getOrElse("")
-  }
-
-  private def readBuckets(path: String, v: String): Int =
-    Files.readAllLines(Paths.get(path, v, "_meta")).asScala
-      .map(_.split("=", 2)).collect { case Array("buckets", value) => value.toInt }
-      .headOption.getOrElse(32)
-
-  def build(a: Artifacts, path: String, fingerprint: String,
-      buckets: Int = 32): Unit = lockFor(path).synchronized {
-    val next = currentVersion(path)
-      .map(_.stripPrefix("v").toLong).getOrElse(0L) + 1
-    val vdir = s"$path/v$next"
-    a.vectors.write.mode(SaveMode.Overwrite).parquet(s"$vdir/vectors")
-    a.centroids.write.mode(SaveMode.Overwrite).parquet(s"$vdir/centroids")
+  private def writeTables(path: String, segName: String, buckets: Int,
+      vectors: DataFrame, cells: DataFrame, codes: DataFrame,
+      centroids: Option[DataFrame], codebook: Option[DataFrame]): Unit = {
+    val segDir = s"$path/seg/$segName"
+    vectors.write.mode(SaveMode.Overwrite).parquet(s"$segDir/vectors")
+    centroids.foreach(_.write.mode(SaveMode.Overwrite).parquet(s"$segDir/centroids"))
     // posting-list locality: a probed cell reads contiguous rows
-    a.cells.repartition(org.apache.spark.sql.functions.col("cell"))
-      .sortWithinPartitions("cell", "vec_id")
-      .write.mode(SaveMode.Overwrite).parquet(s"$vdir/cells")
-    a.codebook.write.mode(SaveMode.Overwrite).parquet(s"$vdir/codebook")
-    // codes bucketed by vec_id: the only public bucketed-write API is a
-    // catalog write — throwaway external table, files stay (the
-    // SignatureIndex.writeSegment pattern)
-    val spark = a.codes.sparkSession
-    val tmp = s"graft_annseg_${math.abs(vdir.hashCode)}_${System.nanoTime()}"
-    a.codes.selectExpr("CAST(vec_id AS BIGINT) AS vec_id",
-        "CAST(m AS BIGINT) AS m", "CAST(cid AS BIGINT) AS cid")
-      .write.format("parquet")
-      .bucketBy(buckets, "vec_id").sortBy("vec_id")
-      .option("path", s"$vdir/codes")
-      .mode(SaveMode.Overwrite)
-      .saveAsTable(tmp)
-    spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
-    Files.writeString(Paths.get(vdir, "_meta"),
-      s"buckets=$buckets\nfingerprint=$fingerprint\n", StandardCharsets.UTF_8)
-    val tmpPtr = Paths.get(path, ".CURRENT.tmp")
-    Files.createDirectories(Paths.get(path))
-    Files.writeString(tmpPtr, s"v$next", StandardCharsets.UTF_8)
-    Files.move(tmpPtr, currentPointer(path),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    cells.repartition(col("cell")).sortWithinPartitions("cell", "vec_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$segDir/cells")
+    codebook.foreach(_.write.mode(SaveMode.Overwrite).parquet(s"$segDir/codebook"))
+    VersionedIndex.writeBucketedFiles(
+      codes.selectExpr("CAST(vec_id AS BIGINT) AS vec_id",
+        "CAST(m AS BIGINT) AS m", "CAST(cid AS BIGINT) AS cid"),
+      s"$segDir/codes", buckets, Seq("vec_id"), Seq("vec_id"), kind = "annseg")
+  }
+
+  /** Full (re)build: commits the artifacts as the new base segment (any
+    * previously appended segments are superseded — a rebuild re-derives
+    * everything from the current corpus). With `buckets = 0` the count
+    * derives from the measured code rows and a target bucket size.
+    */
+  def build(a: Artifacts, path: String, fingerprint: String,
+      buckets: Int = 0): Unit = VersionedIndex.withWriteLock(path) {
+    val b =
+      if (buckets > 0) buckets
+      // measured-then-decide (build-time only; the caller's codes table
+      // is memo-persisted on every production path, so the count reads
+      // the cache the write is about to read anyway)
+      else VersionedIndex.bucketsFor(a.codes.count() * EstCodeRowBytes)
+    val next = VersionedIndex.versionNumber(path) + 1
+    val segName = s"base-v$next"
+    writeTables(path, segName, b, a.vectors, a.cells, a.codes,
+      Some(a.centroids), Some(a.codebook))
+    VersionedIndex.publish(path, next,
+      VersionedIndex.Meta(b, fingerprint, Seq(segName)), Tables)
     buildCount += 1
   }
 
-  private def tablePrefix(path: String): String = {
-    val h = java.lang.Integer.toHexString(
-      Paths.get(path).toAbsolutePath.toString.hashCode)
-    s"graft_ann_idx_$h"
+  /** Idempotently append a delta segment (deterministic `segName` —
+    * "batch-<batchId>" from [[graft.streaming.AnnIndexStream]]'s
+    * foreachBatch leg). Returns false (and writes nothing) when the
+    * segment is already committed — the exactly-once contract a replayed
+    * micro-batch needs. Cost is O(delta): assignment/encoding happened
+    * caller-side against the committed geometry; this is three delta
+    * writes plus an O(files) hardlink publish, never a base rewrite.
+    */
+  def append(d: Delta, segName: String, path: String): Boolean =
+    VersionedIndex.withWriteLock(path) {
+      val meta = VersionedIndex.readMeta(path).getOrElse(
+        throw new IllegalStateException(s"ANN index not initialized: $path"))
+      if (meta.segments.isEmpty) // a pre-segment-layout version: its base
+        throw new IllegalStateException( // files carry no manifest entry
+          s"index at $path predates segmented layout — run a full build first")
+      if (meta.segments.contains(segName)) false
+      else {
+        writeTables(path, segName, meta.buckets, d.vectors, d.cells, d.codes,
+          centroids = None, codebook = None)
+        VersionedIndex.publish(path, VersionedIndex.versionNumber(path) + 1,
+          meta.copy(segments = meta.segments :+ segName), Tables)
+        true
+      }
+    }
+
+  /** The drift-triggered-retrain policy: appended vectors per committed
+    * base vector. The frozen centroids/codebook stay EXACT under appends
+    * (per-vector quantization), but recall degrades as the corpus drifts
+    * from the geometry's training set; when this ratio exceeds the
+    * operator's budget (0.5 is a common default), schedule a full
+    * [[build]]. Counts read parquet footers only — no data scan.
+    */
+  def appendFraction(spark: SparkSession, path: String): Double = {
+    val meta = VersionedIndex.readMeta(path).getOrElse(
+      throw new IllegalStateException(s"ANN index not initialized: $path"))
+    def rows(seg: String): Long = {
+      val d = Paths.get(path, "seg", seg, "vectors")
+      if (java.nio.file.Files.isDirectory(d)) spark.read.parquet(d.toString).count()
+      else 0L
+    }
+    val base = rows(meta.segments.head)
+    if (base == 0L) Double.PositiveInfinity
+    else meta.segments.tail.map(rows).sum.toDouble / base
   }
+
+  def retrainDue(spark: SparkSession, path: String,
+      maxAppendFraction: Double = 0.5): Boolean =
+    appendFraction(spark, path) > maxAppendFraction
 
   /** Serve the committed version: plain Parquet reads for the small
     * tables, an external BUCKETED catalog table for codes — a fresh
     * session answers top-k from these five scans, with no corpus encode
-    * anywhere in the plan (ExplainSpec pins it for e12).
+    * anywhere in the plan (ExplainSpec pins it for e12). Lock-free apart
+    * from the cheap catalog registration, so an in-progress build of the
+    * next version never blocks serving this one.
     */
-  def serve(spark: SparkSession, path: String): Served =
-    lockFor(path).synchronized {
-      val v = currentVersion(path).getOrElse(
-        throw new IllegalStateException(s"ANN index not initialized: $path"))
-      val vdir = s"$path/$v"
-      val prefix = tablePrefix(path)
-      val tbl = s"${prefix}_$v"
-      if (!spark.catalog.tableExists(tbl)) {
-        spark.catalog.listTables().collect()
-          .filter(t => t.name.startsWith(s"${prefix}_v") && t.name != tbl)
-          .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `${t.name}`"))
-        spark.sql(
-          s"""CREATE TABLE `$tbl` (vec_id BIGINT, m BIGINT, cid BIGINT)
-             |USING parquet
-             |CLUSTERED BY (vec_id) SORTED BY (vec_id)
-             |INTO ${readBuckets(path, v)} BUCKETS
-             |LOCATION '$vdir/codes'""".stripMargin)
-      }
-      Served(
-        vectors = spark.read.parquet(s"$vdir/vectors"),
-        centroids = spark.read.parquet(s"$vdir/centroids"),
-        cells = spark.read.parquet(s"$vdir/cells"),
-        codebook = spark.read.parquet(s"$vdir/codebook"),
-        codes = spark.table(tbl))
-    }
+  def serve(spark: SparkSession, path: String): Served = {
+    val v = currentVersion(path).getOrElse(
+      throw new IllegalStateException(s"ANN index not initialized: $path"))
+    val vdir = s"$path/$v"
+    val meta = VersionedIndex.readMeta(path).get
+    Served(
+      vectors = spark.read.parquet(s"$vdir/vectors"),
+      centroids = spark.read.parquet(s"$vdir/centroids"),
+      cells = spark.read.parquet(s"$vdir/cells"),
+      codebook = spark.read.parquet(s"$vdir/codebook"),
+      codes = VersionedIndex.serveBucketed(spark, "ann_idx", path, v,
+        "vec_id BIGINT, m BIGINT, cid BIGINT",
+        Seq("vec_id"), Seq("vec_id"), meta.buckets, s"$vdir/codes"))
+  }
 
   /** Serve a committed version matching `fingerprint`, building from the
     * by-name `artifacts` only when absent or stale — a warm serve is
-    * pure metadata, never an encode.
+    * pure LOCK-FREE metadata, never an encode; cold ensures double-check
+    * under the write lock and build exactly once.
     */
   def ensure(spark: SparkSession, artifacts: => Artifacts, path: String,
-      fingerprint: String, buckets: Int = 32): Served =
-    lockFor(path).synchronized {
-      if (!readFingerprint(path).contains(fingerprint))
-        build(artifacts, path, fingerprint, buckets)
-      serve(spark, path)
+      fingerprint: String, buckets: Int = 0): Served = {
+    def fresh = readFingerprint(path).contains(fingerprint)
+    if (!fresh) VersionedIndex.withWriteLock(path) {
+      if (!fresh) build(artifacts, path, fingerprint, buckets)
     }
+    serve(spark, path)
+  }
 }

@@ -1,10 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import scala.collection.concurrent.TrieMap
-import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, sum}
+import java.nio.file.{Files, Paths}
 
 /** The MAINTAINED MinHash signature index as a PERSISTED, versioned,
   * bucketed table — the build/probe split d32's contract describes
@@ -13,232 +11,170 @@ import scala.jdk.CollectionConverters._
   * daily deltas across sessions; without this, every session re-minhashes
   * the full corpus to rebuild the (band, sig) side before it can probe.
   *
-  * Layout (one directory per index):
-  * {{{
-  *   <path>/CURRENT            committed version pointer (atomic swap)
-  *   <path>/seg/<name>/        immutable segments: bucketed parquet files
-  *   <path>/v<N>/_meta         buckets / base fingerprint / segment list
-  *   <path>/v<N>/<seg>-part…   hardlinks to every committed segment file
-  * }}}
+  * Storage, versioning, locking and catalog discipline live in
+  * [[VersionedIndex]] (one CURRENT-pointer/hardlink-snapshot core shared
+  * by the whole index family — r14 verdict #4); this object binds them to
+  * the (doc_id, band, sig) schema:
   *
-  * Three disciplines compose:
+  *   - segments are written `bucketBy(buckets, band, sig)`, and [[serve]]
+  *     registers the committed version as an external bucketed catalog
+  *     table, so the probe join reads the index as already
+  *     hash-partitioned — NO Exchange on the index side of delta ⋈ index,
+  *     whatever the index size (ExplainSpec pins this for d36). The
+  *     bucket count is derived from estimated index bytes at build
+  *     ([[VersionedIndex.bucketsFor]] — thousands at 100 TB, the minimum
+  *     on a fixture) unless the caller pins one.
+  *   - [[append]] is manifest-gated (a replayed foreachBatch micro-batch
+  *     commits exactly once) and additionally SEMANTICALLY idempotent
+  *     downstream: candidate generation `.distinct()`s, so even an
+  *     at-least-once writer would only cost storage, never correctness.
+  *   - beside each segment's signatures rides an optional per-source
+  *     STATS table (`_stats`: source, n — hidden from the bucketed
+  *     listing) committed in the SAME publish, so admission-quota serving
+  *     reads maintained metadata instead of re-aggregating the corpus
+  *     (d37's gate; reference analogue: metadata maintained in the same
+  *     txn as the data, kremis redb_graph.rs:34,355-358).
   *
-  *   - '''Versioned snapshots''' ([[graft.graph.GraphPersistence]]'s
-  *     CURRENT-pointer contract): readers resolve CURRENT once and then
-  *     only ever see a complete committed version; a crashed build or
-  *     append leaves an orphan segment directory that no manifest
-  *     references. Version directories are HARDLINKS to immutable segment
-  *     files, so publishing version N+1 is O(number of files), never a
-  *     data rewrite — the manifest layer an Iceberg/Delta table provides,
-  *     stood in for local filesystems (an object-store deployment swaps
-  *     this file for that table format's commit).
-  *   - '''Bucketed storage''' ([[BucketedTables]]'s co-located-join
-  *     pattern): every segment is written `bucketBy(buckets, band, sig)`,
-  *     and [[serve]] registers the committed version as an external
-  *     bucketed catalog table, so the probe join reads the index as
-  *     already hash-partitioned — NO Exchange on the index side of
-  *     delta ⋈ index, whatever the index size (ExplainSpec pins this for
-  *     d36). Bucket count is fixed at build (a capacity knob: buckets ≈
-  *     index size / healthy partition size; 100 TB would use thousands).
-  *   - '''Idempotent appends''' (the StreamingGraphIngest batchId
-  *     contract): [[append]] is a no-op when the segment name is already
-  *     in the committed manifest, so a replayed foreachBatch micro-batch
-  *     commits exactly once. Appends are additionally SEMANTICALLY
-  *     idempotent downstream: candidate generation `.distinct()`s, so
-  *     even an at-least-once writer would only cost storage, never
-  *     correctness.
-  *
-  * Single-writer discipline per path (like GraphPersistence.save): builds
-  * and appends take a per-path JVM lock; concurrent writers from separate
-  * JVMs are a caller error. Readers are always safe.
+  * Locks are scoped (r14 verdict #6): builds/appends hold the per-path
+  * write lock; [[serve]] and a warm [[ensure]] never take it, so a build
+  * of version N+1 never blocks serving committed version N.
   */
 object SignatureIndex {
 
-  final case class Meta(buckets: Int, fingerprint: String, segments: Seq[String])
+  /** Estimated on-disk footprint per signature row (doc_id + band + sig
+    * + columnar overhead) — feeds [[VersionedIndex.bucketsFor]] when the
+    * caller doesn't pin a bucket count.
+    */
+  private val EstSigRowBytes = 24L
 
   /** Build invocations this JVM has run — rehearsal/spec receipt that
     * serving from a committed index does NOT rebuild it.
     */
   @volatile private[graft] var buildCount: Long = 0L
 
-  private val pathLocks = TrieMap.empty[String, Object]
-  private def lockFor(path: String): Object =
-    pathLocks.getOrElseUpdate(Paths.get(path).toAbsolutePath.toString, new Object)
+  def currentVersion(path: String): Option[String] =
+    VersionedIndex.currentVersion(path)
 
-  private def currentPointer(path: String): Path = Paths.get(path, "CURRENT")
+  def readMeta(path: String): Option[VersionedIndex.Meta] =
+    VersionedIndex.readMeta(path)
 
-  /** The committed version name (e.g. "v2"), if the index exists. */
-  def currentVersion(path: String): Option[String] = {
-    val p = currentPointer(path)
-    if (Files.exists(p)) Some(Files.readString(p).trim) else None
-  }
+  def dirFingerprint(dataPath: String): String =
+    VersionedIndex.dirFingerprint(dataPath)
 
-  def readMeta(path: String): Option[Meta] = currentVersion(path).map { v =>
-    val lines = Files.readAllLines(Paths.get(path, v, "_meta")).asScala
-      .map(_.split("=", 2)).collect { case Array(k, value) => k -> value }.toMap
-    Meta(
-      lines("buckets").toInt,
-      lines("fingerprint"),
-      lines.get("segments").filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil))
-  }
-
-  /** Source fingerprint from FILESYSTEM METADATA only (names, sizes,
-    * mtimes) — no data scan, so the staleness check [[ensure]] runs per
-    * serve is O(files). Identifies the BASE corpus snapshot an index was
-    * built from; a regenerated corpus at the same path changes mtimes and
-    * forces a rebuild instead of silently serving stale signatures.
+  /** Segment tables: signatures at the segment root, per-source stats
+    * hidden beside them.
     */
-  def dirFingerprint(dataPath: String): String = {
-    val root = Paths.get(dataPath)
-    if (!Files.exists(root)) return "absent"
-    val entries = Files.walk(root).iterator().asScala
-      .filter(Files.isRegularFile(_))
-      .map(p => s"${root.relativize(p)}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
-      .toSeq.sorted
-    java.lang.Long.toHexString(
-      entries.foldLeft(0xcbf29ce484222325L) { (h, e) =>
-        e.getBytes(StandardCharsets.UTF_8).foldLeft(h)((a, b) => (a ^ b) * 0x100000001b3L)
-      })
-  }
+  private val Tables = Seq("", "_stats")
 
-  /** Write one immutable bucketed segment. The only public API Spark has
-    * for bucketed files is a catalog write, so this registers a throwaway
-    * EXTERNAL table (files keep living at the segment path after DROP) —
-    * the bucket id rides each file NAME, which is what lets any later
-    * version re-register the files as a bucketed table.
-    */
-  private def writeSegment(
-      sigs: DataFrame, path: String, segName: String, buckets: Int): Unit = {
-    val spark = sigs.sparkSession
-    val segDir = s"$path/seg/$segName"
-    val tmpTable = s"graft_sigseg_${math.abs(segDir.hashCode).toString}_${System.nanoTime()}"
-    sigs.selectExpr("CAST(doc_id AS BIGINT) AS doc_id",
-        "CAST(band AS INT) AS band", "CAST(sig AS BIGINT) AS sig")
-      .write.format("parquet")
-      .bucketBy(buckets, "band", "sig").sortBy("band", "sig")
-      .option("path", segDir)
-      .mode(SaveMode.Overwrite)
-      .saveAsTable(tmpTable)
-    spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`") // external: files remain
-  }
-
-  private def dataFiles(dir: Path): Seq[Path] =
-    Files.list(dir).iterator().asScala
-      .filter(p => Files.isRegularFile(p) &&
-        !p.getFileName.toString.startsWith("_") &&
-        !p.getFileName.toString.startsWith("."))
-      .toSeq
-
-  /** Publish version `ver`: hardlink every committed segment's data files
-    * into a fresh version directory (names prefixed per segment — the
-    * bucket-id suffix pattern Spark parses is preserved), write _meta,
-    * then atomically swap CURRENT. A crash anywhere before the swap
-    * leaves the previous version serving.
-    */
-  private def publish(path: String, ver: Long, meta: Meta): Unit = {
-    val vdir = Paths.get(path, s"v$ver")
-    if (Files.exists(vdir)) { // a crashed previous attempt at this version
-      Files.walk(vdir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+  private def writeSegment(sigs: DataFrame, path: String, segName: String,
+      buckets: Int, stats: Option[DataFrame]): Unit = {
+    VersionedIndex.writeBucketedFiles(
+      sigs.selectExpr("CAST(doc_id AS BIGINT) AS doc_id",
+        "CAST(band AS INT) AS band", "CAST(sig AS BIGINT) AS sig"),
+      s"$path/seg/$segName", buckets, Seq("band", "sig"), Seq("band", "sig"),
+      kind = "sigseg")
+    stats.foreach { st =>
+      st.selectExpr("CAST(source AS STRING) AS source", "CAST(n AS BIGINT) AS n")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/seg/$segName/_stats")
     }
-    Files.createDirectories(vdir)
-    meta.segments.foreach { seg =>
-      dataFiles(Paths.get(path, "seg", seg)).foreach { f =>
-        val link = vdir.resolve(s"$seg-${f.getFileName}")
-        try Files.createLink(link, f)
-        catch { case _: UnsupportedOperationException =>
-          Files.copy(f, link, StandardCopyOption.REPLACE_EXISTING)
-        }
-      }
-    }
-    Files.writeString(vdir.resolve("_meta"),
-      s"buckets=${meta.buckets}\nfingerprint=${meta.fingerprint}\n" +
-        s"segments=${meta.segments.mkString(",")}\n",
-      StandardCharsets.UTF_8)
-    val tmp = Paths.get(path, ".CURRENT.tmp")
-    Files.writeString(tmp, s"v$ver", StandardCharsets.UTF_8)
-    Files.move(tmp, currentPointer(path),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
-
-  private def versionNumber(path: String): Long =
-    currentVersion(path).map(_.stripPrefix("v").toLong).getOrElse(0L)
 
   /** Full (re)build: one corpus-wide signature pass, committed as the new
-    * base. Existing versions keep serving until the CURRENT swap.
+    * base. Existing versions keep serving until the CURRENT swap. With
+    * `buckets = 0` (the default) the count derives from the measured
+    * signature rows and a target bucket size; `stats` (source, n rows for
+    * the SAME base corpus) commits in the same publish.
     */
   def build(sigs: DataFrame, path: String, fingerprint: String,
-      buckets: Int = 32): Unit = lockFor(path).synchronized {
-    val next = versionNumber(path) + 1
-    val segName = s"base-v$next"
-    writeSegment(sigs, path, segName, buckets)
-    publish(path, next, Meta(buckets, fingerprint, Seq(segName)))
-    buildCount += 1
-  }
+      buckets: Int = 0, stats: Option[DataFrame] = None): Unit =
+    VersionedIndex.withWriteLock(path) {
+      val (s, b) =
+        if (buckets > 0) (sigs, buckets)
+        else {
+          // measured-then-decide: one count over the pinned signature set
+          // (build-time only — serves never touch this)
+          val pinned = sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          (pinned, VersionedIndex.bucketsFor(pinned.count() * EstSigRowBytes))
+        }
+      try {
+        val next = VersionedIndex.versionNumber(path) + 1
+        val segName = s"base-v$next"
+        writeSegment(s, path, segName, b, stats)
+        VersionedIndex.publish(path, next,
+          VersionedIndex.Meta(b, fingerprint, Seq(segName)), Tables)
+        buildCount += 1
+      } finally if (buckets <= 0) s.unpersist(blocking = false)
+    }
 
   /** Idempotently append a delta's signatures as segment `segName`
     * (callers use deterministic names — "batch-<batchId>" from a
     * foreachBatch maintenance leg). Returns false (and writes nothing)
     * when that segment is already committed: the exactly-once contract a
     * replayed micro-batch needs. Cost is O(delta), never a base rewrite.
+    * `stats` (the DELTA's per-source counts) commits in the same publish,
+    * so the maintained stats stay transactionally consistent with the
+    * signatures.
     */
-  def append(sigs: DataFrame, segName: String, path: String): Boolean =
-    lockFor(path).synchronized {
+  def append(sigs: DataFrame, segName: String, path: String,
+      stats: Option[DataFrame] = None): Boolean =
+    VersionedIndex.withWriteLock(path) {
       val meta = readMeta(path).getOrElse(
         throw new IllegalStateException(s"signature index not initialized: $path"))
       if (meta.segments.contains(segName)) false
       else {
-        writeSegment(sigs, path, segName, meta.buckets)
-        publish(path, versionNumber(path) + 1,
-          meta.copy(segments = meta.segments :+ segName))
+        writeSegment(sigs, path, segName, meta.buckets, stats)
+        VersionedIndex.publish(path, VersionedIndex.versionNumber(path) + 1,
+          meta.copy(segments = meta.segments :+ segName), Tables)
         true
       }
     }
 
-  private def tablePrefix(path: String): String = {
-    val h = java.lang.Integer.toHexString(
-      Paths.get(path).toAbsolutePath.toString.hashCode)
-    s"graft_sig_idx_$h"
-  }
-
   /** Serve the committed index as a DataFrame backed by an external
     * BUCKETED catalog table over the current version directory — the
-    * read side of the build/probe split. Registration is per version
-    * (older versions' table entries are dropped opportunistically);
-    * repeated serves of one version reuse the catalog entry, and the
-    * probe plan scans the files bucket-aligned with no Exchange.
+    * read side of the build/probe split. Lock-free apart from the cheap
+    * catalog registration; the probe plan scans the files bucket-aligned
+    * with no Exchange.
     */
-  def serve(spark: SparkSession, path: String): DataFrame =
-    lockFor(path).synchronized {
-      val v = currentVersion(path).getOrElse(
-        throw new IllegalStateException(s"signature index not initialized: $path"))
-      val meta = readMeta(path).get
-      val prefix = tablePrefix(path)
-      val tbl = s"${prefix}_$v"
-      if (!spark.catalog.tableExists(tbl)) {
-        spark.catalog.listTables().collect()
-          .filter(t => t.name.startsWith(s"${prefix}_v") && t.name != tbl)
-          .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `${t.name}`"))
-        spark.sql(
-          s"""CREATE TABLE `$tbl` (doc_id BIGINT, band INT, sig BIGINT)
-             |USING parquet
-             |CLUSTERED BY (band, sig) SORTED BY (band, sig)
-             |INTO ${meta.buckets} BUCKETS
-             |LOCATION '$path/$v'""".stripMargin)
-      }
-      spark.table(tbl)
-    }
+  def serve(spark: SparkSession, path: String): DataFrame = {
+    val v = currentVersion(path).getOrElse(
+      throw new IllegalStateException(s"signature index not initialized: $path"))
+    val meta = readMeta(path).get
+    VersionedIndex.serveBucketed(spark, "sig_idx", path, v,
+      "doc_id BIGINT, band INT, sig BIGINT",
+      Seq("band", "sig"), Seq("band", "sig"), meta.buckets, s"$path/$v")
+  }
+
+  /** The MAINTAINED per-source document counts of the committed version —
+    * one tiny (source, n) row per source, summed over the base's and
+    * every appended segment's `_stats` files. This is the metadata table
+    * d37's admission quota reads instead of re-aggregating the corpus per
+    * ingest batch: O(sources × segments) rows whatever the corpus size.
+    */
+  def sourceStats(spark: SparkSession, path: String): DataFrame = {
+    val v = currentVersion(path).getOrElse(
+      throw new IllegalStateException(s"signature index not initialized: $path"))
+    val statsDir = Paths.get(path, v, "_stats")
+    if (!Files.isDirectory(statsDir))
+      throw new IllegalStateException(s"index has no maintained stats: $path/$v")
+    spark.read.parquet(statsDir.toString)
+      .groupBy(col("source")).agg(sum(col("n")).as("n"))
+  }
 
   /** Serve if a committed version matches `fingerprint`; build from
-    * `sigs` first when absent or stale. The by-name `sigs` plan is only
-    * forced on a build — a warm serve is pure metadata (fingerprint check
-    * + catalog lookup), which is the whole point: load the index, don't
-    * rebuild it.
+    * `sigs` (and `stats`) first when absent or stale. The by-name plans
+    * are only forced on a build — a warm serve is pure LOCK-FREE metadata
+    * (fingerprint check + catalog lookup), so an in-progress build of the
+    * next version never blocks it; cold ensures double-check under the
+    * write lock and build exactly once.
     */
   def ensure(spark: SparkSession, sigs: => DataFrame, path: String,
-      fingerprint: String, buckets: Int = 32): DataFrame =
-    lockFor(path).synchronized {
-      val fresh = readMeta(path).exists(_.fingerprint == fingerprint)
-      if (!fresh) build(sigs, path, fingerprint, buckets)
-      serve(spark, path)
+      fingerprint: String, buckets: Int = 0,
+      stats: => Option[DataFrame] = None): DataFrame = {
+    def fresh = readMeta(path).exists(_.fingerprint == fingerprint)
+    if (!fresh) VersionedIndex.withWriteLock(path) {
+      if (!fresh) build(sigs, path, fingerprint, buckets, stats)
     }
+    serve(spark, path)
+  }
 }

@@ -1,0 +1,240 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.security.MessageDigest
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+/** The shared versioning core of the persisted index family
+  * ([[SignatureIndex]], [[AnnIndex]]) — extracted (r14 verdict #4) before
+  * a third index copies the ~100 LoC of CURRENT-pointer machinery again.
+  * One index = one directory with:
+  *
+  * {{{
+  *   <path>/CURRENT            committed version pointer (atomic swap)
+  *   <path>/seg/<name>/…       immutable segments (per-table subdirs, or
+  *                             root-level files for single-table indexes)
+  *   <path>/v<N>/_meta         buckets / base fingerprint / segment list
+  *   <path>/v<N>/…             hardlinks to every committed segment file
+  * }}}
+  *
+  * Disciplines (see [[SignatureIndex]]'s scaladoc for the full contract):
+  * versioned hardlink snapshots behind an atomically-swapped CURRENT
+  * pointer (readers always see a complete committed version — the
+  * manifest layer an Iceberg/Delta table provides, stood in for local
+  * filesystems); manifest-gated idempotent appends; bucketed segment
+  * files registered as external catalog tables at serve.
+  *
+  * Lock discipline (r14 verdict #6 — scoped so a build never blocks a
+  * warm serve of the already-committed version):
+  *
+  *   - '''write lock''' (per path): held by builds/appends across the
+  *     segment write + publish — single-writer per path per JVM, like
+  *     [[graft.graph.GraphPersistence]]. Readers NEVER take it.
+  *   - '''catalog lock''' (per path): held only around the cheap
+  *     check-and-register of a served version's catalog entry, so two
+  *     concurrent serves don't race the same CREATE TABLE.
+  *
+  * `ensure`-style callers double-check staleness under the write lock:
+  * a warm path is pure lock-free metadata, and two concurrent cold
+  * ensures build exactly once.
+  */
+object VersionedIndex {
+
+  /** The committed manifest of one version: bucket count (fixed at
+    * build), the base-corpus fingerprint, and the ordered segment list
+    * (the append-idempotence ledger).
+    */
+  final case class Meta(buckets: Int, fingerprint: String, segments: Seq[String])
+
+  private val writeLocks = TrieMap.empty[String, Object]
+  private val catalogLocks = TrieMap.empty[String, Object]
+
+  private def canonical(path: String): String =
+    Paths.get(path).toAbsolutePath.toString
+
+  /** The per-path single-writer lock (exposed to specs so they can pin
+    * that serves complete while a writer holds it).
+    */
+  private[graft] def writeLock(path: String): Object =
+    writeLocks.getOrElseUpdate(canonical(path), new Object)
+
+  def withWriteLock[T](path: String)(body: => T): T =
+    writeLock(path).synchronized(body)
+
+  private[sources] def withCatalogLock[T](path: String)(body: => T): T =
+    catalogLocks.getOrElseUpdate(canonical(path), new Object).synchronized(body)
+
+  private def currentPointer(path: String): Path = Paths.get(path, "CURRENT")
+
+  /** The committed version name (e.g. "v2"), if the index exists. */
+  def currentVersion(path: String): Option[String] = {
+    val p = currentPointer(path)
+    if (Files.exists(p)) Some(Files.readString(p).trim) else None
+  }
+
+  def versionNumber(path: String): Long =
+    currentVersion(path).map(_.stripPrefix("v").toLong).getOrElse(0L)
+
+  def readMeta(path: String): Option[Meta] = currentVersion(path).map { v =>
+    val lines = Files.readAllLines(Paths.get(path, v, "_meta")).asScala
+      .map(_.split("=", 2)).collect { case Array(k, value) => k -> value }.toMap
+    Meta(
+      lines("buckets").toInt,
+      lines("fingerprint"),
+      lines.get("segments").filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil))
+  }
+
+  /** Source fingerprint from FILESYSTEM METADATA only (names, sizes,
+    * mtimes) — no data scan, so the staleness check an `ensure` runs per
+    * serve is O(files). Identifies the BASE corpus snapshot an index was
+    * built from; a regenerated corpus at the same path changes mtimes and
+    * forces a rebuild instead of silently serving stale artifacts. An
+    * object-store deployment substitutes the table format's snapshot id
+    * (there are no mtimes to walk — the commit log IS the fingerprint).
+    */
+  def dirFingerprint(dataPath: String): String = {
+    val root = Paths.get(dataPath)
+    if (!Files.exists(root)) return "absent"
+    val entries = Files.walk(root).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map(p => s"${root.relativize(p)}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
+      .toSeq.sorted
+    java.lang.Long.toHexString(
+      entries.foldLeft(0xcbf29ce484222325L) { (h, e) =>
+        e.getBytes(StandardCharsets.UTF_8).foldLeft(h)((a, b) => (a ^ b) * 0x100000001b3L)
+      })
+  }
+
+  /** Collision-resistant digest of an absolute path — the namespace for
+    * an index's catalog tables. 32-bit String.hashCode collided in
+    * principle (two live indexes GC'ing each other's catalog entries —
+    * ADVICE r13) and math.abs(Int.MinValue) stayed negative; 16 hex chars
+    * of md5 retire both.
+    */
+  private[sources] def pathDigest(path: String): String =
+    MessageDigest.getInstance("MD5")
+      .digest(canonical(path).getBytes(StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
+
+  def tablePrefix(kind: String, path: String): String =
+    s"graft_${kind}_${pathDigest(path)}"
+
+  /** Derive a bucket count from estimated index bytes and a target
+    * bucket size — the d34 `shardCountFor` discipline applied to index
+    * layout (r14 verdict #5, retiring the fixed `buckets = 32`): buckets
+    * = max(min, ceil(bytes / target)). A healthy bucket is one scan task
+    * at probe time; 100 TB indexes land in the thousands, a fixture in
+    * the minimum. Bucket count is FIXED at build (Spark's bucket layout
+    * is immutable per table), so appends estimate against the base — a
+    * corpus that outgrows its layout re-buckets on the next full build.
+    */
+  def bucketsFor(estimatedBytes: Long,
+      targetBucketBytes: Long = 64L << 20, minBuckets: Int = 8): Int =
+    math.max(minBuckets.toLong,
+      (estimatedBytes + targetBucketBytes - 1) / targetBucketBytes).toInt
+
+  /** Write one immutable bucketed segment's files to `destDir`. The only
+    * public API Spark has for bucketed files is a catalog write, so this
+    * registers a throwaway EXTERNAL table (files keep living at the
+    * segment path after DROP) — the bucket id rides each file NAME, which
+    * is what lets any later version re-register the files as a bucketed
+    * table.
+    */
+  def writeBucketedFiles(df: DataFrame, destDir: String, buckets: Int,
+      clusterCols: Seq[String], sortCols: Seq[String], kind: String): Unit = {
+    val spark = df.sparkSession
+    val tmpTable = s"graft_${kind}tmp_${pathDigest(destDir)}_${System.nanoTime()}"
+    df.write.format("parquet")
+      .bucketBy(buckets, clusterCols.head, clusterCols.tail: _*)
+      .sortBy(sortCols.head, sortCols.tail: _*)
+      .option("path", destDir)
+      .mode(SaveMode.Overwrite)
+      .saveAsTable(tmpTable)
+    spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`") // external: files remain
+  }
+
+  /** A segment's committed data files (manifest/_-prefixed names are
+    * metadata, not data — and Spark's own listing skips them too).
+    */
+  def dataFiles(dir: Path): Seq[Path] =
+    if (!Files.isDirectory(dir)) Nil
+    else Files.list(dir).iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        !p.getFileName.toString.startsWith("_") &&
+        !p.getFileName.toString.startsWith("."))
+      .toSeq
+
+  /** Publish version `ver`: hardlink every committed segment's data files
+    * into a fresh version directory (names prefixed per segment — the
+    * bucket-id suffix pattern Spark parses is preserved), write _meta,
+    * then atomically swap CURRENT. A crash anywhere before the swap
+    * leaves the previous version serving.
+    *
+    * `tables` names the per-segment subdirectories to link ("" = files at
+    * the segment root, for single-table indexes; "_stats"-style names
+    * stay hidden from Spark's recursive listing of the version root). A
+    * segment missing a table contributes nothing to it (e.g. appends
+    * don't carry an ANN index's immutable centroid table).
+    */
+  def publish(path: String, ver: Long, meta: Meta,
+      tables: Seq[String] = Seq("")): Unit = {
+    val vdir = Paths.get(path, s"v$ver")
+    if (Files.exists(vdir)) { // a crashed previous attempt at this version
+      Files.walk(vdir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+    Files.createDirectories(vdir)
+    for (seg <- meta.segments; table <- tables) {
+      val src =
+        if (table.isEmpty) Paths.get(path, "seg", seg)
+        else Paths.get(path, "seg", seg, table)
+      val dst = if (table.isEmpty) vdir else vdir.resolve(table)
+      val files = dataFiles(src)
+      if (files.nonEmpty) Files.createDirectories(dst)
+      files.foreach { f =>
+        val link = dst.resolve(s"$seg-${f.getFileName}")
+        try Files.createLink(link, f)
+        catch { case _: UnsupportedOperationException =>
+          Files.copy(f, link, StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    }
+    Files.writeString(vdir.resolve("_meta"),
+      s"buckets=${meta.buckets}\nfingerprint=${meta.fingerprint}\n" +
+        s"segments=${meta.segments.mkString(",")}\n",
+      StandardCharsets.UTF_8)
+    val tmp = Paths.get(path, ".CURRENT.tmp")
+    Files.writeString(tmp, s"v$ver", StandardCharsets.UTF_8)
+    Files.move(tmp, currentPointer(path),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Register (idempotently) the committed version's bucketed files as an
+    * external catalog table and return it; catalog entries of superseded
+    * versions under the same prefix are dropped opportunistically. Runs
+    * under the catalog lock only — never the write lock, so serving a
+    * committed version proceeds while a build of the next one is running.
+    */
+  def serveBucketed(spark: SparkSession, kind: String, path: String,
+      version: String, schemaDdl: String, clusterCols: Seq[String],
+      sortCols: Seq[String], buckets: Int, location: String): DataFrame =
+    withCatalogLock(path) {
+      val prefix = tablePrefix(kind, path)
+      val tbl = s"${prefix}_$version"
+      if (!spark.catalog.tableExists(tbl)) {
+        spark.catalog.listTables().collect()
+          .filter(t => t.name.startsWith(s"${prefix}_v") && t.name != tbl)
+          .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `${t.name}`"))
+        spark.sql(
+          s"""CREATE TABLE `$tbl` ($schemaDdl)
+             |USING parquet
+             |CLUSTERED BY (${clusterCols.mkString(", ")})
+             |SORTED BY (${sortCols.mkString(", ")})
+             |INTO $buckets BUCKETS
+             |LOCATION '$location'""".stripMargin)
+      }
+      spark.table(tbl)
+    }
+}

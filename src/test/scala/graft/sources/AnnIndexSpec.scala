@@ -55,6 +55,44 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(ddl.contains("CLUSTERED BY (vec_id)") && ddl.contains("INTO 2 BUCKETS"), ddl)
   }
 
+  test("append commits delta segments once; immutable tables survive; counts union") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("annidx").toString
+    AnnIndex.ensure(spark, tinyArtifacts(0), path, "fp", buckets = 2)
+    val delta = AnnIndex.Delta(
+      vectors = Seq((2L, Seq(1f, 1f))).toDF("vec_id", "embedding"),
+      cells = Seq((2L, 0L)).toDF("vec_id", "cell"),
+      codes = Seq((2L, 0L, 0L)).toDF("vec_id", "m", "cid"))
+    assert(AnnIndex.append(delta, "batch-0", path))
+    assert(AnnIndex.currentVersion(path) === Some("v2"))
+    val t = AnnIndex.serve(spark, path)
+    assert(t.vectors.count() === 3L && t.cells.count() === 3L && t.codes.count() === 3L)
+    // the frozen geometry is carried forward untouched
+    assert(t.centroids.count() === 2L && t.codebook.count() === 1L)
+    // manifest-gated replay: same version, same rows
+    assert(!AnnIndex.append(delta, "batch-0", path))
+    assert(AnnIndex.currentVersion(path) === Some("v2"))
+    assert(AnnIndex.serve(spark, path).vectors.count() === 3L)
+    // drift policy: 1 appended vector on a 2-vector base = 0.5
+    assert(AnnIndex.appendFraction(spark, path) === 0.5)
+    assert(!AnnIndex.retrainDue(spark, path, maxAppendFraction = 0.5))
+    assert(AnnIndex.retrainDue(spark, path, maxAppendFraction = 0.4))
+    // the superseded v1 snapshot still reads complete
+    assert(spark.read.parquet(s"$path/v1/vectors").count() === 2L)
+  }
+
+  test("serve is lock-free: it completes while a writer holds the write lock") {
+    val path = Files.createTempDirectory("annidx").toString
+    AnnIndex.ensure(spark, tinyArtifacts(0), path, "fp", buckets = 2)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    VersionedIndex.writeLock(path).synchronized {
+      val served = Future(AnnIndex.serve(spark, path).vectors.count())
+      assert(Await.result(served, 30.seconds) === 2L)
+    }
+  }
+
   test("e12 equals e10: the served index reproduces the in-session path exactly") {
     val e10 = graft.SparkEntry.queries("e10_ann_ivfpq_topk")(spark, dir)
       .orderBy("q_id", "rank").collect().map(_.toString).toSeq

@@ -114,6 +114,67 @@ class SignatureIndexSpec extends AnyFunSuite {
     assert(d36.nonEmpty)
   }
 
+  test("serve is lock-free: it completes while a writer holds the write lock") {
+    // r14 verdict #6 — a build of version N+1 must not block warm serves
+    // of committed version N. serve takes only the cheap catalog lock, so
+    // holding the per-path WRITE lock (what a running build holds across
+    // its Spark job) must not stall it.
+    val path = freshPath()
+    val base = docs.filter(col("doc_id") < 60)
+    SignatureIndex.build(PipelinePack.bandSignaturesOf(base), path, "fp", buckets = 4)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    VersionedIndex.writeLock(path).synchronized {
+      val served = Future(SignatureIndex.serve(spark, path).count())
+      assert(Await.result(served, 30.seconds) ===
+        PipelinePack.bandSignaturesOf(base).count())
+    }
+  }
+
+  test("the bucket count derives from measured index bytes when not pinned") {
+    // the shardCountFor discipline applied to index layout (r14 verdict
+    // #5): fixture-sized corpora land on the minimum; the count is
+    // recorded in _meta and drives the served DDL
+    val path = freshPath()
+    val corpus = docs.filter(col("doc_id") < 100)
+    val sigs = PipelinePack.bandSignaturesOf(corpus)
+    SignatureIndex.build(sigs, path, "fp") // buckets unpinned
+    val meta = SignatureIndex.readMeta(path).get
+    assert(meta.buckets === VersionedIndex.bucketsFor(sigs.count() * 24L))
+    assert(meta.buckets >= 8)
+    // and a 100 TB-scale estimate lands in the thousands, not a constant
+    assert(VersionedIndex.bucketsFor(100L << 40) === math.ceil(
+      (100L << 40).toDouble / (64L << 20)).toLong)
+  }
+
+  test("per-source stats commit in the same publish and sum across appends") {
+    // d37's maintained metadata: the admission quota reads these instead
+    // of re-aggregating the corpus per ingest batch
+    val path = freshPath()
+    val base = docs.filter(col("doc_id") < 100 && col("doc_id") % 10 =!= 7)
+    val delta = docs.filter(col("doc_id") < 100 && col("doc_id") % 10 === 7)
+    def statsOf(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy("source").agg(count(lit(1)).as("n"))
+    SignatureIndex.build(PipelinePack.bandSignaturesOf(base), path, "fp",
+      buckets = 4, stats = Some(statsOf(base)))
+    def served = SignatureIndex.sourceStats(spark, path).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val wantBase = statsOf(base).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(served === wantBase)
+    // the delta's stats ride the SAME manifest-gated append as its sigs
+    assert(SignatureIndex.append(PipelinePack.bandSignaturesOf(delta),
+      "batch-0", path, stats = Some(statsOf(delta))))
+    val wantAll = statsOf(base.unionByName(delta)).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(served === wantAll)
+    // replay: no double count
+    assert(!SignatureIndex.append(PipelinePack.bandSignaturesOf(delta),
+      "batch-0", path, stats = Some(statsOf(delta))))
+    assert(served === wantAll)
+  }
+
   test("a crashed publish never corrupts CURRENT: orphan segments are invisible") {
     val path = freshPath()
     val base = docs.filter(col("doc_id") < 60)
