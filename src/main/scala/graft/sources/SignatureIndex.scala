@@ -157,6 +157,10 @@ object SignatureIndex {
     val statsDir = Paths.get(path, v, "_stats")
     if (!Files.isDirectory(statsDir))
       throw new IllegalStateException(s"index has no maintained stats: $path/$v")
+    // the _-prefixed ROOT keeps the stats out of the bucketed table's
+    // recursive LOCATION listing; reading it explicitly is supported
+    // (DataSource warns "all paths were ignored" but proceeds with the
+    // given root — the leaf part-files have normal names)
     spark.read.parquet(statsDir.toString)
       .groupBy(col("source")).agg(sum(col("n")).as("n"))
   }

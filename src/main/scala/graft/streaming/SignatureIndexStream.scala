@@ -37,13 +37,27 @@ object SignatureIndexStream {
     * the micro-batch's signatures with the exact derivation the base was
     * built with, append as an idempotent segment. Returns whether the
     * segment was newly committed (false = replay, skipped).
+    *
+    * When the batch carries a `source` column, the batch's per-source
+    * counts commit in the SAME manifest-gated append — the maintained
+    * stats table d37's admission quota reads (the reference maintains
+    * metadata in the same txn as data, kremis redb_graph.rs:34,355-358),
+    * so a replayed batch can neither double-count nor skew the quota.
     */
   def processBatch(
       batch: DataFrame, batchId: Long, indexPath: String,
       segPrefix: String = "batch"): Boolean =
     if (batch.isEmpty) false
-    else SignatureIndex.append(
-      PipelinePack.bandSignaturesOf(batch), s"$segPrefix-$batchId", indexPath)
+    else {
+      import org.apache.spark.sql.functions.{count, lit}
+      val stats =
+        if (batch.columns.contains("source"))
+          Some(batch.groupBy("source").agg(count(lit(1)).as("n")))
+        else None
+      SignatureIndex.append(
+        PipelinePack.bandSignaturesOf(batch), s"$segPrefix-$batchId", indexPath,
+        stats = stats)
+    }
 
   /** Wire a streaming documents source (doc_id, text) into the index
     * maintenance loop. With `checkpointDir` set, a restart resumes at the

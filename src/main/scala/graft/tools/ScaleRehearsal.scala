@@ -230,6 +230,20 @@ object ScaleRehearsal {
           d37Adm > 0 && d37Adm < d37New && d37Train <= d37Adm,
         s"is_new $d37New / contaminated $d37Cont / admitted $d37Adm / " +
           s"in_training $d37Train of $d37Rows")
+      // r14: the gate rides the persisted infrastructure — a re-run over
+      // the same corpus performs ZERO signature-index builds (probe +
+      // maintained stats read, metadata only) and decides identically
+      val d37BuildsAfter = graft.sources.SignatureIndex.buildCount
+      val d37Agg2 = SparkEntry.queries("d37_incremental_manifest")(spark, dir).agg(
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.sum("is_new"),
+        org.apache.spark.sql.functions.sum("contaminated"),
+        org.apache.spark.sql.functions.sum("admitted"),
+        org.apache.spark.sql.functions.sum("in_training_set")).head
+      check("d37_gate_loaded_not_rebuilt")(
+        graft.sources.SignatureIndex.buildCount == d37BuildsAfter && d37Agg2 == d37Agg,
+        s"builds ${graft.sources.SignatureIndex.buildCount - d37BuildsAfter}, " +
+          s"decisions $d37Agg2 vs $d37Agg")
 
       // 4f. d34 shard-count contract (r13): shards-as-parallelism means
       // rows/shard is the per-task sort volume — the SIZED form must

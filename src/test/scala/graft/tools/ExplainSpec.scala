@@ -160,6 +160,53 @@ class ExplainSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("d37: admission counts read the maintained stats table; only the delta is minhashed") {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Partial, PartialMerge}
+    val q = graft.queries.PipelinePack.defs
+      .find(_.name == "d37_incremental_manifest").getOrElse(fail("no d37"))
+    val df = q.run(spark, dir)
+    df.collect()
+    val all = flatten(df.queryExecution.executedPlan)
+
+    // 1. the per-source admission counts arrive from the index's
+    //    maintained _stats table (metadata committed with the base and
+    //    appended per batch), visible as a file scan of the index path —
+    //    the r13 O(corpus)-aggregate-per-batch seam is closed
+    val scans = all.collect { case f: FileSourceScanExec => f }
+    assert(scans.exists(_.relation.location.rootPaths
+        .exists(p => p.toString.contains("graft_sigindex") && p.toString.contains("_stats"))),
+      s"no maintained-stats scan in the gate plan:\n${df.queryExecution.executedPlan}")
+
+    // 2. no count-by-source aggregate reads the corpus: every aggregate
+    //    grouping on `source` must sit over the stats scan, never over
+    //    documents.parquet
+    val srcAggs = all.collect {
+      case a: BaseAggregateExec
+        if a.groupingExpressions.map(_.toString).exists(_.contains("source")) => a
+    }
+    srcAggs.foreach { a =>
+      val aggScans = flatten(a).collect { case f: FileSourceScanExec => f }
+      val corpusScans = aggScans.flatMap(_.relation.location.rootPaths.map(_.toString))
+        .filter(_.contains("documents"))
+      assert(corpusScans.isEmpty,
+        s"per-source aggregate rescans the corpus: $corpusScans\n$a")
+    }
+
+    // 3. exactly ONE partial MinHash aggregation executes — the DELTA's
+    //    (the corpus side is the served index; d36's discipline holds in
+    //    the composed gate)
+    val sigPartials = all.collect {
+      case a: BaseAggregateExec
+        if a.aggregateExpressions.exists(e =>
+          (e.mode == Partial || e.mode == PartialMerge) &&
+            e.toString.contains("xxhash64")) => a
+    }
+    assert(sigPartials.size <= 1,
+      s"${sigPartials.size} partial MinHash aggregates — corpus side re-minhashed?")
+  }
+
   test("e12: serving reads ONLY index tables — no corpus scan, no encode, bucketed codes") {
     import org.apache.spark.sql.execution._
     import org.apache.spark.sql.execution.window.WindowExec
