@@ -871,6 +871,16 @@ object AnnPack {
     val fp = graft.sources.SignatureIndex.dirFingerprint(s"$dir/embeddings.parquet") +
       s"#ivfpq/$PqSubDim/$PqCentroids/md5"
     val t = AnnIndex.ensure(spark, ivfPqArtifacts(spark, dir), path, fp)
+    serveIvfPqFrom(t, nprobe, shortlist)
+  }
+
+  /** The index-only IVF-PQ serving plan over one committed version's
+    * tables — shared by e12 (full-corpus base) and e13 (base + appended
+    * deltas; the tables are unions of segments, the plan is identical).
+    */
+  private def serveIvfPqFrom(
+      t: graft.sources.AnnIndex.Served,
+      nprobe: Int, shortlist: Int): DataFrame = {
     // the query batch, quantized at serve time from the index's OWN
     // vector store (serving never touches the source corpus)
     val qel = int8Quantize(t.vectors.filter(col("vec_id") < NumQueries))
@@ -913,6 +923,109 @@ object AnnPack {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= K)
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
+  }
+
+  /** e13's BASE build: [[ivfPqArtifacts]] restricted to the non-delta
+    * slice — the snapshot a deployment's first full build covers. All
+    * geometry (adaptive cell count, centroid set, md5 codebook seeds)
+    * derives from the BASE corpus and is then FROZEN: appends assign and
+    * encode against it, which is what keeps serve-after-appends exactly
+    * rebuild-equivalent (and the oracle expressible).
+    */
+  private def ivfPqBaseArtifacts(
+      spark: SparkSession, dir: String,
+      deltaMod: Long, deltaRes: Long): graft.sources.AnnIndex.Artifacts = {
+    val emb = embeddings(spark, dir)
+    val key = Some(s"$dir/embeddings#base-m${deltaMod}r$deltaRes")
+    val cv = clusteredEmbeddings(emb, Some(s"$dir/embeddings"))
+      .filter(col("vec_id") % deltaMod =!= deltaRes)
+    val dim = dimOf(emb, Some(s"$dir/embeddings#dim"))
+    val (embC, el, cb, codes) = pqIndexMemo(cv, dim, PqSubDim, PqCentroids, None, "md5", key)
+    val nCells = servingCells(embC, key)
+    val centroids = el.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("ccid"), col("d"), col("q").as("ccq"))
+    val d2 = el.select(col("vec_id"), col("d"), col("q"))
+      .join(broadcast(centroids), "d")
+      .groupBy(col("vec_id"), col("ccid"))
+      .agg(sum((col("q") - col("ccq")) * (col("q") - col("ccq"))).as("d2"))
+    val wA = Window.partitionBy("vec_id").orderBy(col("d2"), col("ccid"))
+    val cells = d2.withColumn("rn", row_number().over(wA))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("ccid").as("cell"))
+    graft.sources.AnnIndex.Artifacts(
+      vectors = embC, centroids = centroids, cells = cells,
+      codebook = cb, codes = codes)
+  }
+
+  /** The MAINTENANCE derivation: a batch of new (vec_id, embedding)
+    * vectors quantized, ASSIGNED to the committed centroids, and ENCODED
+    * against the committed codebook — O(batch) work against broadcast
+    * geometry, never a retrain (IVF's standard ingest move; the frozen
+    * codebook keeps the result bit-identical to what a full rebuild with
+    * the same geometry would produce). Shared by e13's batch append and
+    * [[graft.streaming.AnnIndexStream]]'s foreachBatch leg.
+    */
+  private[graft] def deltaArtifactsFor(
+      newVectors: DataFrame,
+      served: graft.sources.AnnIndex.Served): graft.sources.AnnIndex.Delta = {
+    val del = pqElements(newVectors, PqSubDim)
+    // coarse assignment vs the frozen centroids (e02d's tie discipline)
+    val dc = del.select(col("vec_id"), col("d"), col("q"))
+      .join(broadcast(served.centroids), "d")
+      .groupBy(col("vec_id"), col("ccid"))
+      .agg(sum((col("q") - col("ccq")) * (col("q") - col("ccq"))).as("d2"))
+    val wA = Window.partitionBy("vec_id").orderBy(col("d2"), col("ccid"))
+    val cells = dc.withColumn("rn", row_number().over(wA))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("ccid").as("cell"))
+    // PQ encode vs the frozen codebook (pqIndex's per-(vec, m) argmin)
+    val wE = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("cid"))
+    val codes = del.join(broadcast(served.codebook), Seq("m", "d"))
+      .groupBy(col("vec_id"), col("m"), col("cid"))
+      .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("d2"))
+      .withColumn("rn", row_number().over(wE))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("cid"))
+    graft.sources.AnnIndex.Delta(
+      vectors = newVectors.select(col("vec_id"), col("embedding")),
+      cells = cells, codes = codes)
+  }
+
+  /** e13 — the MAINTAINED ANN index: base built over the non-delta
+    * slice, the delta batch APPENDED (assigned/encoded against the
+    * frozen geometry, manifest-gated), then top-k served from the
+    * committed tables exactly like e12. The oracle re-derives the whole
+    * thing from scratch with the base-restricted geometry (cells/
+    * codebook seeds from the base slice), so the entry gates the
+    * maintenance contract end to end: serve-after-appends must be
+    * BIT-IDENTICAL to a rebuild that uses the committed geometry —
+    * which is the invariant that makes delta appends sound at all.
+    * [[graft.sources.AnnIndex.retrainDue]] is the documented escape
+    * valve once drift outgrows the frozen geometry.
+    */
+  def appendedIvfPqTopK(
+      spark: SparkSession, dir: String,
+      nprobe: Int = NProbe, shortlist: Int = PqCandidates,
+      deltaMod: Long = 10L, deltaRes: Long = 7L,
+      indexRoot: String = "/tmp/graft_annindex"): DataFrame = {
+    import graft.sources.AnnIndex
+    val path = s"$indexRoot/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}" +
+      s"_ivfpq_m${deltaMod}r$deltaRes"
+    val fp = graft.sources.SignatureIndex.dirFingerprint(s"$dir/embeddings.parquet") +
+      s"#ivfpq-base/$PqSubDim/$PqCentroids/md5/m${deltaMod}r$deltaRes"
+    val t0 = AnnIndex.ensure(spark,
+      ivfPqBaseArtifacts(spark, dir, deltaMod, deltaRes), path, fp)
+    // the delta batch arrives: one manifest-gated append. The manifest
+    // check runs BEFORE the delta derivation so a warm pass forces no
+    // delta quantization (pqElements checkpoints eagerly); append itself
+    // re-checks under the write lock.
+    val seg = s"delta-m${deltaMod}r$deltaRes"
+    if (!graft.sources.VersionedIndex.readMeta(path).exists(_.segments.contains(seg))) {
+      val delta = clusteredEmbeddings(embeddings(spark, dir), Some(s"$dir/embeddings"))
+        .filter(col("vec_id") % deltaMod === deltaRes)
+      AnnIndex.append(deltaArtifactsFor(delta, t0), seg, path)
+    }
+    serveIvfPqFrom(AnnIndex.serve(spark, path), nprobe, shortlist)
   }
 
   /** CTE chain re-deriving the RHP index relationally over `cv` (the
@@ -1045,19 +1158,26 @@ object AnnPack {
     * subspace (`mel`) and the md5-selected codebook (`cb`) — the e08
     * baseline AND e08c's training seed.
     */
-  private val pqCbCtes: String = s"""
+  /** `centSel` restricts which corpus vectors are ELIGIBLE as codebook
+    * seeds (a predicate over `c.vec_id`; "TRUE" = the whole corpus) —
+    * e13's maintained index froze its codebook at base-build time, so
+    * its oracle selects seeds from the base slice only.
+    */
+  private def pqCbCtesSel(centSel: String): String = s"""
       $int8QeCtes,
       mel AS (SELECT vec_id, d, d // $PqSubDim AS m, q FROM qe),
       mm AS (SELECT DISTINCT m FROM mel),
       selm AS (SELECT c.vec_id, mm.m,
                  md5('pq:v1:' || mm.m || ':' || c.vec_id) AS h
-               FROM cv c CROSS JOIN mm),
+               FROM cv c CROSS JOIN mm WHERE $centSel),
       selr AS (SELECT vec_id, m,
                  row_number() OVER (PARTITION BY m ORDER BY h, vec_id) - 1 AS cid
                FROM selm),
       cb AS (SELECT sr.m, sr.cid, e.d, e.q AS cq
              FROM selr sr JOIN mel e ON e.vec_id = sr.vec_id AND e.m = sr.m
              WHERE sr.cid < $PqCentroids)"""
+
+  private val pqCbCtes: String = pqCbCtesSel("TRUE")
 
   /** One unrolled per-subspace Lloyd round over `mel` (the SQL twin of
     * [[pqTrainCodebook]]'s loop body): assign by integer L2 within each
@@ -1132,9 +1252,17 @@ object AnnPack {
     * ending in `prk` like the PQ chains, so the recall-floor CTEs
     * compose unchanged.
     */
-  private val ivfPqRankCtes: String = pqCbCtes + s""",
-      nac2 AS (SELECT CAST(least(4096, greatest($NumCentroids, round(sqrt(CAST(count(*) AS DOUBLE))))) AS BIGINT) AS a FROM cv),
-      cent2 AS (SELECT vec_id AS ccid, d, q AS ccq FROM qe WHERE vec_id < (SELECT a FROM nac2)),
+  /** `baseCond` (a predicate over bare `vec_id`; "TRUE" = everything)
+    * restricts the COARSE geometry to the slice the index was built
+    * from: the adaptive cell count derives from the base's row count and
+    * centroids come from base vectors only — the frozen-geometry oracle
+    * e13's append-maintained index must reproduce. `centSel` is the
+    * matching codebook-seed restriction (see [[pqCbCtesSel]]).
+    */
+  private def ivfPqRankCtesFor(baseCond: String, centSel: String): String =
+    pqCbCtesSel(centSel) + s""",
+      nac2 AS (SELECT CAST(least(4096, greatest($NumCentroids, round(sqrt(CAST(count(*) AS DOUBLE))))) AS BIGINT) AS a FROM cv WHERE $baseCond),
+      cent2 AS (SELECT vec_id AS ccid, d, q AS ccq FROM qe WHERE vec_id < (SELECT a FROM nac2) AND ($baseCond)),
       cdd AS (SELECT e.vec_id, c.ccid, sum((e.q - c.ccq) * (e.q - c.ccq)) AS d2
               FROM qe e JOIN cent2 c ON c.d = e.d GROUP BY 1, 2),
       ccl AS (SELECT vec_id, ccid AS cell FROM (
@@ -1163,6 +1291,8 @@ object AnnPack {
       prk AS (SELECT q_id, vec_id,
                 row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rank
               FROM sc3)"""
+
+  private val ivfPqRankCtes: String = ivfPqRankCtesFor("TRUE", "TRUE")
 
   /** e08c's oracle chain: md5 seed → trained codebook → the same serving
     * pipeline, all bit-exact.
@@ -2227,6 +2357,23 @@ object AnnPack {
       SELECT q_id, rank, vec_id AS neighbor_id FROM prk
       WHERE rank <= $K ORDER BY q_id, rank""")) { (s, dir) =>
       servedIvfPqTopK(s, dir).orderBy("q_id", "rank")
+    },
+
+    // ---- e13: the MAINTAINED ANN index — base built over the non-delta
+    // slice, the delta batch appended against the FROZEN geometry
+    // (committed centroids + codebook), then served like e12. The oracle
+    // re-derives everything from scratch with the base-restricted
+    // geometry (cell count from the base row count, centroids and
+    // codebook seeds from base vectors only; assignment/encode still
+    // cover every vector), so serve-after-appends is gated bit-for-bit
+    // against the rebuild-equivalent answer — the invariant that makes
+    // delta maintenance sound. ----
+    QDef("e13_ann_maintained_topk", Some(s"""
+      WITH $clusteredCvCtes,
+      ${ivfPqRankCtesFor("vec_id % 10 <> 7", "c.vec_id % 10 <> 7")}
+      SELECT q_id, rank, vec_id AS neighbor_id FROM prk
+      WHERE rank <= $K ORDER BY q_id, rank""")) { (s, dir) =>
+      appendedIvfPqTopK(s, dir).orderBy("q_id", "rank")
     },
 
     // ---- e09: the k-means TRAINING loop itself, fully oracle-gated —

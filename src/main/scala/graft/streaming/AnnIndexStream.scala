@@ -1,0 +1,70 @@
+package graft.streaming
+
+import graft.queries.AnnPack
+import graft.sources.AnnIndex
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming maintenance of the persisted ANN index — [[AnnIndex]]'s
+  * foreachBatch leg, mirroring [[SignatureIndexStream]] (r14 verdict #2):
+  * e13's batch append keeps the index current for a scheduled ingest; this
+  * keeps it current as vectors STREAM in, so a query session always serves
+  * a committed version that includes yesterday's arrivals.
+  *
+  * Each micro-batch of (vec_id, embedding) rows is assigned to the
+  * COMMITTED centroids and encoded against the COMMITTED codebook
+  * ([[AnnPack.deltaArtifactsFor]] — O(batch) against broadcast geometry,
+  * never a retrain), then appended as one immutable segment named by the
+  * batch id. Idempotence is the [[SignatureIndexStream]] layering: the
+  * manifest is the durable replay ledger ([[AnnIndex.append]] no-ops on a
+  * committed segment name), so the one-batch replay a crash between
+  * offset-write and commit-write produces commits exactly once.
+  *
+  * The drift escape valve applies here too: when
+  * [[AnnIndex.appendFraction]] outgrows the operator's budget, schedule a
+  * full rebuild — the stream keeps appending to the CURRENT version either
+  * way, and readers keep the version they resolved.
+  */
+object AnnIndexStream {
+
+  /** foreachBatch body (public for deterministic unit testing): derive the
+    * micro-batch's delta artifacts against the committed geometry, append
+    * as an idempotent segment. Returns whether the segment was newly
+    * committed (false = replay, skipped). The manifest check runs FIRST so
+    * a replayed batch forces no quantization work at all.
+    */
+  def processBatch(
+      batch: DataFrame, batchId: Long, indexPath: String,
+      segPrefix: String = "batch"): Boolean = {
+    val segName = s"$segPrefix-$batchId"
+    if (batch.isEmpty) false
+    else if (graft.sources.VersionedIndex.readMeta(indexPath)
+        .exists(_.segments.contains(segName))) false
+    else {
+      val served = AnnIndex.serve(batch.sparkSession, indexPath)
+      AnnIndex.append(
+        AnnPack.deltaArtifactsFor(batch, served), segName, indexPath)
+    }
+  }
+
+  /** Wire a streaming vector source (vec_id, embedding) into the index
+    * maintenance loop. With `checkpointDir` set, a restart resumes at the
+    * first unprocessed offset and the manifest absorbs the one-batch
+    * replay a crash between offset-write and commit-write produces.
+    */
+  def start(
+      vectors: DataFrame,
+      indexPath: String,
+      queryName: String,
+      checkpointDir: Option[String] = None,
+      segPrefix: String = "batch"): StreamingQuery = {
+    val w = vectors.writeStream
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, indexPath, segPrefix); ()
+      }
+    checkpointDir.foreach(d => w.option("checkpointLocation", d))
+    w.start()
+  }
+}

@@ -196,6 +196,20 @@ object ScaleRehearsal {
         .filter(org.apache.spark.sql.functions.col("v") =!= 1).count()
       check("d36_decisions_match_d32")(d36Mismatch == 0L,
         s"$d36Mismatch delta docs decided differently by the served index")
+      // r14: the bucket count is DERIVED from measured index bytes (the
+      // shardCountFor discipline), so rows/bucket stays bounded by the
+      // target bucket size however the corpus grows — the receipt the
+      // fixed `buckets = 32` never had
+      val d36Path = s"/tmp/graft_sigindex/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_m10r7"
+      val d36Meta = graft.sources.SignatureIndex.readMeta(d36Path).get
+      val d36IdxRows = graft.sources.SignatureIndex.serve(spark, d36Path).count()
+      check("sig_index_buckets_derived_from_bytes")(
+        d36Meta.buckets == graft.sources.VersionedIndex.bucketsFor(d36IdxRows * 24L),
+        s"meta.buckets ${d36Meta.buckets} vs derived " +
+          s"${graft.sources.VersionedIndex.bucketsFor(d36IdxRows * 24L)} for $d36IdxRows rows")
+      check("sig_index_rows_per_bucket_bounded")(
+        d36IdxRows * 24L <= d36Meta.buckets.toLong * (64L << 20),
+        s"$d36IdxRows rows x 24B over ${d36Meta.buckets} buckets exceeds the 64MB target")
 
       // 4e2. d37 — the composed incremental ingest gate (r13): one
       // decision row per delta doc at 10x, every gate non-vacuous (a
@@ -448,6 +462,31 @@ object ScaleRehearsal {
       check("e12_matches_e10")(e12Mismatch == 0L,
         s"$e12Mismatch (q_id, rank) slots served differently by the persisted index")
 
+      // 12c. e13 — the MAINTAINED index at 10x (r14): first pass pays at
+      // most one base build + one delta append; the re-serve performs
+      // ZERO builds and ZERO appends (the manifest is the replay ledger)
+      // and answers identically — probe cost is stable as deltas arrive
+      // because serving reads the same bucketed/posting-list layout
+      // whatever the segment count. The drift policy receipt rides along:
+      // the 10% delta slice stays under the default retrain budget.
+      val e13First = SparkEntry.queries("e13_ann_maintained_topk")(spark, dir)
+      val e13Rows = e13First.count()
+      val e13Path = s"/tmp/graft_annindex/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_ivfpq_m10r7"
+      val e13Builds0 = graft.sources.AnnIndex.buildCount
+      val e13V = graft.sources.AnnIndex.currentVersion(e13Path)
+      val e13Again = SparkEntry.queries("e13_ann_maintained_topk")(spark, dir).count()
+      val e13WarmBuilds = graft.sources.AnnIndex.buildCount - e13Builds0
+      check("e13_maintained_loaded_not_rebuilt")(
+        e13WarmBuilds == 0 &&
+          graft.sources.AnnIndex.currentVersion(e13Path) == e13V &&
+          e13Again == e13Rows,
+        s"builds $e13WarmBuilds, " +
+          s"version $e13V -> ${graft.sources.AnnIndex.currentVersion(e13Path)}")
+      val e13Frac = graft.sources.AnnIndex.appendFraction(spark, e13Path)
+      check("e13_append_fraction_under_retrain_budget")(
+        e13Frac > 0d && !graft.sources.AnnIndex.retrainDue(spark, e13Path),
+        s"append fraction $e13Frac vs 0.5 budget")
+
       // 13. e09 k-means at 10x: every Lloyd round stays broadcast
       // equi-joins (no product), and the trained assignment is total —
       // one cluster per vector, more than one cluster used (training on
@@ -570,7 +609,10 @@ object ScaleRehearsal {
         s""""d32_delta_pair_space":$d32PairSpace,""" +
         s""""d36_cand_base":$d36CandBase,"d36_cand_10x":$d36CandBig,""" +
         s""""d36_ratio":$d36Ratio,"d36_warm_builds":$buildsWarm,""" +
+        s""""sig_index_buckets_10x":${d36Meta.buckets},"sig_index_rows_10x":$d36IdxRows,""" +
         s""""e12_rows_10x":$e12Rows,"e12_warm_builds":$annWarmBuilds,""" +
+        s""""e13_rows_10x":$e13Rows,"e13_warm_builds":$e13WarmBuilds,""" +
+        s""""e13_append_fraction":$e13Frac,""" +
         s""""d37_rows_10x":$d37Rows,"d37_admitted_10x":$d37Adm,""" +
         s""""d34_shards_base":$d34ShardsBase,"d34_shards_10x":$d34Shards10x,""" +
         s""""d34_mean_rows_per_shard_10x":$d34Mean10x,"d34_max_rows_per_shard_10x":$d34Max10x,""" +

@@ -108,4 +108,41 @@ class AnnIndexSpec extends AnyFunSuite {
     graft.SparkEntry.queries("e12_ann_served_topk")(spark, dir).collect()
     assert(AnnIndex.buildCount === before)
   }
+
+  test("e13: a second maintained serve performs zero builds and zero new appends") {
+    val path = "/tmp/graft_annindex/_root_testdata_sf0.001_ivfpq_m10r7"
+    val first = graft.SparkEntry.queries("e13_ann_maintained_topk")(spark, dir)
+      .orderBy("q_id", "rank").collect().map(_.toString).toSeq
+    val before = AnnIndex.buildCount
+    val v = AnnIndex.currentVersion(path)
+    val again = graft.SparkEntry.queries("e13_ann_maintained_topk")(spark, dir)
+      .orderBy("q_id", "rank").collect().map(_.toString).toSeq
+    assert(AnnIndex.buildCount === before) // no rebuild
+    assert(AnnIndex.currentVersion(path) === v) // no re-append (manifest gate)
+    assert(again === first)
+    assert(first.nonEmpty)
+    // the drift policy reads the committed segment sizes: the 10%-slice
+    // delta sits far under the default 0.5 budget
+    assert(!AnnIndex.retrainDue(spark, path))
+  }
+
+  test("streaming maintenance: frozen-geometry assignment/encode, replay skipped") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("annidx").toString
+    AnnIndex.ensure(spark, tinyArtifacts(0), path, "fp", buckets = 2)
+    // batch vector [0.5, -1]: int8 q = [64, -127]; the only centroid and
+    // the only codebook entry live on d=0, so cell 0 / code (m0, cid0)
+    val batch = Seq((5L, Seq(0.5f, -1f))).toDF("vec_id", "embedding")
+    assert(graft.streaming.AnnIndexStream.processBatch(batch, 0L, path))
+    val t = AnnIndex.serve(spark, path)
+    assert(t.vectors.count() === 3L)
+    assert(t.cells.filter(col("vec_id") === 5L).collect()
+      .map(r => r.getLong(1)).toSeq === Seq(0L))
+    assert(t.codes.filter(col("vec_id") === 5L).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq === Seq((0L, 0L)))
+    // replayed micro-batch: the manifest is the durable guard — and the
+    // check short-circuits before any quantization work
+    assert(!graft.streaming.AnnIndexStream.processBatch(batch, 0L, path))
+    assert(AnnIndex.serve(spark, path).vectors.count() === 3L)
+  }
 }
