@@ -299,6 +299,74 @@ object Multimodal {
       .toDF("doc_id", "ahash")
   }
 
+  /** m08 — m07d's banded image near-dup served from the PERSISTED
+    * signature index: the base corpus's Manku 4-block aHash rows live in
+    * a maintained [[graft.sources.SignatureIndex]] (doc_id, band=block,
+    * sig=block value — the index is generic over banded signatures, so
+    * the image gate reuses it verbatim, r13 verdict #3), and an arriving
+    * image batch (the twin slice stands in for "today's uploads")
+    * probes it exactly as d36's text gate probes its MinHash index:
+    *
+    *   1. `ensure` serves the committed block index (builds once per
+    *      corpus fingerprint — the only base-corpus decode+hash pass in
+    *      the index's lifetime; [[graft.streaming.ImageDedupStream
+    *      .indexAppendBatch]] keeps it current as images stream in);
+    *   2. the batch's blocks are hashed in-flight (O(|batch|) decodes);
+    *   3. candidates = batchBlocks ⋈ index on (band, sig) plus the
+    *      earlier-row in-batch leg — recall 1.0 by the Manku pigeonhole;
+    *   4. TRUE hamming verifies from the block rows themselves: the four
+    *      16-bit blocks ARE the 64-bit hash, so sum(bit_count(xor)) over
+    *      the four aligned bands re-derives bit_count(ha ^ hb) without
+    *      touching image bytes — the index carries its own verify
+    *      payload, the same trick s12's keyed state uses.
+    *
+    * Output: m07d's pair rows restricted to pairs whose LATER member is
+    * in the arriving batch — gated by m07d's exhaustive oracle with that
+    * same restriction.
+    */
+  def indexedImagePairs(spark: SparkSession, dir: String,
+      indexRoot: String = "/tmp/graft_sigindex"): DataFrame = {
+    import graft.sources.SignatureIndex
+    val docs = graft.Tables.documents(spark, dir)
+    val media = pngMediaWithTwins(docs, base = 8, every = 7)
+    val isDelta = col("doc_id") >= TwinOffset
+    def blocksOf(m: DataFrame): DataFrame =
+      imageAHash(m, grid = 8).select(col("doc_id"),
+          explode(expr("transform(sequence(0, 3), " +
+            "f -> named_struct('band', CAST(f AS INT), 'sig', shiftright(ahash, 16 * f) & 65535))"))
+            .as("x"))
+        .select(col("doc_id"), col("x.band").as("band"), col("x.sig").as("sig"))
+    val path = s"$indexRoot/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_img-ahash64"
+    val fp = SignatureIndex.dirFingerprint(s"$dir/documents.parquet")
+    val idx = SignatureIndex.ensure(spark, blocksOf(media.filter(!isDelta)), path, fp)
+    val deltaB = blocksOf(media.filter(isDelta))
+    // probe leg: the batch meets the served index; the earlier-partner
+    // residual keeps the probe idempotent under maintenance (once the
+    // batch's own blocks are appended, re-probing yields the same set)
+    val candIdx = deltaB.as("x").join(idx.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          (col("y.doc_id") < lit(TwinOffset) || col("y.doc_id") < col("x.doc_id")))
+      .select(col("x.doc_id").as("doc_i"), col("y.doc_id").as("doc_j"))
+    // in-flight leg: the batch self-dedups against its own earlier rows
+    val candBatch = deltaB.as("x").join(deltaB.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("y.doc_id") < col("x.doc_id"))
+      .select(col("x.doc_id").as("doc_i"), col("y.doc_id").as("doc_j"))
+    val cands = candIdx.unionByName(candBatch).distinct()
+    // verify from block rows only (distinct: after maintenance a batch
+    // doc's blocks exist both in flight and in the index)
+    val allB = idx.unionByName(deltaB).distinct()
+    cands
+      .join(deltaB.select(col("doc_id").as("doc_i"), col("band"),
+        col("sig").as("sig_i")), "doc_i")
+      .join(allB.select(col("doc_id").as("doc_j"), col("band"),
+        col("sig").as("sig_j")), Seq("doc_j", "band"))
+      .groupBy(col("doc_i"), col("doc_j"))
+      .agg(sum(expr("bit_count(sig_i ^ sig_j)")).cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_j").as("id_a"), col("doc_i").as("id_b"), col("hamming"))
+  }
+
   /** Feature extraction with a REAL decode: ImageIO bytes→pixels, then a
     * FeatureDim-bin histogram over all channel bytes, normalized. One
     * decoder context per partition, rows streamed through it — the

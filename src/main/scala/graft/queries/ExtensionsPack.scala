@@ -81,6 +81,45 @@ object ExtensionsPack {
       v => s.conf.set(RangeJoinBinning.BinSizeKey, v))
   }
 
+  /** Shared oracle chain for the 64-bit image-hash family (m07d / s12 /
+    * m08): re-derives the twin-planted PNG corpus pixel-by-pixel, the
+    * 8x8 aHash, the four 16-bit Manku block rows (`vr`) and the banded
+    * candidate pairs with both hashes (`pr`) — the exhaustive substrate
+    * each member filters differently.
+    */
+  private val imgAHash64Ctes: String = """ids AS (SELECT doc_id, doc_id AS src, FALSE AS tw FROM documents
+                   UNION ALL
+                   SELECT doc_id + 1000000, doc_id, TRUE FROM documents WHERE doc_id % 7 = 0),
+      d AS (SELECT doc_id, src, tw, src % 13 + 8 AS w, src % 11 + 8 AS h FROM ids),
+      px AS (SELECT doc_id, src, tw, w, h, unnest(range(0, w * h)) AS i FROM d),
+      c AS (SELECT doc_id, w, h, i,
+              CASE WHEN tw AND i = 0 THEN 255
+                   ELSE (src * 31 + (i % w) * 7 + (i // w) * 13 + (src // 100000000) * 1009 * ((i % w) * (i // w) + (i % w) + 1)) % 256 END AS r,
+              CASE WHEN tw AND i = 0 THEN 255
+                   ELSE (src * 17 + (i % w) * 3 + (i // w) * 29 + (src // 100000000) * 1009 * ((i % w) * (i // w) + (i % w) + 1) * 3) % 256 END AS g,
+              CASE WHEN tw AND i = 0 THEN 255
+                   ELSE (src * 53 + (i % w) * 11 + (i // w) * 5 + (src // 100000000) * 1009 * ((i % w) * (i // w) + (i % w) + 1) * 7) % 256 END AS b
+            FROM px),
+      cell AS (SELECT doc_id,
+                 ((i // w) * 8 // h) * 8 + ((i % w) * 8 // w) AS cl,
+                 r + g + b AS l
+               FROM c),
+      cm AS (SELECT doc_id, cl, sum(l) // count(*) AS m FROM cell GROUP BY 1, 2),
+      gm AS (SELECT doc_id, sum(m) // 64 AS g FROM cm GROUP BY 1),
+      hs AS (SELECT cm.doc_id,
+               CAST(sum(CASE WHEN cm.m <= gm.g THEN 0
+                             WHEN cl = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+                             ELSE CAST(CAST(1 AS BIGINT) << cl AS HUGEINT) END)
+                 AS BIGINT) AS ahash
+             FROM cm JOIN gm ON gm.doc_id = cm.doc_id GROUP BY cm.doc_id),
+      vr AS (SELECT doc_id, ahash, f AS blk,
+               (ahash >> (16 * f)) & 65535 AS bv
+             FROM hs, (SELECT unnest(range(0, 4)) AS f)),
+      pr AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.ahash AS ha, b.ahash AS hb
+             FROM vr a JOIN vr b
+               ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id)"""
+
   val defs: Seq[QDef] = Seq(
 
     QDef("s01_windowed_events", Some("""
@@ -647,39 +686,8 @@ object ExtensionsPack {
     // the true-hamming re-check bounds exactly. The corpus plants a
     // near-duplicate twin (one saturated pixel) for every 7th document,
     // so the gate covers real recovered pairs, not an empty result. ----
-    QDef("m07d_image_ahash64_pairs", Some("""
-      WITH ids AS (SELECT doc_id, doc_id AS src, FALSE AS tw FROM documents
-                   UNION ALL
-                   SELECT doc_id + 1000000, doc_id, TRUE FROM documents WHERE doc_id % 7 = 0),
-      d AS (SELECT doc_id, src, tw, src % 13 + 8 AS w, src % 11 + 8 AS h FROM ids),
-      px AS (SELECT doc_id, src, tw, w, h, unnest(range(0, w * h)) AS i FROM d),
-      c AS (SELECT doc_id, w, h, i,
-              CASE WHEN tw AND i = 0 THEN 255
-                   ELSE (src * 31 + (i % w) * 7 + (i // w) * 13 + (src // 100000000) * 1009 * ((i % w) * (i // w) + (i % w) + 1)) % 256 END AS r,
-              CASE WHEN tw AND i = 0 THEN 255
-                   ELSE (src * 17 + (i % w) * 3 + (i // w) * 29 + (src // 100000000) * 1009 * ((i % w) * (i // w) + (i % w) + 1) * 3) % 256 END AS g,
-              CASE WHEN tw AND i = 0 THEN 255
-                   ELSE (src * 53 + (i % w) * 11 + (i // w) * 5 + (src // 100000000) * 1009 * ((i % w) * (i // w) + (i % w) + 1) * 7) % 256 END AS b
-            FROM px),
-      cell AS (SELECT doc_id,
-                 ((i // w) * 8 // h) * 8 + ((i % w) * 8 // w) AS cl,
-                 r + g + b AS l
-               FROM c),
-      cm AS (SELECT doc_id, cl, sum(l) // count(*) AS m FROM cell GROUP BY 1, 2),
-      gm AS (SELECT doc_id, sum(m) // 64 AS g FROM cm GROUP BY 1),
-      hs AS (SELECT cm.doc_id,
-               CAST(sum(CASE WHEN cm.m <= gm.g THEN 0
-                             WHEN cl = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
-                             ELSE CAST(CAST(1 AS BIGINT) << cl AS HUGEINT) END)
-                 AS BIGINT) AS ahash
-             FROM cm JOIN gm ON gm.doc_id = cm.doc_id GROUP BY cm.doc_id),
-      vr AS (SELECT doc_id, ahash, f AS blk,
-               (ahash >> (16 * f)) & 65535 AS bv
-             FROM hs, (SELECT unnest(range(0, 4)) AS f)),
-      pr AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-               a.ahash AS ha, b.ahash AS hb
-             FROM vr a JOIN vr b
-               ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id)
+    QDef("m07d_image_ahash64_pairs", Some(s"""
+      WITH $imgAHash64Ctes
       SELECT id_a, id_b,
              CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
       FROM pr WHERE bit_count(xor(ha, hb)) <= 3
@@ -703,6 +711,24 @@ object ExtensionsPack {
         .orderBy("id_a", "id_b")
     },
 
+    // m08: m07d's banded image near-dup served from the PERSISTED
+    // signature index (r13 verdict #3) — the base corpus's block rows
+    // are a maintained bucketed table (SignatureIndex, reused verbatim:
+    // the index is generic over (doc_id, band, sig)); the arriving batch
+    // (the twin slice) probes it d36-style, and TRUE hamming verifies
+    // from the four aligned block rows themselves (they ARE the 64-bit
+    // hash), so serving never touches base image bytes. Oracle: m07d's
+    // exhaustive chain restricted to pairs whose LATER member arrives in
+    // the batch. ----
+    QDef("m08_indexed_image_dedup", Some(s"""
+      WITH $imgAHash64Ctes
+      SELECT id_a, id_b,
+             CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+      FROM pr WHERE bit_count(xor(ha, hb)) <= 3 AND id_b >= 1000000
+      ORDER BY id_a, id_b""")) { (s, dir) =>
+      Multimodal.indexedImagePairs(s, dir).orderBy("id_a", "id_b")
+    },
+
     // s12: the STREAMING image-dedup gate — m07d's banded aHash near-dup
     // as the multimodal member of the ingest gate, run through the real
     // band-bucket keyed-state operator (ImageDedupStream.imagePairs:
@@ -713,39 +739,8 @@ object ExtensionsPack {
     // the flag law — so bucket recall is gated, not assumed.
     // StreamingSpec drives the cross-batch form; StreamingScaleRehearsal
     // holds the TTL state-plateau receipt. ----
-    QDef("s12_streaming_image_dedup_flags", Some("""
-      WITH ids AS (SELECT doc_id, doc_id AS src, FALSE AS tw FROM documents
-                   UNION ALL
-                   SELECT doc_id + 1000000, doc_id, TRUE FROM documents WHERE doc_id % 7 = 0),
-      d AS (SELECT doc_id, src, tw, src % 13 + 8 AS w, src % 11 + 8 AS h FROM ids),
-      px AS (SELECT doc_id, src, tw, w, h, unnest(range(0, w * h)) AS i FROM d),
-      c AS (SELECT doc_id, w, h, i,
-              CASE WHEN tw AND i = 0 THEN 255
-                   ELSE (src * 31 + (i % w) * 7 + (i // w) * 13 + (src // 100000000) * 1009 * ((i % w) * (i // w) + (i % w) + 1)) % 256 END AS r,
-              CASE WHEN tw AND i = 0 THEN 255
-                   ELSE (src * 17 + (i % w) * 3 + (i // w) * 29 + (src // 100000000) * 1009 * ((i % w) * (i // w) + (i % w) + 1) * 3) % 256 END AS g,
-              CASE WHEN tw AND i = 0 THEN 255
-                   ELSE (src * 53 + (i % w) * 11 + (i // w) * 5 + (src // 100000000) * 1009 * ((i % w) * (i // w) + (i % w) + 1) * 7) % 256 END AS b
-            FROM px),
-      cell AS (SELECT doc_id,
-                 ((i // w) * 8 // h) * 8 + ((i % w) * 8 // w) AS cl,
-                 r + g + b AS l
-               FROM c),
-      cm AS (SELECT doc_id, cl, sum(l) // count(*) AS m FROM cell GROUP BY 1, 2),
-      gm AS (SELECT doc_id, sum(m) // 64 AS g FROM cm GROUP BY 1),
-      hs AS (SELECT cm.doc_id,
-               CAST(sum(CASE WHEN cm.m <= gm.g THEN 0
-                             WHEN cl = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
-                             ELSE CAST(CAST(1 AS BIGINT) << cl AS HUGEINT) END)
-                 AS BIGINT) AS ahash
-             FROM cm JOIN gm ON gm.doc_id = cm.doc_id GROUP BY cm.doc_id),
-      vr AS (SELECT doc_id, ahash, f AS blk,
-               (ahash >> (16 * f)) & 65535 AS bv
-             FROM hs, (SELECT unnest(range(0, 4)) AS f)),
-      pr AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-               a.ahash AS ha, b.ahash AS hb
-             FROM vr a JOIN vr b
-               ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id),
+    QDef("s12_streaming_image_dedup_flags", Some(s"""
+      WITH $imgAHash64Ctes,
       dup AS (SELECT DISTINCT id_b AS doc_id FROM pr
               WHERE bit_count(xor(ha, hb)) <= 3)
       SELECT ids.doc_id,

@@ -65,6 +65,23 @@ object ImageDedupStream {
   private def hamming(a: Long, b: Long): Long =
     java.lang.Long.bitCount(a ^ b).toLong
 
+  /** Maintenance leg of the PERSISTED image-signature index (m08's probe
+    * side): a micro-batch of (doc_id, ahash) rows appends its Manku
+    * block rows as one manifest-gated segment — the
+    * [[SignatureIndexStream.processBatch]] contract applied to image
+    * blocks, so tomorrow's image batch probes an index that already
+    * contains today's. Returns whether the segment was newly committed
+    * (false = replay, skipped).
+    */
+  def indexAppendBatch(
+      hashes: DataFrame, batchId: Long, indexPath: String,
+      segPrefix: String = "img"): Boolean =
+    if (hashes.isEmpty) false
+    else graft.sources.SignatureIndex.append(
+      blockSignatures(hashes)
+        .select(col("docId").as("doc_id"), col("band"), col("sig")),
+      s"$segPrefix-$batchId", indexPath)
+
   /** Verified image near-dup pairs from band-bucket keyed state: every
     * arriving (id, ahash) pairs (smaller id first) with each bucket-mate
     * — remembered or within-batch — whose true hamming distance is

@@ -534,6 +534,23 @@ object ScaleRehearsal {
         r.getLong(1) == r.getLong(0) + twinOff && r.getLong(0) % 7 == 0)
       check("m07d_twin_recovery")(m07dRecovered * 2 > m07dPlanted,
         s"$m07dRecovered twin pairs recovered of $m07dPlanted planted")
+      // r14: m08 — the image gate served from the persisted block index.
+      // First pass may pay the one-time base build (decode + hash the
+      // base corpus ONCE); the re-probe performs zero builds and decides
+      // identically, and every m07d twin pair (twin = the arriving
+      // batch) survives the indexed path.
+      val m08First = SparkEntry.queries("m08_indexed_image_dedup")(spark, dir)
+      val m08Pairs = m08First.count()
+      val m08Builds0 = graft.sources.SignatureIndex.buildCount
+      val m08Again = SparkEntry.queries("m08_indexed_image_dedup")(spark, dir).count()
+      val m08WarmBuilds = graft.sources.SignatureIndex.buildCount - m08Builds0
+      check("m08_image_index_loaded_not_rebuilt")(
+        m08WarmBuilds == 0 && m08Again == m08Pairs,
+        s"$m08WarmBuilds builds on the warm re-probe")
+      val m08Recovered = m08First.collect().count(r =>
+        r.getLong(1) == r.getLong(0) + twinOff && r.getLong(0) % 7 == 0)
+      check("m08_recovers_m07d_twins")(m08Recovered == m07dRecovered,
+        s"indexed path recovered $m08Recovered twin pairs vs m07d's $m07dRecovered")
       // Candidate volume straight from the block index (pre-hamming-
       // check), at BOTH scales. The pixel function salts per id-band
       // (r11 verdict #4: un-salted, band-shifted copies re-rendered
@@ -623,6 +640,7 @@ object ScaleRehearsal {
         s""""m07d_per_doc_base":${m07dCandBase.toDouble / m07dNBase},""" +
         s""""m07d_per_doc_10x":$m07dPerDoc10x,""" +
         s""""m07d_pairs_10x":${m07dPairs.length},"m07d_twins_recovered":$m07dRecovered,""" +
+        s""""m08_pairs_10x":$m08Pairs,"m08_warm_builds":$m08WarmBuilds,""" +
         s""""q35_rows_base":$q35Base,"q35_rows_10x":$q35Rows,""" +
         s""""failures":${failures.size}}""")
       if (failures.nonEmpty) {

@@ -56,6 +56,7 @@ class EntryAnalyzeSmokeSpec extends AnyFunSuite {
     "e11_ann_ivf_filtered_topk", "e11b_ann_ivf_filtered_recall_floor",
     "e12_ann_served_topk",
     "e13_ann_maintained_topk",
+    "m08_indexed_image_dedup",
     "g01_nodes", "g02_edges", "g03_properties", "g04_entity_index",
     "g05_lookup_entity", "g06_neighbors", "g07_get_edge", "g08_counts",
     "g09_traverse", "g10_traverse_filtered", "g11_frontier_edges",

@@ -175,6 +175,26 @@ class SignatureIndexSpec extends AnyFunSuite {
     assert(served === wantAll)
   }
 
+  test("image maintenance: appended twin blocks leave m08's probe decisions unchanged") {
+    // the m08 residual guard (partner in base, or earlier in batch) is
+    // what makes the probe idempotent once the batch's own blocks are
+    // appended — the same contract d36 holds for text signatures
+    import graft.multimodal.Multimodal
+    val first = graft.SparkEntry.queries("m08_indexed_image_dedup")(spark, dir)
+      .orderBy("id_a", "id_b").collect().map(_.toString).toSeq
+    assert(first.nonEmpty)
+    val path = s"/tmp/graft_sigindex/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_img-ahash64"
+    val twins = Multimodal.pngMediaWithTwins(docs, base = 8, every = 7)
+      .filter(col("doc_id") >= Multimodal.TwinOffset)
+    val hs = Multimodal.imageAHash(twins, grid = 8)
+    assert(graft.streaming.ImageDedupStream.indexAppendBatch(hs, 0L, path))
+    // replay: manifest-gated no-op
+    assert(!graft.streaming.ImageDedupStream.indexAppendBatch(hs, 0L, path))
+    val again = graft.SparkEntry.queries("m08_indexed_image_dedup")(spark, dir)
+      .orderBy("id_a", "id_b").collect().map(_.toString).toSeq
+    assert(again === first)
+  }
+
   test("a crashed publish never corrupts CURRENT: orphan segments are invisible") {
     val path = freshPath()
     val base = docs.filter(col("doc_id") < 60)
