@@ -368,19 +368,40 @@ object ExtensionsPack {
     // shape: stateless map-side pair explosion, one windowed hash
     // aggregate with micro-batch partial combine, state bounded by
     // (windows x pair vocabulary). ----
+    // The pair-vocab bound is MEASURED (r14): the probe picks the
+    // smallest support-ladder rung whose worst window fits the budget,
+    // and the oracle mirrors the ladder decision in SQL (the d10b/d35
+    // oracle-mirrored-conditional discipline) so both the no-filter
+    // branch (any natural corpus — support 1) and the escalation branch
+    // stay gated. StreamingSpec exercises the escalation with a tiny
+    // budget.
     QDef("s10_windowed_pair_counts", Some("""
       WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       p AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tk),
-      q AS (SELECT doc_id, toks[i] AS l, toks[i + 1] AS r FROM p)
-      SELECT make_timestamp((doc_id // 60) * 3600 * 1000000) AS window_start,
-             l, r, count(*) AS n
-      FROM q GROUP BY 1, 2, 3
+      q AS (SELECT doc_id, toks[i] AS l, toks[i + 1] AS r FROM p),
+      wc AS (SELECT make_timestamp((doc_id // 60) * 3600 * 1000000) AS window_start,
+               l, r, count(*) AS n
+             FROM q GROUP BY 1, 2, 3),
+      lad AS (SELECT max(v1) AS m1, max(v2) AS m2, max(v5) AS m5 FROM (
+              SELECT window_start,
+                     sum(CASE WHEN n >= 1 THEN 1 ELSE 0 END) AS v1,
+                     sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS v2,
+                     sum(CASE WHEN n >= 5 THEN 1 ELSE 0 END) AS v5
+              FROM wc GROUP BY 1)),
+      ms AS (SELECT CASE WHEN m1 <= 1000000 THEN 1
+                         WHEN m2 <= 1000000 THEN 2
+                         WHEN m5 <= 1000000 THEN 5
+                         ELSE 50 END AS k FROM lad)
+      SELECT window_start, l, r, n FROM wc
+      WHERE n >= (SELECT k FROM ms)
       ORDER BY window_start, l, r""")) { (s, dir) =>
       import s.implicits._
-      val docs = Tables.documents(s, dir)
+      val timed = Tables.documents(s, dir)
         .select(timestamp_millis(col("doc_id") * 60000L).as("ts"), col("text"))
-        .as[graft.streaming.PhraseStream.TimedDoc]
-      graft.streaming.PhraseStream.windowedPairCounts(docs)
+      val k = graft.streaming.PhraseStream.choosePairMinSupport(
+        timed, cacheKey = Some(s"$dir/documents#s10"))
+      graft.streaming.PhraseStream.windowedPairCounts(
+          timed.as[graft.streaming.PhraseStream.TimedDoc], minSupport = k)
         .orderBy("window_start", "l", "r")
     },
 

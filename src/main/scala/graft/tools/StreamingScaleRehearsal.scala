@@ -426,6 +426,13 @@ object StreamingScaleRehearsal {
       val s10OpenBound = (s10ArrSpanMs / chunks + 3600000L) / s10WindowMs + 2
       check("s10_state_open_windows_x_vocab")(s10Max <= 4 * s10OpenBound * s10Vocab,
         s"max state $s10Max rows vs 4 x $s10OpenBound open windows x $s10Vocab pair vocab")
+      // r14: the vocab bound is now a MEASURED probe, not just this
+      // receipt — at rehearsal scale the worst window fits the budget at
+      // support 1 (the no-filter branch the parity checks above ran on)
+      val s10Support = graft.streaming.PhraseStream.choosePairMinSupport(
+        s10All.select(col("ts"), col("text")), windowMs = s10WindowMs)
+      check("s10_measured_support_is_nofilter_branch")(s10Support == 1L,
+        s"probe chose support $s10Support — pair vocab outgrew the budget at rehearsal scale")
       check("s10_batches_cover_chunks")(s10Curve.length >= chunks,
         s"${s10Curve.length} progress entries < $chunks chunks")
 
@@ -526,7 +533,7 @@ object StreamingScaleRehearsal {
           s""""s09_windows_emitted":${s09Emitted.size},"s09_windows_total":$s09WindowsTotal,""" +
           s""""s09_tuples":${s09Streamed.length},""" +
           s""""s10_max_state":$s10Max,"s10_open_bound":$s10OpenBound,""" +
-          s""""s10_pair_vocab":$s10Vocab,""" +
+          s""""s10_pair_vocab":$s10Vocab,"s10_measured_support":$s10Support,""" +
           s""""s10_windows_emitted":${s10Emitted.size},"s10_windows_total":$s10WindowsTotal,""" +
           s""""s10_tuples":${s10Streamed.length},""" +
           s""""s11_max_state":$s11Max,"s11_open_bound":$s11OpenBound,""" +

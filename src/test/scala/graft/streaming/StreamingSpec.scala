@@ -647,4 +647,28 @@ class StreamingSpec extends AnyFunSuite {
         "batch over the same frame matches the closed window (open windows have no pairs)")
     } finally query.stop()
   }
+
+  test("s10 measured support: tiny budget escalates the ladder; the filter applies") {
+    import spark.implicits._
+    import graft.streaming.PhraseStream
+    import PhraseStream.TimedDoc
+    // one window: (a,b) x3, plus 3 singleton pairs — worst-window vocab
+    // is 4 at support 1, 1 at support 2
+    val docs = Seq(
+      TimedDoc(t(1), "a b"), TimedDoc(t(2), "a b c a b"),
+      TimedDoc(t(3), "x y"), TimedDoc(t(4), "p q")).toDF()
+    // generous budget: the natural branch, no filtering
+    assert(PhraseStream.choosePairMinSupport(docs) === 1L)
+    // budget 2: support-1 vocab (4+) overflows, support 2 fits
+    assert(PhraseStream.choosePairMinSupport(docs, vocabBudget = 2L) === 2L)
+    // budget 0: the first rung whose vocab vanishes — support 5 empties
+    // this fixture's worst window ((a,b) caps at 3)
+    assert(PhraseStream.choosePairMinSupport(docs, vocabBudget = 0L) === 5L)
+    // and the operator applies the chosen rung at emission
+    val filtered = PhraseStream.windowedPairCounts(
+        docs.as[TimedDoc], windowMs = 600000L, minSupport = 2L)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(filtered === Set(("a", "b", 3L)),
+      "only pairs at or above the measured support emit")
+  }
 }
