@@ -31,7 +31,7 @@ object Multimodal {
     * cleanup only.
     */
   private val twinGuardCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, Int, Int), Unit]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), Unit]
 
   graft.SessionMemos.registerEvictor { dead =>
     twinGuardCache.filterInPlace { case ((s, _, _), _) => !dead(s) }
@@ -164,8 +164,16 @@ object Multimodal {
     // the scan once per session (ADVICE r12), keyed by the canonicalized
     // plan's semantic hash — the same identity Spark's own CacheManager
     // uses to equate plans.
+    // keyed by an md5 of the canonicalized plan STRING, not the 32-bit
+    // semanticHash alone (ADVICE r13): Spark's CacheManager uses that
+    // hash only as a bucket and confirms with semanticEquals — a bucket
+    // collision here would silently skip a loud-failure safety check
+    val canon = docs.queryExecution.analyzed.canonicalized
     val guardKey = (spark,
-      docs.queryExecution.analyzed.canonicalized.semanticHash(), every)
+      s"${canon.semanticHash()}:" + java.security.MessageDigest.getInstance("MD5")
+        .digest(canon.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString,
+      every)
     twinGuardCache.getOrElseUpdate(guardKey, {
       graft.SessionMemos.arm(spark)
       val clashes = docs.select(col("doc_id"))

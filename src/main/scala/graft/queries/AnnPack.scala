@@ -383,10 +383,56 @@ object AnnPack {
     }
   }
 
+  /** ADVICE r13 (medium): a corpus regenerated mid-session must not feed
+    * a persisted-index rebuild from memos pinned to the OLD files. The
+    * served entrypoints pin the corpus-directory fingerprint per
+    * (session, dir); on a mismatch every memo keyed by that corpus's
+    * path-derived cache keys is dropped — with its persisted /
+    * localCheckpoint backing released — BEFORE the rebuild derives
+    * artifacts, so a new index version always re-derives from the
+    * current files (and in-session entries over the same key rebuild
+    * fresh too).
+    */
+  private val corpusFpPins =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private[graft] def invalidateStaleCorpusMemos(
+      spark: SparkSession, dir: String, fp: String): Unit = {
+    SessionMemos.arm(spark)
+    corpusFpPins.put((spark, dir), fp) match {
+      case Some(old) if old != fp => clearCorpusKeyMemos(spark, s"$dir/embeddings")
+      case _ => ()
+    }
+  }
+
+  private def clearCorpusKeyMemos(session: SparkSession, prefix: String): Unit = {
+    def hit(s: SparkSession, k: String) = (s eq session) && k.startsWith(prefix)
+    dimCache.filterInPlace { case ((s, k), _) => !hit(s, k) }
+    countCache.filterInPlace { case ((s, k), _) => !hit(s, k) }
+    cellsCache.filterInPlace { case ((s, k, _), _) => !hit(s, k) }
+    coarseCellsCache.filterInPlace { case ((s, k), df) =>
+      if (hit(s, k)) { SessionMemos.safeUnpersist(df); false } else true
+    }
+    pqCodebookCache.filterInPlace { case ((s, k), df) =>
+      if (hit(s, k)) { SessionMemos.safeUnpersist(df); false } else true
+    }
+    pairsCache.filterInPlace { case ((s, k, _, _), df) =>
+      if (hit(s, k)) { SessionMemos.safeUnpersist(df); false } else true
+    }
+    pqIdxCache.filterInPlace { case ((s, k), (embC, el, _, codes)) =>
+      if (hit(s, k)) {
+        SessionMemos.safeUnpersist(el); SessionMemos.safeUnpersist(codes)
+        SessionMemos.releaseCheckpoints(embC)
+        false
+      } else true
+    }
+  }
+
   // Lifecycle (r10 verdict #5): every cache in this object joins the
   // session-scoped eviction registry; the registration runs at object
   // init, strictly before any cache can be populated.
   SessionMemos.registerEvictor { dead =>
+    corpusFpPins.filterInPlace { case ((s, _), _) => !dead(s) }
     dimCache.filterInPlace { case ((s, _), _) => !dead(s) }
     countCache.filterInPlace { case ((s, _), _) => !dead(s) }
     cellsCache.filterInPlace { case ((s, _, _), _) => !dead(s) }
@@ -638,7 +684,7 @@ object AnnPack {
     */
   @volatile private[graft] var pqIdxMemoEnabled = true
 
-  private[graft] def clearPqIdxMemo(session: SparkSession): Unit =
+  private[graft] def clearPqIdxMemo(session: SparkSession): Unit = {
     pqIdxCache.filterInPlace { case ((s, _), (embC, el, _, codes)) =>
       if (s eq session) {
         el.unpersist(blocking = true); codes.unpersist(blocking = true)
@@ -648,6 +694,11 @@ object AnnPack {
         false
       } else true
     }
+    // coarse-cells memos recompute THROUGH the checkpoints just released
+    // (ADVICE r13): drop them too, so no live memo outlives a lineage it
+    // can no longer rebuild from after block loss
+    clearCoarseMemo(session)
+  }
 
   /** `cbTag` distinguishes codebook PROVENANCE in the memo key ("md5" /
     * "trained"); callers passing an explicit codebook must pass a tag
@@ -868,8 +919,11 @@ object AnnPack {
       indexRoot: String = "/tmp/graft_annindex"): DataFrame = {
     import graft.sources.AnnIndex
     val path = s"$indexRoot/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_ivfpq"
-    val fp = graft.sources.SignatureIndex.dirFingerprint(s"$dir/embeddings.parquet") +
-      s"#ivfpq/$PqSubDim/$PqCentroids/md5"
+    val rawFp = graft.sources.SignatureIndex.dirFingerprint(s"$dir/embeddings.parquet")
+    // stale-memo coherence (ADVICE r13): a rebuild must derive from the
+    // CURRENT files, never from memos of a mid-session-regenerated corpus
+    invalidateStaleCorpusMemos(spark, dir, rawFp)
+    val fp = rawFp + s"#ivfpq/$PqSubDim/$PqCentroids/md5"
     val t = AnnIndex.ensure(spark, ivfPqArtifacts(spark, dir), path, fp)
     serveIvfPqFrom(t, nprobe, shortlist)
   }
@@ -1011,7 +1065,9 @@ object AnnPack {
     import graft.sources.AnnIndex
     val path = s"$indexRoot/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}" +
       s"_ivfpq_m${deltaMod}r$deltaRes"
-    val fp = graft.sources.SignatureIndex.dirFingerprint(s"$dir/embeddings.parquet") +
+    val rawFp = graft.sources.SignatureIndex.dirFingerprint(s"$dir/embeddings.parquet")
+    invalidateStaleCorpusMemos(spark, dir, rawFp) // ADVICE r13 coherence
+    val fp = rawFp +
       s"#ivfpq-base/$PqSubDim/$PqCentroids/md5/m${deltaMod}r$deltaRes"
     val t0 = AnnIndex.ensure(spark,
       ivfPqBaseArtifacts(spark, dir, deltaMod, deltaRes), path, fp)

@@ -126,6 +126,45 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(!AnnIndex.retrainDue(spark, path))
   }
 
+  test("a corpus regenerated mid-session rebuilds from the current files, not stale memos") {
+    // ADVICE r13 (medium): the first serve memoizes the corpus pin /
+    // element table / codes under path-derived keys; regenerating the
+    // corpus at the same path must NOT let the fingerprint-forced rebuild
+    // derive its artifacts from those memos — the new version's answers
+    // must equal a memo-free recompute over the NEW files.
+    import org.apache.spark.sql.functions.{col, size => asize}
+    import java.nio.file.{Paths, StandardCopyOption}
+    val corpusDir = Files.createTempDirectory("anncorpus").toString
+    val indexRoot = Files.createTempDirectory("annroot").toString
+    def plant(limit: Int): Unit = {
+      val outDir = Files.createTempDirectory("annslice").toString + "/w"
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .orderBy("vec_id").limit(limit).coalesce(1)
+        .write.mode("overwrite").parquet(outDir)
+      import scala.jdk.CollectionConverters._
+      val f = java.nio.file.Files.list(Paths.get(outDir)).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(f, Paths.get(corpusDir, "embeddings.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    def truth(): Seq[String] = {
+      val emb = spark.read.parquet(s"$corpusDir/embeddings.parquet")
+      val dim = emb.select(asize(col("embedding"))).head.getInt(0)
+      graft.queries.AnnPack.ivfPqTopK(
+          graft.queries.AnnPack.clusteredEmbeddings(emb), dim)
+        .orderBy("q_id", "rank").collect().map(_.toString).toSeq
+    }
+    def served(): Seq[String] =
+      graft.queries.AnnPack.servedIvfPqTopK(spark, corpusDir, indexRoot = indexRoot)
+        .orderBy("q_id", "rank").collect().map(_.toString).toSeq
+    plant(40)
+    assert(served() === truth()) // populates the session memos + v1
+    plant(64) // the corpus regenerates mid-session (sizes + mtimes move)
+    val after = served() // fingerprint mismatch -> rebuild
+    assert(after === truth(), "rebuild served from stale session memos")
+    assert(after.nonEmpty)
+  }
+
   test("streaming maintenance: frozen-geometry assignment/encode, replay skipped") {
     import spark.implicits._
     val path = Files.createTempDirectory("annidx").toString
