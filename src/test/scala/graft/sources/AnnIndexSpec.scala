@@ -48,8 +48,11 @@ class AnnIndexSpec extends AnyFunSuite {
   test("the served codes table carries the vec_id bucket spec") {
     val path = Files.createTempDirectory("annidx").toString
     AnnIndex.ensure(spark, tinyArtifacts(0), path, "fp", buckets = 2)
+    // select THIS path's table by its exact prefix — other suites
+    // register ANN-index tables for other paths with other bucket counts
+    val prefix = VersionedIndex.tablePrefix("ann_idx", path)
     val tbl = spark.catalog.listTables().collect()
-      .map(_.name).filter(_.startsWith("graft_ann_idx_"))
+      .map(_.name).filter(_.startsWith(s"${prefix}_v"))
     assert(tbl.nonEmpty)
     val ddl = spark.sql(s"SHOW CREATE TABLE `${tbl.sorted.last}`").head.getString(0)
     assert(ddl.contains("CLUSTERED BY (vec_id)") && ddl.contains("INTO 2 BUCKETS"), ddl)

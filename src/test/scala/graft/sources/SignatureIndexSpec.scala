@@ -33,9 +33,12 @@ class SignatureIndexSpec extends AnyFunSuite {
     val served = SignatureIndex.serve(spark, path)
     assert(sigRows(served) === sigRows(PipelinePack.bandSignaturesOf(corpus)))
     // the catalog entry carries the bucket spec (the no-Exchange probe
-    // side depends on it; the plan-level pin lives in ExplainSpec)
+    // side depends on it; the plan-level pin lives in ExplainSpec).
+    // Select THIS path's table by its exact prefix — other suites
+    // register sig-index tables for other paths with other bucket counts
+    val prefix = VersionedIndex.tablePrefix("sig_idx", path)
     val tbl = spark.catalog.listTables().collect()
-      .map(_.name).filter(_.startsWith("graft_sig_idx_"))
+      .map(_.name).filter(_.startsWith(s"${prefix}_v"))
     assert(tbl.nonEmpty)
     val ddl = spark.sql(s"SHOW CREATE TABLE `${tbl.head}`").head.getString(0)
     assert(ddl.contains("CLUSTERED BY (band, sig)") && ddl.contains("INTO 4 BUCKETS"),
@@ -178,21 +181,24 @@ class SignatureIndexSpec extends AnyFunSuite {
   test("image maintenance: appended twin blocks leave m08's probe decisions unchanged") {
     // the m08 residual guard (partner in base, or earlier in batch) is
     // what makes the probe idempotent once the batch's own blocks are
-    // appended — the same contract d36 holds for text signatures
+    // appended — the same contract d36 holds for text signatures. A
+    // FRESH index root keeps the test self-contained: the entry's shared
+    // /tmp index persists across JVM runs, so appending there would make
+    // this test's own append a replay on the second run.
     import graft.multimodal.Multimodal
-    val first = graft.SparkEntry.queries("m08_indexed_image_dedup")(spark, dir)
+    val indexRoot = Files.createTempDirectory("imgidx").toString
+    def probe() = Multimodal.indexedImagePairs(spark, dir, indexRoot = indexRoot)
       .orderBy("id_a", "id_b").collect().map(_.toString).toSeq
+    val first = probe()
     assert(first.nonEmpty)
-    val path = s"/tmp/graft_sigindex/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_img-ahash64"
+    val path = s"$indexRoot/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_img-ahash64"
     val twins = Multimodal.pngMediaWithTwins(docs, base = 8, every = 7)
       .filter(col("doc_id") >= Multimodal.TwinOffset)
     val hs = Multimodal.imageAHash(twins, grid = 8)
     assert(graft.streaming.ImageDedupStream.indexAppendBatch(hs, 0L, path))
     // replay: manifest-gated no-op
     assert(!graft.streaming.ImageDedupStream.indexAppendBatch(hs, 0L, path))
-    val again = graft.SparkEntry.queries("m08_indexed_image_dedup")(spark, dir)
-      .orderBy("id_a", "id_b").collect().map(_.toString).toSeq
-    assert(again === first)
+    assert(probe() === first)
   }
 
   test("a crashed publish never corrupts CURRENT: orphan segments are invisible") {
