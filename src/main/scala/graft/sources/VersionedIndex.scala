@@ -211,6 +211,45 @@ object VersionedIndex {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Retention GC: delete superseded version directories older than the
+    * newest `keep` (the CURRENT version is always retained), then every
+    * segment directory no RETAINED manifest references — which sweeps
+    * both bases superseded by rebuilds and crashed-writer orphans.
+    * Version dirs are hardlinks, so reclaiming real bytes requires the
+    * segment sweep; deletes run segment-last so a crash mid-GC leaves
+    * only re-collectable garbage, never a broken retained version.
+    * Readers that resolved CURRENT before the GC may hold a deleted
+    * version — retention is the operator's contract (keep >= the
+    * longest-running reader's horizon), exactly like snapshot expiry in
+    * an Iceberg/Delta table. Returns the deleted entry names.
+    */
+  def gcVersions(path: String, keep: Int = 2): Seq[String] = withWriteLock(path) {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val root = Paths.get(path)
+    if (currentVersion(path).isEmpty) return Nil
+    def deleteTree(p: Path): Unit =
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    val versions = Files.list(root).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.matches("v\\d+"))
+      .toSeq.sortBy(_.getFileName.toString.stripPrefix("v").toLong)
+    val (drop, retain) = versions.splitAt(math.max(0, versions.size - keep))
+    drop.foreach(deleteTree)
+    val referenced = retain.flatMap { v =>
+      Files.readAllLines(v.resolve("_meta")).asScala
+        .collectFirst { case l if l.startsWith("segments=") =>
+          l.stripPrefix("segments=").split(",").filter(_.nonEmpty).toSeq }
+        .getOrElse(Nil)
+    }.toSet
+    val segRoot = root.resolve("seg")
+    val orphans =
+      if (!Files.isDirectory(segRoot)) Nil
+      else Files.list(segRoot).iterator().asScala
+        .filter(p => Files.isDirectory(p) && !referenced(p.getFileName.toString))
+        .toSeq
+    orphans.foreach(deleteTree)
+    drop.map(_.getFileName.toString) ++ orphans.map(p => s"seg/${p.getFileName}")
+  }
+
   /** Register (idempotently) the committed version's bucketed files as an
     * external catalog table and return it; catalog entries of superseded
     * versions under the same prefix are dropped opportunistically. Runs

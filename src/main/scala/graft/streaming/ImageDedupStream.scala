@@ -82,6 +82,30 @@ object ImageDedupStream {
         .select(col("docId").as("doc_id"), col("band"), col("sig")),
       s"$segPrefix-$batchId", indexPath)
 
+  /** Wire a streaming (doc_id, ahash) source into the image-index
+    * maintenance loop — the [[SignatureIndexStream.start]] twin, so one
+    * image stream can feed BOTH the keyed-state dedup gate and the
+    * persisted index m08's batch probe serves from. With `checkpointDir`
+    * set, a restart resumes at the first unprocessed offset and the
+    * manifest absorbs the one-batch replay a crash between offset-write
+    * and commit-write produces.
+    */
+  def startIndexMaintenance(
+      hashes: DataFrame,
+      indexPath: String,
+      queryName: String,
+      checkpointDir: Option[String] = None,
+      segPrefix: String = "img"): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = hashes.writeStream
+      .queryName(queryName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        indexAppendBatch(batch, batchId, indexPath, segPrefix); ()
+      }
+    checkpointDir.foreach(d => w.option("checkpointLocation", d))
+    w.start()
+  }
+
   /** Verified image near-dup pairs from band-bucket keyed state: every
     * arriving (id, ahash) pairs (smaller id first) with each bucket-mate
     * — remembered or within-batch — whose true hamming distance is

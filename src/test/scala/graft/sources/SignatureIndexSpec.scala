@@ -201,6 +201,31 @@ class SignatureIndexSpec extends AnyFunSuite {
     assert(probe() === first)
   }
 
+  test("gcVersions retires superseded snapshots and unreferenced segments; serving survives") {
+    val path = freshPath()
+    val base = docs.filter(col("doc_id") < 60)
+    val d1 = docs.filter(col("doc_id") >= 60 && col("doc_id") < 70)
+    SignatureIndex.build(PipelinePack.bandSignaturesOf(base), path, "fp1", buckets = 4)
+    SignatureIndex.append(PipelinePack.bandSignaturesOf(d1), "batch-0", path) // v2
+    // a crashed writer's orphan segment: invisible to serving, swept by gc
+    Files.createDirectories(Paths.get(path, "seg", "orphan"))
+    // keep=1: v1 goes, v2 (CURRENT) stays; base-v1 stays REFERENCED by
+    // v2's manifest, so the segment sweep must keep it
+    val gone1 = VersionedIndex.gcVersions(path, keep = 1)
+    assert(gone1.toSet === Set("v1", "seg/orphan"))
+    assert(SignatureIndex.currentVersion(path) === Some("v2"))
+    assert(sigRows(SignatureIndex.serve(spark, path)) ===
+      sigRows(PipelinePack.bandSignaturesOf(base.unionByName(d1))))
+    // a REBUILD supersedes every old segment (fresh manifest); after the
+    // old versions age out, the segment sweep reclaims the real bytes
+    SignatureIndex.build(PipelinePack.bandSignaturesOf(d1), path, "fp2", buckets = 4) // v3
+    val gone2 = VersionedIndex.gcVersions(path, keep = 1)
+    assert(gone2.toSet === Set("v2", "seg/base-v1", "seg/batch-0"))
+    assert(sigRows(SignatureIndex.serve(spark, path)) ===
+      sigRows(PipelinePack.bandSignaturesOf(d1)))
+    assert(!Files.exists(Paths.get(path, "seg", "base-v1")))
+  }
+
   test("a crashed publish never corrupts CURRENT: orphan segments are invisible") {
     val path = freshPath()
     val base = docs.filter(col("doc_id") < 60)

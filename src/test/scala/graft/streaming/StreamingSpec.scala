@@ -648,6 +648,65 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("index maintenance streams: AvailableNow appends land once; restarts resume at offsets") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.sources.{AnnIndex, SignatureIndex}
+    import org.apache.spark.sql.functions.col
+    import java.nio.file.Files
+
+    // ---- image-block index: stream (doc_id, ahash) into the maintained
+    // index m08's batch probe serves from
+    val imgPath = Files.createTempDirectory("imgidxs").toString
+    val imgCkpt = Files.createTempDirectory("imgckpt").toString
+    val baseHashes = Seq((1L, 0x1111222233334444L)).toDF("doc_id", "ahash")
+    SignatureIndex.build(
+      ImageDedupStream.blockSignatures(baseHashes)
+        .select(col("docId").as("doc_id"), col("band"), col("sig")),
+      imgPath, "fp", buckets = 2)
+    val imgIn = MemoryStream[(Long, Long)]
+    imgIn.addData((2L, 0x1111222233335555L))
+    val q1 = ImageDedupStream.startIndexMaintenance(
+      imgIn.toDS().toDF("doc_id", "ahash"), imgPath, "imgidx_maint", Some(imgCkpt))
+    q1.awaitTermination()
+    assert(SignatureIndex.serve(spark, imgPath).count() === 8L) // 2 docs x 4 blocks
+    assert(SignatureIndex.readMeta(imgPath).get.segments.contains("img-0"))
+    // restart on the same checkpoint with one NEW record: the old offset
+    // is not replayed, the new one commits as the next batch's segment
+    imgIn.addData((3L, 0x1111222233336666L))
+    val q2 = ImageDedupStream.startIndexMaintenance(
+      imgIn.toDS().toDF("doc_id", "ahash"), imgPath, "imgidx_maint2", Some(imgCkpt))
+    q2.awaitTermination()
+    assert(SignatureIndex.serve(spark, imgPath).count() === 12L)
+
+    // ---- ANN index: stream (vec_id, embedding) through the frozen
+    // committed geometry
+    val annPath = Files.createTempDirectory("annidxs").toString
+    val annCkpt = Files.createTempDirectory("annckpt").toString
+    AnnIndex.ensure(spark,
+      AnnIndex.Artifacts(
+        vectors = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f))).toDF("vec_id", "embedding"),
+        centroids = Seq((0L, 0L, 127L), (0L, 1L, 0L)).toDF("ccid", "d", "ccq"),
+        cells = Seq((0L, 0L), (1L, 0L)).toDF("vec_id", "cell"),
+        codebook = Seq((0L, 0L, 0L, 5L)).toDF("m", "cid", "d", "cq"),
+        codes = Seq((0L, 0L, 0L), (1L, 0L, 0L)).toDF("vec_id", "m", "cid")),
+      annPath, "fp", buckets = 2)
+    val annIn = MemoryStream[(Long, Seq[Float])]
+    annIn.addData((7L, Seq(0.5f, -1f)))
+    val q3 = AnnIndexStream.start(
+      annIn.toDS().toDF("vec_id", "embedding"), annPath, "annidx_maint", Some(annCkpt))
+    q3.awaitTermination()
+    val served = AnnIndex.serve(spark, annPath)
+    assert(served.vectors.count() === 3L)
+    assert(served.cells.filter(col("vec_id") === 7L).head.getLong(1) === 0L)
+    // restart with NOTHING new: no batch fires, the version is untouched
+    val v = AnnIndex.currentVersion(annPath)
+    val q4 = AnnIndexStream.start(
+      annIn.toDS().toDF("vec_id", "embedding"), annPath, "annidx_maint2", Some(annCkpt))
+    q4.awaitTermination()
+    assert(AnnIndex.currentVersion(annPath) === v)
+  }
+
   test("s10 measured support: tiny budget escalates the ladder; the filter applies") {
     import spark.implicits._
     import graft.streaming.PhraseStream
