@@ -443,19 +443,7 @@ object PipelinePack {
       stats: => Option[DataFrame] = None): DataFrame = {
     val isDelta = col("doc_id") % deltaMod === deltaRes
     val cands = indexedCandidatesOver(store, deltaMod, deltaRes, path, fp, stats)
-    // verify over CANDIDATE PARTICIPANTS only (r14): shingle counts are
-    // per-doc and intersections per-pair, so restricting the doc set to
-    // ids appearing in a candidate is output-identical — and it bounds
-    // the expensive shingle explode by O(candidates), not O(corpus).
-    // The recomputed paths (d03/d32) deliberately keep the shared-plan
-    // form; HERE the whole point of the persisted index is that an
-    // ingest batch's cost scales with the delta, and candidate text is
-    // an id semi-join (point lookups against id-clustered storage at
-    // 100 TB), never a corpus-wide explode per batch.
-    val participantIds = cands.select(col("doc_i").as("doc_id"))
-      .unionByName(cands.select(col("doc_j").as("doc_id")))
-      .distinct()
-    val dup = verifyPairs(store.join(participantIds, Seq("doc_id"), "left_semi"), cands)
+    val dup = verifyPairs(store, cands)
       .groupBy("doc_i").agg(min(col("doc_j")).as("dup_of"))
       .select(col("doc_i").as("doc_id"), col("dup_of"))
     store.filter(isDelta).select(col("doc_id"))
