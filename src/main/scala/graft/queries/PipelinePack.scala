@@ -436,6 +436,19 @@ object PipelinePack {
     * forced only when the ensure builds, and commits in the same publish
     * as the base signatures, so the admission quota's metadata is born
     * transactionally consistent with the index.
+    *
+    * The verify leg deliberately keeps [[verifyPairs]]'s shared-plan
+    * form (one corpus-wide shingle explode reused by all four consumers
+    * via ReuseExchange) rather than semi-joining the doc set down to
+    * candidate participants first: measured at sf0.1, the restricted
+    * form re-executed the candidate probe under each consumer and
+    * DOUBLED the entry (d36 2.8 -> 4.7s, d37 3.7 -> 8.6s, 5-pass
+    * medians). At 100 TB the balance flips — candidate text becomes an
+    * id point-lookup against doc_id-clustered storage and the
+    * corpus-wide explode is the term that cannot ship — so a deployment
+    * materializes the candidate set once (it is O(delta)-small) and
+    * fetches participants by id; locally the shared explode is the
+    * faster plan and is what the oracle gates.
     */
   private[graft] def indexedIngestDedupOver(
       store: DataFrame, deltaMod: Long, deltaRes: Long,
