@@ -114,8 +114,14 @@ object AnnIndex {
     val segName = s"base-v$next"
     writeTables(path, segName, b, a.vectors, a.cells, a.codes,
       Some(a.centroids), Some(a.codebook))
+    // the drift denominator, recorded in the manifest so appendFraction
+    // survives compaction/GC retiring the base segment's FILES: a
+    // footer-only count over the just-written vectors table
+    val baseRows = a.vectors.sparkSession.read
+      .parquet(s"$path/seg/$segName/vectors").count()
     VersionedIndex.publish(path, next,
-      VersionedIndex.Meta(b, fingerprint, Seq(segName)), Tables)
+      VersionedIndex.Meta(b, fingerprint, Seq(segName), Seq(segName), baseRows),
+      Tables)
     buildCount += 1
   }
 
@@ -139,7 +145,39 @@ object AnnIndex {
         writeTables(path, segName, meta.buckets, d.vectors, d.cells, d.codes,
           centroids = None, codebook = None)
         VersionedIndex.publish(path, VersionedIndex.versionNumber(path) + 1,
-          meta.copy(segments = meta.segments :+ segName), Tables)
+          meta.copy(segments = meta.segments :+ segName,
+            live = meta.live :+ segName), Tables)
+        true
+      }
+    }
+
+  /** Compaction — [[SignatureIndex.compact]]'s contract for the ANN
+    * tables: rewrite the committed version's live segments into one
+    * (codes keep the bucket layout, so the candidate ⋈ codes join stays
+    * shuffle-free; the immutable centroids/codebook are carried into the
+    * new segment unchanged), publish under the CURRENT swap, preserve
+    * the append ledger and `baseRows` so replay-idempotence and the
+    * drift measure both survive the old files' retirement.
+    */
+  def compact(spark: SparkSession, path: String, minLive: Int = 2): Boolean =
+    VersionedIndex.withWriteLock(path) {
+      val meta = VersionedIndex.readMeta(path).getOrElse(
+        throw new IllegalStateException(s"ANN index not initialized: $path"))
+      if (meta.live.size < minLive) false
+      else {
+        val s = serve(spark, path)
+        val next = VersionedIndex.versionNumber(path) + 1
+        val segName = s"compact-v$next"
+        // codes via a PLAIN scan of the version files, not the bucketed
+        // catalog table — see [[SignatureIndex.compact]]: the rewrite's
+        // bucket-routing repartition is elided against a bucketed scan
+        val vdir = s"$path/${currentVersion(path).get}"
+        writeTables(path, segName, meta.buckets, s.vectors, s.cells,
+          spark.read.parquet(s"$vdir/codes"),
+          Some(s.centroids), Some(s.codebook))
+        VersionedIndex.publish(path, next,
+          meta.copy(segments = meta.segments :+ segName, live = Seq(segName)),
+          Tables)
         true
       }
     }
@@ -159,9 +197,17 @@ object AnnIndex {
       if (java.nio.file.Files.isDirectory(d)) spark.read.parquet(d.toString).count()
       else 0L
     }
-    val base = rows(meta.segments.head)
-    if (base == 0L) Double.PositiveInfinity
-    else meta.segments.tail.map(rows).sum.toDouble / base
+    if (meta.baseRows > 0L) {
+      // compaction-stable form: appended = live total minus the manifest's
+      // recorded base count (the base segment's FILES may be long retired)
+      val total = meta.live.map(rows).sum
+      math.max(0L, total - meta.baseRows).toDouble / meta.baseRows
+    } else {
+      // pre-baseRows layout: the base segment's own files are the denominator
+      val base = rows(meta.segments.head)
+      if (base == 0L) Double.PositiveInfinity
+      else meta.segments.tail.map(rows).sum.toDouble / base
+    }
   }
 
   def retrainDue(spark: SparkSession, path: String,

@@ -125,7 +125,50 @@ object SignatureIndex {
       else {
         writeSegment(sigs, path, segName, meta.buckets, stats)
         VersionedIndex.publish(path, VersionedIndex.versionNumber(path) + 1,
-          meta.copy(segments = meta.segments :+ segName), Tables)
+          meta.copy(segments = meta.segments :+ segName,
+            live = meta.live :+ segName), Tables)
+        true
+      }
+    }
+
+  /** Compaction — the small-files leg of the maintenance contract: a
+    * long-running stream commits one segment per micro-batch, and while
+    * each append is O(delta), the COMMITTED version accumulates
+    * O(batches) files per bucket; probe-side scan cost follows file
+    * count, not data size (the small-files problem an Iceberg
+    * `rewriteDataFiles` exists for). Rewrites the committed version's
+    * live segments into ONE (same bucket layout, so probes stay
+    * Exchange-free) and publishes it under the CURRENT swap — readers
+    * keep the version they resolved, and the append LEDGER is preserved
+    * verbatim, so a micro-batch replayed after its original files are
+    * gone still no-ops. The maintained per-source stats compact with the
+    * signatures in the same publish. No-op (false) below `minLive`
+    * segments. Old segment files become GC-collectable, not deleted —
+    * retention stays [[VersionedIndex.gcVersions]]'s contract.
+    */
+  def compact(spark: SparkSession, path: String, minLive: Int = 2): Boolean =
+    VersionedIndex.withWriteLock(path) {
+      val meta = readMeta(path).getOrElse(
+        throw new IllegalStateException(s"signature index not initialized: $path"))
+      if (meta.live.size < minLive) false
+      else {
+        val next = VersionedIndex.versionNumber(path) + 1
+        val segName = s"compact-v$next"
+        val v = currentVersion(path).get
+        val stats =
+          if (Files.isDirectory(Paths.get(path, v, "_stats")))
+            Some(sourceStats(spark, path))
+          else None
+        // read the version's raw files, NOT the bucketed catalog table:
+        // against a bucketed scan the writer-side repartition is elided
+        // as redundant and the rewrite fans back out to mixed-bucket
+        // tasks — a plain scan lets writeBucketedFiles route every row
+        // to its bucket's single task (spec pins <= 1 file per bucket)
+        writeSegment(spark.read.parquet(s"$path/$v"), path, segName,
+          meta.buckets, stats)
+        VersionedIndex.publish(path, next,
+          meta.copy(segments = meta.segments :+ segName, live = Seq(segName)),
+          Tables)
         true
       }
     }

@@ -43,11 +43,33 @@ import scala.jdk.CollectionConverters._
   */
 object VersionedIndex {
 
-  /** The committed manifest of one version: bucket count (fixed at
-    * build), the base-corpus fingerprint, and the ordered segment list
-    * (the append-idempotence ledger).
+  /** The committed manifest of one version.
+    *
+    *   - `segments` is the append-idempotence LEDGER: every segment name
+    *     ever committed on this index's lineage. [[SignatureIndex.append]]
+    *     checks it, so a replayed micro-batch no-ops even after
+    *     compaction has rewritten (and GC reclaimed) its original files.
+    *     One short name per batch — O(batches) metadata, the commit log a
+    *     table format keeps.
+    *   - `live` is the subset whose FILES this version links — what
+    *     [[publish]] hardlinks and [[gcVersions]] retains. Appends grow
+    *     it; compaction collapses it back to one rewritten segment.
+    *   - `baseRows` (0 = unrecorded) is the base build's primary row
+    *     count, for drift measures that must survive compaction
+    *     ([[AnnIndex.appendFraction]] — the appended volume is live-total
+    *     minus base, not "rows of segments named batch-*", whose files
+    *     compaction retires).
     */
-  final case class Meta(buckets: Int, fingerprint: String, segments: Seq[String])
+  final case class Meta(buckets: Int, fingerprint: String,
+      segments: Seq[String], live: Seq[String], baseRows: Long)
+
+  object Meta {
+    /** A fresh base manifest: the ledger and the live set are both just
+      * the base segment.
+      */
+    def apply(buckets: Int, fingerprint: String, segments: Seq[String]): Meta =
+      Meta(buckets, fingerprint, segments, segments, 0L)
+  }
 
   private val writeLocks = TrieMap.empty[String, Object]
   private val catalogLocks = TrieMap.empty[String, Object]
@@ -81,10 +103,15 @@ object VersionedIndex {
   def readMeta(path: String): Option[Meta] = currentVersion(path).map { v =>
     val lines = Files.readAllLines(Paths.get(path, v, "_meta")).asScala
       .map(_.split("=", 2)).collect { case Array(k, value) => k -> value }.toMap
+    def list(key: String): Option[Seq[String]] =
+      lines.get(key).filter(_.nonEmpty).map(_.split(",").toSeq)
+    val segments = list("segments").getOrElse(Nil)
     Meta(
       lines("buckets").toInt,
       lines("fingerprint"),
-      lines.get("segments").filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil))
+      segments,
+      list("live").getOrElse(segments), // pre-compaction layout: all live
+      lines.get("baseRows").map(_.toLong).getOrElse(0L))
   }
 
   /** Source fingerprint from FILESYSTEM METADATA only (names, sizes,
@@ -142,12 +169,21 @@ object VersionedIndex {
     * segment path after DROP) — the bucket id rides each file NAME, which
     * is what lets any later version re-register the files as a bucketed
     * table.
+    *
+    * The write pre-partitions on the cluster columns into exactly
+    * `buckets` partitions: `repartition`'s HashPartitioning is the same
+    * pmod(murmur3) a bucketed table's bucket id uses, so each task holds
+    * exactly one bucket's rows and the segment lands as AT MOST ONE FILE
+    * PER BUCKET. Without it a bucketed write fans out one file per
+    * (input task x bucket) — O(parallelism) small files per segment,
+    * compounding per append; probe-side scan cost follows file count.
     */
   def writeBucketedFiles(df: DataFrame, destDir: String, buckets: Int,
       clusterCols: Seq[String], sortCols: Seq[String], kind: String): Unit = {
     val spark = df.sparkSession
     val tmpTable = s"graft_${kind}tmp_${pathDigest(destDir)}_${System.nanoTime()}"
-    df.write.format("parquet")
+    df.repartition(buckets, clusterCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.format("parquet")
       .bucketBy(buckets, clusterCols.head, clusterCols.tail: _*)
       .sortBy(sortCols.head, sortCols.tail: _*)
       .option("path", destDir)
@@ -167,7 +203,7 @@ object VersionedIndex {
         !p.getFileName.toString.startsWith("."))
       .toSeq
 
-  /** Publish version `ver`: hardlink every committed segment's data files
+  /** Publish version `ver`: hardlink every LIVE segment's data files
     * into a fresh version directory (names prefixed per segment — the
     * bucket-id suffix pattern Spark parses is preserved), write _meta,
     * then atomically swap CURRENT. A crash anywhere before the swap
@@ -186,7 +222,7 @@ object VersionedIndex {
       Files.walk(vdir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     }
     Files.createDirectories(vdir)
-    for (seg <- meta.segments; table <- tables) {
+    for (seg <- meta.live; table <- tables) {
       val src =
         if (table.isEmpty) Paths.get(path, "seg", seg)
         else Paths.get(path, "seg", seg, table)
@@ -203,7 +239,8 @@ object VersionedIndex {
     }
     Files.writeString(vdir.resolve("_meta"),
       s"buckets=${meta.buckets}\nfingerprint=${meta.fingerprint}\n" +
-        s"segments=${meta.segments.mkString(",")}\n",
+        s"segments=${meta.segments.mkString(",")}\n" +
+        s"live=${meta.live.mkString(",")}\nbaseRows=${meta.baseRows}\n",
       StandardCharsets.UTF_8)
     val tmp = Paths.get(path, ".CURRENT.tmp")
     Files.writeString(tmp, s"v$ver", StandardCharsets.UTF_8)
@@ -213,8 +250,10 @@ object VersionedIndex {
 
   /** Retention GC: delete superseded version directories older than the
     * newest `keep` (the CURRENT version is always retained), then every
-    * segment directory no RETAINED manifest references — which sweeps
-    * both bases superseded by rebuilds and crashed-writer orphans.
+    * segment directory no RETAINED manifest holds LIVE — which sweeps
+    * bases superseded by rebuilds, crashed-writer orphans, and the
+    * pre-compaction segments a [[SignatureIndex.compact]]-style rewrite
+    * retired (their names stay in the ledger; only their files go).
     * Version dirs are hardlinks, so reclaiming real bytes requires the
     * segment sweep; deletes run segment-last so a crash mid-GC leaves
     * only re-collectable garbage, never a broken retained version.
@@ -235,10 +274,11 @@ object VersionedIndex {
     val (drop, retain) = versions.splitAt(math.max(0, versions.size - keep))
     drop.foreach(deleteTree)
     val referenced = retain.flatMap { v =>
-      Files.readAllLines(v.resolve("_meta")).asScala
-        .collectFirst { case l if l.startsWith("segments=") =>
-          l.stripPrefix("segments=").split(",").filter(_.nonEmpty).toSeq }
-        .getOrElse(Nil)
+      val lines = Files.readAllLines(v.resolve("_meta")).asScala
+      def list(key: String): Option[Seq[String]] = lines
+        .collectFirst { case l if l.startsWith(s"$key=") =>
+          l.stripPrefix(s"$key=").split(",").filter(_.nonEmpty).toSeq }
+      list("live").orElse(list("segments")).getOrElse(Nil)
     }.toSet
     val segRoot = root.resolve("seg")
     val orphans =

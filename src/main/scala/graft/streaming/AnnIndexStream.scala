@@ -35,15 +35,23 @@ object AnnIndexStream {
     */
   def processBatch(
       batch: DataFrame, batchId: Long, indexPath: String,
-      segPrefix: String = "batch"): Boolean = {
+      segPrefix: String = "batch", compactAfter: Int = 0): Boolean = {
     val segName = s"$segPrefix-$batchId"
     if (batch.isEmpty) false
     else if (graft.sources.VersionedIndex.readMeta(indexPath)
         .exists(_.segments.contains(segName))) false
     else {
       val served = AnnIndex.serve(batch.sparkSession, indexPath)
-      AnnIndex.append(
+      val committed = AnnIndex.append(
         AnnPack.deltaArtifactsFor(batch, served), segName, indexPath)
+      // the small-files bound ([[SignatureIndexStream.processBatch]]):
+      // steady-state file count per bucket is O(compactAfter), and the
+      // ledger keeps replayed batches no-ops after their files retire
+      if (committed && compactAfter > 0 &&
+          graft.sources.VersionedIndex.readMeta(indexPath)
+            .exists(_.live.size >= compactAfter))
+        AnnIndex.compact(batch.sparkSession, indexPath)
+      committed
     }
   }
 
@@ -57,12 +65,13 @@ object AnnIndexStream {
       indexPath: String,
       queryName: String,
       checkpointDir: Option[String] = None,
-      segPrefix: String = "batch"): StreamingQuery = {
+      segPrefix: String = "batch",
+      compactAfter: Int = 0): StreamingQuery = {
     val w = vectors.writeStream
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, indexPath, segPrefix); ()
+        processBatch(batch, batchId, indexPath, segPrefix, compactAfter); ()
       }
     checkpointDir.foreach(d => w.option("checkpointLocation", d))
     w.start()

@@ -75,12 +75,20 @@ object ImageDedupStream {
     */
   def indexAppendBatch(
       hashes: DataFrame, batchId: Long, indexPath: String,
-      segPrefix: String = "img"): Boolean =
+      segPrefix: String = "img", compactAfter: Int = 0): Boolean =
     if (hashes.isEmpty) false
-    else graft.sources.SignatureIndex.append(
-      blockSignatures(hashes)
-        .select(col("docId").as("doc_id"), col("band"), col("sig")),
-      s"$segPrefix-$batchId", indexPath)
+    else {
+      import graft.sources.SignatureIndex
+      val committed = SignatureIndex.append(
+        blockSignatures(hashes)
+          .select(col("docId").as("doc_id"), col("band"), col("sig")),
+        s"$segPrefix-$batchId", indexPath)
+      // small-files bound, [[SignatureIndexStream.processBatch]]'s contract
+      if (committed && compactAfter > 0 &&
+          SignatureIndex.readMeta(indexPath).exists(_.live.size >= compactAfter))
+        SignatureIndex.compact(hashes.sparkSession, indexPath)
+      committed
+    }
 
   /** Wire a streaming (doc_id, ahash) source into the image-index
     * maintenance loop — the [[SignatureIndexStream.start]] twin, so one
@@ -95,12 +103,13 @@ object ImageDedupStream {
       indexPath: String,
       queryName: String,
       checkpointDir: Option[String] = None,
-      segPrefix: String = "img"): org.apache.spark.sql.streaming.StreamingQuery = {
+      segPrefix: String = "img",
+      compactAfter: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     val w = hashes.writeStream
       .queryName(queryName)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        indexAppendBatch(batch, batchId, indexPath, segPrefix); ()
+        indexAppendBatch(batch, batchId, indexPath, segPrefix, compactAfter); ()
       }
     checkpointDir.foreach(d => w.option("checkpointLocation", d))
     w.start()

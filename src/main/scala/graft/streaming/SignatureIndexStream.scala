@@ -43,10 +43,16 @@ object SignatureIndexStream {
     * stats table d37's admission quota reads (the reference maintains
     * metadata in the same txn as data, kremis redb_graph.rs:34,355-358),
     * so a replayed batch can neither double-count nor skew the quota.
+    *
+    * `compactAfter` > 0 bounds the small-files debt a per-batch append
+    * cadence accrues: once the committed version holds that many LIVE
+    * segments, [[SignatureIndex.compact]] rewrites them into one (the
+    * append ledger — replay idempotence — is preserved), so steady-state
+    * file count per bucket is O(compactAfter), not O(batches).
     */
   def processBatch(
       batch: DataFrame, batchId: Long, indexPath: String,
-      segPrefix: String = "batch"): Boolean =
+      segPrefix: String = "batch", compactAfter: Int = 0): Boolean =
     if (batch.isEmpty) false
     else {
       import org.apache.spark.sql.functions.{count, lit}
@@ -54,9 +60,13 @@ object SignatureIndexStream {
         if (batch.columns.contains("source"))
           Some(batch.groupBy("source").agg(count(lit(1)).as("n")))
         else None
-      SignatureIndex.append(
+      val committed = SignatureIndex.append(
         PipelinePack.bandSignaturesOf(batch), s"$segPrefix-$batchId", indexPath,
         stats = stats)
+      if (committed && compactAfter > 0 &&
+          SignatureIndex.readMeta(indexPath).exists(_.live.size >= compactAfter))
+        SignatureIndex.compact(batch.sparkSession, indexPath)
+      committed
     }
 
   /** Wire a streaming documents source (doc_id, text) into the index
@@ -69,12 +79,13 @@ object SignatureIndexStream {
       indexPath: String,
       queryName: String,
       checkpointDir: Option[String] = None,
-      segPrefix: String = "batch"): StreamingQuery = {
+      segPrefix: String = "batch",
+      compactAfter: Int = 0): StreamingQuery = {
     val w = docs.writeStream
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, indexPath, segPrefix); ()
+        processBatch(batch, batchId, indexPath, segPrefix, compactAfter); ()
       }
     checkpointDir.foreach(d => w.option("checkpointLocation", d))
     w.start()

@@ -487,6 +487,54 @@ object ScaleRehearsal {
         e13Frac > 0d && !graft.sources.AnnIndex.retrainDue(spark, e13Path),
         s"append fraction $e13Frac vs 0.5 budget")
 
+      // 12d. compaction at 10x (r14): a per-batch append cadence accrues
+      // O(batches) files per bucket — probe-side scan cost follows FILE
+      // COUNT, not data size. Two signature indexes over the same 10x
+      // base take the same 6 micro-batches; the compacting leg
+      // (compactAfter=3) must end with ONE live segment and a bounded
+      // version file count while serving EXACTLY the uncompacted rows,
+      // and a replayed batch must stay a no-op after compaction + GC has
+      // retired its original files (the manifest ledger outlives them).
+      val (cmpLive, cmpFilesPlain, cmpFilesComp, cmpRows) = {
+        import graft.sources.{SignatureIndex, VersionedIndex}
+        import graft.streaming.SignatureIndexStream
+        import org.apache.spark.sql.functions.{col => fCol}
+        val docs10x = Tables.documents(spark, dir)
+        val cBase = docs10x.filter(fCol("doc_id") % 10L < 4L)
+        def slice(i: Int) = docs10x.filter(fCol("doc_id") % 10L === (4L + i))
+        val plain = java.nio.file.Files.createTempDirectory("cmp_plain").toString
+        val comp = java.nio.file.Files.createTempDirectory("cmp_comp").toString
+        val sigs = graft.queries.PipelinePack.bandSignaturesOf(cBase)
+        SignatureIndex.build(sigs, plain, "fp")
+        SignatureIndex.build(sigs, comp, "fp")
+        for (i <- 0 until 6) {
+          SignatureIndexStream.processBatch(slice(i), i.toLong, plain)
+          SignatureIndexStream.processBatch(slice(i), i.toLong, comp, compactAfter = 3)
+        }
+        def versionFiles(path: String): Int = {
+          val v = SignatureIndex.currentVersion(path).get
+          VersionedIndex.dataFiles(java.nio.file.Paths.get(path, v)).size
+        }
+        val (plainFiles, compFiles) = (versionFiles(plain), versionFiles(comp))
+        val liveComp = SignatureIndex.readMeta(comp).get.live.size
+        check("compaction_bounds_live_segments")(
+          liveComp <= 3 && SignatureIndex.readMeta(plain).get.live.size == 7,
+          s"$liveComp live segments with compactAfter=3 vs 7 uncompacted")
+        check("compaction_bounds_version_files")(
+          compFiles < plainFiles,
+          s"$compFiles files in CURRENT with compaction vs $plainFiles without")
+        val rowsPlain = SignatureIndex.serve(spark, plain).count()
+        val rowsComp = SignatureIndex.serve(spark, comp).count()
+        check("compaction_preserves_served_rows")(
+          rowsComp == rowsPlain, s"$rowsComp vs $rowsPlain")
+        VersionedIndex.gcVersions(comp, keep = 1)
+        check("compaction_ledger_outlives_gc")(
+          !SignatureIndexStream.processBatch(slice(0), 0L, comp) &&
+            SignatureIndex.serve(spark, comp).count() == rowsPlain,
+          "a replayed batch re-committed after compaction + GC")
+        (liveComp, plainFiles, compFiles, rowsComp)
+      }
+
       // 13. e09 k-means at 10x: every Lloyd round stays broadcast
       // equi-joins (no product), and the trained assignment is total —
       // one cluster per vector, more than one cluster used (training on
@@ -630,6 +678,8 @@ object ScaleRehearsal {
         s""""e12_rows_10x":$e12Rows,"e12_warm_builds":$annWarmBuilds,""" +
         s""""e13_rows_10x":$e13Rows,"e13_warm_builds":$e13WarmBuilds,""" +
         s""""e13_append_fraction":$e13Frac,""" +
+        s""""compaction_live_segments":$cmpLive,"compaction_files_plain":$cmpFilesPlain,""" +
+        s""""compaction_files_comp":$cmpFilesComp,"compaction_rows":$cmpRows,""" +
         s""""d37_rows_10x":$d37Rows,"d37_admitted_10x":$d37Adm,""" +
         s""""d34_shards_base":$d34ShardsBase,"d34_shards_10x":$d34Shards10x,""" +
         s""""d34_mean_rows_per_shard_10x":$d34Mean10x,"d34_max_rows_per_shard_10x":$d34Max10x,""" +

@@ -168,6 +168,45 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(after.nonEmpty)
   }
 
+  test("compaction folds the ANN tables into one segment; serving, drift and replays survive") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("annidx").toString
+    AnnIndex.ensure(spark, tinyArtifacts(0), path, "fp", buckets = 2)
+    val delta = AnnIndex.Delta(
+      vectors = Seq((2L, Seq(1f, 1f))).toDF("vec_id", "embedding"),
+      cells = Seq((2L, 0L)).toDF("vec_id", "cell"),
+      codes = Seq((2L, 0L, 0L)).toDF("vec_id", "m", "cid"))
+    assert(AnnIndex.append(delta, "batch-0", path)) // v2
+    def snap(): (Set[String], Set[String], Set[String], Set[String], Set[String]) = {
+      val t = AnnIndex.serve(spark, path)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toString).toSet
+      (rows(t.vectors), rows(t.centroids), rows(t.cells),
+        rows(t.codebook), rows(t.codes))
+    }
+    val before = snap()
+    assert(AnnIndex.appendFraction(spark, path) === 0.5)
+
+    assert(AnnIndex.compact(spark, path)) // v3
+    val meta = VersionedIndex.readMeta(path).get
+    assert(meta.live === Seq("compact-v3"))
+    assert(meta.segments === Seq("base-v1", "batch-0", "compact-v3"))
+    assert(snap() === before)
+    // the drift measure reads the manifest's baseRows, not the retired
+    // base segment's files — compaction must not reset it
+    assert(AnnIndex.appendFraction(spark, path) === 0.5)
+
+    // ledger-gated replay survives compaction...
+    assert(!AnnIndex.append(delta, "batch-0", path))
+    // ...and GC retiring the original segment files
+    val gone = VersionedIndex.gcVersions(path, keep = 1).toSet
+    assert(Set("seg/base-v1", "seg/batch-0").subsetOf(gone), gone)
+    assert(snap() === before)
+    assert(AnnIndex.appendFraction(spark, path) === 0.5)
+    assert(!AnnIndex.append(delta, "batch-0", path))
+    assert(!AnnIndex.compact(spark, path)) // below minLive: no-op
+  }
+
   test("streaming maintenance: frozen-geometry assignment/encode, replay skipped") {
     import spark.implicits._
     val path = Files.createTempDirectory("annidx").toString

@@ -226,6 +226,66 @@ class SignatureIndexSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(path, "seg", "base-v1")))
   }
 
+  test("compaction folds live segments into one; rows, stats, ledger and replays survive") {
+    import graft.streaming.SignatureIndexStream
+    val path = freshPath()
+    val base = docs.filter(col("doc_id") < 60)
+    val d1 = docs.filter(col("doc_id") >= 60 && col("doc_id") < 70)
+    val d2 = docs.filter(col("doc_id") >= 70 && col("doc_id") < 80)
+    def statsOf(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy("source").agg(count(lit(1)).as("n"))
+    SignatureIndex.build(PipelinePack.bandSignaturesOf(base), path, "fp",
+      buckets = 4, stats = Some(statsOf(base)))
+    assert(SignatureIndexStream.processBatch(d1, 0L, path)) // v2
+    assert(SignatureIndexStream.processBatch(d2, 1L, path)) // v3
+    val rowsBefore = sigRows(SignatureIndex.serve(spark, path))
+    def statsNow = SignatureIndex.sourceStats(spark, path).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val statsBefore = statsNow
+
+    assert(SignatureIndex.compact(spark, path)) // v4
+    val meta = SignatureIndex.readMeta(path).get
+    // ONE live segment; the ledger keeps every committed batch name
+    assert(meta.live === Seq("compact-v4"))
+    assert(meta.segments === Seq("base-v1", "batch-0", "batch-1", "compact-v4"))
+    // the rewritten segment is at most one file per bucket: the compact
+    // read is bucket-aligned, so the write needs no reshuffle and the
+    // steady-state file count is O(buckets), not O(batches x writers)
+    assert(VersionedIndex.dataFiles(
+      Paths.get(path, "seg", "compact-v4")).size <= meta.buckets)
+    assert(sigRows(SignatureIndex.serve(spark, path)) === rowsBefore)
+    assert(statsNow === statsBefore)
+
+    // replayed micro-batch AFTER compaction: the ledger still gates it
+    assert(!SignatureIndexStream.processBatch(d1, 0L, path))
+    // GC reclaims the retired segments' real bytes (they are no longer
+    // live in any retained manifest); serving and replay-idempotence
+    // must survive their files' disappearance
+    val gone = VersionedIndex.gcVersions(path, keep = 1).toSet
+    assert(Set("seg/base-v1", "seg/batch-0", "seg/batch-1").subsetOf(gone), gone)
+    assert(sigRows(SignatureIndex.serve(spark, path)) === rowsBefore)
+    assert(statsNow === statsBefore)
+    assert(!SignatureIndexStream.processBatch(d1, 0L, path))
+    // a compacted index is below minLive: compacting again is a no-op
+    assert(!SignatureIndex.compact(spark, path))
+  }
+
+  test("the stream leg's compactAfter bounds live segments at steady state") {
+    import graft.streaming.SignatureIndexStream
+    val path = freshPath()
+    val base = docs.filter(col("doc_id") < 60)
+    SignatureIndex.build(PipelinePack.bandSignaturesOf(base), path, "fp", buckets = 4)
+    for (i <- 0 until 4) {
+      val b = docs.filter(col("doc_id") >= 60 + i * 5 && col("doc_id") < 65 + i * 5)
+      assert(SignatureIndexStream.processBatch(b, i.toLong, path, compactAfter = 2))
+      // live never exceeds compactAfter: append -> threshold -> rewrite
+      assert(SignatureIndex.readMeta(path).get.live.size <= 2)
+    }
+    assert(SignatureIndex.readMeta(path).get.live.size === 1)
+    val want = sigRows(PipelinePack.bandSignaturesOf(docs.filter(col("doc_id") < 80)))
+    assert(sigRows(SignatureIndex.serve(spark, path)) === want)
+  }
+
   test("a crashed publish never corrupts CURRENT: orphan segments are invisible") {
     val path = freshPath()
     val base = docs.filter(col("doc_id") < 60)
