@@ -165,18 +165,27 @@ object AnnIndex {
         throw new IllegalStateException(s"ANN index not initialized: $path"))
       if (meta.live.size < minLive) false
       else {
-        val s = serve(spark, path)
+        // PLAIN scans of the version files, not serve(): the bucketed
+        // catalog table would both elide the rewrite's bucket-routing
+        // repartition (see [[SignatureIndex.compact]]) and churn the
+        // session catalog registering a version about to be superseded
+        val vdir = s"$path/${currentVersion(path).get}"
+        def tbl(name: String) = spark.read.parquet(s"$vdir/$name")
+        // a legacy (pre-baseRows) manifest records 0: backfill it from
+        // the base segment's footers NOW — its files are still live
+        // (nothing can GC a live-referenced segment), and after this
+        // rewrite they won't be, which would leave appendFraction's
+        // legacy branch counting the compacted segment as appended rows
+        val baseRows =
+          if (meta.baseRows > 0L) meta.baseRows
+          else spark.read.parquet(s"$path/seg/${meta.segments.head}/vectors").count()
         val next = VersionedIndex.versionNumber(path) + 1
         val segName = s"compact-v$next"
-        // codes via a PLAIN scan of the version files, not the bucketed
-        // catalog table — see [[SignatureIndex.compact]]: the rewrite's
-        // bucket-routing repartition is elided against a bucketed scan
-        val vdir = s"$path/${currentVersion(path).get}"
-        writeTables(path, segName, meta.buckets, s.vectors, s.cells,
-          spark.read.parquet(s"$vdir/codes"),
-          Some(s.centroids), Some(s.codebook))
+        writeTables(path, segName, meta.buckets, tbl("vectors"), tbl("cells"),
+          tbl("codes"), Some(tbl("centroids")), Some(tbl("codebook")))
         VersionedIndex.publish(path, next,
-          meta.copy(segments = meta.segments :+ segName, live = Seq(segName)),
+          meta.copy(segments = meta.segments :+ segName, live = Seq(segName),
+            baseRows = baseRows),
           Tables)
         true
       }

@@ -100,8 +100,13 @@ object VersionedIndex {
   def versionNumber(path: String): Long =
     currentVersion(path).map(_.stripPrefix("v").toLong).getOrElse(0L)
 
-  def readMeta(path: String): Option[Meta] = currentVersion(path).map { v =>
-    val lines = Files.readAllLines(Paths.get(path, v, "_meta")).asScala
+  /** Parse one version directory's `_meta` — the single parser both
+    * [[readMeta]] and [[gcVersions]] go through, so absent-key fallbacks
+    * (a pre-`live` manifest means "all segments live") can never drift
+    * between the serve path and the delete path.
+    */
+  private def parseMeta(vdir: Path): Meta = {
+    val lines = Files.readAllLines(vdir.resolve("_meta")).asScala
       .map(_.split("=", 2)).collect { case Array(k, value) => k -> value }.toMap
     def list(key: String): Option[Seq[String]] =
       lines.get(key).filter(_.nonEmpty).map(_.split(",").toSeq)
@@ -113,6 +118,9 @@ object VersionedIndex {
       list("live").getOrElse(segments), // pre-compaction layout: all live
       lines.get("baseRows").map(_.toLong).getOrElse(0L))
   }
+
+  def readMeta(path: String): Option[Meta] =
+    currentVersion(path).map(v => parseMeta(Paths.get(path, v)))
 
   /** Source fingerprint from FILESYSTEM METADATA only (names, sizes,
     * mtimes) — no data scan, so the staleness check an `ensure` runs per
@@ -273,13 +281,7 @@ object VersionedIndex {
       .toSeq.sortBy(_.getFileName.toString.stripPrefix("v").toLong)
     val (drop, retain) = versions.splitAt(math.max(0, versions.size - keep))
     drop.foreach(deleteTree)
-    val referenced = retain.flatMap { v =>
-      val lines = Files.readAllLines(v.resolve("_meta")).asScala
-      def list(key: String): Option[Seq[String]] = lines
-        .collectFirst { case l if l.startsWith(s"$key=") =>
-          l.stripPrefix(s"$key=").split(",").filter(_.nonEmpty).toSeq }
-      list("live").orElse(list("segments")).getOrElse(Nil)
-    }.toSet
+    val referenced = retain.flatMap(v => parseMeta(v).live).toSet
     val segRoot = root.resolve("seg")
     val orphans =
       if (!Files.isDirectory(segRoot)) Nil

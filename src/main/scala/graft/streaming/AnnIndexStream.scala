@@ -46,11 +46,10 @@ object AnnIndexStream {
         AnnPack.deltaArtifactsFor(batch, served), segName, indexPath)
       // the small-files bound ([[SignatureIndexStream.processBatch]]):
       // steady-state file count per bucket is O(compactAfter), and the
-      // ledger keeps replayed batches no-ops after their files retire
-      if (committed && compactAfter > 0 &&
-          graft.sources.VersionedIndex.readMeta(indexPath)
-            .exists(_.live.size >= compactAfter))
-        AnnIndex.compact(batch.sparkSession, indexPath)
+      // ledger keeps replayed batches no-ops after their files retire;
+      // compact's own minLive gate is the threshold check
+      if (committed && compactAfter > 0)
+        AnnIndex.compact(batch.sparkSession, indexPath, minLive = compactAfter)
       committed
     }
   }

@@ -84,9 +84,9 @@ object ImageDedupStream {
           .select(col("docId").as("doc_id"), col("band"), col("sig")),
         s"$segPrefix-$batchId", indexPath)
       // small-files bound, [[SignatureIndexStream.processBatch]]'s contract
-      if (committed && compactAfter > 0 &&
-          SignatureIndex.readMeta(indexPath).exists(_.live.size >= compactAfter))
-        SignatureIndex.compact(hashes.sparkSession, indexPath)
+      if (committed && compactAfter > 0)
+        SignatureIndex.compact(hashes.sparkSession, indexPath,
+          minLive = compactAfter)
       committed
     }
 

@@ -63,9 +63,10 @@ object SignatureIndexStream {
       val committed = SignatureIndex.append(
         PipelinePack.bandSignaturesOf(batch), s"$segPrefix-$batchId", indexPath,
         stats = stats)
-      if (committed && compactAfter > 0 &&
-          SignatureIndex.readMeta(indexPath).exists(_.live.size >= compactAfter))
-        SignatureIndex.compact(batch.sparkSession, indexPath)
+      // compact's own minLive gate IS the threshold check (no-op below)
+      if (committed && compactAfter > 0)
+        SignatureIndex.compact(batch.sparkSession, indexPath,
+          minLive = compactAfter)
       committed
     }
 

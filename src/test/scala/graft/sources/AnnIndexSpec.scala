@@ -207,6 +207,37 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(!AnnIndex.compact(spark, path)) // below minLive: no-op
   }
 
+  test("compacting a legacy (pre-baseRows) manifest backfills the drift denominator") {
+    // indexes written before the compaction layout carry no baseRows
+    // line (readMeta yields 0). compact must backfill it from the base
+    // segment's footers WHILE those files are still live — otherwise the
+    // legacy appendFraction branch counts the compacted segment as
+    // appended rows (fraction >= 1, spurious retrainDue) and degenerates
+    // to PositiveInfinity once GC retires the base segment's files.
+    import spark.implicits._
+    import java.nio.file.Paths
+    import scala.jdk.CollectionConverters._
+    val path = Files.createTempDirectory("annidx").toString
+    AnnIndex.ensure(spark, tinyArtifacts(0), path, "fp", buckets = 2)
+    val metaFile = Paths.get(path, "v1", "_meta")
+    val legacy = Files.readAllLines(metaFile).asScala
+      .filterNot(l => l.startsWith("live=") || l.startsWith("baseRows="))
+      .mkString("\n") + "\n"
+    Files.writeString(metaFile, legacy)
+    assert(VersionedIndex.readMeta(path).get.baseRows === 0L)
+    val delta = AnnIndex.Delta(
+      vectors = Seq((2L, Seq(1f, 1f))).toDF("vec_id", "embedding"),
+      cells = Seq((2L, 0L)).toDF("vec_id", "cell"),
+      codes = Seq((2L, 0L, 0L)).toDF("vec_id", "m", "cid"))
+    assert(AnnIndex.append(delta, "batch-0", path)) // v2, baseRows still 0
+    assert(AnnIndex.compact(spark, path)) // v3 — must backfill
+    assert(VersionedIndex.readMeta(path).get.baseRows === 2L)
+    assert(AnnIndex.appendFraction(spark, path) === 0.5)
+    VersionedIndex.gcVersions(path, keep = 1)
+    assert(AnnIndex.appendFraction(spark, path) === 0.5)
+    assert(!AnnIndex.retrainDue(spark, path))
+  }
+
   test("streaming maintenance: frozen-geometry assignment/encode, replay skipped") {
     import spark.implicits._
     val path = Files.createTempDirectory("annidx").toString
