@@ -40,6 +40,19 @@ import scala.jdk.CollectionConverters._
   * `ensure`-style callers double-check staleness under the write lock:
   * a warm path is pure lock-free metadata, and two concurrent cold
   * ensures build exactly once.
+  *
+  * '''Writer scope.''' The locks serialize writers within ONE JVM — the
+  * deployment shape where a single maintenance job (the foreachBatch
+  * stream legs) owns each index path, which is also what Structured
+  * Streaming's checkpoint ownership implies. Readers need no
+  * coordination at any scope (CURRENT resolution is one atomic read of
+  * an immutable snapshot). Multiple UNCOORDINATED writer processes are
+  * out of contract: the CURRENT swap is last-writer-wins, so two
+  * drivers racing a build could publish conflicting v<N+1>s. An
+  * object-store deployment gets multi-writer safety by swapping this
+  * file-based manifest for a table format's optimistic commit
+  * (Iceberg/Delta PUT-if-absent on the next snapshot id + retry) — the
+  * layer this object deliberately mirrors so the swap is mechanical.
   */
 object VersionedIndex {
 

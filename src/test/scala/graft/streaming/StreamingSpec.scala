@@ -707,6 +707,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(AnnIndex.currentVersion(annPath) === v)
   }
 
+  test("stream maintenance with compactAfter keeps live segments bounded across restarts") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.sources.SignatureIndex
+    import graft.queries.PipelinePack
+    import java.nio.file.Files
+    val path = Files.createTempDirectory("sigidxc").toString
+    val ckpt = Files.createTempDirectory("sigckptc").toString
+    def doc(id: Long) = (id, s"alpha beta gamma delta epsilon zeta eta theta doc$id")
+    val base = Seq(doc(1L), doc(2L)).toDF("doc_id", "text")
+    SignatureIndex.build(PipelinePack.bandSignaturesOf(base), path, "fp", buckets = 2)
+    val in = MemoryStream[(Long, String)]
+    // one micro-batch per restart (MemoryStream + AvailableNow drains all
+    // pending data as one batch); batch ids continue across restarts via
+    // the checkpoint, so segment names never collide
+    for (i <- 0 until 3) {
+      in.addData(doc(10L + i))
+      val q = SignatureIndexStream.start(
+        in.toDS().toDF("doc_id", "text"), path, s"sigidx_compact_$i",
+        Some(ckpt), compactAfter = 2)
+      q.awaitTermination()
+      // post-batch live is the compacted single segment, never O(batches)
+      assert(SignatureIndex.readMeta(path).get.live.size === 1)
+    }
+    val meta = SignatureIndex.readMeta(path).get
+    assert(Seq("batch-0", "batch-1", "batch-2").forall(meta.segments.contains))
+    val want = PipelinePack.bandSignaturesOf(
+      base.unionByName(Seq(doc(10L), doc(11L), doc(12L)).toDF("doc_id", "text")))
+      .collect().map(_.toString).toSet
+    assert(SignatureIndex.serve(spark, path)
+      .collect().map(_.toString).toSet === want)
+  }
+
   test("s10 measured support: tiny budget escalates the ladder; the filter applies") {
     import spark.implicits._
     import graft.streaming.PhraseStream
