@@ -472,6 +472,46 @@ object PipelinePack {
   private[graft] def bandSignaturesOf(docs: DataFrame): DataFrame =
     bandSignatures(docs)
 
+  /** d38 — ingest dedup against a MAINTAINED index: the full lifecycle
+    * d36 only begins. Day 0 builds the base index (everything outside
+    * the two daily slices); day 1's batch lands through the maintenance
+    * append (manifest-gated, so warm passes no-op on the committed
+    * name) and the index COMPACTS to one rewritten segment; day 2's
+    * arriving batch probes the served snapshot plus its own earlier
+    * rows under d32's decision law. The exhaustive oracle re-derives
+    * the decisions from scratch, so the entry gates what the specs and
+    * rehearsal can only pin structurally: an index that has been BUILT,
+    * APPENDED TO and COMPACTED still serves the exact candidate set —
+    * multi-segment lineage, the ledger/live split, and the bucket
+    * rewrite all sit inside the correctness gate.
+    */
+  def maintainedIngestDedup(
+      spark: SparkSession, dir: String,
+      deltaMod: Long = 10L, dayRes: Long = 7L, deltaRes: Long = 8L,
+      indexRoot: String = "/tmp/graft_sigindex"): DataFrame = {
+    import graft.sources.SignatureIndex
+    val docs = Tables.documents(spark, dir)
+    val path = s"$indexRoot/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}" +
+      s"_m${deltaMod}d${dayRes}r$deltaRes-maint"
+    val fp = SignatureIndex.dirFingerprint(s"$dir/documents.parquet")
+    val isDay = col("doc_id") % deltaMod === dayRes
+    val isDelta = col("doc_id") % deltaMod === deltaRes
+    SignatureIndex.ensure(spark,
+      bandSignatures(docs.filter(!isDay && !isDelta)), path, fp)
+    SignatureIndex.append(
+      bandSignatures(docs.filter(isDay)), s"day-$dayRes", path)
+    SignatureIndex.compact(spark, path, minLive = 2)
+    val idx = SignatureIndex.serve(spark, path)
+    val cands = probeIndexCandidates(docs, deltaMod, deltaRes, idx)
+    val dup = verifyPairs(docs, cands)
+      .groupBy("doc_i").agg(min(col("doc_j")).as("dup_of"))
+      .select(col("doc_i").as("doc_id"), col("dup_of"))
+    docs.filter(isDelta).select(col("doc_id"))
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        when(col("dup_of").isNull, 1L).otherwise(0L).as("is_new"))
+  }
+
   /** d36's candidate step alone (index served, delta probed), exposed so
     * ScaleRehearsal measures the PRODUCTION probe cost — the invariant is
     * that candidates scale with the DELTA while the index side is a
@@ -499,6 +539,18 @@ object PipelinePack {
     val isDelta = col("doc_id") % deltaMod === deltaRes
     val idx = SignatureIndex.ensure(
       spark, bandSignatures(store.filter(!isDelta)), path, fp, stats = stats)
+    probeIndexCandidates(store, deltaMod, deltaRes, idx)
+  }
+
+  /** The probe legs alone, against an ALREADY-SERVED index table —
+    * shared by the ensure-then-probe paths above and d38's maintained
+    * probe (where the index was built, appended and compacted before
+    * the batch arrives).
+    */
+  private[graft] def probeIndexCandidates(
+      store: DataFrame, deltaMod: Long, deltaRes: Long,
+      idx: DataFrame): DataFrame = {
+    val isDelta = col("doc_id") % deltaMod === deltaRes
     val deltaSigs = bandSignatures(store.filter(isDelta))
     // probe leg: delta meets the SERVED index (which, at probe time,
     // holds everything committed BEFORE this batch). The residual partner
@@ -2704,6 +2756,35 @@ object PipelinePack {
         LEFT JOIN dec ON dec.doc_id = dd.doc_id
       ORDER BY dd.doc_id""")) { (s, dir) =>
       indexedIngestDedup(s, dir).orderBy("doc_id")
+    },
+
+    // ---- d38: ingest dedup against a MAINTAINED index — built over the
+    // base, APPENDED with yesterday's batch (manifest-gated), COMPACTED
+    // to one rewritten segment, then probed by today's arrivals. The
+    // oracle is d32's exhaustive law with the %10=8 slice arriving
+    // (eligible partners: every non-8 doc — the compacted index — plus
+    // earlier in-batch rows), so compacted multi-segment serving sits
+    // inside the correctness gate, not just the specs. ----
+    QDef("d38_maintained_ingest_dedup", Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      idx AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) i FROM tok),
+      sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM idx),
+      pairs AS (SELECT a.doc_id AS d, b.doc_id AS p, count(*) AS inter
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id != b.doc_id
+        WHERE a.doc_id % 10 = 8 AND (b.doc_id % 10 != 8 OR b.doc_id < a.doc_id)
+        GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      ver AS (SELECT p.d, p.p FROM pairs p
+                JOIN sizes sa ON sa.doc_id = p.d
+                JOIN sizes sb ON sb.doc_id = p.p
+              WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5),
+      dec AS (SELECT d AS doc_id, min(p) AS dup_of FROM ver GROUP BY 1)
+      SELECT dd.doc_id, dec.dup_of,
+             CAST(CASE WHEN dec.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_new
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 8) dd
+        LEFT JOIN dec ON dec.doc_id = dd.doc_id
+      ORDER BY dd.doc_id""")) { (s, dir) =>
+      maintainedIngestDedup(s, dir).orderBy("doc_id")
     },
 
     // ---- d37: the INCREMENTAL curation manifest — the composed ingest

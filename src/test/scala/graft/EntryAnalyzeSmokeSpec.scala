@@ -42,7 +42,7 @@ class EntryAnalyzeSmokeSpec extends AnyFunSuite {
     "d31_dup_span_removal", "d32_incremental_ingest_dedup",
     "d33_source_quality_cap", "d34_training_shard_shuffle",
     "d35_token_quality_classifier", "d36_indexed_ingest_dedup",
-    "d37_incremental_manifest",
+    "d37_incremental_manifest", "d38_maintained_ingest_dedup",
     "e01_ann_brute_topk", "e02_ann_ivf_topk", "e02b_ann_ivf_full_probe",
     "e02c_ann_ivf_recall_floor", "e02d_ann_ivf_int_topk",
     "e03_cosine_near_dup",

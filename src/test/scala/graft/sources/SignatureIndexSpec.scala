@@ -108,6 +108,31 @@ class SignatureIndexSpec extends AnyFunSuite {
     assert(rows === want)
   }
 
+  test("d38 equals the recomputed path: built+appended+compacted serving is exact") {
+    // the maintained-lifecycle twin of the d36==d32 pin: after the day-7
+    // batch lands via append and the index compacts, probing with the
+    // day-8 arrivals must reproduce the session recompute (same decision
+    // law, deltaRes=8) row for row — the compacted rewrite changed the
+    // physical layout, never the candidate set
+    val recomputed = PipelinePack.incrementalIngestDedup(docs, deltaRes = 8L)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val d38 = graft.SparkEntry.queries("d38_maintained_ingest_dedup")(spark, dir)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(d38 === recomputed)
+    assert(d38.nonEmpty)
+    // warm pass: the append is ledger-gated and the compacted index is
+    // below minLive — the second run serves the same committed version
+    val path = s"/tmp/graft_sigindex/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_m10d7r8-maint"
+    val v = SignatureIndex.currentVersion(path)
+    val again = graft.SparkEntry.queries("d38_maintained_ingest_dedup")(spark, dir)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(SignatureIndex.currentVersion(path) === v)
+    assert(again === d38)
+    val meta = SignatureIndex.readMeta(path).get
+    assert(meta.live.size === 1)
+    assert(meta.segments.contains("day-7"))
+  }
+
   test("d36 equals d32: the served index reproduces the recomputed path exactly") {
     val d32 = graft.SparkEntry.queries("d32_incremental_ingest_dedup")(spark, dir)
       .orderBy("doc_id").collect().map(_.toString).toSeq

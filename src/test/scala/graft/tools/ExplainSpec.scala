@@ -103,6 +103,17 @@ class ExplainSpec extends AnyFunSuite {
   }
 
   test("d36: the index side is a bucketed scan with no Exchange; the corpus is never re-minhashed") {
+    pinIndexProbePlan("d36_indexed_ingest_dedup")
+  }
+
+  test("d38: the compacted maintained index keeps d36's probe shape") {
+    // same pins over the full lifecycle: the served snapshot has been
+    // appended to and compacted, and must still meet the delta through
+    // its bucket layout with only the delta's partial MinHash
+    pinIndexProbePlan("d38_maintained_ingest_dedup")
+  }
+
+  private def pinIndexProbePlan(entry: String): Unit = {
     import org.apache.spark.sql.execution._
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
@@ -116,7 +127,7 @@ class ExplainSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val q = graft.queries.PipelinePack.defs
-        .find(_.name == "d36_indexed_ingest_dedup").getOrElse(fail("no d36"))
+        .find(_.name == entry).getOrElse(fail(s"no $entry"))
       val df = q.run(spark, dir)
       df.collect()
       val all = flatten(df.queryExecution.executedPlan)
