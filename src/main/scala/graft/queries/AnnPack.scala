@@ -1061,10 +1061,11 @@ object AnnPack {
       spark: SparkSession, dir: String,
       nprobe: Int = NProbe, shortlist: Int = PqCandidates,
       deltaMod: Long = 10L, deltaRes: Long = 7L,
-      indexRoot: String = "/tmp/graft_annindex"): DataFrame = {
+      indexRoot: String = "/tmp/graft_annindex",
+      compactAfterAppend: Boolean = false, pathTag: String = ""): DataFrame = {
     import graft.sources.AnnIndex
     val path = s"$indexRoot/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}" +
-      s"_ivfpq_m${deltaMod}r$deltaRes"
+      s"_ivfpq_m${deltaMod}r$deltaRes$pathTag"
     val rawFp = graft.sources.SignatureIndex.dirFingerprint(s"$dir/embeddings.parquet")
     invalidateStaleCorpusMemos(spark, dir, rawFp) // ADVICE r13 coherence
     val fp = rawFp +
@@ -1081,6 +1082,10 @@ object AnnPack {
         .filter(col("vec_id") % deltaMod === deltaRes)
       AnnIndex.append(deltaArtifactsFor(delta, t0), seg, path)
     }
+    // e14's leg: fold the appended segments into one rewrite (ledger and
+    // frozen geometry carried), so serving reads the COMPACTED snapshot
+    // — a no-op on warm passes (live is already a single segment)
+    if (compactAfterAppend) AnnIndex.compact(spark, path, minLive = 2)
     serveIvfPqFrom(AnnIndex.serve(spark, path), nprobe, shortlist)
   }
 
@@ -2430,6 +2435,21 @@ object AnnPack {
       SELECT q_id, rank, vec_id AS neighbor_id FROM prk
       WHERE rank <= $K ORDER BY q_id, rank""")) { (s, dir) =>
       appendedIvfPqTopK(s, dir).orderBy("q_id", "rank")
+    },
+
+    // ---- e14: e13's lifecycle plus COMPACTION — the appended index
+    // folds into one rewritten segment (codes re-bucketed by vec_id,
+    // frozen geometry and the append ledger carried) before serving.
+    // Same exhaustive rebuild-equivalent oracle as e13: a lossy ANN
+    // compaction rewrite would hash-mismatch the gate, mirroring what
+    // d38 pins for the signature index. ----
+    QDef("e14_ann_compacted_topk", Some(s"""
+      WITH $clusteredCvCtes,
+      ${ivfPqRankCtesFor("vec_id % 10 <> 7", "c.vec_id % 10 <> 7")}
+      SELECT q_id, rank, vec_id AS neighbor_id FROM prk
+      WHERE rank <= $K ORDER BY q_id, rank""")) { (s, dir) =>
+      appendedIvfPqTopK(s, dir, compactAfterAppend = true, pathTag = "-cmp")
+        .orderBy("q_id", "rank")
     },
 
     // ---- e09: the k-means TRAINING loop itself, fully oracle-gated —

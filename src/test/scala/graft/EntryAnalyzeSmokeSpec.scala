@@ -55,7 +55,7 @@ class EntryAnalyzeSmokeSpec extends AnyFunSuite {
     "e10_ann_ivfpq_topk", "e10b_ann_ivfpq_recall_floor",
     "e11_ann_ivf_filtered_topk", "e11b_ann_ivf_filtered_recall_floor",
     "e12_ann_served_topk",
-    "e13_ann_maintained_topk",
+    "e13_ann_maintained_topk", "e14_ann_compacted_topk",
     "m08_indexed_image_dedup",
     "g01_nodes", "g02_edges", "g03_properties", "g04_entity_index",
     "g05_lookup_entity", "g06_neighbors", "g07_get_edge", "g08_counts",

@@ -207,6 +207,20 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(!AnnIndex.compact(spark, path)) // below minLive: no-op
   }
 
+  test("e14 equals e13: serving the compacted index reproduces the appended path exactly") {
+    val e13 = graft.SparkEntry.queries("e13_ann_maintained_topk")(spark, dir)
+      .orderBy("q_id", "rank").collect().map(_.toString).toSeq
+    val e14 = graft.SparkEntry.queries("e14_ann_compacted_topk")(spark, dir)
+      .orderBy("q_id", "rank").collect().map(_.toString).toSeq
+    assert(e14 === e13)
+    assert(e14.nonEmpty)
+    // the e14 index really is compacted: one live segment, ledger intact
+    val path = "/tmp/graft_annindex/_root_testdata_sf0.001_ivfpq_m10r7-cmp"
+    val meta = VersionedIndex.readMeta(path).get
+    assert(meta.live.size === 1)
+    assert(meta.segments.contains("delta-m10r7"))
+  }
+
   test("compacting a legacy (pre-baseRows) manifest backfills the drift denominator") {
     // indexes written before the compaction layout carry no baseRows
     // line (readMeta yields 0). compact must backfill it from the base
