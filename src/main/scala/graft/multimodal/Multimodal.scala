@@ -33,8 +33,22 @@ object Multimodal {
   private val twinGuardCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), Unit]
 
+  /** m08's arriving-batch block rows, pinned per (session, index path)
+    * with the corpus fingerprint they were decoded from: the probe plan
+    * consumes them through four join legs on DIFFERENT keys ((band,sig),
+    * doc_i, (doc_j,band)), so the exchanges never canonicalize to one
+    * reusable subtree and an unpinned plan re-decodes every batch PNG
+    * once per leg. The batch is O(delta)-small; a regenerated corpus
+    * (fingerprint mismatch) drops and re-derives the pin.
+    */
+  private val deltaBlocksCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, org.apache.spark.sql.DataFrame)]
+
   graft.SessionMemos.registerEvictor { dead =>
     twinGuardCache.filterInPlace { case ((s, _, _), _) => !dead(s) }
+    deltaBlocksCache.filterInPlace { case ((s, _), (_, df)) =>
+      if (dead(s)) { graft.SessionMemos.safeUnpersist(df); false } else true
+    }
   }
 
   private[multimodal] def twinGuardCacheSize: Int = twinGuardCache.size
@@ -347,7 +361,16 @@ object Multimodal {
     val path = s"$indexRoot/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_img-ahash64"
     val fp = SignatureIndex.dirFingerprint(s"$dir/documents.parquet")
     val idx = SignatureIndex.ensure(spark, blocksOf(media.filter(!isDelta)), path, fp)
-    val deltaB = blocksOf(media.filter(isDelta))
+    val deltaB = deltaBlocksCache.get((spark, path)) match {
+      case Some((f, df)) if f == fp => df
+      case stale =>
+        stale.foreach { case (_, df) => graft.SessionMemos.safeUnpersist(df) }
+        graft.SessionMemos.arm(spark)
+        val b = blocksOf(media.filter(isDelta))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        deltaBlocksCache.put((spark, path), (fp, b))
+        b
+    }
     // probe leg: the batch meets the served index; the earlier-partner
     // residual keeps the probe idempotent under maintenance (once the
     // batch's own blocks are appended, re-probing yields the same set)

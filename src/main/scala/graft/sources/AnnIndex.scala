@@ -213,6 +213,9 @@ object AnnIndex {
       math.max(0L, total - meta.baseRows).toDouble / meta.baseRows
     } else {
       // pre-baseRows layout: the base segment's own files are the denominator
+      if (meta.segments.isEmpty) // pre-segment layout: same guidance append gives
+        throw new IllegalStateException(
+          s"index at $path predates segmented layout — run a full build first")
       val base = rows(meta.segments.head)
       if (base == 0L) Double.PositiveInfinity
       else meta.segments.tail.map(rows).sum.toDouble / base

@@ -43,9 +43,11 @@ object SignatureIndex {
 
   /** Estimated on-disk footprint per signature row (doc_id + band + sig
     * + columnar overhead) — feeds [[VersionedIndex.bucketsFor]] when the
-    * caller doesn't pin a bucket count.
+    * caller doesn't pin a bucket count. `private[graft]` so the scale
+    * rehearsal's derived-buckets receipt reads the SAME constant instead
+    * of a drifting copy.
     */
-  private val EstSigRowBytes = 24L
+  private[graft] val EstSigRowBytes = 24L
 
   /** Build invocations this JVM has run — rehearsal/spec receipt that
     * serving from a committed index does NOT rebuild it.
@@ -89,22 +91,24 @@ object SignatureIndex {
   def build(sigs: DataFrame, path: String, fingerprint: String,
       buckets: Int = 0, stats: Option[DataFrame] = None): Unit =
     VersionedIndex.withWriteLock(path) {
-      val (s, b) =
-        if (buckets > 0) (sigs, buckets)
-        else {
-          // measured-then-decide: one count over the pinned signature set
-          // (build-time only — serves never touch this)
-          val pinned = sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          (pinned, VersionedIndex.bucketsFor(pinned.count() * EstSigRowBytes))
-        }
+      // measured-then-decide: one count over the pinned signature set
+      // (build-time only — serves never touch this). The sizing count
+      // runs INSIDE the try so its failure cannot leak the pinned blocks
+      // (persist() itself is lazy metadata, not a job).
+      val pinned = if (buckets > 0) None else Some(
+        sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       try {
+        val s = pinned.getOrElse(sigs)
+        val b =
+          if (buckets > 0) buckets
+          else VersionedIndex.bucketsFor(s.count() * EstSigRowBytes)
         val next = VersionedIndex.versionNumber(path) + 1
         val segName = s"base-v$next"
         writeSegment(s, path, segName, b, stats)
         VersionedIndex.publish(path, next,
           VersionedIndex.Meta(b, fingerprint, Seq(segName)), Tables)
         buildCount += 1
-      } finally if (buckets <= 0) s.unpersist(blocking = false)
+      } finally pinned.foreach(_.unpersist(blocking = false))
     }
 
   /** Idempotently append a delta's signatures as segment `segName`

@@ -287,13 +287,25 @@ object VersionedIndex {
     require(keep >= 1, s"keep must be >= 1, got $keep")
     val root = Paths.get(path)
     if (currentVersion(path).isEmpty) return Nil
+    val curNum = versionNumber(path)
     def deleteTree(p: Path): Unit =
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    def num(p: Path) = p.getFileName.toString.stripPrefix("v").toLong
     val versions = Files.list(root).iterator().asScala
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.matches("v\\d+"))
-      .toSeq.sortBy(_.getFileName.toString.stripPrefix("v").toLong)
-    val (drop, retain) = versions.splitAt(math.max(0, versions.size - keep))
+      .toSeq.sortBy(num)
+    // a version dir is GARBAGE, never a retention candidate, if a crashed
+    // publish left it without _meta; and retention is anchored to CURRENT
+    // — a COMPLETE v(N+1) whose writer died before the CURRENT swap must
+    // neither crash the sweep nor push the serving version out of the
+    // keep window (it is retained as-is; the next publish of that number
+    // overwrites it)
+    val (withMeta, partial) = versions.partition(v => Files.exists(v.resolve("_meta")))
+    partial.foreach(deleteTree)
+    val (committed, preSwap) = withMeta.partition(num(_) <= curNum)
+    val (drop, retainOld) = committed.splitAt(math.max(0, committed.size - keep))
     drop.foreach(deleteTree)
+    val retain = retainOld ++ preSwap
     val referenced = retain.flatMap(v => parseMeta(v).live).toSet
     val segRoot = root.resolve("seg")
     val orphans =
@@ -302,7 +314,8 @@ object VersionedIndex {
         .filter(p => Files.isDirectory(p) && !referenced(p.getFileName.toString))
         .toSeq
     orphans.foreach(deleteTree)
-    drop.map(_.getFileName.toString) ++ orphans.map(p => s"seg/${p.getFileName}")
+    (drop ++ partial).map(_.getFileName.toString) ++
+      orphans.map(p => s"seg/${p.getFileName}")
   }
 
   /** Register (idempotently) the committed version's bucketed files as an

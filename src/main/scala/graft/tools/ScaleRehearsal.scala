@@ -203,13 +203,14 @@ object ScaleRehearsal {
       val d36Path = s"/tmp/graft_sigindex/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_m10r7"
       val d36Meta = graft.sources.SignatureIndex.readMeta(d36Path).get
       val d36IdxRows = graft.sources.SignatureIndex.serve(spark, d36Path).count()
+      val estRow = graft.sources.SignatureIndex.EstSigRowBytes // one source of truth
       check("sig_index_buckets_derived_from_bytes")(
-        d36Meta.buckets == graft.sources.VersionedIndex.bucketsFor(d36IdxRows * 24L),
+        d36Meta.buckets == graft.sources.VersionedIndex.bucketsFor(d36IdxRows * estRow),
         s"meta.buckets ${d36Meta.buckets} vs derived " +
-          s"${graft.sources.VersionedIndex.bucketsFor(d36IdxRows * 24L)} for $d36IdxRows rows")
+          s"${graft.sources.VersionedIndex.bucketsFor(d36IdxRows * estRow)} for $d36IdxRows rows")
       check("sig_index_rows_per_bucket_bounded")(
-        d36IdxRows * 24L <= d36Meta.buckets.toLong * (64L << 20),
-        s"$d36IdxRows rows x 24B over ${d36Meta.buckets} buckets exceeds the 64MB target")
+        d36IdxRows * estRow <= d36Meta.buckets.toLong * (64L << 20),
+        s"$d36IdxRows rows x ${estRow}B over ${d36Meta.buckets} buckets exceeds the 64MB target")
 
       // 4e2. d37 — the composed incremental ingest gate (r13): one
       // decision row per delta doc at 10x, every gate non-vacuous (a

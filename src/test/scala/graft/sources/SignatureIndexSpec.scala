@@ -251,6 +251,33 @@ class SignatureIndexSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(path, "seg", "base-v1")))
   }
 
+  test("gcVersions never deletes CURRENT and sweeps crashed-publish version dirs") {
+    // two crash shapes a publish can leave: a PARTIAL dir (no _meta —
+    // died mid-hardlink) and a COMPLETE pre-swap dir (has _meta, died
+    // before the CURRENT move). Neither may push the SERVING version out
+    // of the keep window (the old splitAt-by-name did exactly that with
+    // keep=1), the partial must sweep as garbage, and the pre-swap dir
+    // is retained as-is for the next publish of that number to overwrite
+    val path = freshPath()
+    val base = docs.filter(col("doc_id") < 60)
+    val d1 = docs.filter(col("doc_id") >= 60 && col("doc_id") < 70)
+    SignatureIndex.build(PipelinePack.bandSignaturesOf(base), path, "fp", buckets = 4)
+    SignatureIndex.append(PipelinePack.bandSignaturesOf(d1), "batch-0", path) // v2 = CURRENT
+    // complete-but-never-swapped v3
+    Files.createDirectories(Paths.get(path, "v3"))
+    Files.writeString(Paths.get(path, "v3", "_meta"),
+      "buckets=4\nfingerprint=fp\nsegments=base-v1\nlive=base-v1\nbaseRows=0\n")
+    // partial v4: no _meta
+    Files.createDirectories(Paths.get(path, "v4"))
+    val served = sigRows(SignatureIndex.serve(spark, path))
+    val gone = VersionedIndex.gcVersions(path, keep = 1).toSet
+    assert(gone === Set("v1", "v4"), gone)
+    assert(SignatureIndex.currentVersion(path) === Some("v2"))
+    assert(Files.exists(Paths.get(path, "v3"))) // pre-swap dir untouched
+    assert(!Files.exists(Paths.get(path, "v4")))
+    assert(sigRows(SignatureIndex.serve(spark, path)) === served)
+  }
+
   test("compaction folds live segments into one; rows, stats, ledger and replays survive") {
     import graft.streaming.SignatureIndexStream
     val path = freshPath()
