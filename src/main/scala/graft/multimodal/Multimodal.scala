@@ -364,12 +364,25 @@ object Multimodal {
     val deltaB = deltaBlocksCache.get((spark, path)) match {
       case Some((f, df)) if f == fp => df
       case stale =>
-        stale.foreach { case (_, df) => graft.SessionMemos.safeUnpersist(df) }
+        // atomic remove-then-putIfAbsent (ADVICE r14): the plain put
+        // raced — two concurrent cold probes could both persist the
+        // blocks, and the overwritten entry's pin leaked until session
+        // death. The loser now unpersists its own copy and rides the
+        // winner's.
+        stale.foreach { e =>
+          if (deltaBlocksCache.remove((spark, path), e))
+            graft.SessionMemos.safeUnpersist(e._2)
+        }
         graft.SessionMemos.arm(spark)
         val b = blocksOf(media.filter(isDelta))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        deltaBlocksCache.put((spark, path), (fp, b))
-        b
+        deltaBlocksCache.putIfAbsent((spark, path), (fp, b)) match {
+          case None => b
+          case Some((f, winner)) if f == fp =>
+            graft.SessionMemos.safeUnpersist(b); winner
+          case Some(_) => // concurrent regeneration (out of contract):
+            graft.SessionMemos.safeUnpersist(b); b // serve unpinned
+        }
     }
     // probe leg: the batch meets the served index; the earlier-partner
     // residual keeps the probe idempotent under maintenance (once the

@@ -102,26 +102,40 @@ object AnnIndex {
     * everything from the current corpus). With `buckets = 0` the count
     * derives from the measured code rows and a target bucket size.
     */
+  /** `carryLedger = true` preserves the prior append LEDGER across the
+    * rebuild — the retrain shape (the new base was derived from the GROWN
+    * corpus, so a micro-batch replayed afterwards must still no-op).
+    * The default `false` is the changed-corpus shape (the new base knows
+    * nothing of old deltas; their names must be free to re-append).
+    */
   def build(a: Artifacts, path: String, fingerprint: String,
-      buckets: Int = 0): Unit = VersionedIndex.withWriteLock(path) {
+      buckets: Int = 0,
+      carryLedger: Boolean = false): Unit = VersionedIndex.withWriteLock(path) {
     val b =
       if (buckets > 0) buckets
       // measured-then-decide (build-time only; the caller's codes table
       // is memo-persisted on every production path, so the count reads
       // the cache the write is about to read anyway)
       else VersionedIndex.bucketsFor(a.codes.count() * EstCodeRowBytes)
-    val next = VersionedIndex.versionNumber(path) + 1
-    val segName = s"base-v$next"
-    writeTables(path, segName, b, a.vectors, a.cells, a.codes,
-      Some(a.centroids), Some(a.codebook))
-    // the drift denominator, recorded in the manifest so appendFraction
-    // survives compaction/GC retiring the base segment's FILES: a
-    // footer-only count over the just-written vectors table
-    val baseRows = a.vectors.sparkSession.read
-      .parquet(s"$path/seg/$segName/vectors").count()
-    VersionedIndex.publish(path, next,
-      VersionedIndex.Meta(b, fingerprint, Seq(segName), Seq(segName), baseRows),
-      Tables)
+    val next = VersionedIndex.claimNext(path) // optimistic commit (r14 #3)
+    try {
+      val segName = s"base-v$next"
+      writeTables(path, segName, b, a.vectors, a.cells, a.codes,
+        Some(a.centroids), Some(a.codebook))
+      // the drift denominator, recorded in the manifest so appendFraction
+      // survives compaction/GC retiring the base segment's FILES: a
+      // footer-only count over the just-written vectors table
+      val baseRows = a.vectors.sparkSession.read
+        .parquet(s"$path/seg/$segName/vectors").count()
+      val ledger =
+        if (carryLedger)
+          VersionedIndex.readMeta(path).map(_.segments).getOrElse(Nil)
+        else Nil
+      VersionedIndex.publish(path, next,
+        VersionedIndex.Meta(b, fingerprint, ledger :+ segName, Seq(segName),
+          baseRows),
+        Tables)
+    } finally VersionedIndex.releaseClaim(path, next)
     buildCount += 1
   }
 
@@ -142,12 +156,21 @@ object AnnIndex {
           s"index at $path predates segmented layout — run a full build first")
       if (meta.segments.contains(segName)) false
       else {
-        writeTables(path, segName, meta.buckets, d.vectors, d.cells, d.codes,
-          centroids = None, codebook = None)
-        VersionedIndex.publish(path, VersionedIndex.versionNumber(path) + 1,
-          meta.copy(segments = meta.segments :+ segName,
-            live = meta.live :+ segName), Tables)
-        true
+        val next = VersionedIndex.claimNext(path)
+        try {
+          // rebase on the claim's frozen predecessor — another PROCESS
+          // may have committed between the check above and the claim
+          val m = VersionedIndex.readMeta(path).get
+          if (m.segments.contains(segName)) false
+          else {
+            writeTables(path, segName, m.buckets, d.vectors, d.cells, d.codes,
+              centroids = None, codebook = None)
+            VersionedIndex.publish(path, next,
+              m.copy(segments = m.segments :+ segName,
+                live = m.live :+ segName), Tables)
+            true
+          }
+        } finally VersionedIndex.releaseClaim(path, next)
       }
     }
 
@@ -161,10 +184,18 @@ object AnnIndex {
     */
   def compact(spark: SparkSession, path: String, minLive: Int = 2): Boolean =
     VersionedIndex.withWriteLock(path) {
-      val meta = VersionedIndex.readMeta(path).getOrElse(
+      val meta0 = VersionedIndex.readMeta(path).getOrElse(
         throw new IllegalStateException(s"ANN index not initialized: $path"))
-      if (meta.live.size < minLive) false
+      if (meta0.live.size < minLive) false
       else {
+        // claim BEFORE resolving the version to rewrite: the claim
+        // freezes CURRENT, so the lazy scans below cannot race a
+        // concurrent process's publish onto a superseded snapshot
+        val next = VersionedIndex.claimNext(path)
+        try {
+          val meta = VersionedIndex.readMeta(path).get
+          if (meta.live.size < minLive) false
+          else {
         // PLAIN scans of the version files, not serve(): the bucketed
         // catalog table would both elide the rewrite's bucket-routing
         // repartition (see [[SignatureIndex.compact]]) and churn the
@@ -179,15 +210,16 @@ object AnnIndex {
         val baseRows =
           if (meta.baseRows > 0L) meta.baseRows
           else spark.read.parquet(s"$path/seg/${meta.segments.head}/vectors").count()
-        val next = VersionedIndex.versionNumber(path) + 1
-        val segName = s"compact-v$next"
-        writeTables(path, segName, meta.buckets, tbl("vectors"), tbl("cells"),
-          tbl("codes"), Some(tbl("centroids")), Some(tbl("codebook")))
-        VersionedIndex.publish(path, next,
-          meta.copy(segments = meta.segments :+ segName, live = Seq(segName),
-            baseRows = baseRows),
-          Tables)
-        true
+          val segName = s"compact-v$next"
+          writeTables(path, segName, meta.buckets, tbl("vectors"), tbl("cells"),
+            tbl("codes"), Some(tbl("centroids")), Some(tbl("codebook")))
+          VersionedIndex.publish(path, next,
+            meta.copy(segments = meta.segments :+ segName, live = Seq(segName),
+              baseRows = baseRows),
+            Tables)
+          true
+          }
+        } finally VersionedIndex.releaseClaim(path, next)
       }
     }
 

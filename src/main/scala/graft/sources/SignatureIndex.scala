@@ -88,8 +88,14 @@ object SignatureIndex {
     * signature rows and a target bucket size; `stats` (source, n rows for
     * the SAME base corpus) commits in the same publish.
     */
+  /** `carryLedger` as in [[AnnIndex.build]]: true preserves the append
+    * ledger across a retrain-shaped rebuild (the new base derives from
+    * the grown corpus, replayed batches must still no-op); the default
+    * false frees old segment names after a changed-corpus rebuild.
+    */
   def build(sigs: DataFrame, path: String, fingerprint: String,
-      buckets: Int = 0, stats: Option[DataFrame] = None): Unit =
+      buckets: Int = 0, stats: Option[DataFrame] = None,
+      carryLedger: Boolean = false): Unit =
     VersionedIndex.withWriteLock(path) {
       // measured-then-decide: one count over the pinned signature set
       // (build-time only — serves never touch this). The sizing count
@@ -102,11 +108,18 @@ object SignatureIndex {
         val b =
           if (buckets > 0) buckets
           else VersionedIndex.bucketsFor(s.count() * EstSigRowBytes)
-        val next = VersionedIndex.versionNumber(path) + 1
-        val segName = s"base-v$next"
-        writeSegment(s, path, segName, b, stats)
-        VersionedIndex.publish(path, next,
-          VersionedIndex.Meta(b, fingerprint, Seq(segName)), Tables)
+        val next = VersionedIndex.claimNext(path) // optimistic commit (r14 #3)
+        try {
+          val segName = s"base-v$next"
+          writeSegment(s, path, segName, b, stats)
+          val ledger =
+            if (carryLedger)
+              VersionedIndex.readMeta(path).map(_.segments).getOrElse(Nil)
+            else Nil
+          VersionedIndex.publish(path, next,
+            VersionedIndex.Meta(b, fingerprint, ledger :+ segName,
+              Seq(segName), 0L), Tables)
+        } finally VersionedIndex.releaseClaim(path, next)
         buildCount += 1
       } finally pinned.foreach(_.unpersist(blocking = false))
     }
@@ -127,11 +140,20 @@ object SignatureIndex {
         throw new IllegalStateException(s"signature index not initialized: $path"))
       if (meta.segments.contains(segName)) false
       else {
-        writeSegment(sigs, path, segName, meta.buckets, stats)
-        VersionedIndex.publish(path, VersionedIndex.versionNumber(path) + 1,
-          meta.copy(segments = meta.segments :+ segName,
-            live = meta.live :+ segName), Tables)
-        true
+        val next = VersionedIndex.claimNext(path)
+        try {
+          // rebase on the claim's frozen predecessor — another PROCESS
+          // may have committed between the check above and the claim
+          val m = readMeta(path).get
+          if (m.segments.contains(segName)) false
+          else {
+            writeSegment(sigs, path, segName, m.buckets, stats)
+            VersionedIndex.publish(path, next,
+              m.copy(segments = m.segments :+ segName,
+                live = m.live :+ segName), Tables)
+            true
+          }
+        } finally VersionedIndex.releaseClaim(path, next)
       }
     }
 
@@ -152,28 +174,38 @@ object SignatureIndex {
     */
   def compact(spark: SparkSession, path: String, minLive: Int = 2): Boolean =
     VersionedIndex.withWriteLock(path) {
-      val meta = readMeta(path).getOrElse(
+      val meta0 = readMeta(path).getOrElse(
         throw new IllegalStateException(s"signature index not initialized: $path"))
-      if (meta.live.size < minLive) false
+      if (meta0.live.size < minLive) false
       else {
-        val next = VersionedIndex.versionNumber(path) + 1
-        val segName = s"compact-v$next"
-        val v = currentVersion(path).get
-        val stats =
-          if (Files.isDirectory(Paths.get(path, v, "_stats")))
-            Some(sourceStats(spark, path))
-          else None
-        // read the version's raw files, NOT the bucketed catalog table:
-        // against a bucketed scan the writer-side repartition is elided
-        // as redundant and the rewrite fans back out to mixed-bucket
-        // tasks — a plain scan lets writeBucketedFiles route every row
-        // to its bucket's single task (spec pins <= 1 file per bucket)
-        writeSegment(spark.read.parquet(s"$path/$v"), path, segName,
-          meta.buckets, stats)
-        VersionedIndex.publish(path, next,
-          meta.copy(segments = meta.segments :+ segName, live = Seq(segName)),
-          Tables)
-        true
+        // claim BEFORE resolving the version to rewrite: the claim
+        // freezes CURRENT, so the lazy rewrite scan cannot race a
+        // concurrent process's publish onto a superseded snapshot
+        val next = VersionedIndex.claimNext(path)
+        try {
+          val meta = readMeta(path).get
+          if (meta.live.size < minLive) false
+          else {
+            val segName = s"compact-v$next"
+            val v = currentVersion(path).get
+            val stats =
+              if (Files.isDirectory(Paths.get(path, v, "_stats")))
+                Some(sourceStats(spark, path))
+              else None
+            // read the version's raw files, NOT the bucketed catalog table:
+            // against a bucketed scan the writer-side repartition is elided
+            // as redundant and the rewrite fans back out to mixed-bucket
+            // tasks — a plain scan lets writeBucketedFiles route every row
+            // to its bucket's single task (spec pins <= 1 file per bucket)
+            writeSegment(spark.read.parquet(s"$path/$v"), path, segName,
+              meta.buckets, stats)
+            VersionedIndex.publish(path, next,
+              meta.copy(segments = meta.segments :+ segName,
+                live = Seq(segName)),
+              Tables)
+            true
+          }
+        } finally VersionedIndex.releaseClaim(path, next)
       }
     }
 

@@ -41,18 +41,22 @@ import scala.jdk.CollectionConverters._
   * a warm path is pure lock-free metadata, and two concurrent cold
   * ensures build exactly once.
   *
-  * '''Writer scope.''' The locks serialize writers within ONE JVM — the
-  * deployment shape where a single maintenance job (the foreachBatch
-  * stream legs) owns each index path, which is also what Structured
-  * Streaming's checkpoint ownership implies. Readers need no
-  * coordination at any scope (CURRENT resolution is one atomic read of
-  * an immutable snapshot). Multiple UNCOORDINATED writer processes are
-  * out of contract: the CURRENT swap is last-writer-wins, so two
-  * drivers racing a build could publish conflicting v<N+1>s. An
-  * object-store deployment gets multi-writer safety by swapping this
-  * file-based manifest for a table format's optimistic commit
-  * (Iceberg/Delta PUT-if-absent on the next snapshot id + retry) — the
-  * layer this object deliberately mirrors so the swap is mechanical.
+  * '''Writer scope.''' The locks serialize writers within ONE JVM;
+  * ACROSS processes, commits are optimistic (r14 verdict #3, retiring
+  * the last-writer-wins caveat): a writer atomically CLAIMS version
+  * number cur+1 (`create-if-absent` of `claims/v<N>` — the filesystem's
+  * PUT-if-absent, the Iceberg/Delta commit move), re-reads the manifest
+  * it is rebasing on (frozen at cur while the claim is held, because
+  * committing cur+1 requires the claim), writes, publishes, and the
+  * claim marker is retired inside [[publish]]. A loser's claim attempt
+  * fails and it retries onto the NEXT number with a freshly-read
+  * manifest, so no committed segment is ever lost from the ledger. A
+  * crashed claimant's stale marker (older than the claim TTL with its
+  * number still uncommitted) is stolen via an atomic tombstone rename —
+  * the TTL must exceed the longest real publish, the standard lease
+  * caveat of filesystem manifests. Readers need no coordination at any
+  * scope (CURRENT resolution is one atomic read of an immutable
+  * snapshot).
   */
 object VersionedIndex {
 
@@ -104,6 +108,83 @@ object VersionedIndex {
 
   private def currentPointer(path: String): Path = Paths.get(path, "CURRENT")
 
+  /** A claim older than this with its number still uncommitted is a
+    * crashed claimant's and may be stolen. Must exceed the longest real
+    * segment-write + publish (15 min is generous for an O(delta) append;
+    * a deployment doing hour-long full builds raises it per call).
+    */
+  val DefaultClaimTtlMs: Long = 15L * 60 * 1000
+
+  private def claimsDir(path: String): Path = Paths.get(path, "claims")
+
+  private[sources] def claimMarker(path: String, ver: Long): Path =
+    claimsDir(path).resolve(s"v$ver")
+
+  /** One optimistic attempt to claim the next version number: atomically
+    * create `claims/v<cur+1>` (create-if-absent — the PUT-if-absent an
+    * object-store manifest commit uses), then validate CURRENT has not
+    * advanced past the basis (the previous holder of this number may have
+    * committed it and retired the marker before we created ours). Returns
+    * None when the number is already claimed by a live writer or the
+    * basis moved — the caller re-reads and retries onto the next number.
+    * A stale marker (crashed claimant) is stolen through an atomic
+    * tombstone RENAME, so two concurrent stealers cannot both win: only
+    * one move succeeds, and the subsequent create-if-absent is exclusive
+    * again.
+    */
+  def tryClaimNext(path: String,
+      claimTtlMs: Long = DefaultClaimTtlMs): Option[Long] = {
+    val basis = versionNumber(path)
+    val n = basis + 1
+    Files.createDirectories(claimsDir(path))
+    val marker = claimMarker(path, n)
+    def createValidated(): Option[Long] =
+      try {
+        Files.createFile(marker)
+        if (versionNumber(path) == basis) Some(n)
+        else { Files.deleteIfExists(marker); None } // stale basis: retry
+      } catch { case _: java.nio.file.FileAlreadyExistsException => None }
+    createValidated().orElse {
+      val stale =
+        try System.currentTimeMillis() -
+          Files.getLastModifiedTime(marker).toMillis > claimTtlMs
+        catch { case _: java.io.IOException => false } // marker vanished
+      if (!stale) None
+      else {
+        val tomb = claimsDir(path)
+          .resolve(s".stale-v$n-${System.nanoTime()}")
+        try { Files.move(marker, tomb); Files.deleteIfExists(tomb) }
+        catch { case _: java.io.IOException => () } // another stealer won the move
+        createValidated()
+      }
+    }
+  }
+
+  /** Claim the next version number, retrying until `maxWaitMs` — the
+    * blocking form [[build]]-shaped callers use. Every committed writer
+    * holds the claim for its number, so the returned `n` guarantees the
+    * manifest stays frozen at `n-1` until this writer publishes (or
+    * crashes and is stolen from after the TTL).
+    */
+  def claimNext(path: String, claimTtlMs: Long = DefaultClaimTtlMs,
+      maxWaitMs: Long = 60000L): Long = {
+    val deadline = System.currentTimeMillis() + maxWaitMs
+    var res = tryClaimNext(path, claimTtlMs)
+    while (res.isEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(25L)
+      res = tryClaimNext(path, claimTtlMs)
+    }
+    res.getOrElse(throw new IllegalStateException(
+      s"could not claim a version at $path within ${maxWaitMs}ms — " +
+        "another writer holds an unexpired claim"))
+  }
+
+  /** Retire a claim that will not be published (failed write path);
+    * [[publish]] retires successful ones itself.
+    */
+  def releaseClaim(path: String, ver: Long): Unit =
+    Files.deleteIfExists(claimMarker(path, ver))
+
   /** The committed version name (e.g. "v2"), if the index exists. */
   def currentVersion(path: String): Option[String] = {
     val p = currentPointer(path)
@@ -135,26 +216,57 @@ object VersionedIndex {
   def readMeta(path: String): Option[Meta] =
     currentVersion(path).map(v => parseMeta(Paths.get(path, v)))
 
-  /** Source fingerprint from FILESYSTEM METADATA only (names, sizes,
-    * mtimes) — no data scan, so the staleness check an `ensure` runs per
-    * serve is O(files). Identifies the BASE corpus snapshot an index was
-    * built from; a regenerated corpus at the same path changes mtimes and
-    * forces a rebuild instead of silently serving stale artifacts. An
-    * object-store deployment substitutes the table format's snapshot id
-    * (there are no mtimes to walk — the commit log IS the fingerprint).
+  /** Pluggable corpus-snapshot identity (r14 verdict #6): the staleness
+    * check an `ensure` runs per serve asks "which snapshot of the corpus
+    * is this?", and HOW that is answered is deployment-shaped — a local
+    * filesystem walks metadata, an object-store table asks its format
+    * for the current snapshot id (Iceberg `currentSnapshotId`, a Delta
+    * log version — there are no mtimes to walk; the commit log IS the
+    * fingerprint). The interface makes that substitution a one-line
+    * install instead of a docstring.
     */
-  def dirFingerprint(dataPath: String): String = {
-    val root = Paths.get(dataPath)
-    if (!Files.exists(root)) return "absent"
-    val entries = Files.walk(root).iterator().asScala
-      .filter(Files.isRegularFile(_))
-      .map(p => s"${root.relativize(p)}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
-      .toSeq.sorted
-    java.lang.Long.toHexString(
-      entries.foldLeft(0xcbf29ce484222325L) { (h, e) =>
-        e.getBytes(StandardCharsets.UTF_8).foldLeft(h)((a, b) => (a ^ b) * 0x100000001b3L)
-      })
+  trait SnapshotProvider {
+    /** A stable id of `dataPath`'s CURRENT content snapshot. Two calls
+      * must agree iff the corpus is unchanged; must never scan data.
+      */
+    def fingerprint(dataPath: String): String
   }
+
+  /** Default provider: FILESYSTEM METADATA only (names, sizes, mtimes) —
+    * no data scan, O(files) per check. A regenerated corpus at the same
+    * path changes mtimes and forces a rebuild instead of silently
+    * serving stale artifacts.
+    */
+  object MtimeWalkSnapshot extends SnapshotProvider {
+    def fingerprint(dataPath: String): String = {
+      val root = Paths.get(dataPath)
+      if (!Files.exists(root)) return "absent"
+      val entries = Files.walk(root).iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(p => s"${root.relativize(p)}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
+        .toSeq.sorted
+      java.lang.Long.toHexString(
+        entries.foldLeft(0xcbf29ce484222325L) { (h, e) =>
+          e.getBytes(StandardCharsets.UTF_8).foldLeft(h)((a, b) => (a ^ b) * 0x100000001b3L)
+        })
+    }
+  }
+
+  private val snapshotProviderRef =
+    new java.util.concurrent.atomic.AtomicReference[SnapshotProvider](MtimeWalkSnapshot)
+
+  def snapshotProvider: SnapshotProvider = snapshotProviderRef.get
+
+  /** Install a deployment's provider (process-wide — fingerprints feed
+    * persisted manifests, so mixing providers per call would thrash
+    * rebuilds). Returns the previous one so tests can restore it.
+    */
+  def setSnapshotProvider(p: SnapshotProvider): SnapshotProvider =
+    snapshotProviderRef.getAndSet(p)
+
+  /** Corpus fingerprint via the installed [[SnapshotProvider]]. */
+  def dirFingerprint(dataPath: String): String =
+    snapshotProviderRef.get.fingerprint(dataPath)
 
   /** Collision-resistant digest of an absolute path — the namespace for
     * an index's catalog tables. 32-bit String.hashCode collided in
@@ -267,6 +379,7 @@ object VersionedIndex {
     Files.writeString(tmp, s"v$ver", StandardCharsets.UTF_8)
     Files.move(tmp, currentPointer(path),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    releaseClaim(path, ver) // committed: the number can never be reclaimed
   }
 
   /** Retention GC: delete superseded version directories older than the
@@ -283,7 +396,8 @@ object VersionedIndex {
     * longest-running reader's horizon), exactly like snapshot expiry in
     * an Iceberg/Delta table. Returns the deleted entry names.
     */
-  def gcVersions(path: String, keep: Int = 2): Seq[String] = withWriteLock(path) {
+  def gcVersions(path: String, keep: Int = 2,
+      claimTtlMs: Long = DefaultClaimTtlMs): Seq[String] = withWriteLock(path) {
     require(keep >= 1, s"keep must be >= 1, got $keep")
     val root = Paths.get(path)
     if (currentVersion(path).isEmpty) return Nil
@@ -300,7 +414,14 @@ object VersionedIndex {
     // neither crash the sweep nor push the serving version out of the
     // keep window (it is retained as-is; the next publish of that number
     // overwrites it)
-    val (withMeta, partial) = versions.partition(v => Files.exists(v.resolve("_meta")))
+    val (withMeta, partial0) = versions.partition(v => Files.exists(v.resolve("_meta")))
+    // the dir CURRENT names is never "crashed-publish garbage" (ADVICE
+    // r14): a corrupted/half-lost SERVING dir must fail the sweep loudly,
+    // not be silently deleted leaving CURRENT dangling
+    val (servingPartial, partial) = partial0.partition(num(_) == curNum)
+    if (servingPartial.nonEmpty)
+      throw new IllegalStateException(
+        s"serving version v$curNum at $path has no _meta (corrupted index) — refusing to GC")
     partial.foreach(deleteTree)
     val (committed, preSwap) = withMeta.partition(num(_) <= curNum)
     val (drop, retainOld) = committed.splitAt(math.max(0, committed.size - keep))
@@ -314,8 +435,27 @@ object VersionedIndex {
         .filter(p => Files.isDirectory(p) && !referenced(p.getFileName.toString))
         .toSeq
     orphans.foreach(deleteTree)
+    // claim markers: a claim <= CURRENT is obsolete (its number was
+    // committed, or superseded by a commit that stole it); one ABOVE
+    // CURRENT past the TTL is a crashed claimant's that no writer has
+    // contended for — both are swept so the claims dir stays O(in-flight)
+    val cdir = claimsDir(path)
+    val deadClaims =
+      if (!Files.isDirectory(cdir)) Nil
+      else Files.list(cdir).iterator().asScala.filter { p =>
+        val name = p.getFileName.toString
+        name.startsWith(".stale-") || (name.matches("v\\d+") && {
+          val n = name.stripPrefix("v").toLong
+          n <= curNum ||
+            (try System.currentTimeMillis() -
+              Files.getLastModifiedTime(p).toMillis > claimTtlMs
+            catch { case _: java.io.IOException => false })
+        })
+      }.toSeq
+    deadClaims.foreach(Files.deleteIfExists(_))
     (drop ++ partial).map(_.getFileName.toString) ++
-      orphans.map(p => s"seg/${p.getFileName}")
+      orphans.map(p => s"seg/${p.getFileName}") ++
+      deadClaims.map(p => s"claims/${p.getFileName}")
   }
 
   /** Register (idempotently) the committed version's bucketed files as an

@@ -505,6 +505,16 @@ object ScaleRehearsal {
         def slice(i: Int) = docs10x.filter(fCol("doc_id") % 10L === (4L + i))
         val plain = java.nio.file.Files.createTempDirectory("cmp_plain").toString
         val comp = java.nio.file.Files.createTempDirectory("cmp_comp").toString
+        // both trees hold a full 10x signature index — delete them once
+        // the receipt values are captured (ADVICE r14: they leaked)
+        def deleteIdx(p: String): Unit = {
+          import scala.jdk.CollectionConverters._
+          val root = java.nio.file.Paths.get(p)
+          if (java.nio.file.Files.exists(root))
+            java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+        try {
         val sigs = graft.queries.PipelinePack.bandSignaturesOf(cBase)
         SignatureIndex.build(sigs, plain, "fp")
         SignatureIndex.build(sigs, comp, "fp")
@@ -534,6 +544,7 @@ object ScaleRehearsal {
             SignatureIndex.serve(spark, comp).count() == rowsPlain,
           "a replayed batch re-committed after compaction + GC")
         (liveComp, plainFiles, compFiles, rowsComp)
+        } finally { deleteIdx(plain); deleteIdx(comp) }
       }
 
       // 13. e09 k-means at 10x: every Lloyd round stays broadcast

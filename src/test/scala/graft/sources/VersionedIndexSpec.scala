@@ -1,0 +1,189 @@
+package graft.sources
+
+import graft.SparkTestSession
+import graft.queries.PipelinePack
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** The shared index core's cross-process commit contract (r14 verdict
+  * #3): optimistic version claims (filesystem PUT-if-absent, the
+  * Iceberg/Delta commit move), crashed-claim stealing and GC, the
+  * ledger-carrying retrain rebuild, the corrupted-CURRENT GC guard
+  * (ADVICE r14), and the pluggable snapshot-id provider (r14 verdict
+  * #6). Single-JVM lifecycle behavior (build/append/compact/serve) is
+  * covered in [[SignatureIndexSpec]]/[[AnnIndexSpec]].
+  */
+class VersionedIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docs = graft.Tables.documents(spark, dir)
+
+  private def freshPath(): String =
+    Files.createTempDirectory("vidx").toString
+
+  private def baseIndex(path: String): Unit =
+    SignatureIndex.build(
+      PipelinePack.bandSignaturesOf(docs.filter(col("doc_id") < 60)),
+      path, "fp", buckets = 4)
+
+  private def fakeSegment(path: String, name: String): Unit = {
+    val seg = Paths.get(path, "seg", name)
+    Files.createDirectories(seg)
+    Files.writeString(seg.resolve("part-00000-x_00000.parquet"), "x")
+  }
+
+  test("optimistic claims: the loser of v2 retries onto v3 with a rebased ledger") {
+    val path = freshPath()
+    baseIndex(path) // v1
+    // two uncoordinated WRITER PROCESSES race the next number — the claim
+    // primitives stand in for them (the per-JVM write lock doesn't apply
+    // across processes; the claim is what does)
+    assert(VersionedIndex.tryClaimNext(path) === Some(2L)) // writer A wins
+    assert(VersionedIndex.tryClaimNext(path) === None)     // writer B loses
+    // A commits v2 with its segment; publish retires A's claim marker
+    fakeSegment(path, "segA")
+    val m1 = VersionedIndex.readMeta(path).get
+    VersionedIndex.publish(path, 2L,
+      m1.copy(segments = m1.segments :+ "segA", live = m1.live :+ "segA"))
+    assert(VersionedIndex.currentVersion(path) === Some("v2"))
+    assert(!Files.exists(VersionedIndex.claimMarker(path, 2L)))
+    // B retries: fresh claim onto v3, REBASED on v2's manifest — A's
+    // committed segment cannot be lost from the ledger
+    assert(VersionedIndex.tryClaimNext(path) === Some(3L))
+    val m2 = VersionedIndex.readMeta(path).get
+    assert(m2.segments.contains("segA"))
+    fakeSegment(path, "segB")
+    VersionedIndex.publish(path, 3L,
+      m2.copy(segments = m2.segments :+ "segB", live = m2.live :+ "segB"))
+    assert(VersionedIndex.readMeta(path).get.segments ===
+      Seq("base-v1", "segA", "segB"))
+    assert(VersionedIndex.currentVersion(path) === Some("v3"))
+  }
+
+  test("a crashed claim blocks its number until the TTL, then is stolen and GC-swept") {
+    val path = freshPath()
+    baseIndex(path) // v1
+    assert(VersionedIndex.tryClaimNext(path) === Some(2L)) // claimant crashes here
+    // within the TTL the number stays blocked (a live writer may hold it)
+    assert(VersionedIndex.tryClaimNext(path) === None)
+    Thread.sleep(15L)
+    // past the TTL the stale marker is stolen (atomic tombstone rename —
+    // exactly one stealer can win) and the number becomes claimable
+    assert(VersionedIndex.tryClaimNext(path, claimTtlMs = 1L) === Some(2L))
+    VersionedIndex.releaseClaim(path, 2L)
+    // the GC leg: a crashed claim above CURRENT past the TTL is swept
+    assert(VersionedIndex.tryClaimNext(path) === Some(2L))
+    Thread.sleep(15L)
+    val gone = VersionedIndex.gcVersions(path, keep = 2, claimTtlMs = 1L)
+    assert(gone.contains("claims/v2"), gone)
+    assert(!Files.exists(VersionedIndex.claimMarker(path, 2L)))
+    assert(VersionedIndex.tryClaimNext(path) === Some(2L))
+    VersionedIndex.releaseClaim(path, 2L)
+  }
+
+  test("a claim based on a stale CURRENT read is released, not honored") {
+    val path = freshPath()
+    baseIndex(path) // v1
+    // writer A commits v2 and retires its marker; writer B — which read
+    // CURRENT=v1 before A's swap — must NOT be able to claim v2 now
+    fakeSegment(path, "segA")
+    val m1 = VersionedIndex.readMeta(path).get
+    VersionedIndex.publish(path, 2L,
+      m1.copy(segments = m1.segments :+ "segA", live = m1.live :+ "segA"))
+    // tryClaimNext validates the basis after the create: its fresh read
+    // lands on v2, so the claim it grants is v3, never a stale v2
+    assert(VersionedIndex.tryClaimNext(path) === Some(3L))
+    VersionedIndex.releaseClaim(path, 3L)
+  }
+
+  test("concurrent in-JVM appends both commit, with no lost ledger entries") {
+    val path = freshPath()
+    baseIndex(path) // v1
+    val d1 = PipelinePack.bandSignaturesOf(
+      docs.filter(col("doc_id") >= 60 && col("doc_id") < 70))
+    val d2 = PipelinePack.bandSignaturesOf(
+      docs.filter(col("doc_id") >= 70 && col("doc_id") < 80))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(SignatureIndex.append(d1, "batch-a", path))
+    val fb = Future(SignatureIndex.append(d2, "batch-b", path))
+    assert(Await.result(fa, 120.seconds))
+    assert(Await.result(fb, 120.seconds))
+    val meta = VersionedIndex.readMeta(path).get
+    assert(meta.segments.toSet === Set("base-v1", "batch-a", "batch-b"))
+    assert(VersionedIndex.currentVersion(path) === Some("v3"))
+    // claims were retired as each publish committed
+    assert(!Files.exists(VersionedIndex.claimMarker(path, 2L)))
+    assert(!Files.exists(VersionedIndex.claimMarker(path, 3L)))
+  }
+
+  test("gcVersions refuses to sweep when the SERVING dir is corrupted") {
+    // ADVICE r14: a version dir without _meta is crashed-publish garbage
+    // — unless it is the dir CURRENT names, in which case deleting it
+    // would leave CURRENT dangling; the sweep must fail loudly instead
+    val path = freshPath()
+    baseIndex(path) // v1
+    Files.delete(Paths.get(path, "v1", "_meta"))
+    val e = intercept[IllegalStateException](VersionedIndex.gcVersions(path))
+    assert(e.getMessage.contains("v1"))
+    assert(Files.exists(Paths.get(path, "v1"))) // nothing was deleted
+  }
+
+  test("a retrain-shaped rebuild carries the ledger; a default rebuild resets it") {
+    // replay-after-retrain: the retrained base derives from the GROWN
+    // corpus (appended batches included), so a micro-batch replayed after
+    // the retrain must still no-op — the ledger survives the rebuild.
+    // A changed-corpus rebuild (default) frees old names instead.
+    val d1 = PipelinePack.bandSignaturesOf(
+      docs.filter(col("doc_id") >= 60 && col("doc_id") < 70))
+    val grown = PipelinePack.bandSignaturesOf(docs.filter(col("doc_id") < 70))
+
+    val retrain = freshPath()
+    baseIndex(retrain) // v1
+    assert(SignatureIndex.append(d1, "batch-0", retrain)) // v2
+    SignatureIndex.build(grown, retrain, "fp-retrained", buckets = 4,
+      carryLedger = true) // v3
+    val meta = SignatureIndex.readMeta(retrain).get
+    assert(meta.segments === Seq("base-v1", "batch-0", "base-v3"))
+    assert(meta.live === Seq("base-v3"))
+    assert(!SignatureIndex.append(d1, "batch-0", retrain)) // replay no-ops
+    assert(SignatureIndex.serve(spark, retrain).count() === grown.count())
+
+    val fresh = freshPath()
+    baseIndex(fresh)
+    assert(SignatureIndex.append(d1, "batch-0", fresh))
+    SignatureIndex.build(grown, fresh, "fp2", buckets = 4) // corpus changed
+    assert(SignatureIndex.readMeta(fresh).get.segments === Seq("base-v3"))
+    assert(SignatureIndex.append(d1, "batch-0", fresh)) // name is free again
+  }
+
+  test("the snapshot provider is pluggable and the default walks filesystem metadata") {
+    // r14 verdict #6: an object-store deployment answers "which corpus
+    // snapshot is this?" from its table format's commit log, not mtimes —
+    // the provider interface makes that a one-line install
+    class Canned extends VersionedIndex.SnapshotProvider {
+      @volatile var id = "snap-1"
+      def fingerprint(dataPath: String): String = s"$id:$dataPath"
+    }
+    val canned = new Canned
+    val prev = VersionedIndex.setSnapshotProvider(canned)
+    try {
+      assert(prev === VersionedIndex.MtimeWalkSnapshot)
+      assert(VersionedIndex.dirFingerprint("/corpus/a") === "snap-1:/corpus/a")
+      // the whole index family rides the installed provider
+      assert(SignatureIndex.dirFingerprint("/corpus/a") === "snap-1:/corpus/a")
+      canned.id = "snap-2" // the table committed a new snapshot
+      assert(SignatureIndex.dirFingerprint("/corpus/a") === "snap-2:/corpus/a")
+    } finally VersionedIndex.setSnapshotProvider(prev)
+    // default behavior: metadata-only walk, stable across calls, change-
+    // sensitive via mtime/size (no data scan — it fingerprints a missing
+    // path as "absent" instead of failing)
+    val p = s"$dir/documents.parquet"
+    assert(VersionedIndex.dirFingerprint(p) ===
+      VersionedIndex.MtimeWalkSnapshot.fingerprint(p))
+    assert(VersionedIndex.dirFingerprint("/no/such/path") === "absent")
+  }
+}
