@@ -133,7 +133,7 @@ object AnnPack {
     dotCol(a, b) / sqrt(dotCol(a, a)) / sqrt(dotCol(b, b))
   }
 
-  private def embeddings(s: SparkSession, dir: String): DataFrame =
+  private[graft] def embeddings(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
 
   /** The query batch: vec_ids 0..9 (deterministic fixture). */
@@ -303,6 +303,12 @@ object AnnPack {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   @volatile private[graft] var coarseMemoEnabled = true
+
+  /** Receipt hook: the (probed pcells, total pcells) of the most recent
+    * partition-pruned index serve — ScaleRehearsal reads it to pin that
+    * the files-read fraction tracks the probed-cell fraction at 10x.
+    */
+  @volatile private[graft] var lastProbedPcells: (Seq[Int], Int) = (Nil, 0)
 
   private[graft] def clearCoarseMemo(session: SparkSession): Unit =
     coarseCellsCache.filterInPlace { case ((s, _), df) =>
@@ -879,11 +885,35 @@ object AnnPack {
     * unchanged.
     */
   private def ivfPqArtifacts(
-      spark: SparkSession, dir: String): graft.sources.AnnIndex.Artifacts = {
+      spark: SparkSession, dir: String): graft.sources.AnnIndex.Artifacts =
+    ivfPqArtifactsOver(spark, dir, slice = None, keyTag = "")
+
+  /** The shared IVF-PQ artifact derivation over an optional corpus
+    * slice: full corpus (e12 base, e15 retrain), the non-delta majority
+    * (e13/e14 base), or a minority day-0 snapshot (e15 base). All
+    * geometry (adaptive cell count, centroid set, md5 codebook seeds)
+    * derives from the SLICE — the defining property of a base build,
+    * and exactly what a retrain re-derives over the grown corpus.
+    */
+  private[graft] def ivfPqArtifactsOver(
+      spark: SparkSession, dir: String, slice: Option[Column],
+      keyTag: String): graft.sources.AnnIndex.Artifacts = {
     val emb = embeddings(spark, dir)
-    val key = Some(s"$dir/embeddings")
-    val cv = clusteredEmbeddings(emb, key)
-    val dim = dimOf(emb, Some(s"$dir/embeddings#dim"))
+    ivfPqArtifactsFromCv(
+      clusteredEmbeddings(emb, Some(s"$dir/embeddings")),
+      dimOf(emb, Some(s"$dir/embeddings#dim")),
+      slice, Some(s"$dir/embeddings$keyTag"))
+  }
+
+  /** [[ivfPqArtifactsOver]] from an EXPLICIT cv corpus — the seam
+    * ScaleRehearsal's drift fixture uses (a shifted growth cluster must
+    * be injected after the clustered-fixture blend, or the anchor
+    * blending smears it across the base/growth slices).
+    */
+  private[graft] def ivfPqArtifactsFromCv(
+      cvAll: DataFrame, dim: Int, slice: Option[Column],
+      key: Option[String]): graft.sources.AnnIndex.Artifacts = {
+    val cv = slice.map(cvAll.filter).getOrElse(cvAll)
     val (embC, el, cb, codes) = pqIndexMemo(cv, dim, PqSubDim, PqCentroids, None, "md5", key)
     val nCells = servingCells(embC, key)
     val centroids = el.filter(col("vec_id") < nCells)
@@ -923,7 +953,7 @@ object AnnPack {
     // stale-memo coherence (ADVICE r13): a rebuild must derive from the
     // CURRENT files, never from memos of a mid-session-regenerated corpus
     invalidateStaleCorpusMemos(spark, dir, rawFp)
-    val fp = rawFp + s"#ivfpq/$PqSubDim/$PqCentroids/md5"
+    val fp = rawFp + s"#ivfpq/$PqSubDim/$PqCentroids/md5/pc" // /pc: pcell layout
     val t = AnnIndex.ensure(spark, ivfPqArtifacts(spark, dir), path, fp)
     serveIvfPqFrom(t, nprobe, shortlist)
   }
@@ -931,8 +961,16 @@ object AnnPack {
   /** The index-only IVF-PQ serving plan over one committed version's
     * tables — shared by e12 (full-corpus base) and e13 (base + appended
     * deltas; the tables are unions of segments, the plan is identical).
+    *
+    * On a pcell-partitioned index (r14 verdict #2) the probe list —
+    * bounded by the query-batch contract at nprobe × |queries| rows — is
+    * materialized once on the driver and its pcell set pushed as a
+    * STATIC partition filter on both the posting-list and the code
+    * scans, so file IO follows the probed-cell fraction instead of the
+    * index size (the candidate set is unchanged: candidates only ever
+    * come from probed cells, whose directories the filter keeps).
     */
-  private def serveIvfPqFrom(
+  private[graft] def serveIvfPqFrom(
       t: graft.sources.AnnIndex.Served,
       nprobe: Int, shortlist: Int): DataFrame = {
     // the query batch, quantized at serve time from the index's OWN
@@ -948,10 +986,32 @@ object AnnPack {
       .withColumn("rn", row_number().over(wP))
       .filter(col("rn") <= nprobe)
       .select(col("q_id"), col("ccid").as("cell"))
-    // candidates: posting-list scan through the probed cells only
-    val cnd0 = t.cells.join(broadcast(probes), "cell")
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"))
+    // candidates: posting-list scan through the probed cells only —
+    // with a partitioned layout, through the probed cells' FILES only
+    val (cnd0, codesSrc) =
+      if (t.pcells <= 0)
+        (t.cells.join(broadcast(probes), "cell")
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id")),
+          t.codes)
+      else {
+        val spark = t.cells.sparkSession
+        val probePairs = probes.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val probedP = probePairs.map(p => (p._2 % t.pcells).toInt)
+          .distinct.sorted.toSeq
+        lastProbedPcells = (probedP, t.pcells) // rehearsal receipt hook
+        def pruned(df: DataFrame) =
+          if (probedP.isEmpty) df.filter(lit(false)) // empty query batch
+          else df.filter(col("pcell").isInCollection(probedP))
+        import spark.implicits._
+        val probesLocal = broadcast(
+          probePairs.toSeq.toDF("q_id", "cell"))
+        (pruned(t.cells)
+          .join(probesLocal, "cell")
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id")),
+          pruned(t.codes))
+      }
     // ADC: per-query distance table over the persisted codebook,
     // broadcast against the bucketed code table
     val dt = broadcast(
@@ -959,7 +1019,7 @@ object AnnPack {
         .groupBy(col("q_id"), col("m"), col("cid"))
         .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("dq2")))
     val wCand = Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))
-    val cand = cnd0.join(t.codes, "vec_id")
+    val cand = cnd0.join(codesSrc, "vec_id")
       .join(dt, Seq("q_id", "m", "cid"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("dq2")).as("adc"))
@@ -988,28 +1048,10 @@ object AnnPack {
     */
   private def ivfPqBaseArtifacts(
       spark: SparkSession, dir: String,
-      deltaMod: Long, deltaRes: Long): graft.sources.AnnIndex.Artifacts = {
-    val emb = embeddings(spark, dir)
-    val key = Some(s"$dir/embeddings#base-m${deltaMod}r$deltaRes")
-    val cv = clusteredEmbeddings(emb, Some(s"$dir/embeddings"))
-      .filter(col("vec_id") % deltaMod =!= deltaRes)
-    val dim = dimOf(emb, Some(s"$dir/embeddings#dim"))
-    val (embC, el, cb, codes) = pqIndexMemo(cv, dim, PqSubDim, PqCentroids, None, "md5", key)
-    val nCells = servingCells(embC, key)
-    val centroids = el.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("ccid"), col("d"), col("q").as("ccq"))
-    val d2 = el.select(col("vec_id"), col("d"), col("q"))
-      .join(broadcast(centroids), "d")
-      .groupBy(col("vec_id"), col("ccid"))
-      .agg(sum((col("q") - col("ccq")) * (col("q") - col("ccq"))).as("d2"))
-    val wA = Window.partitionBy("vec_id").orderBy(col("d2"), col("ccid"))
-    val cells = d2.withColumn("rn", row_number().over(wA))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("ccid").as("cell"))
-    graft.sources.AnnIndex.Artifacts(
-      vectors = embC, centroids = centroids, cells = cells,
-      codebook = cb, codes = codes)
-  }
+      deltaMod: Long, deltaRes: Long): graft.sources.AnnIndex.Artifacts =
+    ivfPqArtifactsOver(spark, dir,
+      slice = Some(col("vec_id") % deltaMod =!= deltaRes),
+      keyTag = s"#base-m${deltaMod}r$deltaRes")
 
   /** The MAINTENANCE derivation: a batch of new (vec_id, embedding)
     * vectors quantized, ASSIGNED to the committed centroids, and ENCODED
@@ -1069,7 +1111,7 @@ object AnnPack {
     val rawFp = graft.sources.SignatureIndex.dirFingerprint(s"$dir/embeddings.parquet")
     invalidateStaleCorpusMemos(spark, dir, rawFp) // ADVICE r13 coherence
     val fp = rawFp +
-      s"#ivfpq-base/$PqSubDim/$PqCentroids/md5/m${deltaMod}r$deltaRes"
+      s"#ivfpq-base/$PqSubDim/$PqCentroids/md5/m${deltaMod}r$deltaRes/pc"
     val t0 = AnnIndex.ensure(spark,
       ivfPqBaseArtifacts(spark, dir, deltaMod, deltaRes), path, fp)
     // the delta batch arrives: one manifest-gated append. The manifest
@@ -1086,6 +1128,75 @@ object AnnPack {
     // frozen geometry carried), so serving reads the COMPACTED snapshot
     // — a no-op on warm passes (live is already a single segment)
     if (compactAfterAppend) AnnIndex.compact(spark, path, minLive = 2)
+    serveIvfPqFrom(AnnIndex.serve(spark, path), nprobe, shortlist)
+  }
+
+  /** e15 — the RETRAIN ESCAPE VALVE end-to-end (r14 verdict #1, the one
+    * lifecycle limb that existed only as documentation): the index is
+    * born over a MINORITY day-0 slice (1/baseMod of the corpus), the
+    * rest arrives as appends against that frozen geometry, the drift
+    * policy fires ([[graft.sources.AnnIndex.retrainDue]] — appended
+    * rows are (baseMod-1)× the base, far past the 0.5 budget), and a
+    * full [[graft.sources.AnnIndex.build]] re-derives √N cells, the
+    * centroid set and the codebook over the GROWN corpus, publishing
+    * atomically under the CURRENT swap with the append ledger carried
+    * (a replayed growth batch still no-ops after the retrain).
+    *
+    * The post-retrain geometry is exactly the full-corpus derivation
+    * e12 builds, so e12's exhaustive rebuild-equivalent oracle gates the
+    * post-retrain serve bit-for-bit — a retrain that lost vectors,
+    * reused stale geometry, or served the pre-retrain version would
+    * hash-mismatch. The recall-dip/recovery receipts (the WHY of the
+    * policy, measured on a genuinely drifted fixture) live in
+    * ScaleRehearsal. Whole lifecycle is idempotent per corpus
+    * fingerprint: warm passes serve the committed retrained version
+    * with zero builds and zero appends.
+    */
+  def retrainedIvfPqTopK(
+      spark: SparkSession, dir: String,
+      nprobe: Int = NProbe, shortlist: Int = PqCandidates,
+      baseMod: Long = 4L,
+      indexRoot: String = "/tmp/graft_annindex"): DataFrame = {
+    import graft.sources.{AnnIndex, VersionedIndex}
+    val path = s"$indexRoot/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}" +
+      s"_ivfpq_retrain_m$baseMod"
+    val rawFp = graft.sources.SignatureIndex.dirFingerprint(s"$dir/embeddings.parquet")
+    invalidateStaleCorpusMemos(spark, dir, rawFp) // ADVICE r13 coherence
+    val fpFinal = rawFp +
+      s"#ivfpq-retrained/$PqSubDim/$PqCentroids/md5/m$baseMod/pc"
+    def retrained = AnnIndex.readFingerprint(path).contains(fpFinal)
+    if (!retrained) VersionedIndex.withWriteLock(path) {
+      if (!retrained) {
+        // 1. day-0: base over the minority slice the corpus began as
+        val fpBase = rawFp +
+          s"#ivfpq-retrain-base/$PqSubDim/$PqCentroids/md5/m$baseMod/pc"
+        AnnIndex.ensure(spark,
+          ivfPqArtifactsOver(spark, dir,
+            slice = Some(col("vec_id") % baseMod === 0L),
+            keyTag = s"#retrain-base-m$baseMod"),
+          path, fpBase)
+        // 2. growth: the remaining (baseMod-1)/baseMod of the corpus
+        // arrives as one manifest-gated append vs the frozen geometry
+        val seg = s"growth-m$baseMod"
+        if (!VersionedIndex.readMeta(path).exists(_.segments.contains(seg))) {
+          val delta = clusteredEmbeddings(embeddings(spark, dir),
+            Some(s"$dir/embeddings")).filter(col("vec_id") % baseMod =!= 0L)
+          AnnIndex.append(deltaArtifactsFor(delta, AnnIndex.serve(spark, path)),
+            seg, path)
+        }
+        // 3. the policy must fire — the appended volume is far past the
+        // budget (a lifecycle that reached here without tripping it
+        // would be mis-measuring drift; fail loudly, not silently)
+        require(AnnIndex.retrainDue(spark, path),
+          s"retrain policy failed to fire at append fraction " +
+            s"${AnnIndex.appendFraction(spark, path)}")
+        // 4. RETRAIN: full rebuild over the grown corpus; ledger carried
+        AnnIndex.build(ivfPqArtifacts(spark, dir), path, fpFinal,
+          carryLedger = true)
+        // 5. the superseded minority-geometry snapshot ages out
+        VersionedIndex.gcVersions(path, keep = 1)
+      }
+    }
     serveIvfPqFrom(AnnIndex.serve(spark, path), nprobe, shortlist)
   }
 
@@ -2450,6 +2561,22 @@ object AnnPack {
       WHERE rank <= $K ORDER BY q_id, rank""")) { (s, dir) =>
       appendedIvfPqTopK(s, dir, compactAfterAppend = true, pathTag = "-cmp")
         .orderBy("q_id", "rank")
+    },
+
+    // ---- e15: the RETRAIN escape valve — born over a 25% day-0 slice,
+    // grown by appends past the drift budget, retrainDue fires, and a
+    // full rebuild re-derives the geometry over the grown corpus. The
+    // post-retrain geometry IS e12's full-corpus derivation, so the same
+    // exhaustive oracle gates the post-retrain serve bit-for-bit: a
+    // retrain that lost vectors, kept stale geometry, or served the
+    // pre-retrain version hash-mismatches here. Recall-dip/recovery
+    // receipts live in ScaleRehearsal. ----
+    QDef("e15_ann_retrained_topk", Some(s"""
+      WITH $clusteredCvCtes,
+      $ivfPqRankCtes
+      SELECT q_id, rank, vec_id AS neighbor_id FROM prk
+      WHERE rank <= $K ORDER BY q_id, rank""")) { (s, dir) =>
+      retrainedIvfPqTopK(s, dir).orderBy("q_id", "rank")
     },
 
     // ---- e09: the k-means TRAINING loop itself, fully oracle-gated —

@@ -501,7 +501,15 @@ object PipelinePack {
     SignatureIndex.append(
       bandSignatures(docs.filter(isDay)), s"day-$dayRes", path)
     SignatureIndex.compact(spark, path, minLive = 2)
-    val idx = SignatureIndex.serve(spark, path)
+    maintainedProbe(docs, SignatureIndex.serve(spark, path), deltaMod, deltaRes)
+  }
+
+  /** The PROBE side of [[maintainedIngestDedup]] alone — today's batch
+    * against an already-served index version, no lifecycle calls.
+    */
+  private def maintainedProbe(docs: DataFrame, idx: DataFrame,
+      deltaMod: Long, deltaRes: Long): DataFrame = {
+    val isDelta = col("doc_id") % deltaMod === deltaRes
     val cands = probeIndexCandidates(docs, deltaMod, deltaRes, idx)
     val dup = verifyPairs(docs, cands)
       .groupBy("doc_i").agg(min(col("doc_j")).as("dup_of"))
@@ -510,6 +518,31 @@ object PipelinePack {
       .join(dup, Seq("doc_id"), "left")
       .select(col("doc_id"), col("dup_of"),
         when(col("dup_of").isNull, 1L).otherwise(0L).as("is_new"))
+  }
+
+  /** d38b — d38's steady-state twin (r14 verdict #7): SERVE + PROBE
+    * only, no lifecycle attempts in the plan's construction, so the
+    * bench prices the serving path separately from the
+    * build/append/compact lifecycle d38 deliberately includes (a probe
+    * regression would otherwise drown in lifecycle cost). Falls back to
+    * the full lifecycle exactly once on a cold/stale index — the entry
+    * is self-sufficient, and its steady-state passes are pure
+    * warm-serve. Same decision law, same exhaustive oracle as d38.
+    */
+  def maintainedIngestDedupProbe(
+      spark: SparkSession, dir: String,
+      deltaMod: Long = 10L, dayRes: Long = 7L, deltaRes: Long = 8L,
+      indexRoot: String = "/tmp/graft_sigindex"): DataFrame = {
+    import graft.sources.SignatureIndex
+    val path = s"$indexRoot/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}" +
+      s"_m${deltaMod}d${dayRes}r$deltaRes-maint"
+    val fp = SignatureIndex.dirFingerprint(s"$dir/documents.parquet")
+    val ready = SignatureIndex.readMeta(path).exists(m =>
+      m.fingerprint == fp && m.segments.contains(s"day-$dayRes"))
+    if (!ready) // cold machine / regenerated corpus: one-time lifecycle
+      maintainedIngestDedup(spark, dir, deltaMod, dayRes, deltaRes, indexRoot)
+    else maintainedProbe(Tables.documents(spark, dir),
+      SignatureIndex.serve(spark, path), deltaMod, deltaRes)
   }
 
   /** d36's candidate step alone (index served, delta probed), exposed so
@@ -2785,6 +2818,32 @@ object PipelinePack {
         LEFT JOIN dec ON dec.doc_id = dd.doc_id
       ORDER BY dd.doc_id""")) { (s, dir) =>
       maintainedIngestDedup(s, dir).orderBy("doc_id")
+    },
+
+    // ---- d38b: d38's steady-state twin — SERVE + PROBE only (no
+    // lifecycle calls on a warm index), so the bench prices the serving
+    // path separately from the build/append/compact lifecycle. Same
+    // decision law and exhaustive oracle as d38. ----
+    QDef("d38b_maintained_ingest_probe", Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      idx AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) i FROM tok),
+      sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM idx),
+      pairs AS (SELECT a.doc_id AS d, b.doc_id AS p, count(*) AS inter
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id != b.doc_id
+        WHERE a.doc_id % 10 = 8 AND (b.doc_id % 10 != 8 OR b.doc_id < a.doc_id)
+        GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      ver AS (SELECT p.d, p.p FROM pairs p
+                JOIN sizes sa ON sa.doc_id = p.d
+                JOIN sizes sb ON sb.doc_id = p.p
+              WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5),
+      dec AS (SELECT d AS doc_id, min(p) AS dup_of FROM ver GROUP BY 1)
+      SELECT dd.doc_id, dec.dup_of,
+             CAST(CASE WHEN dec.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_new
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 8) dd
+        LEFT JOIN dec ON dec.doc_id = dd.doc_id
+      ORDER BY dd.doc_id""")) { (s, dir) =>
+      maintainedIngestDedupProbe(s, dir).orderBy("doc_id")
     },
 
     // ---- d37: the INCREMENTAL curation manifest — the composed ingest

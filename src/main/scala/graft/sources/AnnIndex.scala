@@ -49,10 +49,15 @@ import java.nio.file.Paths
   */
 object AnnIndex {
 
-  /** The served tables of one committed version. */
+  /** The served tables of one committed version. `pcells` is the
+    * directory-partition modulus of cells/codes (0 = legacy flat
+    * layout): the serving plan uses it to prune FILES to the probed
+    * cells' `pcell=K` directories instead of scanning the full posting
+    * and code tables per query batch (r14 verdict #2).
+    */
   final case class Served(
       vectors: DataFrame, centroids: DataFrame, cells: DataFrame,
-      codebook: DataFrame, codes: DataFrame)
+      codebook: DataFrame, codes: DataFrame, pcells: Int)
 
   /** The artifacts a base build persists (same shapes as [[Served]]). */
   final case class Artifacts(
@@ -81,20 +86,55 @@ object AnnIndex {
 
   private val Tables = Seq("vectors", "centroids", "cells", "codebook", "codes")
 
+  /** Directory-partition cap: pruning granularity is per cell up to this
+    * many directories (fixture/rehearsal corpora land under it, so the
+    * files-read fraction EQUALS the probed-cell fraction); a 100 TB
+    * index's √N cells fold onto the cap by modulus, trading exactness of
+    * the prune for a bounded namespace — object-store listings and
+    * partition-index recovery stay O(thousands) whatever the corpus.
+    */
+  private[graft] val MaxPcells = 4096
+
+  private def withPcell(df: DataFrame, pcells: Int): DataFrame =
+    df.withColumn("pcell", org.apache.spark.sql.functions
+      .pmod(col("cell"), org.apache.spark.sql.functions.lit(pcells.toLong))
+      .cast("int"))
+
   private def writeTables(path: String, segName: String, buckets: Int,
-      vectors: DataFrame, cells: DataFrame, codes: DataFrame,
+      pcells: Int, vectors: DataFrame, cells: DataFrame, codes: DataFrame,
       centroids: Option[DataFrame], codebook: Option[DataFrame]): Unit = {
     val segDir = s"$path/seg/$segName"
     vectors.write.mode(SaveMode.Overwrite).parquet(s"$segDir/vectors")
     centroids.foreach(_.write.mode(SaveMode.Overwrite).parquet(s"$segDir/centroids"))
-    // posting-list locality: a probed cell reads contiguous rows
-    cells.repartition(col("cell")).sortWithinPartitions("cell", "vec_id")
-      .write.mode(SaveMode.Overwrite).parquet(s"$segDir/cells")
+    val codesTyped = codes.selectExpr("CAST(vec_id AS BIGINT) AS vec_id",
+      "CAST(m AS BIGINT) AS m", "CAST(cid AS BIGINT) AS cid")
+    if (pcells > 0) {
+      // pcell=K directory layout (r14 verdict #2): a probe prunes its
+      // scan to the probed cells' directories — IO follows the probed
+      // fraction, not the index size. One task per pcell keeps it at one
+      // file per (dir) for cells and ≤ buckets files per dir for codes.
+      val cellsP = withPcell(cells, pcells)
+      cellsP.repartition(col("pcell")).sortWithinPartitions("cell", "vec_id")
+        .write.partitionBy("pcell").mode(SaveMode.Overwrite)
+        .parquet(s"$segDir/cells")
+      // codes ride their vector's cell directory, so the candidate ⋈
+      // codes leg prunes identically (candidates only come from probed
+      // cells); the vec_id bucket layout inside each directory keeps
+      // that join shuffle-free on the code side
+      val codesP = codesTyped.join(
+        cellsP.select(col("vec_id"), col("pcell")), "vec_id")
+      VersionedIndex.writeBucketedFiles(codesP, s"$segDir/codes", buckets,
+        Seq("vec_id"), Seq("vec_id"), kind = "annseg",
+        partitionCols = Seq("pcell"))
+    } else {
+      // legacy flat layout (pre-pcell manifests): appends must keep the
+      // committed version's layout, so this branch stays writable
+      cells.repartition(col("cell")).sortWithinPartitions("cell", "vec_id")
+        .write.mode(SaveMode.Overwrite).parquet(s"$segDir/cells")
+      VersionedIndex.writeBucketedFiles(codesTyped, s"$segDir/codes", buckets,
+        Seq("vec_id"), Seq("vec_id"), kind = "annseg")
+    }
     codebook.foreach(_.write.mode(SaveMode.Overwrite).parquet(s"$segDir/codebook"))
-    VersionedIndex.writeBucketedFiles(
-      codes.selectExpr("CAST(vec_id AS BIGINT) AS vec_id",
-        "CAST(m AS BIGINT) AS m", "CAST(cid AS BIGINT) AS cid"),
-      s"$segDir/codes", buckets, Seq("vec_id"), Seq("vec_id"), kind = "annseg")
   }
 
   /** Full (re)build: commits the artifacts as the new base segment (any
@@ -111,16 +151,25 @@ object AnnIndex {
   def build(a: Artifacts, path: String, fingerprint: String,
       buckets: Int = 0,
       carryLedger: Boolean = false): Unit = VersionedIndex.withWriteLock(path) {
+    // partition modulus first: per-cell pruning up to the directory cap
+    // (the centroid table is tiny — one distinct count, build-time only)
+    val nCells = a.centroids.select(col("ccid")).distinct().count().toInt
+    val pcells = math.max(1, math.min(nCells, MaxPcells))
     val b =
       if (buckets > 0) buckets
       // measured-then-decide (build-time only; the caller's codes table
       // is memo-persisted on every production path, so the count reads
-      // the cache the write is about to read anyway)
-      else VersionedIndex.bucketsFor(a.codes.count() * EstCodeRowBytes)
+      // the cache the write is about to read anyway). Sized per
+      // DIRECTORY now that codes are pcell-partitioned: total files ≈
+      // pcells × buckets, each ≈ the target bucket size. Bucketed-scan
+      // parallelism equals the bucket count, so deployments with huge
+      // per-dir volumes lower targetBucketBytes rather than pcells.
+      else VersionedIndex.bucketsFor(
+        a.codes.count() * EstCodeRowBytes / math.max(1, pcells))
     val next = VersionedIndex.claimNext(path) // optimistic commit (r14 #3)
     try {
       val segName = s"base-v$next"
-      writeTables(path, segName, b, a.vectors, a.cells, a.codes,
+      writeTables(path, segName, b, pcells, a.vectors, a.cells, a.codes,
         Some(a.centroids), Some(a.codebook))
       // the drift denominator, recorded in the manifest so appendFraction
       // survives compaction/GC retiring the base segment's FILES: a
@@ -133,7 +182,7 @@ object AnnIndex {
         else Nil
       VersionedIndex.publish(path, next,
         VersionedIndex.Meta(b, fingerprint, ledger :+ segName, Seq(segName),
-          baseRows),
+          baseRows, pcells),
         Tables)
     } finally VersionedIndex.releaseClaim(path, next)
     buildCount += 1
@@ -163,7 +212,8 @@ object AnnIndex {
           val m = VersionedIndex.readMeta(path).get
           if (m.segments.contains(segName)) false
           else {
-            writeTables(path, segName, m.buckets, d.vectors, d.cells, d.codes,
+            writeTables(path, segName, m.buckets, m.pcells,
+              d.vectors, d.cells, d.codes,
               centroids = None, codebook = None)
             VersionedIndex.publish(path, next,
               m.copy(segments = m.segments :+ segName,
@@ -211,8 +261,12 @@ object AnnIndex {
           if (meta.baseRows > 0L) meta.baseRows
           else spark.read.parquet(s"$path/seg/${meta.segments.head}/vectors").count()
           val segName = s"compact-v$next"
-          writeTables(path, segName, meta.buckets, tbl("vectors"), tbl("cells"),
-            tbl("codes"), Some(tbl("centroids")), Some(tbl("codebook")))
+          // the partitioned scans re-surface pcell as a discovered
+          // column; writeTables re-derives it from cell, so drop it here
+          writeTables(path, segName, meta.buckets, meta.pcells,
+            tbl("vectors"), tbl("cells").drop("pcell"),
+            tbl("codes").drop("pcell"),
+            Some(tbl("centroids")), Some(tbl("codebook")))
           VersionedIndex.publish(path, next,
             meta.copy(segments = meta.segments :+ segName, live = Seq(segName),
               baseRows = baseRows),
@@ -270,14 +324,20 @@ object AnnIndex {
       throw new IllegalStateException(s"ANN index not initialized: $path"))
     val vdir = s"$path/$v"
     val meta = VersionedIndex.readMeta(path).get
+    val partitioned = meta.pcells > 0
     Served(
       vectors = spark.read.parquet(s"$vdir/vectors"),
       centroids = spark.read.parquet(s"$vdir/centroids"),
+      // partition discovery surfaces pcell from the pcell=K directories
+      // — the serving plan's file-pruning key
       cells = spark.read.parquet(s"$vdir/cells"),
       codebook = spark.read.parquet(s"$vdir/codebook"),
       codes = VersionedIndex.serveBucketed(spark, "ann_idx", path, v,
-        "vec_id BIGINT, m BIGINT, cid BIGINT",
-        Seq("vec_id"), Seq("vec_id"), meta.buckets, s"$vdir/codes"))
+        if (partitioned) "vec_id BIGINT, m BIGINT, cid BIGINT, pcell INT"
+        else "vec_id BIGINT, m BIGINT, cid BIGINT",
+        Seq("vec_id"), Seq("vec_id"), meta.buckets, s"$vdir/codes",
+        partitionCols = if (partitioned) Seq("pcell") else Nil),
+      pcells = meta.pcells)
   }
 
   /** Serve a committed version matching `fingerprint`, building from the

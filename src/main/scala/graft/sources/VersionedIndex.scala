@@ -76,9 +76,15 @@ object VersionedIndex {
     *     ([[AnnIndex.appendFraction]] — the appended volume is live-total
     *     minus base, not "rows of segments named batch-*", whose files
     *     compaction retires).
+    *   - `pcells` (0 = unpartitioned layout) is the directory-partition
+    *     modulus of cell-keyed tables ([[AnnIndex]]'s cells/codes carry a
+    *     `pcell = cell % pcells` directory key so a probe's scan prunes
+    *     FILES to the probed cells — r14 verdict #2). Fixed at build like
+    *     `buckets`; appends and compaction must write the same layout.
     */
   final case class Meta(buckets: Int, fingerprint: String,
-      segments: Seq[String], live: Seq[String], baseRows: Long)
+      segments: Seq[String], live: Seq[String], baseRows: Long,
+      pcells: Int = 0)
 
   object Meta {
     /** A fresh base manifest: the ledger and the live set are both just
@@ -210,7 +216,8 @@ object VersionedIndex {
       lines("fingerprint"),
       segments,
       list("live").getOrElse(segments), // pre-compaction layout: all live
-      lines.get("baseRows").map(_.toLong).getOrElse(0L))
+      lines.get("baseRows").map(_.toLong).getOrElse(0L),
+      lines.get("pcells").map(_.toInt).getOrElse(0)) // pre-pcell: flat
   }
 
   def readMeta(path: String): Option[Meta] =
@@ -310,13 +317,24 @@ object VersionedIndex {
     * PER BUCKET. Without it a bucketed write fans out one file per
     * (input task x bucket) — O(parallelism) small files per segment,
     * compounding per append; probe-side scan cost follows file count.
+    *
+    * With `partitionCols` the layout is ADDITIONALLY directory-
+    * partitioned (`pcell=K/…` — the file-pruning key a probe's partition
+    * filter needs, r14 verdict #2); the routing repartition then keys on
+    * the partition columns instead, so each directory's bucket files are
+    * written by exactly one task (≤ 1 file per (dir, bucket)).
     */
   def writeBucketedFiles(df: DataFrame, destDir: String, buckets: Int,
-      clusterCols: Seq[String], sortCols: Seq[String], kind: String): Unit = {
+      clusterCols: Seq[String], sortCols: Seq[String], kind: String,
+      partitionCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     val tmpTable = s"graft_${kind}tmp_${pathDigest(destDir)}_${System.nanoTime()}"
-    df.repartition(buckets, clusterCols.map(org.apache.spark.sql.functions.col): _*)
-      .write.format("parquet")
+    val routed =
+      if (partitionCols.isEmpty)
+        df.repartition(buckets, clusterCols.map(org.apache.spark.sql.functions.col): _*)
+      else df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+    val writer = routed.write.format("parquet")
+    (if (partitionCols.isEmpty) writer else writer.partitionBy(partitionCols: _*))
       .bucketBy(buckets, clusterCols.head, clusterCols.tail: _*)
       .sortBy(sortCols.head, sortCols.tail: _*)
       .option("path", destDir)
@@ -335,6 +353,28 @@ object VersionedIndex {
         !p.getFileName.toString.startsWith("_") &&
         !p.getFileName.toString.startsWith("."))
       .toSeq
+
+  /** A segment table's data files INCLUDING directory-partitioned
+    * layouts (`pcell=K/part-…`), as (relative subdir, file) pairs ("" =
+    * at the table root). Hidden/metadata subdirs (`_`/`.`-prefixed, e.g.
+    * a signature segment's `_stats`) are NOT recursed — they are their
+    * own tables, published under their own name.
+    */
+  def dataFilesRecursive(dir: Path): Seq[(String, Path)] =
+    if (!Files.isDirectory(dir)) Nil
+    else {
+      val subs = Files.list(dir).iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith("."))
+        .toSeq
+      dataFiles(dir).map(("", _)) ++ subs.flatMap { s =>
+        dataFilesRecursive(s).map { case (rel, f) =>
+          (if (rel.isEmpty) s.getFileName.toString
+          else s"${s.getFileName}/$rel", f)
+        }
+      }
+    }
 
   /** Publish version `ver`: hardlink every LIVE segment's data files
     * into a fresh version directory (names prefixed per segment — the
@@ -359,10 +399,13 @@ object VersionedIndex {
       val src =
         if (table.isEmpty) Paths.get(path, "seg", seg)
         else Paths.get(path, "seg", seg, table)
-      val dst = if (table.isEmpty) vdir else vdir.resolve(table)
-      val files = dataFiles(src)
-      if (files.nonEmpty) Files.createDirectories(dst)
-      files.foreach { f =>
+      val dstRoot = if (table.isEmpty) vdir else vdir.resolve(table)
+      // recursive: a directory-partitioned table's pcell=K subdirs are
+      // preserved in the snapshot, so partition pruning sees the same
+      // layout the segment was written with
+      dataFilesRecursive(src).foreach { case (rel, f) =>
+        val dst = if (rel.isEmpty) dstRoot else dstRoot.resolve(rel)
+        Files.createDirectories(dst)
         val link = dst.resolve(s"$seg-${f.getFileName}")
         try Files.createLink(link, f)
         catch { case _: UnsupportedOperationException =>
@@ -373,7 +416,8 @@ object VersionedIndex {
     Files.writeString(vdir.resolve("_meta"),
       s"buckets=${meta.buckets}\nfingerprint=${meta.fingerprint}\n" +
         s"segments=${meta.segments.mkString(",")}\n" +
-        s"live=${meta.live.mkString(",")}\nbaseRows=${meta.baseRows}\n",
+        s"live=${meta.live.mkString(",")}\nbaseRows=${meta.baseRows}\n" +
+        s"pcells=${meta.pcells}\n",
       StandardCharsets.UTF_8)
     val tmp = Paths.get(path, ".CURRENT.tmp")
     Files.writeString(tmp, s"v$ver", StandardCharsets.UTF_8)
@@ -466,7 +510,8 @@ object VersionedIndex {
     */
   def serveBucketed(spark: SparkSession, kind: String, path: String,
       version: String, schemaDdl: String, clusterCols: Seq[String],
-      sortCols: Seq[String], buckets: Int, location: String): DataFrame =
+      sortCols: Seq[String], buckets: Int, location: String,
+      partitionCols: Seq[String] = Nil): DataFrame =
     withCatalogLock(path) {
       val prefix = tablePrefix(kind, path)
       val tbl = s"${prefix}_$version"
@@ -474,13 +519,22 @@ object VersionedIndex {
         spark.catalog.listTables().collect()
           .filter(t => t.name.startsWith(s"${prefix}_v") && t.name != tbl)
           .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `${t.name}`"))
+        val partClause =
+          if (partitionCols.isEmpty) ""
+          else s"\nPARTITIONED BY (${partitionCols.mkString(", ")})"
         spark.sql(
           s"""CREATE TABLE `$tbl` ($schemaDdl)
-             |USING parquet
+             |USING parquet$partClause
              |CLUSTERED BY (${clusterCols.mkString(", ")})
              |SORTED BY (${sortCols.mkString(", ")})
              |INTO $buckets BUCKETS
              |LOCATION '$location'""".stripMargin)
+        // a partitioned external table starts with an EMPTY partition
+        // index — recover it from the directory layout once per
+        // registration (the "MSCK" an object-store catalog does on
+        // attach); unpartitioned tables skip this entirely
+        if (partitionCols.nonEmpty)
+          spark.sql(s"ALTER TABLE `$tbl` RECOVER PARTITIONS")
       }
       spark.table(tbl)
     }

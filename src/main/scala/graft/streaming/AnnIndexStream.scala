@@ -3,7 +3,7 @@ package graft.streaming
 import graft.queries.AnnPack
 import graft.sources.AnnIndex
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Streaming maintenance of the persisted ANN index — [[AnnIndex]]'s
   * foreachBatch leg, mirroring [[SignatureIndexStream]] (r14 verdict #2):
@@ -35,24 +35,12 @@ object AnnIndexStream {
     */
   def processBatch(
       batch: DataFrame, batchId: Long, indexPath: String,
-      segPrefix: String = "batch", compactAfter: Int = 0): Boolean = {
-    val segName = s"$segPrefix-$batchId"
-    if (batch.isEmpty) false
-    else if (graft.sources.VersionedIndex.readMeta(indexPath)
-        .exists(_.segments.contains(segName))) false
-    else {
-      val served = AnnIndex.serve(batch.sparkSession, indexPath)
-      val committed = AnnIndex.append(
-        AnnPack.deltaArtifactsFor(batch, served), segName, indexPath)
-      // the small-files bound ([[SignatureIndexStream.processBatch]]):
-      // steady-state file count per bucket is O(compactAfter), and the
-      // ledger keeps replayed batches no-ops after their files retire;
-      // compact's own minLive gate is the threshold check
-      if (committed && compactAfter > 0)
-        AnnIndex.compact(batch.sparkSession, indexPath, minLive = compactAfter)
-      committed
-    }
-  }
+      segPrefix: String = "batch", compactAfter: Int = 0): Boolean =
+    IndexMaintenance.processBatch(batch, batchId, indexPath,
+        segPrefix, compactAfter) { (b, segName) =>
+      val served = AnnIndex.serve(b.sparkSession, indexPath)
+      AnnIndex.append(AnnPack.deltaArtifactsFor(b, served), segName, indexPath)
+    }(AnnIndex.compact(_, _, _))
 
   /** Wire a streaming vector source (vec_id, embedding) into the index
     * maintenance loop. With `checkpointDir` set, a restart resumes at the
@@ -65,14 +53,8 @@ object AnnIndexStream {
       queryName: String,
       checkpointDir: Option[String] = None,
       segPrefix: String = "batch",
-      compactAfter: Int = 0): StreamingQuery = {
-    val w = vectors.writeStream
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, indexPath, segPrefix, compactAfter); ()
-      }
-    checkpointDir.foreach(d => w.option("checkpointLocation", d))
-    w.start()
-  }
+      compactAfter: Int = 0): StreamingQuery =
+    IndexMaintenance.start(vectors, queryName, checkpointDir) { (batch, batchId) =>
+      processBatch(batch, batchId, indexPath, segPrefix, compactAfter)
+    }
 }

@@ -75,20 +75,16 @@ object ImageDedupStream {
     */
   def indexAppendBatch(
       hashes: DataFrame, batchId: Long, indexPath: String,
-      segPrefix: String = "img", compactAfter: Int = 0): Boolean =
-    if (hashes.isEmpty) false
-    else {
-      import graft.sources.SignatureIndex
-      val committed = SignatureIndex.append(
-        blockSignatures(hashes)
+      segPrefix: String = "img", compactAfter: Int = 0): Boolean = {
+    import graft.sources.SignatureIndex
+    IndexMaintenance.processBatch(hashes, batchId, indexPath,
+        segPrefix, compactAfter) { (b, segName) =>
+      SignatureIndex.append(
+        blockSignatures(b)
           .select(col("docId").as("doc_id"), col("band"), col("sig")),
-        s"$segPrefix-$batchId", indexPath)
-      // small-files bound, [[SignatureIndexStream.processBatch]]'s contract
-      if (committed && compactAfter > 0)
-        SignatureIndex.compact(hashes.sparkSession, indexPath,
-          minLive = compactAfter)
-      committed
-    }
+        segName, indexPath)
+    }(SignatureIndex.compact(_, _, _))
+  }
 
   /** Wire a streaming (doc_id, ahash) source into the image-index
     * maintenance loop — the [[SignatureIndexStream.start]] twin, so one
@@ -104,16 +100,10 @@ object ImageDedupStream {
       queryName: String,
       checkpointDir: Option[String] = None,
       segPrefix: String = "img",
-      compactAfter: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
-    val w = hashes.writeStream
-      .queryName(queryName)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        indexAppendBatch(batch, batchId, indexPath, segPrefix, compactAfter); ()
-      }
-    checkpointDir.foreach(d => w.option("checkpointLocation", d))
-    w.start()
-  }
+      compactAfter: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    IndexMaintenance.start(hashes, queryName, checkpointDir) { (batch, batchId) =>
+      indexAppendBatch(batch, batchId, indexPath, segPrefix, compactAfter)
+    }
 
   /** Verified image near-dup pairs from band-bucket keyed state: every
     * arriving (id, ahash) pairs (smaller id first) with each bucket-mate

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The shared foreachBatch maintenance harness of the persisted index
+  * family (r14 verdict #4 — [[SignatureIndexStream]],
+  * [[AnnIndexStream]] and [[ImageDedupStream]]'s index leg each carried
+  * this ~20-line discipline; the [[graft.sources.VersionedIndex]]
+  * extraction applied one layer up, before a fourth stream leg copied
+  * it again):
+  *
+  *   1. an empty micro-batch commits nothing;
+  *   2. the manifest is consulted FIRST ("batch-<id>" already in the
+  *      append ledger → replay, skipped) so a replayed batch forces no
+  *      derivation work at all — the kind-specific `append` body, which
+  *      may decode PNGs or quantize vectors, never runs;
+  *   3. otherwise the kind-specific derivation appends ONE
+  *      manifest-gated segment (append re-checks under the write lock /
+  *      version claim — this precheck is an optimization, not the
+  *      guard);
+  *   4. a fresh commit optionally triggers compaction at the
+  *      `compactAfter` live-segment threshold, bounding steady-state
+  *      file counts at O(compactAfter), not O(batches).
+  *
+  * Idempotence layering is unchanged from the legs this replaces: the
+  * durable replay ledger IS the manifest, so the one-batch replay a
+  * crash between offset-write and commit-write produces commits exactly
+  * once, surviving process restarts and compaction retiring the
+  * original files.
+  */
+object IndexMaintenance {
+
+  /** One micro-batch through the maintenance discipline. `append`
+    * receives (batch, segName) and returns whether the segment was newly
+    * committed; `compact` receives (session, indexPath, minLive).
+    */
+  def processBatch(
+      batch: DataFrame, batchId: Long, indexPath: String,
+      segPrefix: String, compactAfter: Int)(
+      append: (DataFrame, String) => Boolean)(
+      compact: (SparkSession, String, Int) => Boolean): Boolean =
+    if (batch.isEmpty) false
+    else {
+      val segName = s"$segPrefix-$batchId"
+      if (graft.sources.VersionedIndex.readMeta(indexPath)
+          .exists(_.segments.contains(segName))) false // replay: ledger-gated
+      else {
+        val committed = append(batch, segName)
+        // compact's own minLive gate IS the threshold check (no-op below)
+        if (committed && compactAfter > 0)
+          compact(batch.sparkSession, indexPath, compactAfter)
+        committed
+      }
+    }
+
+  /** Wire a streaming source into a maintenance loop. With
+    * `checkpointDir` set, a restart resumes at the first unprocessed
+    * offset and the manifest absorbs the one-batch replay a crash
+    * between offset-write and commit-write produces.
+    */
+  def start(
+      source: DataFrame, queryName: String, checkpointDir: Option[String])(
+      process: (DataFrame, Long) => Unit): StreamingQuery = {
+    val w = source.writeStream
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        process(batch, batchId); ()
+      }
+    checkpointDir.foreach(d => w.option("checkpointLocation", d))
+    w.start()
+  }
+}

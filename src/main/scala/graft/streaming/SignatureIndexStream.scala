@@ -3,7 +3,7 @@ package graft.streaming
 import graft.queries.PipelinePack
 import graft.sources.SignatureIndex
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Streaming maintenance of the persisted MinHash signature index — the
   * third leg of the build/probe/maintain split: d36 PROBES the committed
@@ -53,22 +53,16 @@ object SignatureIndexStream {
   def processBatch(
       batch: DataFrame, batchId: Long, indexPath: String,
       segPrefix: String = "batch", compactAfter: Int = 0): Boolean =
-    if (batch.isEmpty) false
-    else {
+    IndexMaintenance.processBatch(batch, batchId, indexPath,
+        segPrefix, compactAfter) { (b, segName) =>
       import org.apache.spark.sql.functions.{count, lit}
       val stats =
-        if (batch.columns.contains("source"))
-          Some(batch.groupBy("source").agg(count(lit(1)).as("n")))
+        if (b.columns.contains("source"))
+          Some(b.groupBy("source").agg(count(lit(1)).as("n")))
         else None
-      val committed = SignatureIndex.append(
-        PipelinePack.bandSignaturesOf(batch), s"$segPrefix-$batchId", indexPath,
-        stats = stats)
-      // compact's own minLive gate IS the threshold check (no-op below)
-      if (committed && compactAfter > 0)
-        SignatureIndex.compact(batch.sparkSession, indexPath,
-          minLive = compactAfter)
-      committed
-    }
+      SignatureIndex.append(
+        PipelinePack.bandSignaturesOf(b), segName, indexPath, stats = stats)
+    }(SignatureIndex.compact(_, _, _))
 
   /** Wire a streaming documents source (doc_id, text) into the index
     * maintenance loop. With `checkpointDir` set, a restart resumes at the
@@ -81,14 +75,8 @@ object SignatureIndexStream {
       queryName: String,
       checkpointDir: Option[String] = None,
       segPrefix: String = "batch",
-      compactAfter: Int = 0): StreamingQuery = {
-    val w = docs.writeStream
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, indexPath, segPrefix, compactAfter); ()
-      }
-    checkpointDir.foreach(d => w.option("checkpointLocation", d))
-    w.start()
-  }
+      compactAfter: Int = 0): StreamingQuery =
+    IndexMaintenance.start(docs, queryName, checkpointDir) { (batch, batchId) =>
+      processBatch(batch, batchId, indexPath, segPrefix, compactAfter)
+    }
 }

@@ -463,6 +463,33 @@ object ScaleRehearsal {
       check("e12_matches_e10")(e12Mismatch == 0L,
         s"$e12Mismatch (q_id, rank) slots served differently by the persisted index")
 
+      // 12b'. r15: the pcell-partitioned serving layout prunes FILE IO to
+      // the probed cells' directories — at 10x the cell count outgrows
+      // the nprobe x |queries| probe set, so the prune must bite: the
+      // files a pcell-filtered scan reads over cells+codes, as a fraction
+      // of all files, tracks the probed-pcell fraction (and is < 1)
+      val (e12Probed, e12Pcells) = AnnPack.lastProbedPcells
+      val e12IdxPath =
+        s"/tmp/graft_annindex/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_ivfpq"
+      val e12IdxV = graft.sources.VersionedIndex.currentVersion(e12IdxPath).get
+      def pcellFiles(tbl: String, sel: Option[Set[Int]]): Int =
+        graft.sources.VersionedIndex.dataFilesRecursive(
+          java.nio.file.Paths.get(e12IdxPath, e12IdxV, tbl))
+          .count { case (rel, _) =>
+            rel.startsWith("pcell=") && sel.forall(
+              _.contains(rel.split('/').head.stripPrefix("pcell=").toInt))
+          }
+      val probedSet = Some(e12Probed.toSet)
+      val filesRead = pcellFiles("cells", probedSet) + pcellFiles("codes", probedSet)
+      val filesTotal = pcellFiles("cells", None) + pcellFiles("codes", None)
+      val probedFrac = e12Probed.size.toDouble / math.max(1, e12Pcells)
+      val filesFrac = filesRead.toDouble / math.max(1, filesTotal)
+      check("e12_files_pruned_to_probed_cells")(
+        e12Pcells > 0 && filesFrac < 1.0 &&
+          filesFrac <= probedFrac * 1.5 + 0.02,
+        s"read $filesRead/$filesTotal files ($filesFrac) vs probed " +
+          s"${e12Probed.size}/$e12Pcells pcells ($probedFrac)")
+
       // 12c. e13 — the MAINTAINED index at 10x (r14): first pass pays at
       // most one base build + one delta append; the re-serve performs
       // ZERO builds and ZERO appends (the manifest is the replay ledger)
@@ -487,6 +514,85 @@ object ScaleRehearsal {
       check("e13_append_fraction_under_retrain_budget")(
         e13Frac > 0d && !graft.sources.AnnIndex.retrainDue(spark, e13Path),
         s"append fraction $e13Frac vs 0.5 budget")
+
+      // 12c'. e15 — the retrain escape valve's WHY, measured at 10x on a
+      // genuinely DRIFTED fixture (r14 verdict #1): the growth slice is
+      // shifted +2.0 in every dimension AFTER the clustered-fixture
+      // blend, a cluster far outside the day-0 geometry's span. Under
+      // the frozen minority geometry the drifted queries' recall must
+      // DIP (their vectors pile into the nearest day-0 cells and the
+      // stale codebook collapses their codes); retrainDue must fire; and
+      // the full rebuild over the grown corpus must RECOVER recall to
+      // the e10b floor, switching the served version atomically with the
+      // superseded snapshot GC'd and the growth batch still replay-safe.
+      val (e15RecPre, e15RecPost) = {
+        import graft.sources.{AnnIndex, VersionedIndex}
+        import org.apache.spark.sql.functions.{col => fCol, expr => fExpr, when => fWhen, size => fSize}
+        val fixRoot = java.nio.file.Files.createTempDirectory("e15drift").toString
+        def deleteTree(p: String): Unit = {
+          import scala.jdk.CollectionConverters._
+          val root = java.nio.file.Paths.get(p)
+          if (java.nio.file.Files.exists(root))
+            java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+        try {
+          val idxPath = s"$fixRoot/idx"
+          val embRaw = Tables.embeddings(spark, dir)
+          val dim = embRaw.select(fSize(fCol("embedding")).as("d")).head.getInt(0)
+          val isGrowth = fCol("vec_id") % 4L =!= 0L
+          val cvFix = AnnPack.clusteredEmbeddings(embRaw, Some(s"$dir/embeddings"))
+            .withColumn("embedding",
+              fWhen(isGrowth,
+                fExpr("transform(embedding, x -> CAST(x + 2.0 AS FLOAT))"))
+                .otherwise(fCol("embedding")))
+          // day-0: base over the undrifted minority; growth: the drifted
+          // 3x volume appended against the FROZEN geometry
+          AnnIndex.ensure(spark,
+            AnnPack.ivfPqArtifactsFromCv(cvFix, dim, Some(!isGrowth), None),
+            idxPath, "fp-base")
+          val delta = cvFix.filter(isGrowth)
+          AnnIndex.append(
+            AnnPack.deltaArtifactsFor(delta, AnnIndex.serve(spark, idxPath)),
+            "growth", idxPath)
+          val due = AnnIndex.retrainDue(spark, idxPath)
+          val brute = AnnPack.bruteForceTopK(cvFix)
+            .select(fCol("q_id"), fCol("neighbor_id"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val bruteN = brute.count()
+          def recall(df: DataFrame): Double =
+            df.select(fCol("q_id"), fCol("neighbor_id"))
+              .join(brute, Seq("q_id", "neighbor_id")).count().toDouble / bruteN
+          val pre = recall(AnnPack.serveIvfPqFrom(
+            AnnIndex.serve(spark, idxPath), AnnPack.NProbe, AnnPack.PqCandidates))
+          val vPre = VersionedIndex.versionNumber(idxPath)
+          // RETRAIN: full rebuild over the grown corpus, ledger carried
+          AnnIndex.build(AnnPack.ivfPqArtifactsFromCv(cvFix, dim, None, None),
+            idxPath, "fp-retrained", carryLedger = true)
+          val vPost = VersionedIndex.versionNumber(idxPath)
+          val gone = VersionedIndex.gcVersions(idxPath, keep = 1)
+          val post = recall(AnnPack.serveIvfPqFrom(
+            AnnIndex.serve(spark, idxPath), AnnPack.NProbe, AnnPack.PqCandidates))
+          brute.unpersist(false)
+          check("e15_retrain_due_fired")(due,
+            s"3x growth left append fraction under budget")
+          check("e15_recall_dips_then_recovers")(
+            post >= 0.8 && post > pre + 0.1,
+            s"recall pre-retrain $pre -> post-retrain $post")
+          check("e15_serving_switched_atomically")(
+            vPost == vPre + 1 &&
+              AnnIndex.readFingerprint(idxPath).contains("fp-retrained"),
+            s"version v$vPre -> v$vPost, fp ${AnnIndex.readFingerprint(idxPath)}")
+          check("e15_superseded_version_gcd")(
+            gone.exists(_.startsWith("v")), s"gc removed: $gone")
+          check("e15_replay_noop_after_retrain")(
+            !AnnIndex.append(
+              AnnPack.deltaArtifactsFor(delta, AnnIndex.serve(spark, idxPath)),
+              "growth", idxPath),
+            "a replayed growth batch re-committed after the retrain")
+          (pre, post)
+        } finally deleteTree(fixRoot)
+      }
 
       // 12d. compaction at 10x (r14): a per-batch append cadence accrues
       // O(batches) files per bucket — probe-side scan cost follows FILE
@@ -545,6 +651,137 @@ object ScaleRehearsal {
           "a replayed batch re-committed after compaction + GC")
         (liveComp, plainFiles, compFiles, rowsComp)
         } finally { deleteIdx(plain); deleteIdx(comp) }
+      }
+
+      // 12e. a WEEK OF INGEST at 10x (r14 verdict #5) — the composed
+      // lifecycle the per-leg receipts above gate in isolation: a
+      // signature index and an ANN index each take a base build plus 7
+      // simulated days of stream-shaped appends (compactAfter=3) with a
+      // daily retention GC, and at the week's end the ANN drift budget
+      // has been exceeded and the retrain escape valve runs. Receipts:
+      // steady-state live segments stay bounded by the cadence, the
+      // serving version's file count ends FLAT (not O(days)), GC
+      // actually reclaims bytes, per-day append-gate cost stays flat as
+      // the corpus grows (compaction days excepted — a compaction
+      // rewrite is O(live set) by design and amortizes over the cadence),
+      // the maintained d37 stats equal a from-scratch re-aggregation,
+      // and every day's batch replays as a no-op after the week.
+      val (weekSigDays, weekAnnFrac, weekBytesReclaimed) = {
+        import graft.sources.{AnnIndex, SignatureIndex, VersionedIndex}
+        import graft.streaming.{AnnIndexStream, SignatureIndexStream}
+        import graft.queries.AnnPack
+        import org.apache.spark.sql.functions.{col => fCol, count => fCount, lit => fLit, size => fSize}
+        val weekRoot = java.nio.file.Files.createTempDirectory("week").toString
+        def deleteTree(p: String): Unit = {
+          import scala.jdk.CollectionConverters._
+          val root = java.nio.file.Paths.get(p)
+          if (java.nio.file.Files.exists(root))
+            java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+        def dirBytes(p: String): Long = {
+          import scala.jdk.CollectionConverters._
+          val root = java.nio.file.Paths.get(p)
+          if (!java.nio.file.Files.exists(root)) 0L
+          else java.nio.file.Files.walk(root).iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(java.nio.file.Files.size).sum
+        }
+        try {
+          val sigPath = s"$weekRoot/sig"
+          val annPath = s"$weekRoot/ann"
+          val docs10x = Tables.documents(spark, dir)
+          val embRaw = Tables.embeddings(spark, dir)
+          val dim = embRaw.select(fSize(fCol("embedding")).as("d")).head.getInt(0)
+          val cv = AnnPack.clusteredEmbeddings(embRaw, Some(s"$dir/embeddings"))
+          // day-0 bases: docs residues 0..8 of 16; vectors residues 0..8
+          val sigBase = docs10x.filter(fCol("doc_id") % 16L < 9L)
+          SignatureIndex.build(
+            graft.queries.PipelinePack.bandSignaturesOf(sigBase),
+            sigPath, "fp-week",
+            stats = Some(sigBase.groupBy("source").agg(fCount(fLit(1)).as("n"))))
+          AnnIndex.build(
+            AnnPack.ivfPqArtifactsFromCv(cv, dim,
+              Some(fCol("vec_id") % 16L < 9L), None),
+            annPath, "fp-week")
+          var reclaimed = 0L
+          val dayStats = (0 until 7).map { day =>
+            val res = 9L + day
+            val live0 = SignatureIndex.readMeta(sigPath).get.live.size
+              .max(VersionedIndex.readMeta(annPath).get.live.size)
+            val t0 = System.nanoTime()
+            val sigCommitted = SignatureIndexStream.processBatch(
+              docs10x.filter(fCol("doc_id") % 16L === res), day.toLong,
+              sigPath, compactAfter = 3)
+            val annCommitted = AnnIndexStream.processBatch(
+              cv.filter(fCol("vec_id") % 16L === res), day.toLong,
+              annPath, compactAfter = 3)
+            val gateMs = (System.nanoTime() - t0) / 1000000L
+            val before = dirBytes(sigPath) + dirBytes(annPath)
+            VersionedIndex.gcVersions(sigPath, keep = 2)
+            VersionedIndex.gcVersions(annPath, keep = 2)
+            reclaimed += math.max(0L, before - (dirBytes(sigPath) + dirBytes(annPath)))
+            val sigMeta = SignatureIndex.readMeta(sigPath).get
+            val annMeta = VersionedIndex.readMeta(annPath).get
+            val live1 = sigMeta.live.size.max(annMeta.live.size)
+            // an append-only day grows live by one; anything else means a
+            // compaction rewrite ran and the day paid O(live set)
+            val compacted = live1 <= live0
+            val vFiles = VersionedIndex.dataFiles(java.nio.file.Paths.get(
+              sigPath, SignatureIndex.currentVersion(sigPath).get)).size
+            (day, sigCommitted && annCommitted, gateMs, live1, vFiles, compacted)
+          }
+          check("week_every_day_committed")(dayStats.forall(_._2),
+            dayStats.map(d => s"day ${d._1}: ${d._2}").mkString(", "))
+          check("week_live_segments_bounded")(dayStats.forall(_._4 <= 3),
+            s"live per day: ${dayStats.map(_._4).mkString(",")}")
+          // day-7 serving file count is in day-1's neighborhood, not 7x
+          check("week_version_files_flat")(
+            dayStats.last._5 <= dayStats.head._5 * 2,
+            s"files day1 ${dayStats.head._5} -> day7 ${dayStats.last._5}")
+          check("week_gc_reclaims_bytes")(reclaimed > 0L, s"$reclaimed bytes")
+          // append-gate cost flat on NON-compaction days (a compaction
+          // rewrite is O(live) by design); 3x headroom for jitter
+          val plainDays = dayStats.filter(!_._6).map(_._3)
+          check("week_day_cost_flat")(
+            plainDays.size >= 2 && plainDays.max <= plainDays.min * 3 + 1500,
+            s"non-compaction day costs ms: ${plainDays.mkString(",")}")
+          // maintained d37 stats survived 7 appends + compactions + GC:
+          // they equal a from-scratch aggregation of everything ingested
+          val statsServed = SignatureIndex.sourceStats(spark, sigPath)
+            .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+          // residues 0..8 (base) + 9..15 (the 7 days) = the whole corpus
+          val statsWant = docs10x
+            .groupBy("source").agg(fCount(fLit(1)).as("n"))
+            .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+          check("week_maintained_stats_exact")(statsServed == statsWant,
+            s"served ${statsServed.toSeq.sorted.take(3)}… vs ${statsWant.toSeq.sorted.take(3)}…")
+          // the week ends past the ANN drift budget: the escape valve
+          // retrains over the grown corpus and the policy resets
+          val fracPre = AnnIndex.appendFraction(spark, annPath)
+          check("week_retrain_due_at_week_end")(
+            AnnIndex.retrainDue(spark, annPath), s"fraction $fracPre")
+          AnnIndex.build(AnnPack.ivfPqArtifactsFromCv(cv, dim, None, None),
+            annPath, "fp-week-retrained", carryLedger = true)
+          VersionedIndex.gcVersions(annPath, keep = 1)
+          check("week_retrain_resets_policy")(
+            !AnnIndex.retrainDue(spark, annPath),
+            s"fraction ${AnnIndex.appendFraction(spark, annPath)}")
+          // every day replays as a no-op — even after compaction, GC and
+          // the retrain retired the original files (the ledger outlives)
+          val replays = (0 until 7).map { day =>
+            val res = 9L + day
+            !SignatureIndexStream.processBatch(
+              docs10x.filter(fCol("doc_id") % 16L === res), day.toLong,
+              sigPath, compactAfter = 3) &&
+            !AnnIndexStream.processBatch(
+              cv.filter(fCol("vec_id") % 16L === res), day.toLong,
+              annPath, compactAfter = 3)
+          }
+          check("week_replays_all_noop")(replays.forall(identity),
+            s"replay no-op by day: ${replays.mkString(",")}")
+          (dayStats.map(_._3).mkString("|"), fracPre, reclaimed)
+        } finally deleteTree(weekRoot)
       }
 
       // 13. e09 k-means at 10x: every Lloyd round stays broadcast
@@ -688,8 +925,15 @@ object ScaleRehearsal {
         s""""d36_ratio":$d36Ratio,"d36_warm_builds":$buildsWarm,""" +
         s""""sig_index_buckets_10x":${d36Meta.buckets},"sig_index_rows_10x":$d36IdxRows,""" +
         s""""e12_rows_10x":$e12Rows,"e12_warm_builds":$annWarmBuilds,""" +
+        s""""e12_probed_pcell_fraction":$probedFrac,""" +
+        s""""e12_files_read_fraction":$filesFrac,""" +
         s""""e13_rows_10x":$e13Rows,"e13_warm_builds":$e13WarmBuilds,""" +
         s""""e13_append_fraction":$e13Frac,""" +
+        s""""e15_recall_pre_retrain":$e15RecPre,""" +
+        s""""e15_recall_post_retrain":$e15RecPost,""" +
+        s""""week_day_gate_ms":"$weekSigDays",""" +
+        s""""week_ann_fraction_at_retrain":$weekAnnFrac,""" +
+        s""""week_gc_bytes_reclaimed":$weekBytesReclaimed,""" +
         s""""compaction_live_segments":$cmpLive,"compaction_files_plain":$cmpFilesPlain,""" +
         s""""compaction_files_comp":$cmpFilesComp,"compaction_rows":$cmpRows,""" +
         s""""d37_rows_10x":$d37Rows,"d37_admitted_10x":$d37Adm,""" +

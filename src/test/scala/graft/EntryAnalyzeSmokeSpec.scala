@@ -43,6 +43,7 @@ class EntryAnalyzeSmokeSpec extends AnyFunSuite {
     "d33_source_quality_cap", "d34_training_shard_shuffle",
     "d35_token_quality_classifier", "d36_indexed_ingest_dedup",
     "d37_incremental_manifest", "d38_maintained_ingest_dedup",
+    "d38b_maintained_ingest_probe",
     "e01_ann_brute_topk", "e02_ann_ivf_topk", "e02b_ann_ivf_full_probe",
     "e02c_ann_ivf_recall_floor", "e02d_ann_ivf_int_topk",
     "e03_cosine_near_dup",
@@ -56,6 +57,7 @@ class EntryAnalyzeSmokeSpec extends AnyFunSuite {
     "e11_ann_ivf_filtered_topk", "e11b_ann_ivf_filtered_recall_floor",
     "e12_ann_served_topk",
     "e13_ann_maintained_topk", "e14_ann_compacted_topk",
+    "e15_ann_retrained_topk",
     "m08_indexed_image_dedup",
     "g01_nodes", "g02_edges", "g03_properties", "g04_entity_index",
     "g05_lookup_entity", "g06_neighbors", "g07_get_edge", "g08_counts",

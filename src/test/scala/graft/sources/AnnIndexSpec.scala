@@ -112,6 +112,44 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(AnnIndex.buildCount === before)
   }
 
+  test("e15 equals e12: the post-retrain serve is the full-corpus derivation") {
+    // the retrain lifecycle's end state — a rebuild over the grown corpus
+    // — must be indistinguishable from an index that was ALWAYS full:
+    // same geometry, same codes, same top-k (which is why e12's
+    // exhaustive oracle gates e15)
+    val e12 = graft.SparkEntry.queries("e12_ann_served_topk")(spark, dir)
+      .orderBy("q_id", "rank").collect().map(_.toString).toSeq
+    val e15 = graft.SparkEntry.queries("e15_ann_retrained_topk")(spark, dir)
+      .orderBy("q_id", "rank").collect().map(_.toString).toSeq
+    assert(e15 === e12)
+    assert(e15.nonEmpty)
+  }
+
+  test("e15 lifecycle: policy fired, ledger carried, warm pass serves with zero builds") {
+    val path = s"/tmp/graft_annindex/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}" +
+      "_ivfpq_retrain_m4"
+    graft.SparkEntry.queries("e15_ann_retrained_topk")(spark, dir).collect()
+    val meta = VersionedIndex.readMeta(path).get
+    // the ledger proves the history: day-0 base, the growth append, the
+    // retrained base — and the retrained base is the only LIVE segment
+    assert(meta.segments.exists(_.startsWith("base-v1")))
+    assert(meta.segments.contains("growth-m4"))
+    assert(meta.live.size === 1 && meta.live.head.startsWith("base-v"))
+    // drift is reset: the retrained base IS the corpus
+    assert(AnnIndex.appendFraction(spark, path) === 0d)
+    assert(!AnnIndex.retrainDue(spark, path))
+    // a replayed growth batch no-ops AFTER the retrain (carryLedger)
+    assert(VersionedIndex.readMeta(path).get.segments.contains("growth-m4"))
+    // warm pass: the committed retrained version serves as-is
+    val before = AnnIndex.buildCount
+    val v = AnnIndex.currentVersion(path)
+    graft.SparkEntry.queries("e15_ann_retrained_topk")(spark, dir).collect()
+    assert(AnnIndex.buildCount === before)
+    assert(AnnIndex.currentVersion(path) === v)
+    // the superseded minority-geometry snapshots were GC'd in-lifecycle
+    assert(VersionedIndex.currentVersion(path) === v)
+  }
+
   test("e13: a second maintained serve performs zero builds and zero new appends") {
     val path = "/tmp/graft_annindex/_root_testdata_sf0.001_ivfpq_m10r7"
     val first = graft.SparkEntry.queries("e13_ann_maintained_topk")(spark, dir)

@@ -250,6 +250,16 @@ class ExplainSpec extends AnyFunSuite {
       // 3. the candidate ⋈ codes join reads the code table bucket-aligned
       assert(all.exists { case f: FileSourceScanExec => f.bucketedScan; case _ => false },
         "codes scan not bucketed — the vec_id bucket layout is unused")
+
+      // 4. the posting-list and code scans carry STATIC pcell partition
+      //    filters (r14 verdict #2): file IO follows the probed-cell
+      //    fraction, not the index size. At this fixture the 40-probe
+      //    batch covers every cell, so the filter selects all dirs —
+      //    the files-read-fraction ≈ probed-fraction receipt lives in
+      //    ScaleRehearsal, where the cell count outgrows the batch.
+      val pruned = scans.filter(_.partitionFilters.exists(_.toString.contains("pcell")))
+      assert(pruned.size >= 2,
+        s"expected pcell partition filters on cells AND codes scans, found ${pruned.size}")
     }
   }
 
