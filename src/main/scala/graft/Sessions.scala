@@ -24,8 +24,10 @@ object Sessions {
     // exit (best-effort — a kill -9 leaves the dir, same as any tmp file)
     sys.addShutdownHook {
       def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p))
-          java.nio.file.Files.list(p).forEach(rm(_))
+        if (java.nio.file.Files.isDirectory(p)) {
+          val s = java.nio.file.Files.list(p)
+          try s.forEach(rm(_)) finally s.close() // unclosed lists leak FDs
+        }
         java.nio.file.Files.deleteIfExists(p)
       }
       try rm(dir) catch { case _: Throwable => () }

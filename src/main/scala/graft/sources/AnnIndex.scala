@@ -86,14 +86,26 @@ object AnnIndex {
 
   private val Tables = Seq("vectors", "centroids", "cells", "codebook", "codes")
 
-  /** Directory-partition cap: pruning granularity is per cell up to this
-    * many directories (fixture/rehearsal corpora land under it, so the
-    * files-read fraction EQUALS the probed-cell fraction); a 100 TB
-    * index's √N cells fold onto the cap by modulus, trading exactness of
-    * the prune for a bounded namespace — object-store listings and
-    * partition-index recovery stay O(thousands) whatever the corpus.
+  /** Directory-partition cap: a 100 TB index's √N cells fold onto the
+    * cap by modulus, trading exactness of the prune for a bounded
+    * namespace — object-store listings and partition-index recovery stay
+    * O(thousands) whatever the corpus.
     */
   private[graft] val MaxPcells = 4096
+
+  /** Byte FLOOR per `pcell=K` directory. Granularity is governed by the
+    * cell count (pruning IO follows probed-cells/pcells, so a dir per
+    * cell is ideal) up to [[MaxPcells]]; this floor only bites on toy
+    * corpora, collapsing them to fewer directories instead of pcells ×
+    * buckets micro-files per segment. At production volumes bytes/floor
+    * far exceeds the cell count and the effective layout is
+    * min(√N cells, 4096) dirs of `buckets` ≈ 64 MB files each.
+    */
+  private[graft] val TargetPcellBytes = 64L << 10
+
+  private[graft] def pcellsFor(codeBytes: Long, nCells: Int): Int =
+    math.max(1L, math.min(math.min(nCells.toLong, MaxPcells.toLong),
+      codeBytes / TargetPcellBytes)).toInt
 
   private def withPcell(df: DataFrame, pcells: Int): DataFrame =
     df.withColumn("pcell", org.apache.spark.sql.functions
@@ -151,21 +163,20 @@ object AnnIndex {
   def build(a: Artifacts, path: String, fingerprint: String,
       buckets: Int = 0,
       carryLedger: Boolean = false): Unit = VersionedIndex.withWriteLock(path) {
-    // partition modulus first: per-cell pruning up to the directory cap
-    // (the centroid table is tiny — one distinct count, build-time only)
+    // measured-then-decide layout (build-time only; the caller's codes
+    // table is memo-persisted on every production path, so the count
+    // reads the cache the write is about to read anyway): the partition
+    // modulus derives from measured code bytes vs a per-directory
+    // target, capped at one dir per cell; the bucket count is then sized
+    // per DIRECTORY — total files ≈ pcells × buckets. Bucketed-scan
+    // parallelism equals the bucket count, so deployments with huge
+    // per-dir volumes lower targetBucketBytes rather than pcells.
     val nCells = a.centroids.select(col("ccid")).distinct().count().toInt
-    val pcells = math.max(1, math.min(nCells, MaxPcells))
+    val codeBytes = a.codes.count() * EstCodeRowBytes
+    val pcells = pcellsFor(codeBytes, nCells)
     val b =
       if (buckets > 0) buckets
-      // measured-then-decide (build-time only; the caller's codes table
-      // is memo-persisted on every production path, so the count reads
-      // the cache the write is about to read anyway). Sized per
-      // DIRECTORY now that codes are pcell-partitioned: total files ≈
-      // pcells × buckets, each ≈ the target bucket size. Bucketed-scan
-      // parallelism equals the bucket count, so deployments with huge
-      // per-dir volumes lower targetBucketBytes rather than pcells.
-      else VersionedIndex.bucketsFor(
-        a.codes.count() * EstCodeRowBytes / math.max(1, pcells))
+      else VersionedIndex.bucketsFor(codeBytes / math.max(1, pcells))
     val next = VersionedIndex.claimNext(path) // optimistic commit (r14 #3)
     try {
       val segName = s"base-v$next"

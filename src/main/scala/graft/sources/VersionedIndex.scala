@@ -97,6 +97,24 @@ object VersionedIndex {
   private val writeLocks = TrieMap.empty[String, Object]
   private val catalogLocks = TrieMap.empty[String, Object]
 
+  /** Drain a directory listing, CLOSING the underlying stream: a
+    * `Files.list` keeps its directory handle open until the stream is
+    * closed (draining the iterator is not enough), so unclosed listings
+    * leak one FD each — across the recursive walks of a partitioned
+    * index's hundreds of `pcell=K` dirs that exhausted the process's FD
+    * budget in the r15 week-of-ingest rehearsal.
+    */
+  private[graft] def listDir(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
+  /** Drain a recursive walk, closing the stream (see [[listDir]]). */
+  private[graft] def walkAll(root: Path): Seq[Path] = {
+    val s = Files.walk(root)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
   private def canonical(path: String): String =
     Paths.get(path).toAbsolutePath.toString
 
@@ -248,7 +266,7 @@ object VersionedIndex {
     def fingerprint(dataPath: String): String = {
       val root = Paths.get(dataPath)
       if (!Files.exists(root)) return "absent"
-      val entries = Files.walk(root).iterator().asScala
+      val entries = walkAll(root).iterator
         .filter(Files.isRegularFile(_))
         .map(p => s"${root.relativize(p)}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
         .toSeq.sorted
@@ -348,11 +366,10 @@ object VersionedIndex {
     */
   def dataFiles(dir: Path): Seq[Path] =
     if (!Files.isDirectory(dir)) Nil
-    else Files.list(dir).iterator().asScala
+    else listDir(dir)
       .filter(p => Files.isRegularFile(p) &&
         !p.getFileName.toString.startsWith("_") &&
         !p.getFileName.toString.startsWith("."))
-      .toSeq
 
   /** A segment table's data files INCLUDING directory-partitioned
     * layouts (`pcell=K/part-…`), as (relative subdir, file) pairs ("" =
@@ -363,11 +380,10 @@ object VersionedIndex {
   def dataFilesRecursive(dir: Path): Seq[(String, Path)] =
     if (!Files.isDirectory(dir)) Nil
     else {
-      val subs = Files.list(dir).iterator().asScala
+      val subs = listDir(dir)
         .filter(p => Files.isDirectory(p) &&
           !p.getFileName.toString.startsWith("_") &&
           !p.getFileName.toString.startsWith("."))
-        .toSeq
       dataFiles(dir).map(("", _)) ++ subs.flatMap { s =>
         dataFilesRecursive(s).map { case (rel, f) =>
           (if (rel.isEmpty) s.getFileName.toString
@@ -392,7 +408,7 @@ object VersionedIndex {
       tables: Seq[String] = Seq("")): Unit = {
     val vdir = Paths.get(path, s"v$ver")
     if (Files.exists(vdir)) { // a crashed previous attempt at this version
-      Files.walk(vdir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      walkAll(vdir).reverse.foreach(Files.deleteIfExists(_))
     }
     Files.createDirectories(vdir)
     for (seg <- meta.live; table <- tables) {
@@ -447,11 +463,11 @@ object VersionedIndex {
     if (currentVersion(path).isEmpty) return Nil
     val curNum = versionNumber(path)
     def deleteTree(p: Path): Unit =
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      walkAll(p).reverse.foreach(Files.deleteIfExists(_))
     def num(p: Path) = p.getFileName.toString.stripPrefix("v").toLong
-    val versions = Files.list(root).iterator().asScala
+    val versions = listDir(root)
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.matches("v\\d+"))
-      .toSeq.sortBy(num)
+      .sortBy(num)
     // a version dir is GARBAGE, never a retention candidate, if a crashed
     // publish left it without _meta; and retention is anchored to CURRENT
     // — a COMPLETE v(N+1) whose writer died before the CURRENT swap must
@@ -475,9 +491,8 @@ object VersionedIndex {
     val segRoot = root.resolve("seg")
     val orphans =
       if (!Files.isDirectory(segRoot)) Nil
-      else Files.list(segRoot).iterator().asScala
+      else listDir(segRoot)
         .filter(p => Files.isDirectory(p) && !referenced(p.getFileName.toString))
-        .toSeq
     orphans.foreach(deleteTree)
     // claim markers: a claim <= CURRENT is obsolete (its number was
     // committed, or superseded by a commit that stole it); one ABOVE
@@ -486,7 +501,7 @@ object VersionedIndex {
     val cdir = claimsDir(path)
     val deadClaims =
       if (!Files.isDirectory(cdir)) Nil
-      else Files.list(cdir).iterator().asScala.filter { p =>
+      else listDir(cdir).filter { p =>
         val name = p.getFileName.toString
         name.startsWith(".stale-") || (name.matches("v\\d+") && {
           val n = name.stripPrefix("v").toLong

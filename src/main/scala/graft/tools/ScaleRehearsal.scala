@@ -533,7 +533,7 @@ object ScaleRehearsal {
           import scala.jdk.CollectionConverters._
           val root = java.nio.file.Paths.get(p)
           if (java.nio.file.Files.exists(root))
-            java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+            graft.sources.VersionedIndex.walkAll(root).reverse
               .foreach(java.nio.file.Files.deleteIfExists(_))
         }
         try {
@@ -617,7 +617,7 @@ object ScaleRehearsal {
           import scala.jdk.CollectionConverters._
           val root = java.nio.file.Paths.get(p)
           if (java.nio.file.Files.exists(root))
-            java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+            graft.sources.VersionedIndex.walkAll(root).reverse
               .foreach(java.nio.file.Files.deleteIfExists(_))
         }
         try {
@@ -676,14 +676,14 @@ object ScaleRehearsal {
           import scala.jdk.CollectionConverters._
           val root = java.nio.file.Paths.get(p)
           if (java.nio.file.Files.exists(root))
-            java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+            graft.sources.VersionedIndex.walkAll(root).reverse
               .foreach(java.nio.file.Files.deleteIfExists(_))
         }
         def dirBytes(p: String): Long = {
           import scala.jdk.CollectionConverters._
           val root = java.nio.file.Paths.get(p)
           if (!java.nio.file.Files.exists(root)) 0L
-          else java.nio.file.Files.walk(root).iterator().asScala
+          else graft.sources.VersionedIndex.walkAll(root)
             .filter(java.nio.file.Files.isRegularFile(_))
             .map(java.nio.file.Files.size).sum
         }

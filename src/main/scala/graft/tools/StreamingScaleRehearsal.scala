@@ -81,8 +81,9 @@ object StreamingScaleRehearsal {
         .sort(orderCol) // within-chunk order: realistic arrival, tighter state
       part.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
       total += spark.read.parquet(tmp).count()
-      val src = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val src = graft.sources.VersionedIndex
+        .listDir(java.nio.file.Paths.get(tmp))
+        .filter(_.toString.endsWith(".parquet")).head
       // sequential moves => strictly ascending modification times, the
       // order FileStreamSource replays under maxFilesPerTrigger=1
       java.nio.file.Files.move(src, streamDir.resolve(f"chunk_$i%05d.parquet"))
