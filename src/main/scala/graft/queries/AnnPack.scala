@@ -953,7 +953,7 @@ object AnnPack {
     // stale-memo coherence (ADVICE r13): a rebuild must derive from the
     // CURRENT files, never from memos of a mid-session-regenerated corpus
     invalidateStaleCorpusMemos(spark, dir, rawFp)
-    val fp = rawFp + s"#ivfpq/$PqSubDim/$PqCentroids/md5/pc" // /pc: pcell layout
+    val fp = rawFp + s"#ivfpq/$PqSubDim/$PqCentroids/md5/pc2" // /pc2: pcell layout (incl. vectors)
     val t = AnnIndex.ensure(spark, ivfPqArtifacts(spark, dir), path, fp)
     serveIvfPqFrom(t, nprobe, shortlist)
   }
@@ -988,12 +988,13 @@ object AnnPack {
       .select(col("q_id"), col("ccid").as("cell"))
     // candidates: posting-list scan through the probed cells only —
     // with a partitioned layout, through the probed cells' FILES only
-    val (cnd0, codesSrc) =
+    // (and likewise the code and re-rank-vector fetches below)
+    val (cnd0, codesSrc, rerankVecs) =
       if (t.pcells <= 0)
         (t.cells.join(broadcast(probes), "cell")
           .filter(col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id")),
-          t.codes)
+          t.codes, t.vectors)
       else {
         val spark = t.cells.sparkSession
         val probePairs = probes.collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -1010,7 +1011,7 @@ object AnnPack {
           .join(probesLocal, "cell")
           .filter(col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id")),
-          pruned(t.codes))
+          pruned(t.codes), pruned(t.vectors))
       }
     // ADC: per-query distance table over the persisted codebook,
     // broadcast against the bucketed code table
@@ -1026,10 +1027,13 @@ object AnnPack {
       .withColumn("rn", row_number().over(wCand))
       .filter(col("rn") <= shortlist)
       .select(col("q_id"), col("vec_id"))
-    // exact re-rank from the persisted vector store (e01 tie discipline)
+    // exact re-rank from the persisted vector store (e01 tie discipline);
+    // the candidate fetch prunes to the probed cells' directories — only
+    // the query-batch read (whose cells are unknowable pre-quantization)
+    // stays a metadata-pruned full listing
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     cand
-      .join(t.vectors.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(rerankVecs.select(col("vec_id"), col("embedding")), "vec_id")
       .join(broadcast(t.vectors.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))), "q_id")
       .select(col("q_id"), col("vec_id"),
@@ -1111,7 +1115,7 @@ object AnnPack {
     val rawFp = graft.sources.SignatureIndex.dirFingerprint(s"$dir/embeddings.parquet")
     invalidateStaleCorpusMemos(spark, dir, rawFp) // ADVICE r13 coherence
     val fp = rawFp +
-      s"#ivfpq-base/$PqSubDim/$PqCentroids/md5/m${deltaMod}r$deltaRes/pc"
+      s"#ivfpq-base/$PqSubDim/$PqCentroids/md5/m${deltaMod}r$deltaRes/pc2"
     val t0 = AnnIndex.ensure(spark,
       ivfPqBaseArtifacts(spark, dir, deltaMod, deltaRes), path, fp)
     // the delta batch arrives: one manifest-gated append. The manifest
@@ -1163,13 +1167,13 @@ object AnnPack {
     val rawFp = graft.sources.SignatureIndex.dirFingerprint(s"$dir/embeddings.parquet")
     invalidateStaleCorpusMemos(spark, dir, rawFp) // ADVICE r13 coherence
     val fpFinal = rawFp +
-      s"#ivfpq-retrained/$PqSubDim/$PqCentroids/md5/m$baseMod/pc"
+      s"#ivfpq-retrained/$PqSubDim/$PqCentroids/md5/m$baseMod/pc2"
     def retrained = AnnIndex.readFingerprint(path).contains(fpFinal)
     if (!retrained) VersionedIndex.withWriteLock(path) {
       if (!retrained) {
         // 1. day-0: base over the minority slice the corpus began as
         val fpBase = rawFp +
-          s"#ivfpq-retrain-base/$PqSubDim/$PqCentroids/md5/m$baseMod/pc"
+          s"#ivfpq-retrain-base/$PqSubDim/$PqCentroids/md5/m$baseMod/pc2"
         AnnIndex.ensure(spark,
           ivfPqArtifactsOver(spark, dir,
             slice = Some(col("vec_id") % baseMod === 0L),

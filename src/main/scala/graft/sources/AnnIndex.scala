@@ -116,7 +116,6 @@ object AnnIndex {
       pcells: Int, vectors: DataFrame, cells: DataFrame, codes: DataFrame,
       centroids: Option[DataFrame], codebook: Option[DataFrame]): Unit = {
     val segDir = s"$path/seg/$segName"
-    vectors.write.mode(SaveMode.Overwrite).parquet(s"$segDir/vectors")
     centroids.foreach(_.write.mode(SaveMode.Overwrite).parquet(s"$segDir/centroids"))
     val codesTyped = codes.selectExpr("CAST(vec_id AS BIGINT) AS vec_id",
       "CAST(m AS BIGINT) AS m", "CAST(cid AS BIGINT) AS cid")
@@ -124,23 +123,31 @@ object AnnIndex {
       // pcell=K directory layout (r14 verdict #2): a probe prunes its
       // scan to the probed cells' directories — IO follows the probed
       // fraction, not the index size. One task per pcell keeps it at one
-      // file per (dir) for cells and ≤ buckets files per dir for codes.
+      // file per (dir) for cells/vectors and ≤ buckets per dir for codes.
       val cellsP = withPcell(cells, pcells)
       cellsP.repartition(col("pcell")).sortWithinPartitions("cell", "vec_id")
         .write.partitionBy("pcell").mode(SaveMode.Overwrite)
         .parquet(s"$segDir/cells")
-      // codes ride their vector's cell directory, so the candidate ⋈
-      // codes leg prunes identically (candidates only come from probed
-      // cells); the vec_id bucket layout inside each directory keeps
-      // that join shuffle-free on the code side
-      val codesP = codesTyped.join(
-        cellsP.select(col("vec_id"), col("pcell")), "vec_id")
-      VersionedIndex.writeBucketedFiles(codesP, s"$segDir/codes", buckets,
+      // codes AND vectors ride their vector's cell directory, so the
+      // candidate ⋈ codes leg and the exact re-rank's vector fetch prune
+      // identically (candidates only come from probed cells); the vec_id
+      // bucket layout inside each code directory keeps that join
+      // shuffle-free on the code side. The query-batch read stays a
+      // metadata-pruned scan (vec_id min/max footer stats), since the
+      // batch's own cells aren't known until it is quantized.
+      val pmap = cellsP.select(col("vec_id"), col("pcell"))
+      vectors.join(pmap, "vec_id")
+        .repartition(col("pcell")).sortWithinPartitions("vec_id")
+        .write.partitionBy("pcell").mode(SaveMode.Overwrite)
+        .parquet(s"$segDir/vectors")
+      VersionedIndex.writeBucketedFiles(codesTyped.join(pmap, "vec_id"),
+        s"$segDir/codes", buckets,
         Seq("vec_id"), Seq("vec_id"), kind = "annseg",
         partitionCols = Seq("pcell"))
     } else {
       // legacy flat layout (pre-pcell manifests): appends must keep the
       // committed version's layout, so this branch stays writable
+      vectors.write.mode(SaveMode.Overwrite).parquet(s"$segDir/vectors")
       cells.repartition(col("cell")).sortWithinPartitions("cell", "vec_id")
         .write.mode(SaveMode.Overwrite).parquet(s"$segDir/cells")
       VersionedIndex.writeBucketedFiles(codesTyped, s"$segDir/codes", buckets,
@@ -275,7 +282,7 @@ object AnnIndex {
           // the partitioned scans re-surface pcell as a discovered
           // column; writeTables re-derives it from cell, so drop it here
           writeTables(path, segName, meta.buckets, meta.pcells,
-            tbl("vectors"), tbl("cells").drop("pcell"),
+            tbl("vectors").drop("pcell"), tbl("cells").drop("pcell"),
             tbl("codes").drop("pcell"),
             Some(tbl("centroids")), Some(tbl("codebook")))
           VersionedIndex.publish(path, next,
