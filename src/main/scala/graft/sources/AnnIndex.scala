@@ -337,9 +337,38 @@ object AnnIndex {
     * from the cheap catalog registration, so an in-progress build of the
     * next version never blocks serving this one.
     */
+  /** Served-table memo per (session, path): a serve of an unchanged
+    * committed version is pure map lookup. Keyed by the VERSION string,
+    * so any publish (append/compact/rebuild) naturally invalidates; the
+    * cached value is only immutable plan metadata (no persisted blocks),
+    * so eviction needs no unpersist. Without this, every serve re-ran
+    * partition discovery over the pcell=K directories of three tables —
+    * ~1s of driver listing per call at the 10x fixture.
+    */
+  private val serveCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, Served)]
+
+  graft.SessionMemos.registerEvictor { dead =>
+    serveCache.filterInPlace { case ((s, _), _) => !dead(s) }
+  }
+
   def serve(spark: SparkSession, path: String): Served = {
     val v = currentVersion(path).getOrElse(
       throw new IllegalStateException(s"ANN index not initialized: $path"))
+    serveCache.get((spark, canonicalServeKey(path))) match {
+      case Some((ver, t)) if ver == v => t
+      case _ =>
+        graft.SessionMemos.arm(spark)
+        val t = buildServed(spark, path, v)
+        serveCache.put((spark, canonicalServeKey(path)), (v, t))
+        t
+    }
+  }
+
+  private def canonicalServeKey(path: String): String =
+    Paths.get(path).toAbsolutePath.toString
+
+  private def buildServed(spark: SparkSession, path: String, v: String): Served = {
     val vdir = s"$path/$v"
     val meta = VersionedIndex.readMeta(path).get
     val partitioned = meta.pcells > 0
