@@ -305,10 +305,30 @@ object AnnPack {
   @volatile private[graft] var coarseMemoEnabled = true
 
   /** Receipt hook: the (probed pcells, total pcells) of the most recent
-    * partition-pruned index serve — ScaleRehearsal reads it to pin that
-    * the files-read fraction tracks the probed-cell fraction at 10x.
+    * partition-pruned serve of EACH index, keyed by the index's canonical
+    * path — ScaleRehearsal reads its own index's entry, so an interleaved
+    * serve of another index can never clobber the receipt it is
+    * attributing (ADVICE r15 retired the single process-global slot).
     */
-  @volatile private[graft] var lastProbedPcells: (Seq[Int], Int) = (Nil, 0)
+  private[graft] val probedPcellsByPath =
+    scala.collection.concurrent.TrieMap.empty[String, (Seq[Int], Int)]
+
+  /** The per-serve QUERY-BATCH memo, keyed by the served snapshot's
+    * identity (+ nprobe): the batch rows and the probe pairs are
+    * deterministic functions of one committed version, but deriving them
+    * costs two driver round-trip jobs per serve (the r15 sf1 profile put
+    * them at ~0.7s of every warm e12/e13/e14 pass). Any publish bumps
+    * the version and naturally invalidates; values are bounded by the
+    * query-batch contract (≤ NumQueries vectors + nprobe x NumQueries
+    * probe pairs).
+    */
+  private val servedQueryBatchCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String, Int),
+      (Seq[(Long, Seq[Float])], Seq[(Long, Long)])]
+
+  SessionMemos.registerEvictor { dead =>
+    servedQueryBatchCache.filterInPlace { case ((s, _, _, _), _) => !dead(s) }
+  }
 
   private[graft] def clearCoarseMemo(session: SparkSession): Unit =
     coarseCellsCache.filterInPlace { case ((s, _), df) =>
@@ -976,47 +996,55 @@ object AnnPack {
     // the query batch, quantized at serve time from the index's OWN
     // vector store (serving never touches the source corpus). The batch
     // is bounded by contract (≤ NumQueries rows), so it is extracted in
-    // ONE metadata-pruned pass and pinned as a LOCAL relation — every
-    // query-side derivation below (probe ranking, the ADC distance
-    // table, the re-rank's query broadcast) reuses it instead of
-    // re-listing the store's pcell directories once per leg (three
-    // extra listings per serve, measured +1.6s/entry at the 10x fixture)
+    // ONE metadata-pruned pass, pinned as a LOCAL relation, and — with
+    // its probe ranking — MEMOIZED per committed version (both are
+    // deterministic functions of the snapshot): a warm serve of an
+    // unchanged version runs ZERO pre-query jobs, where re-deriving them
+    // cost ~0.7s of every warm e12/e13/e14 pass at sf1 (r15 verdict #1).
     val spark = t.vectors.sparkSession
     import spark.implicits._
-    val qVecs = broadcast(
-      t.vectors.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id"), col("embedding"))
-        .as[(Long, Seq[Float])].collect().toSeq.toDF("vec_id", "embedding"))
+    val (qRows, probePairs) = servedQueryBatchCache.getOrElseUpdate(
+      (spark, t.path, t.version, nprobe), {
+        SessionMemos.arm(spark)
+        val rows = t.vectors.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id"), col("embedding"))
+          .as[(Long, Seq[Float])].collect().toSeq
+        val qel0 = int8Quantize(broadcast(rows.toDF("vec_id", "embedding")))
+          .select(col("vec_id").as("q_id"), col("dim").as("d"), col("q"))
+        // coarse probes: nprobe nearest persisted centroids per query
+        val wP = Window.partitionBy("q_id").orderBy(col("d2"), col("ccid"))
+        val pairs = qel0.join(broadcast(t.centroids), "d")
+          .groupBy(col("q_id"), col("ccid"))
+          .agg(sum((col("q") - col("ccq")) * (col("q") - col("ccq"))).as("d2"))
+          .withColumn("rn", row_number().over(wP))
+          .filter(col("rn") <= nprobe)
+          .select(col("q_id"), col("ccid").as("cell"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        (rows, pairs)
+      })
+    val qVecs = broadcast(qRows.toDF("vec_id", "embedding"))
     val qel = int8Quantize(qVecs)
       .select(col("vec_id").as("q_id"), col("dim").as("d"), col("q"),
         expr(s"dim div $PqSubDim").as("m"))
-    // coarse probes: nprobe nearest persisted centroids per query
-    val wP = Window.partitionBy("q_id").orderBy(col("d2"), col("ccid"))
-    val probes = qel.join(broadcast(t.centroids), "d")
-      .groupBy(col("q_id"), col("ccid"))
-      .agg(sum((col("q") - col("ccq")) * (col("q") - col("ccq"))).as("d2"))
-      .withColumn("rn", row_number().over(wP))
-      .filter(col("rn") <= nprobe)
-      .select(col("q_id"), col("ccid").as("cell"))
+    // the probe list rides as a broadcast LOCAL relation (bounded at
+    // nprobe x |queries| rows by contract) in both layouts
+    val probesLocal = broadcast(probePairs.toDF("q_id", "cell"))
     // candidates: posting-list scan through the probed cells only —
     // with a partitioned layout, through the probed cells' FILES only
     // (and likewise the code and re-rank-vector fetches below)
     val (cnd0, codesSrc, rerankVecs) =
       if (t.pcells <= 0)
-        (t.cells.join(broadcast(probes), "cell")
+        (t.cells.join(probesLocal, "cell")
           .filter(col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id")),
           t.codes, t.vectors)
       else {
-        val probePairs = probes.collect().map(r => (r.getLong(0), r.getLong(1)))
         val probedP = probePairs.map(p => (p._2 % t.pcells).toInt)
-          .distinct.sorted.toSeq
-        lastProbedPcells = (probedP, t.pcells) // rehearsal receipt hook
+          .distinct.sorted
+        probedPcellsByPath.put(t.path, (probedP, t.pcells)) // receipt hook
         def pruned(df: DataFrame) =
           if (probedP.isEmpty) df.filter(lit(false)) // empty query batch
           else df.filter(col("pcell").isInCollection(probedP))
-        val probesLocal = broadcast(
-          probePairs.toSeq.toDF("q_id", "cell"))
         (pruned(t.cells)
           .join(probesLocal, "cell")
           .filter(col("vec_id") =!= col("q_id"))

@@ -53,11 +53,15 @@ object AnnIndex {
     * directory-partition modulus of cells/codes (0 = legacy flat
     * layout): the serving plan uses it to prune FILES to the probed
     * cells' `pcell=K` directories instead of scanning the full posting
-    * and code tables per query batch (r14 verdict #2).
+    * and code tables per query batch (r14 verdict #2). `path`/`version`
+    * identify the snapshot, so per-serve derivations (the query batch,
+    * the probe receipt) can be memoized and attributed by index instead
+    * of through process-global slots (ADVICE r15).
     */
   final case class Served(
       vectors: DataFrame, centroids: DataFrame, cells: DataFrame,
-      codebook: DataFrame, codes: DataFrame, pcells: Int)
+      codebook: DataFrame, codes: DataFrame, pcells: Int,
+      path: String, version: String)
 
   /** The artifacts a base build persists (same shapes as [[Served]]). */
   final case class Artifacts(
@@ -135,8 +139,21 @@ object AnnIndex {
       // shuffle-free on the code side. The query-batch read stays a
       // metadata-pruned scan (vec_id min/max footer stats), since the
       // batch's own cells aren't known until it is quantized.
+      // LEFT join + in-plan guard (ADVICE r15): the one-cell-per-vector
+      // invariant holds by construction (cells is an rn=1 argmin), but a
+      // future artifact source violating it would silently DROP vectors
+      // from the persisted store under an inner join — corrupting the
+      // exact re-rank. raise_error fails the write loudly per offending
+      // row, with zero extra jobs on the healthy path.
       val pmap = cellsP.select(col("vec_id"), col("pcell"))
-      vectors.join(pmap, "vec_id")
+      vectors.join(pmap, Seq("vec_id"), "left")
+        .withColumn("pcell",
+          org.apache.spark.sql.functions.when(col("pcell").isNull,
+            org.apache.spark.sql.functions.raise_error(
+              org.apache.spark.sql.functions.concat(
+                org.apache.spark.sql.functions.lit("vector without a cell assignment: vec_id="),
+                col("vec_id").cast("string"))))
+            .otherwise(col("pcell")))
         .repartition(col("pcell")).sortWithinPartitions("vec_id")
         .write.partitionBy("pcell").mode(SaveMode.Overwrite)
         .parquet(s"$segDir/vectors")
@@ -372,19 +389,39 @@ object AnnIndex {
     val vdir = s"$path/$v"
     val meta = VersionedIndex.readMeta(path).get
     val partitioned = meta.pcells > 0
+    // the committed file listing (r15 verdict #1): every table reads its
+    // manifest-held file set, so a cold serve is a manifest read + file
+    // opens — never a directory walk over the pcell=K tree (the
+    // partition-discovery toll that cost e12/e13/e14 2.3-2.7x at sf1;
+    // at 100 TB, an O(pcells x buckets) object-store LIST per serve).
+    // Pre-`_files` versions (None) fall back to directory discovery.
+    val listing = VersionedIndex.readFiles(path)
+    def tableFiles(tbl: String): Option[Seq[String]] =
+      listing.map(_.filter(f => f.startsWith(s"$tbl/")).map(f => s"$vdir/$f"))
+        .filter(_.nonEmpty)
+    def readTable(tbl: String): DataFrame = tableFiles(tbl) match {
+      // basePath pins partition inference to the table root, so the
+      // pcell=K path component still surfaces as the pruning column
+      case Some(fs) => spark.read.option("basePath", s"$vdir/$tbl").parquet(fs: _*)
+      case None => spark.read.parquet(s"$vdir/$tbl")
+    }
+    val codePartDirs = tableFiles("codes").map(_.flatMap { f =>
+      val rel = f.stripPrefix(s"$vdir/codes/")
+      if (rel.contains('/')) Some(rel.substring(0, rel.lastIndexOf('/'))) else None
+    }.distinct)
     Served(
-      vectors = spark.read.parquet(s"$vdir/vectors"),
-      centroids = spark.read.parquet(s"$vdir/centroids"),
-      // partition discovery surfaces pcell from the pcell=K directories
-      // — the serving plan's file-pruning key
-      cells = spark.read.parquet(s"$vdir/cells"),
-      codebook = spark.read.parquet(s"$vdir/codebook"),
+      vectors = readTable("vectors"),
+      centroids = readTable("centroids"),
+      cells = readTable("cells"),
+      codebook = readTable("codebook"),
       codes = VersionedIndex.serveBucketed(spark, "ann_idx", path, v,
         if (partitioned) "vec_id BIGINT, m BIGINT, cid BIGINT, pcell INT"
         else "vec_id BIGINT, m BIGINT, cid BIGINT",
         Seq("vec_id"), Seq("vec_id"), meta.buckets, s"$vdir/codes",
-        partitionCols = if (partitioned) Seq("pcell") else Nil),
-      pcells = meta.pcells)
+        partitionCols = if (partitioned) Seq("pcell") else Nil,
+        partitionDirs = if (partitioned) codePartDirs else None),
+      pcells = meta.pcells,
+      path = canonicalServeKey(path), version = v)
   }
 
   /** Serve a committed version matching `fingerprint`, building from the

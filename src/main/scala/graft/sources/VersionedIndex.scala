@@ -136,6 +136,16 @@ object VersionedIndex {
     * crashed claimant's and may be stolen. Must exceed the longest real
     * segment-write + publish (15 min is generous for an O(delta) append;
     * a deployment doing hour-long full builds raises it per call).
+    *
+    * Lease caveat (documented behind [[ClaimStore]], where the
+    * substitution lives): the default filesystem store ages markers by
+    * mtime, so the TTL assumes writer clocks agree with the filesystem's.
+    * Note [[claimNext]]'s default `maxWaitMs` (60 s) is deliberately far
+    * BELOW this TTL: a claim crashed in another process blocks new
+    * writers until it turns stale, and maintenance callers that would
+    * rather wait out a crashed peer than fail pass
+    * `maxWaitMs >= claimTtlMs` explicitly (the failure message names the
+    * marker so the operator can release it by hand instead).
     */
   val DefaultClaimTtlMs: Long = 15L * 60 * 1000
 
@@ -144,6 +154,73 @@ object VersionedIndex {
   private[sources] def claimMarker(path: String, ver: Long): Path =
     claimsDir(path).resolve(s"v$ver")
 
+  /** The conditional-PUT seam of the optimistic commit protocol (r15
+    * verdict #4 — the [[SnapshotProvider]] move applied to claims): HOW a
+    * marker is atomically created, aged, retired and released is
+    * store-shaped. The default [[FileClaimStore]] uses the local
+    * filesystem's create-if-absent + atomic rename; an object-store
+    * deployment installs conditional-PUT / delete-if-match semantics
+    * (S3 `If-None-Match`, GCS generation preconditions) in one line via
+    * [[setClaimStore]], and the mtime-lease caveat stays behind this
+    * boundary.
+    */
+  trait ClaimStore {
+    /** Atomically create the marker; false iff it already exists. */
+    def tryCreate(marker: Path): Boolean
+
+    /** Marker age in ms; None if it vanished (released or retired). */
+    def ageMs(marker: Path): Option[Long]
+
+    /** Atomically retire a live marker (a steal, or GC of a crashed
+      * claimant): of N concurrent callers exactly ONE returns true, and
+      * a marker recreated by a NEW claimant after retirement must never
+      * be affected — the mutual-exclusion move two stealers and the GC
+      * sweep all go through.
+      */
+    def retire(marker: Path): Boolean
+
+    /** Remove the caller's OWN marker (publish/abort — uncontended). */
+    def release(marker: Path): Unit
+  }
+
+  /** Default store: `Files.createFile` (create-if-absent) + rename to a
+    * unique tombstone with `ATOMIC_MOVE` — a store that cannot rename
+    * atomically fails LOUDLY (`AtomicMoveNotSupportedException`) instead
+    * of silently voiding the one-stealer guarantee (ADVICE r15).
+    */
+  object FileClaimStore extends ClaimStore {
+    def tryCreate(marker: Path): Boolean =
+      try { Files.createFile(marker); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    def ageMs(marker: Path): Option[Long] =
+      try Some(System.currentTimeMillis() -
+        Files.getLastModifiedTime(marker).toMillis)
+      catch { case _: java.nio.file.NoSuchFileException => None }
+    def retire(marker: Path): Boolean = {
+      val tomb = marker.resolveSibling(
+        s".stale-${marker.getFileName}-${System.nanoTime()}")
+      // only "source vanished" (another retirer won) is a loss; any other
+      // IO failure — including a non-atomic-move filesystem — propagates
+      try {
+        Files.move(marker, tomb, StandardCopyOption.ATOMIC_MOVE)
+        Files.deleteIfExists(tomb)
+        true
+      } catch { case _: java.nio.file.NoSuchFileException => false }
+    }
+    def release(marker: Path): Unit = Files.deleteIfExists(marker)
+  }
+
+  private val claimStoreRef =
+    new java.util.concurrent.atomic.AtomicReference[ClaimStore](FileClaimStore)
+
+  def claimStore: ClaimStore = claimStoreRef.get
+
+  /** Install a deployment's store (process-wide, like the snapshot
+    * provider — mixing stores per call would break mutual exclusion).
+    * Returns the previous one so tests can restore it.
+    */
+  def setClaimStore(s: ClaimStore): ClaimStore = claimStoreRef.getAndSet(s)
+
   /** One optimistic attempt to claim the next version number: atomically
     * create `claims/v<cur+1>` (create-if-absent — the PUT-if-absent an
     * object-store manifest commit uses), then validate CURRENT has not
@@ -151,36 +228,27 @@ object VersionedIndex {
     * committed it and retired the marker before we created ours). Returns
     * None when the number is already claimed by a live writer or the
     * basis moved — the caller re-reads and retries onto the next number.
-    * A stale marker (crashed claimant) is stolen through an atomic
-    * tombstone RENAME, so two concurrent stealers cannot both win: only
-    * one move succeeds, and the subsequent create-if-absent is exclusive
-    * again.
+    * A stale marker (crashed claimant) is stolen through the store's
+    * atomic [[ClaimStore.retire]], so two concurrent stealers cannot both
+    * win: only one retirement succeeds, and the subsequent
+    * create-if-absent is exclusive again.
     */
   def tryClaimNext(path: String,
       claimTtlMs: Long = DefaultClaimTtlMs): Option[Long] = {
+    val store = claimStoreRef.get
     val basis = versionNumber(path)
     val n = basis + 1
     Files.createDirectories(claimsDir(path))
     val marker = claimMarker(path, n)
     def createValidated(): Option[Long] =
-      try {
-        Files.createFile(marker)
-        if (versionNumber(path) == basis) Some(n)
-        else { Files.deleteIfExists(marker); None } // stale basis: retry
-      } catch { case _: java.nio.file.FileAlreadyExistsException => None }
+      if (!store.tryCreate(marker)) None
+      else if (versionNumber(path) == basis) Some(n)
+      else { store.release(marker); None } // stale basis: retry
     createValidated().orElse {
-      val stale =
-        try System.currentTimeMillis() -
-          Files.getLastModifiedTime(marker).toMillis > claimTtlMs
-        catch { case _: java.io.IOException => false } // marker vanished
+      val stale = store.ageMs(marker).exists(_ > claimTtlMs)
       if (!stale) None
-      else {
-        val tomb = claimsDir(path)
-          .resolve(s".stale-v$n-${System.nanoTime()}")
-        try { Files.move(marker, tomb); Files.deleteIfExists(tomb) }
-        catch { case _: java.io.IOException => () } // another stealer won the move
-        createValidated()
-      }
+      else if (!store.retire(marker)) None // another stealer won
+      else createValidated()
     }
   }
 
@@ -188,7 +256,9 @@ object VersionedIndex {
     * blocking form [[build]]-shaped callers use. Every committed writer
     * holds the claim for its number, so the returned `n` guarantees the
     * manifest stays frozen at `n-1` until this writer publishes (or
-    * crashes and is stolen from after the TTL).
+    * crashes and is stolen from after the TTL). The default `maxWaitMs`
+    * fails fast rather than waiting out [[DefaultClaimTtlMs]] — see the
+    * TTL's scaladoc for the crashed-foreign-claimant trade-off.
     */
   def claimNext(path: String, claimTtlMs: Long = DefaultClaimTtlMs,
       maxWaitMs: Long = 60000L): Long = {
@@ -198,16 +268,24 @@ object VersionedIndex {
       Thread.sleep(25L)
       res = tryClaimNext(path, claimTtlMs)
     }
-    res.getOrElse(throw new IllegalStateException(
-      s"could not claim a version at $path within ${maxWaitMs}ms — " +
-        "another writer holds an unexpired claim"))
+    res.getOrElse {
+      val n = versionNumber(path) + 1
+      val age = claimStoreRef.get.ageMs(claimMarker(path, n))
+        .map(a => s"${a / 1000}s old").getOrElse("just released")
+      throw new IllegalStateException(
+        s"could not claim a version at $path within ${maxWaitMs}ms — " +
+          s"claims/v$n is held by another writer ($age; stealable after " +
+          s"${claimTtlMs / 1000}s). A crashed peer's claim turns stale at " +
+          "the TTL: retry with maxWaitMs >= claimTtlMs to wait it out, or " +
+          "delete the marker if the peer is known dead.")
+    }
   }
 
   /** Retire a claim that will not be published (failed write path);
     * [[publish]] retires successful ones itself.
     */
   def releaseClaim(path: String, ver: Long): Unit =
-    Files.deleteIfExists(claimMarker(path, ver))
+    claimStoreRef.get.release(claimMarker(path, ver))
 
   /** The committed version name (e.g. "v2"), if the index exists. */
   def currentVersion(path: String): Option[String] = {
@@ -240,6 +318,16 @@ object VersionedIndex {
 
   def readMeta(path: String): Option[Meta] =
     currentVersion(path).map(v => parseMeta(Paths.get(path, v)))
+
+  /** The committed version's file listing (paths relative to the version
+    * directory, as written by [[publish]]) — None for pre-`_files`
+    * versions, whose serves fall back to directory discovery.
+    */
+  def readFiles(path: String): Option[Seq[String]] =
+    currentVersion(path).flatMap { v =>
+      val f = Paths.get(path, v, "_files")
+      if (Files.exists(f)) Some(Files.readAllLines(f).asScala.toSeq) else None
+    }
 
   /** Pluggable corpus-snapshot identity (r14 verdict #6): the staleness
     * check an `ensure` runs per serve asks "which snapshot of the corpus
@@ -411,6 +499,7 @@ object VersionedIndex {
       walkAll(vdir).reverse.foreach(Files.deleteIfExists(_))
     }
     Files.createDirectories(vdir)
+    val linked = Seq.newBuilder[String]
     for (seg <- meta.live; table <- tables) {
       val src =
         if (table.isEmpty) Paths.get(path, "seg", seg)
@@ -427,8 +516,18 @@ object VersionedIndex {
         catch { case _: UnsupportedOperationException =>
           Files.copy(f, link, StandardCopyOption.REPLACE_EXISTING)
         }
+        linked += vdir.relativize(link).toString
       }
     }
+    // the version's FILE LISTING, committed with the snapshot (r15
+    // verdict #1): publish just enumerated every linked file, so the
+    // manifest records them for free and a serve is a manifest read +
+    // file opens — never a directory walk (at 100 TB the tree walk is an
+    // O(pcells x buckets) object-store LIST per cold serve; here it is
+    // the measured partition-discovery toll on e12/e13/e14 at sf1).
+    // One relative path per line, sorted for determinism.
+    Files.write(vdir.resolve("_files"),
+      linked.result().sorted.asJava, StandardCharsets.UTF_8)
     Files.writeString(vdir.resolve("_meta"),
       s"buckets=${meta.buckets}\nfingerprint=${meta.fingerprint}\n" +
         s"segments=${meta.segments.mkString(",")}\n" +
@@ -495,23 +594,28 @@ object VersionedIndex {
         .filter(p => Files.isDirectory(p) && !referenced(p.getFileName.toString))
     orphans.foreach(deleteTree)
     // claim markers: a claim <= CURRENT is obsolete (its number was
-    // committed, or superseded by a commit that stole it); one ABOVE
-    // CURRENT past the TTL is a crashed claimant's that no writer has
-    // contended for — both are swept so the claims dir stays O(in-flight)
+    // committed, or superseded by a commit that stole it — and no new
+    // claim can ever be created at <= CURRENT, so a plain delete cannot
+    // race a fresh claimant); one ABOVE CURRENT past the TTL is a crashed
+    // claimant's and is swept through the store's atomic retire — the
+    // same one-winner move a steal uses, so a stealer that retires the
+    // old marker and creates a FRESH claim for the number between GC's
+    // staleness check and its removal can never lose that fresh claim to
+    // GC (ADVICE r15: check-then-delete allowed exactly that, double-
+    // publishing a version). Leftover tombstones are dead by definition.
+    val store = claimStoreRef.get
     val cdir = claimsDir(path)
     val deadClaims =
       if (!Files.isDirectory(cdir)) Nil
-      else listDir(cdir).filter { p =>
+      else listDir(cdir).flatMap { p =>
         val name = p.getFileName.toString
-        name.startsWith(".stale-") || (name.matches("v\\d+") && {
-          val n = name.stripPrefix("v").toLong
-          n <= curNum ||
-            (try System.currentTimeMillis() -
-              Files.getLastModifiedTime(p).toMillis > claimTtlMs
-            catch { case _: java.io.IOException => false })
-        })
-      }.toSeq
-    deadClaims.foreach(Files.deleteIfExists(_))
+        if (name.startsWith(".stale-") ||
+            (name.matches("v\\d+") && name.stripPrefix("v").toLong <= curNum)) {
+          Files.deleteIfExists(p); Some(p)
+        } else if (name.matches("v\\d+") &&
+            store.ageMs(p).exists(_ > claimTtlMs) && store.retire(p)) Some(p)
+        else None
+      }
     (drop ++ partial).map(_.getFileName.toString) ++
       orphans.map(p => s"seg/${p.getFileName}") ++
       deadClaims.map(p => s"claims/${p.getFileName}")
@@ -523,10 +627,21 @@ object VersionedIndex {
     * under the catalog lock only — never the write lock, so serving a
     * committed version proceeds while a build of the next one is running.
     */
+  /** `partitionDirs` (e.g. `Seq("pcell=3", "pcell=17")` — the distinct
+    * partition directories from the version's committed [[readFiles]]
+    * listing) registers a partitioned table's partitions EXPLICITLY via
+    * one ADD PARTITION statement instead of `RECOVER PARTITIONS`' full
+    * directory walk (r15 verdict #1: the manifest already knows the
+    * layout; recovery re-discovers it with an O(dirs) tree walk per
+    * registration). Values must be partition-literal-safe (the index
+    * family's keys are ints); legacy versions without a listing fall
+    * back to recovery.
+    */
   def serveBucketed(spark: SparkSession, kind: String, path: String,
       version: String, schemaDdl: String, clusterCols: Seq[String],
       sortCols: Seq[String], buckets: Int, location: String,
-      partitionCols: Seq[String] = Nil): DataFrame =
+      partitionCols: Seq[String] = Nil,
+      partitionDirs: Option[Seq[String]] = None): DataFrame =
     withCatalogLock(path) {
       val prefix = tablePrefix(kind, path)
       val tbl = s"${prefix}_$version"
@@ -545,11 +660,23 @@ object VersionedIndex {
              |INTO $buckets BUCKETS
              |LOCATION '$location'""".stripMargin)
         // a partitioned external table starts with an EMPTY partition
-        // index — recover it from the directory layout once per
-        // registration (the "MSCK" an object-store catalog does on
-        // attach); unpartitioned tables skip this entirely
-        if (partitionCols.nonEmpty)
-          spark.sql(s"ALTER TABLE `$tbl` RECOVER PARTITIONS")
+        // index — fill it from the committed listing (one metadata
+        // statement, no IO) when the manifest carries one, else recover
+        // it from the directory layout (the "MSCK" an object-store
+        // catalog does on attach); unpartitioned tables skip this
+        if (partitionCols.nonEmpty) partitionDirs.filter(_.nonEmpty) match {
+          case Some(dirs) =>
+            val specs = dirs.sorted.map { d =>
+              val spec = d.split('/').map { seg =>
+                val Array(k, v) = seg.split("=", 2)
+                s"$k=$v"
+              }.mkString(", ")
+              s"PARTITION ($spec) LOCATION '$location/$d'"
+            }
+            spark.sql(s"ALTER TABLE `$tbl` ADD IF NOT EXISTS ${specs.mkString(" ")}")
+          case None =>
+            spark.sql(s"ALTER TABLE `$tbl` RECOVER PARTITIONS")
+        }
       }
       spark.table(tbl)
     }

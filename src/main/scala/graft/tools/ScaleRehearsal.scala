@@ -468,9 +468,12 @@ object ScaleRehearsal {
       // the nprobe x |queries| probe set, so the prune must bite: the
       // files a pcell-filtered scan reads over cells+codes, as a fraction
       // of all files, tracks the probed-pcell fraction (and is < 1)
-      val (e12Probed, e12Pcells) = AnnPack.lastProbedPcells
       val e12IdxPath =
         s"/tmp/graft_annindex/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_ivfpq"
+      // per-path receipt hook (ADVICE r15): attribute the probe set to
+      // THIS index's serve, immune to interleaved serves of other indexes
+      val (e12Probed, e12Pcells) = AnnPack.probedPcellsByPath(
+        java.nio.file.Paths.get(e12IdxPath).toAbsolutePath.toString)
       val e12IdxV = graft.sources.VersionedIndex.currentVersion(e12IdxPath).get
       def pcellFiles(tbl: String, sel: Option[Set[Int]]): Int =
         graft.sources.VersionedIndex.dataFilesRecursive(

@@ -1,0 +1,35 @@
+package graft.tools
+
+import graft.Sessions
+import graft.queries.AnnPack
+
+/** Scratch profiler for the warm ANN serve path (round-16 #1): times the
+  * pieces of a warm e12 pass at the given sf dir so the partition-
+  * discovery / task-overhead split is measured, not guessed.
+  */
+object ServeProfile {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft_sf1")
+    val spark = Sessions.get()
+    def time[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[profile] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+    // pass 0: cold (build-or-serve + first execution)
+    time("cold pass (ensure+query)") {
+      AnnPack.servedIvfPqTopK(spark, dir).collect()
+    }
+    // warm passes, split
+    for (i <- 1 to 3) {
+      time(s"warm pass $i total") {
+        val df = time(s"warm pass $i plan (serve)") {
+          AnnPack.servedIvfPqTopK(spark, dir)
+        }
+        time(s"warm pass $i execute") { df.collect() }
+      }
+    }
+    spark.stop()
+  }
+}
