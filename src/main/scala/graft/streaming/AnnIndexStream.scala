@@ -20,27 +20,72 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * committed segment name), so the one-batch replay a crash between
   * offset-write and commit-write produces commits exactly once.
   *
-  * The drift escape valve applies here too: when
-  * [[AnnIndex.appendFraction]] outgrows the operator's budget, schedule a
-  * full rebuild — the stream keeps appending to the CURRENT version either
-  * way, and readers keep the version they resolved.
+  * The drift escape valve is SURFACED here, not just documented (r15
+  * verdict #2 — e15 proved the retrain works; a long-lived stream must
+  * also NOTICE it's needed): after every freshly committed batch the
+  * harness evaluates [[AnnIndex.retrainDue]] (a parquet-footer metadata
+  * read, O(live segments)) and, the first time the appended volume
+  * crosses `maxAppendFraction`, emits a [[RetrainSignal]] through the
+  * `onRetrainDue` callback (default: a loud stderr line) and records it
+  * in [[retrainSignals]] for rehearsal receipts. The stream keeps
+  * appending to the CURRENT version either way — the signal schedules an
+  * operator rebuild; it never stalls ingest — and readers keep the
+  * version they resolved. Reference analogue: stage assessment re-derives
+  * maturity from live state, not a frozen snapshot
+  * (kremis system/stage.rs:128-185).
   */
 object AnnIndexStream {
+
+  /** The drift policy firing on a live stream: appended volume crossed
+    * the retrain budget at `batchId`'s commit.
+    */
+  final case class RetrainSignal(
+      indexPath: String, batchId: Long, appendFraction: Double)
+
+  /** First [[RetrainSignal]] per index path this process observed —
+    * the receipt a rehearsal (or an operator dashboard poll) asserts on.
+    * Cleared when the operator's rebuild resets the fraction under
+    * budget (the policy re-arms for the next drift cycle).
+    */
+  val retrainSignals =
+    scala.collection.concurrent.TrieMap.empty[String, RetrainSignal]
+
+  private def defaultOnRetrainDue(sig: RetrainSignal): Unit =
+    System.err.println(
+      f"[graft] ANN index ${sig.indexPath} crossed its retrain budget at " +
+        f"batch ${sig.batchId} (append fraction ${sig.appendFraction}%.3f) " +
+        "— schedule a full rebuild (AnnIndex.build with carryLedger=true)")
 
   /** foreachBatch body (public for deterministic unit testing): derive the
     * micro-batch's delta artifacts against the committed geometry, append
     * as an idempotent segment. Returns whether the segment was newly
     * committed (false = replay, skipped). The manifest check runs FIRST so
-    * a replayed batch forces no quantization work at all.
+    * a replayed batch forces no quantization work — and no Spark job — at
+    * all. A freshly committed batch then evaluates the retrain policy
+    * (metadata-only) and signals the exact batch that crossed the budget.
     */
   def processBatch(
       batch: DataFrame, batchId: Long, indexPath: String,
-      segPrefix: String = "batch", compactAfter: Int = 0): Boolean =
-    IndexMaintenance.processBatch(batch, batchId, indexPath,
+      segPrefix: String = "batch", compactAfter: Int = 0,
+      maxAppendFraction: Double = 0.5,
+      onRetrainDue: RetrainSignal => Unit = defaultOnRetrainDue): Boolean = {
+    val committed = IndexMaintenance.processBatch(batch, batchId, indexPath,
         segPrefix, compactAfter) { (b, segName) =>
       val served = AnnIndex.serve(b.sparkSession, indexPath)
       AnnIndex.append(AnnPack.deltaArtifactsFor(b, served), segName, indexPath)
     }(AnnIndex.compact(_, _, _))
+    if (committed) {
+      // compaction preserves baseRows and live totals, so the fraction is
+      // the same whether or not this batch tripped a compact
+      val frac = AnnIndex.appendFraction(batch.sparkSession, indexPath)
+      if (frac > maxAppendFraction) {
+        val sig = RetrainSignal(indexPath, batchId, frac)
+        if (retrainSignals.putIfAbsent(indexPath, sig).isEmpty)
+          onRetrainDue(sig) // signal once per drift cycle, on the exact batch
+      } else retrainSignals.remove(indexPath) // rebuilt under budget: re-arm
+    }
+    committed
+  }
 
   /** Wire a streaming vector source (vec_id, embedding) into the index
     * maintenance loop. With `checkpointDir` set, a restart resumes at the
@@ -53,8 +98,11 @@ object AnnIndexStream {
       queryName: String,
       checkpointDir: Option[String] = None,
       segPrefix: String = "batch",
-      compactAfter: Int = 0): StreamingQuery =
+      compactAfter: Int = 0,
+      maxAppendFraction: Double = 0.5,
+      onRetrainDue: RetrainSignal => Unit = defaultOnRetrainDue): StreamingQuery =
     IndexMaintenance.start(vectors, queryName, checkpointDir) { (batch, batchId) =>
-      processBatch(batch, batchId, indexPath, segPrefix, compactAfter)
+      processBatch(batch, batchId, indexPath, segPrefix, compactAfter,
+        maxAppendFraction, onRetrainDue)
     }
 }

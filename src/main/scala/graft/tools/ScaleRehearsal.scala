@@ -669,7 +669,7 @@ object ScaleRehearsal {
       // rewrite is O(live set) by design and amortizes over the cadence),
       // the maintained d37 stats equal a from-scratch re-aggregation,
       // and every day's batch replays as a no-op after the week.
-      val (weekSigDays, weekAnnFrac, weekBytesReclaimed) = {
+      val (weekSigDays, weekAnnFrac, weekBytesReclaimed, weekSignalDay) = {
         import graft.sources.{AnnIndex, SignatureIndex, VersionedIndex}
         import graft.streaming.{AnnIndexStream, SignatureIndexStream}
         import graft.queries.AnnPack
@@ -707,6 +707,7 @@ object ScaleRehearsal {
             AnnPack.ivfPqArtifactsFromCv(cv, dim,
               Some(fCol("vec_id") % 16L < 9L), None),
             annPath, "fp-week")
+          AnnIndexStream.retrainSignals.remove(annPath) // fresh drift cycle
           var reclaimed = 0L
           val dayStats = (0 until 7).map { day =>
             val res = 9L + day
@@ -732,8 +733,21 @@ object ScaleRehearsal {
             val compacted = live1 <= live0
             val vFiles = VersionedIndex.dataFiles(java.nio.file.Paths.get(
               sigPath, SignatureIndex.currentVersion(sigPath).get)).size
-            (day, sigCommitted && annCommitted, gateMs, live1, vFiles, compacted)
+            val annFrac = AnnIndex.appendFraction(spark, annPath)
+            (day, sigCommitted && annCommitted, gateMs, live1, vFiles, compacted,
+              annFrac)
           }
+          // r15 verdict #2: the STREAMING leg now consults the retrain
+          // policy per committed batch — the signal must fire on exactly
+          // the first day whose cumulative append fraction crossed the
+          // 0.5 budget (measured, not assumed: residue slices vary), and
+          // only once across the whole week
+          val crossDay = dayStats.find(_._7 > 0.5).map(_._1)
+          val signal = AnnIndexStream.retrainSignals.get(annPath)
+          check("week_retrain_signal_on_crossing_batch")(
+            crossDay.nonEmpty && signal.map(_.batchId.toInt) == crossDay,
+            s"crossed at day $crossDay, signal ${signal.map(_.batchId)} " +
+              s"(fractions ${dayStats.map(_._7).mkString(",")})")
           check("week_every_day_committed")(dayStats.forall(_._2),
             dayStats.map(d => s"day ${d._1}: ${d._2}").mkString(", "))
           check("week_live_segments_bounded")(dayStats.forall(_._4 <= 3),
@@ -783,7 +797,8 @@ object ScaleRehearsal {
           }
           check("week_replays_all_noop")(replays.forall(identity),
             s"replay no-op by day: ${replays.mkString(",")}")
-          (dayStats.map(_._3).mkString("|"), fracPre, reclaimed)
+          (dayStats.map(_._3).mkString("|"), fracPre, reclaimed,
+            signal.map(_.batchId).getOrElse(-1L))
         } finally deleteTree(weekRoot)
       }
 
@@ -936,6 +951,7 @@ object ScaleRehearsal {
         s""""e15_recall_post_retrain":$e15RecPost,""" +
         s""""week_day_gate_ms":"$weekSigDays",""" +
         s""""week_ann_fraction_at_retrain":$weekAnnFrac,""" +
+        s""""week_retrain_signal_day":$weekSignalDay,""" +
         s""""week_gc_bytes_reclaimed":$weekBytesReclaimed,""" +
         s""""compaction_live_segments":$cmpLive,"compaction_files_plain":$cmpFilesPlain,""" +
         s""""compaction_files_comp":$cmpFilesComp,"compaction_rows":$cmpRows,""" +

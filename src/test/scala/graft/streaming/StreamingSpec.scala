@@ -707,6 +707,102 @@ class StreamingSpec extends AnyFunSuite {
     assert(AnnIndex.currentVersion(annPath) === v)
   }
 
+  test("ANN stream maintenance surfaces retrainDue on the exact batch that crosses the budget") {
+    import spark.implicits._
+    import graft.sources.AnnIndex
+    import java.nio.file.Files
+    val path = Files.createTempDirectory("annretrain").toString
+    def artifacts(vecs: Seq[(Long, Seq[Float])]) = AnnIndex.Artifacts(
+      vectors = vecs.toDF("vec_id", "embedding"),
+      centroids = Seq((0L, 0L, 127L), (0L, 1L, 0L)).toDF("ccid", "d", "ccq"),
+      cells = vecs.map { case (id, _) => (id, 0L) }.toDF("vec_id", "cell"),
+      codebook = Seq((0L, 0L, 0L, 5L)).toDF("m", "cid", "d", "cq"),
+      codes = vecs.map { case (id, _) => (id, 0L, 0L) }.toDF("vec_id", "m", "cid"))
+    // base of 4 vectors, budget 0.5: batch 0 (1 vector) lands at 0.25 —
+    // under budget, silent; batch 1 (2 vectors) lands at 0.75 — the
+    // signal must fire exactly there, exactly once
+    AnnIndex.ensure(spark,
+      artifacts(Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)),
+        (2L, Seq(1f, 1f)), (3L, Seq(-1f, 0f)))), path, "fp", buckets = 2)
+    val fired = scala.collection.mutable.ArrayBuffer.empty[AnnIndexStream.RetrainSignal]
+    def run(batchId: Long, vecs: Seq[(Long, Seq[Float])]): Boolean =
+      AnnIndexStream.processBatch(vecs.toDF("vec_id", "embedding"), batchId,
+        path, maxAppendFraction = 0.5, onRetrainDue = fired += _)
+    assert(run(0L, Seq((10L, Seq(0.5f, 0.5f)))))
+    assert(fired.isEmpty, "under-budget append must not signal")
+    assert(run(1L, Seq((11L, Seq(0.5f, -0.5f)), (12L, Seq(-0.5f, 0.5f)))))
+    assert(fired.map(s => (s.batchId, s.indexPath)) === Seq((1L, path)),
+      "the signal names the exact batch that crossed the budget")
+    assert(fired.head.appendFraction === 0.75)
+    assert(AnnIndexStream.retrainSignals(path).batchId === 1L)
+    // further over-budget appends do NOT re-signal (once per drift cycle)
+    assert(run(2L, Seq((13L, Seq(0.1f, 0.9f)))))
+    assert(fired.size === 1, "signal fires once per drift cycle")
+    // the operator's rebuild resets the fraction; the policy re-arms
+    AnnIndex.build(
+      artifacts(Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)), (2L, Seq(1f, 1f)),
+        (3L, Seq(-1f, 0f)), (10L, Seq(0.5f, 0.5f)), (11L, Seq(0.5f, -0.5f)),
+        (12L, Seq(-0.5f, 0.5f)), (13L, Seq(0.1f, 0.9f)))),
+      path, "fp2", buckets = 2, carryLedger = true)
+    assert(run(3L, Seq((20L, Seq(0.2f, 0.8f)))))
+    assert(!AnnIndexStream.retrainSignals.contains(path),
+      "a rebuild under budget re-arms the policy")
+  }
+
+  test("a replayed maintenance batch runs ZERO Spark jobs (ledger checked before isEmpty)") {
+    import spark.implicits._
+    import graft.sources.AnnIndex
+    import java.nio.file.Files
+    val path = Files.createTempDirectory("annreplay").toString
+    AnnIndex.ensure(spark,
+      AnnIndex.Artifacts(
+        vectors = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f))).toDF("vec_id", "embedding"),
+        centroids = Seq((0L, 0L, 127L), (0L, 1L, 0L)).toDF("ccid", "d", "ccq"),
+        cells = Seq((0L, 0L), (1L, 0L)).toDF("vec_id", "cell"),
+        codebook = Seq((0L, 0L, 0L, 5L)).toDF("m", "cid", "d", "cq"),
+        codes = Seq((0L, 0L), (1L, 0L)).map { case (i, c) => (i, 0L, c) }
+          .toDF("vec_id", "m", "cid")),
+      path, "fp", buckets = 2)
+    val batch = Seq((7L, Seq(0.5f, -1f))).toDF("vec_id", "embedding")
+    assert(AnnIndexStream.processBatch(batch, 0L, path), "first commit lands")
+    // count jobs around the REPLAY with a listener; the listener bus is
+    // FIFO, so a marker job observed after the replay proves every job
+    // the replay might have started was already counted
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val seen = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        Option(j.properties).map(_.getProperty("spark.jobGroup.id")).foreach {
+          case g @ ("graft-pre-marker" | "graft-post-marker") => seen.set(g)
+          case _ => ()
+        }
+      }
+    }
+    def marker(group: String): Unit = {
+      spark.sparkContext.setJobGroup(group, "FIFO flush marker")
+      // an RDD count is exactly ONE job — a DataFrame action under AQE
+      // can split into several, which would corrupt the count
+      try spark.sparkContext.parallelize(Seq(1), 1).count()
+      finally spark.sparkContext.clearJobGroup()
+      val deadline = System.currentTimeMillis() + 30000
+      while (seen.get() != group && System.currentTimeMillis() < deadline)
+        Thread.sleep(10)
+      assert(seen.get() === group, s"$group never reached the listener")
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // the listener bus is FIFO but ASYNC: earlier tests' job events may
+      // still be draining — the pre-marker proves the backlog is flushed
+      // before counting starts
+      marker("graft-pre-marker")
+      jobs.set(0)
+      assert(!AnnIndexStream.processBatch(batch, 0L, path), "replay no-ops")
+      marker("graft-post-marker")
+      assert(jobs.get() === 1, s"replay ran ${jobs.get() - 1} Spark job(s); expected 0")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("stream maintenance with compactAfter keeps live segments bounded across restarts") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
