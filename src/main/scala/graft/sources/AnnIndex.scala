@@ -260,12 +260,16 @@ object AnnIndex {
     }
 
   /** Compaction — [[SignatureIndex.compact]]'s contract for the ANN
-    * tables: rewrite the committed version's live segments into one
-    * (codes keep the bucket layout, so the candidate ⋈ codes join stays
-    * shuffle-free; the immutable centroids/codebook are carried into the
-    * new segment unchanged), publish under the CURRENT swap, preserve
-    * the append ledger and `baseRows` so replay-idempotence and the
-    * drift measure both survive the old files' retirement.
+    * tables, SIZE-TIERED (r15 verdict #3): rewrite the smallest
+    * [[VersionedIndex.compactionCandidates]] tier of live segments into
+    * one (codes keep the bucket layout, so the candidate ⋈ codes join
+    * stays shuffle-free; the immutable centroids/codebook are carried
+    * only when their owning base segment is in the tier), publish under
+    * the CURRENT swap, preserve the append ledger and `baseRows` so
+    * replay-idempotence and the drift measure both survive the old
+    * files' retirement. A cadence-triggered compact therefore rewrites
+    * the delta pile — O(appends since the last compact) — and touches
+    * the base only when the pile has grown to its size tier.
     */
   def compact(spark: SparkSession, path: String, minLive: Int = 2): Boolean =
     VersionedIndex.withWriteLock(path) {
@@ -273,40 +277,49 @@ object AnnIndex {
         throw new IllegalStateException(s"ANN index not initialized: $path"))
       if (meta0.live.size < minLive) false
       else {
-        // claim BEFORE resolving the version to rewrite: the claim
+        // claim BEFORE resolving the segments to rewrite: the claim
         // freezes CURRENT, so the lazy scans below cannot race a
         // concurrent process's publish onto a superseded snapshot
         val next = VersionedIndex.claimNext(path)
         try {
           val meta = VersionedIndex.readMeta(path).get
-          if (meta.live.size < minLive) false
+          val tier = VersionedIndex.compactionCandidates(path, meta.live, minLive)
+          if (tier.isEmpty) false
           else {
-        // PLAIN scans of the version files, not serve(): the bucketed
-        // catalog table would both elide the rewrite's bucket-routing
-        // repartition (see [[SignatureIndex.compact]]) and churn the
-        // session catalog registering a version about to be superseded
-        val vdir = s"$path/${currentVersion(path).get}"
-        def tbl(name: String) = spark.read.parquet(s"$vdir/$name")
-        // a legacy (pre-baseRows) manifest records 0: backfill it from
-        // the base segment's footers NOW — its files are still live
-        // (nothing can GC a live-referenced segment), and after this
-        // rewrite they won't be, which would leave appendFraction's
-        // legacy branch counting the compacted segment as appended rows
-        val baseRows =
-          if (meta.baseRows > 0L) meta.baseRows
-          else spark.read.parquet(s"$path/seg/${meta.segments.head}/vectors").count()
-          val segName = s"compact-v$next"
-          // the partitioned scans re-surface pcell as a discovered
-          // column; writeTables re-derives it from cell, so drop it here
-          writeTables(path, segName, meta.buckets, meta.pcells,
-            tbl("vectors").drop("pcell"), tbl("cells").drop("pcell"),
-            tbl("codes").drop("pcell"),
-            Some(tbl("centroids")), Some(tbl("codebook")))
-          VersionedIndex.publish(path, next,
-            meta.copy(segments = meta.segments :+ segName, live = Seq(segName),
-              baseRows = baseRows),
-            Tables)
-          true
+            // PLAIN scans of the tier's segment files, not serve(): the
+            // bucketed catalog table would both elide the rewrite's
+            // bucket-routing repartition (see [[SignatureIndex.compact]])
+            // and churn the session catalog. The partitioned scans
+            // re-surface pcell as a discovered column; writeTables
+            // re-derives it from cell, so it is dropped here.
+            def tbl(name: String): DataFrame = tier
+              .map(seg => Paths.get(path, "seg", seg, name))
+              .filter(java.nio.file.Files.isDirectory(_))
+              .map(d => spark.read.parquet(d.toString).drop("pcell"))
+              .reduce(_ unionByName _)
+            // a legacy (pre-baseRows) manifest records 0: backfill it from
+            // the base segment's footers NOW — its files are still live
+            // (nothing can GC a live-referenced segment), and after this
+            // rewrite they may not be, which would leave appendFraction's
+            // legacy branch counting the compacted segment as appended
+            val baseRows =
+              if (meta.baseRows > 0L) meta.baseRows
+              else spark.read.parquet(s"$path/seg/${meta.segments.head}/vectors").count()
+            // the immutable geometry rides with whichever segment owns it:
+            // carried into the rewrite iff that segment is being retired
+            val hasGeometry = tier.exists(seg =>
+              java.nio.file.Files.isDirectory(Paths.get(path, "seg", seg, "centroids")))
+            val segName = s"compact-v$next"
+            writeTables(path, segName, meta.buckets, meta.pcells,
+              tbl("vectors"), tbl("cells"), tbl("codes"),
+              if (hasGeometry) Some(tbl("centroids")) else None,
+              if (hasGeometry) Some(tbl("codebook")) else None)
+            VersionedIndex.publish(path, next,
+              meta.copy(segments = meta.segments :+ segName,
+                live = meta.live.filterNot(tier.contains) :+ segName,
+                baseRows = baseRows),
+              Tables)
+            true
           }
         } finally VersionedIndex.releaseClaim(path, next)
       }

@@ -162,15 +162,19 @@ object SignatureIndex {
     * each append is O(delta), the COMMITTED version accumulates
     * O(batches) files per bucket; probe-side scan cost follows file
     * count, not data size (the small-files problem an Iceberg
-    * `rewriteDataFiles` exists for). Rewrites the committed version's
-    * live segments into ONE (same bucket layout, so probes stay
-    * Exchange-free) and publishes it under the CURRENT swap — readers
-    * keep the version they resolved, and the append LEDGER is preserved
-    * verbatim, so a micro-batch replayed after its original files are
-    * gone still no-ops. The maintained per-source stats compact with the
-    * signatures in the same publish. No-op (false) below `minLive`
-    * segments. Old segment files become GC-collectable, not deleted —
-    * retention stays [[VersionedIndex.gcVersions]]'s contract.
+    * `rewriteDataFiles` exists for). SIZE-TIERED (r15 verdict #3):
+    * rewrites the smallest [[VersionedIndex.compactionCandidates]] tier
+    * of live segments into ONE (same bucket layout, so probes stay
+    * Exchange-free) and publishes it under the CURRENT swap — a
+    * cadence-triggered compact rewrites the delta pile, never the whole
+    * live set, and the base only when the pile reaches its size tier.
+    * Readers keep the version they resolved, and the append LEDGER is
+    * preserved verbatim, so a micro-batch replayed after its original
+    * files are gone still no-ops. The tier's maintained per-source stats
+    * compact with its signatures in the same publish. No-op (false)
+    * below `minLive` segments. Old segment files become GC-collectable,
+    * not deleted — retention stays [[VersionedIndex.gcVersions]]'s
+    * contract.
     */
   def compact(spark: SparkSession, path: String, minLive: Int = 2): Boolean =
     VersionedIndex.withWriteLock(path) {
@@ -178,30 +182,36 @@ object SignatureIndex {
         throw new IllegalStateException(s"signature index not initialized: $path"))
       if (meta0.live.size < minLive) false
       else {
-        // claim BEFORE resolving the version to rewrite: the claim
+        // claim BEFORE resolving the segments to rewrite: the claim
         // freezes CURRENT, so the lazy rewrite scan cannot race a
         // concurrent process's publish onto a superseded snapshot
         val next = VersionedIndex.claimNext(path)
         try {
           val meta = readMeta(path).get
-          if (meta.live.size < minLive) false
+          val tier = VersionedIndex.compactionCandidates(path, meta.live, minLive)
+          if (tier.isEmpty) false
           else {
             val segName = s"compact-v$next"
-            val v = currentVersion(path).get
+            // the tier's stats fold into one (source, n) table committed
+            // with its signatures; segments without stats contribute none
+            val statDirs = tier.map(seg => Paths.get(path, "seg", seg, "_stats"))
+              .filter(Files.isDirectory(_))
             val stats =
-              if (Files.isDirectory(Paths.get(path, v, "_stats")))
-                Some(sourceStats(spark, path))
-              else None
-            // read the version's raw files, NOT the bucketed catalog table:
-            // against a bucketed scan the writer-side repartition is elided
-            // as redundant and the rewrite fans back out to mixed-bucket
-            // tasks — a plain scan lets writeBucketedFiles route every row
-            // to its bucket's single task (spec pins <= 1 file per bucket)
-            writeSegment(spark.read.parquet(s"$path/$v"), path, segName,
-              meta.buckets, stats)
+              if (statDirs.isEmpty) None
+              else Some(spark.read.parquet(statDirs.map(_.toString): _*)
+                .groupBy(col("source")).agg(sum(col("n")).as("n")))
+            // read the tier's raw segment files, NOT the bucketed catalog
+            // table: against a bucketed scan the writer-side repartition
+            // is elided as redundant and the rewrite fans back out to
+            // mixed-bucket tasks — a plain scan lets writeBucketedFiles
+            // route every row to its bucket's single task (spec pins
+            // <= 1 file per bucket)
+            writeSegment(
+              spark.read.parquet(tier.map(seg => s"$path/seg/$seg"): _*),
+              path, segName, meta.buckets, stats)
             VersionedIndex.publish(path, next,
               meta.copy(segments = meta.segments :+ segName,
-                live = Seq(segName)),
+                live = meta.live.filterNot(tier.contains) :+ segName),
               Tables)
             true
           }

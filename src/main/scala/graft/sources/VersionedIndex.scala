@@ -541,6 +541,34 @@ object VersionedIndex {
     releaseClaim(path, ver) // committed: the number can never be reclaimed
   }
 
+  /** A segment's on-disk bytes (metadata walk only). */
+  def segmentBytes(path: String, seg: String): Long = {
+    val root = Paths.get(path, "seg", seg)
+    if (!Files.exists(root)) 0L
+    else walkAll(root).filter(Files.isRegularFile(_)).map(Files.size).sum
+  }
+
+  /** SIZE-TIERED compaction pick (r15 verdict #3 — the LSM move): the
+    * live segments a cadence-triggered compact should merge are the
+    * SMALLEST `live - minLive + 2` by on-disk bytes, which takes the live
+    * count to `minLive - 1` while rewriting the delta pile — never the
+    * whole live set — per cadence. The base participates only when the
+    * accumulated delta pile has grown to its size tier (it stops being
+    * among the smallest), so base rewrites amortize logarithmically
+    * instead of recurring every cadence: a compaction day's cost is
+    * O(deltas since the last one), not O(corpus). Ties break by name for
+    * determinism. Empty below `minLive` (nothing to do); with
+    * `minLive = 2` this degenerates to "merge both", the historical
+    * full-rewrite behavior two-segment callers (e14) rely on.
+    */
+  def compactionCandidates(path: String, live: Seq[String],
+      minLive: Int): Seq[String] = {
+    require(minLive >= 2, s"minLive must be >= 2, got $minLive")
+    if (live.size < minLive) Nil
+    else live.map(s => (segmentBytes(path, s), s)).sorted
+      .take(live.size - minLive + 2).map(_._2)
+  }
+
   /** Retention GC: delete superseded version directories older than the
     * newest `keep` (the CURRENT version is always retained), then every
     * segment directory no RETAINED manifest holds LIVE — which sweeps

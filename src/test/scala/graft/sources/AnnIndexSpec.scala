@@ -3,7 +3,7 @@ package graft.sources
 import graft.SparkTestSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 
 /** Lifecycle contract of the persisted ANN index: build-once/serve-warm,
   * fingerprint-forced rebuilds, snapshot isolation, and e12 == e10
@@ -243,6 +243,58 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(AnnIndex.appendFraction(spark, path) === 0.5)
     assert(!AnnIndex.append(delta, "batch-0", path))
     assert(!AnnIndex.compact(spark, path)) // below minLive: no-op
+  }
+
+  test("size-tiered ANN compaction merges the delta pile and leaves the base files alone") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("annidx").toString
+    // a base an order of magnitude bigger than each delta, so the size
+    // tiers are unambiguous
+    val baseVecs = (0L until 40L).map(i => (i, Seq(i.toFloat, 1f)))
+    AnnIndex.ensure(spark, AnnIndex.Artifacts(
+      vectors = baseVecs.toDF("vec_id", "embedding"),
+      centroids = Seq((0L, 0L, 127L), (0L, 1L, 0L)).toDF("ccid", "d", "ccq"),
+      cells = baseVecs.map { case (i, _) => (i, 0L) }.toDF("vec_id", "cell"),
+      codebook = Seq((0L, 0L, 0L, 5L)).toDF("m", "cid", "d", "cq"),
+      codes = baseVecs.map { case (i, _) => (i, 0L, 0L) }.toDF("vec_id", "m", "cid")),
+      path, "fp", buckets = 2)
+    def delta(id: Long) = AnnIndex.Delta(
+      vectors = Seq((100L + id, Seq(0.5f, id.toFloat))).toDF("vec_id", "embedding"),
+      cells = Seq((100L + id, 0L)).toDF("vec_id", "cell"),
+      codes = Seq((100L + id, 0L, 0L)).toDF("vec_id", "m", "cid"))
+    assert(AnnIndex.append(delta(0), "batch-0", path))
+    assert(AnnIndex.append(delta(1), "batch-1", path))
+    def rows() = AnnIndex.serve(spark, path).vectors
+      .collect().map(_.toString).toSet
+    val before = rows()
+    val fracBefore = AnnIndex.appendFraction(spark, path)
+    val baseFiles = VersionedIndex.dataFilesRecursive(
+        Paths.get(path, "seg", "base-v1"))
+      .map { case (rel, f) =>
+        (rel, f.getFileName.toString, Files.getLastModifiedTime(f).toMillis) }
+      .sorted
+
+    // live = base + 2 deltas; minLive=3 merges ONLY the deltas
+    assert(AnnIndex.compact(spark, path, minLive = 3)) // v4
+    val meta = VersionedIndex.readMeta(path).get
+    assert(meta.live === Seq("base-v1", "compact-v4"),
+      "the base tier stays live untouched")
+    assert(meta.segments === Seq("base-v1", "batch-0", "batch-1", "compact-v4"))
+    assert(VersionedIndex.dataFilesRecursive(Paths.get(path, "seg", "base-v1"))
+      .map { case (rel, f) =>
+        (rel, f.getFileName.toString, Files.getLastModifiedTime(f).toMillis) }
+      .sorted === baseFiles, "a size-tiered compact must not rewrite the base")
+    // the merged delta segment carries no geometry (the base owns it),
+    // and the served tables are unchanged, drift measure included
+    assert(!Files.isDirectory(Paths.get(path, "seg", "compact-v4", "centroids")))
+    assert(rows() === before)
+    assert(AnnIndex.appendFraction(spark, path) === fracBefore)
+    // replays stay ledger-gated; GC reclaims only the merged deltas
+    assert(!AnnIndex.append(delta(0), "batch-0", path))
+    val gone = VersionedIndex.gcVersions(path, keep = 1).toSet
+    assert(Set("seg/batch-0", "seg/batch-1").subsetOf(gone), gone)
+    assert(!gone.contains("seg/base-v1"), "the live base must survive GC")
+    assert(rows() === before)
   }
 
   test("e14 equals e13: serving the compacted index reproduces the appended path exactly") {

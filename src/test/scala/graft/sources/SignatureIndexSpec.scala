@@ -322,6 +322,40 @@ class SignatureIndexSpec extends AnyFunSuite {
     assert(!SignatureIndex.compact(spark, path))
   }
 
+  test("size-tiered compaction rewrites the delta pile, never the base (minLive >= 3)") {
+    import graft.streaming.SignatureIndexStream
+    val path = freshPath()
+    val base = docs.filter(col("doc_id") < 60) // the big tier
+    val d1 = docs.filter(col("doc_id") >= 60 && col("doc_id") < 63)
+    val d2 = docs.filter(col("doc_id") >= 63 && col("doc_id") < 66)
+    SignatureIndex.build(PipelinePack.bandSignaturesOf(base), path, "fp", buckets = 4)
+    assert(SignatureIndexStream.processBatch(d1, 0L, path))
+    assert(SignatureIndexStream.processBatch(d2, 1L, path))
+    val rowsBefore = sigRows(SignatureIndex.serve(spark, path))
+    val baseFiles = VersionedIndex.dataFiles(Paths.get(path, "seg", "base-v1"))
+      .map(f => (f.toString, Files.getLastModifiedTime(f).toMillis)).sorted
+
+    // live = base + 2 small deltas; minLive=3 merges ONLY the two deltas
+    assert(SignatureIndex.compact(spark, path, minLive = 3)) // v4
+    val meta = SignatureIndex.readMeta(path).get
+    assert(meta.live === Seq("base-v1", "compact-v4"),
+      "the base stays live untouched; the delta pile folds into one")
+    assert(meta.segments === Seq("base-v1", "batch-0", "batch-1", "compact-v4"))
+    // the base segment's FILES were not rewritten — byte-identical mtimes
+    assert(VersionedIndex.dataFiles(Paths.get(path, "seg", "base-v1"))
+      .map(f => (f.toString, Files.getLastModifiedTime(f).toMillis)).sorted
+      === baseFiles, "a size-tiered compact must not rewrite the base tier")
+    assert(sigRows(SignatureIndex.serve(spark, path)) === rowsBefore)
+    // replay stays ledger-gated; below-minLive recompaction no-ops
+    assert(!SignatureIndexStream.processBatch(d1, 0L, path))
+    assert(!SignatureIndex.compact(spark, path, minLive = 3))
+    // once the pile reaches the base's tier, the base DOES participate:
+    // force it by compacting at minLive=2 (merge-all degenerate form)
+    assert(SignatureIndex.compact(spark, path, minLive = 2))
+    assert(SignatureIndex.readMeta(path).get.live.size === 1)
+    assert(sigRows(SignatureIndex.serve(spark, path)) === rowsBefore)
+  }
+
   test("the stream leg's compactAfter bounds live segments at steady state") {
     import graft.streaming.SignatureIndexStream
     val path = freshPath()

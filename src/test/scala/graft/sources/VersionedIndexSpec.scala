@@ -160,6 +160,85 @@ class VersionedIndexSpec extends AnyFunSuite {
     assert(SignatureIndex.append(d1, "batch-0", fresh)) // name is free again
   }
 
+  test("kill mid-publish: a writer dies between segment write and CURRENT swap; " +
+      "a second writer steals after the TTL, publishes, and GC reclaims the orphan " +
+      "— serving never sees a torn version") {
+    // r15 verdict #7: the composed crash sequence, not just the unit legs
+    val path = freshPath()
+    baseIndex(path) // v1
+    val serveRows = SignatureIndex.serve(spark, path).count()
+    assert(serveRows > 0L)
+
+    // writer A claims v2, writes its segment files, starts building the
+    // version dir ... and DIES before the CURRENT swap (no _meta, marker
+    // still held) — the worst crash point: bytes on disk, nothing
+    // committed
+    assert(VersionedIndex.tryClaimNext(path) === Some(2L))
+    fakeSegment(path, "segA")
+    val tornDir = Paths.get(path, "v2")
+    Files.createDirectories(tornDir)
+    Files.writeString(tornDir.resolve("segA-part-00000-x_00000.parquet"), "x")
+    // ...crash. Serving throughout resolves the COMMITTED v1, bit-stable:
+    assert(VersionedIndex.currentVersion(path) === Some("v1"))
+    assert(SignatureIndex.serve(spark, path).count() === serveRows)
+
+    // within the TTL writer B cannot take the number (A might be alive)
+    assert(VersionedIndex.tryClaimNext(path) === None)
+    Thread.sleep(15L)
+    // past the TTL, B steals A's claim (atomic retire + re-create) ...
+    assert(VersionedIndex.tryClaimNext(path, claimTtlMs = 1L) === Some(2L))
+    // ... writes ITS segment and publishes v2 — publish clears A's torn
+    // v2 remnants before linking, so the committed v2 holds exactly B's
+    // (and the retained) files
+    fakeSegment(path, "segB")
+    val m = VersionedIndex.readMeta(path).get
+    VersionedIndex.publish(path, 2L,
+      m.copy(segments = m.segments :+ "segB", live = m.live :+ "segB"))
+    assert(VersionedIndex.currentVersion(path) === Some("v2"))
+    val m2 = VersionedIndex.readMeta(path).get
+    assert(m2.segments === Seq("base-v1", "segB"))
+    assert(m2.live === Seq("base-v1", "segB"))
+    assert(!Files.exists(tornDir.resolve("segA-part-00000-x_00000.parquet")),
+      "publish must clear the crashed attempt's torn files")
+    assert(!Files.exists(VersionedIndex.claimMarker(path, 2L)))
+
+    // GC reclaims A's orphan segment (live in no retained manifest) and
+    // the superseded v1; the committed v2 keeps serving
+    val gone = VersionedIndex.gcVersions(path, keep = 1).toSet
+    assert(gone.contains("seg/segA"), gone)
+    assert(VersionedIndex.currentVersion(path) === Some("v2"))
+    assert(VersionedIndex.readMeta(path).get.segments === Seq("base-v1", "segB"))
+    // and the next claim proceeds normally on top
+    assert(VersionedIndex.tryClaimNext(path) === Some(3L))
+    VersionedIndex.releaseClaim(path, 3L)
+  }
+
+  test("the claim store is pluggable; every claim primitive routes through it") {
+    // r15 verdict #4: the conditional-PUT seam is an interface like the
+    // snapshot provider — an object store installs its own in one line
+    val calls = new java.util.concurrent.atomic.AtomicReference(Vector.empty[String])
+    val inner = VersionedIndex.claimStore
+    val wrapper = new VersionedIndex.ClaimStore {
+      private def rec(op: String): Unit = calls.updateAndGet(_ :+ op)
+      def tryCreate(m: java.nio.file.Path): Boolean = { rec("create"); inner.tryCreate(m) }
+      def ageMs(m: java.nio.file.Path): Option[Long] = { rec("age"); inner.ageMs(m) }
+      def retire(m: java.nio.file.Path): Boolean = { rec("retire"); inner.retire(m) }
+      def release(m: java.nio.file.Path): Unit = { rec("release"); inner.release(m) }
+    }
+    val path = freshPath()
+    baseIndex(path)
+    val prev = VersionedIndex.setClaimStore(wrapper)
+    try {
+      assert(VersionedIndex.tryClaimNext(path) === Some(2L))
+      assert(calls.get().contains("create"))
+      Thread.sleep(15L)
+      assert(VersionedIndex.tryClaimNext(path, claimTtlMs = 1L) === Some(2L))
+      assert(calls.get().contains("age") && calls.get().contains("retire"))
+      VersionedIndex.releaseClaim(path, 2L)
+      assert(calls.get().contains("release"))
+    } finally VersionedIndex.setClaimStore(prev)
+  }
+
   test("the snapshot provider is pluggable and the default walks filesystem metadata") {
     // r14 verdict #6: an object-store deployment answers "which corpus
     // snapshot is this?" from its table format's commit log, not mtimes —
