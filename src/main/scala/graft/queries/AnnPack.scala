@@ -973,7 +973,7 @@ object AnnPack {
     // stale-memo coherence (ADVICE r13): a rebuild must derive from the
     // CURRENT files, never from memos of a mid-session-regenerated corpus
     invalidateStaleCorpusMemos(spark, dir, rawFp)
-    val fp = rawFp + s"#ivfpq/$PqSubDim/$PqCentroids/md5/pc2" // /pc2: pcell layout (incl. vectors)
+    val fp = rawFp + s"#ivfpq/$PqSubDim/$PqCentroids/md5/pc3" // /pc3: pcell layout (256KB dir target) (incl. vectors)
     val t = AnnIndex.ensure(spark, ivfPqArtifacts(spark, dir), path, fp)
     serveIvfPqFrom(t, nprobe, shortlist)
   }
@@ -1153,7 +1153,7 @@ object AnnPack {
     val rawFp = graft.sources.SignatureIndex.dirFingerprint(s"$dir/embeddings.parquet")
     invalidateStaleCorpusMemos(spark, dir, rawFp) // ADVICE r13 coherence
     val fp = rawFp +
-      s"#ivfpq-base/$PqSubDim/$PqCentroids/md5/m${deltaMod}r$deltaRes/pc2"
+      s"#ivfpq-base/$PqSubDim/$PqCentroids/md5/m${deltaMod}r$deltaRes/pc3"
     val t0 = AnnIndex.ensure(spark,
       ivfPqBaseArtifacts(spark, dir, deltaMod, deltaRes), path, fp)
     // the delta batch arrives: one manifest-gated append. The manifest
@@ -1205,13 +1205,13 @@ object AnnPack {
     val rawFp = graft.sources.SignatureIndex.dirFingerprint(s"$dir/embeddings.parquet")
     invalidateStaleCorpusMemos(spark, dir, rawFp) // ADVICE r13 coherence
     val fpFinal = rawFp +
-      s"#ivfpq-retrained/$PqSubDim/$PqCentroids/md5/m$baseMod/pc2"
+      s"#ivfpq-retrained/$PqSubDim/$PqCentroids/md5/m$baseMod/pc3"
     def retrained = AnnIndex.readFingerprint(path).contains(fpFinal)
     if (!retrained) VersionedIndex.withWriteLock(path) {
       if (!retrained) {
         // 1. day-0: base over the minority slice the corpus began as
         val fpBase = rawFp +
-          s"#ivfpq-retrain-base/$PqSubDim/$PqCentroids/md5/m$baseMod/pc2"
+          s"#ivfpq-retrain-base/$PqSubDim/$PqCentroids/md5/m$baseMod/pc3"
         AnnIndex.ensure(spark,
           ivfPqArtifactsOver(spark, dir,
             slice = Some(col("vec_id") % baseMod === 0L),

@@ -104,8 +104,14 @@ object AnnIndex {
     * buckets micro-files per segment. At production volumes bytes/floor
     * far exceeds the cell count and the effective layout is
     * min(√N cells, 4096) dirs of `buckets` ≈ 64 MB files each.
+    *
+    * 256 KB (r16, was 64 KB): the r15 floor made EVERY lifecycle write
+    * O(pcells × buckets) tiny files at fixture scale — a measured 6.5s
+    * of the 12s per-delta append was the 1,264-file codes write alone.
+    * Pruning stays observable (the 10x receipt needs probed/pcells < 1)
+    * while segment writes and serve-time listings shed ~4x the files.
     */
-  private[graft] val TargetPcellBytes = 64L << 10
+  private[graft] val TargetPcellBytes = 256L << 10
 
   private[graft] def pcellsFor(codeBytes: Long, nCells: Int): Int =
     math.max(1L, math.min(math.min(nCells.toLong, MaxPcells.toLong),
@@ -128,7 +134,12 @@ object AnnIndex {
       // scan to the probed cells' directories — IO follows the probed
       // fraction, not the index size. One task per pcell keeps it at one
       // file per (dir) for cells/vectors and ≤ buckets per dir for codes.
+      // The assignment is PINNED across the three writes (r16 — each
+      // write otherwise re-executes the cells derivation, a measured
+      // ~2s/segment at the 10x fixture).
       val cellsP = withPcell(cells, pcells)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
       cellsP.repartition(col("pcell")).sortWithinPartitions("cell", "vec_id")
         .write.partitionBy("pcell").mode(SaveMode.Overwrite)
         .parquet(s"$segDir/cells")
@@ -161,6 +172,7 @@ object AnnIndex {
         s"$segDir/codes", buckets,
         Seq("vec_id"), Seq("vec_id"), kind = "annseg",
         partitionCols = Seq("pcell"))
+      } finally cellsP.unpersist(blocking = false)
     } else {
       // legacy flat layout (pre-pcell manifests): appends must keep the
       // committed version's layout, so this branch stays writable

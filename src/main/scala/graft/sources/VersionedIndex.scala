@@ -548,25 +548,26 @@ object VersionedIndex {
     else walkAll(root).filter(Files.isRegularFile(_)).map(Files.size).sum
   }
 
-  /** SIZE-TIERED compaction pick (r15 verdict #3 — the LSM move): the
-    * live segments a cadence-triggered compact should merge are the
-    * SMALLEST `live - minLive + 2` by on-disk bytes, which takes the live
-    * count to `minLive - 1` while rewriting the delta pile — never the
-    * whole live set — per cadence. The base participates only when the
-    * accumulated delta pile has grown to its size tier (it stops being
-    * among the smallest), so base rewrites amortize logarithmically
-    * instead of recurring every cadence: a compaction day's cost is
-    * O(deltas since the last one), not O(corpus). Ties break by name for
-    * determinism. Empty below `minLive` (nothing to do); with
-    * `minLive = 2` this degenerates to "merge both", the historical
-    * full-rewrite behavior two-segment callers (e14) rely on.
+  /** SIZE-TIERED compaction pick (r15 verdict #3 — the LSM move): when
+    * the live set reaches `minLive`, merge everything EXCEPT the single
+    * largest segment by on-disk bytes — the delta pile folds into one
+    * while the big tier (normally the base) is left untouched, so a
+    * cadence-triggered compact rewrites O(deltas since the last one),
+    * never O(corpus). The base participates only once the accumulated
+    * pile outgrows it (it stops being the largest), so base rewrites
+    * amortize logarithmically instead of recurring every cadence. At
+    * exactly two live segments the pick degenerates to "merge both" —
+    * the historical full-rewrite behavior two-segment callers (e14)
+    * rely on, and the only way a 2-segment index can shed files at all.
+    * Ties break by name for determinism. Empty below `minLive`.
     */
   def compactionCandidates(path: String, live: Seq[String],
       minLive: Int): Seq[String] = {
     require(minLive >= 2, s"minLive must be >= 2, got $minLive")
     if (live.size < minLive) Nil
+    else if (live.size == 2) live
     else live.map(s => (segmentBytes(path, s), s)).sorted
-      .take(live.size - minLive + 2).map(_._2)
+      .take(live.size - 1).map(_._2)
   }
 
   /** Retention GC: delete superseded version directories older than the

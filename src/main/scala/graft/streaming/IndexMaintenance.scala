@@ -52,9 +52,17 @@ object IndexMaintenance {
     else if (batch.isEmpty) false // nothing to commit
     else {
       val committed = append(batch, segName)
-      // compact's own minLive gate IS the threshold check (no-op below)
-      if (committed && compactAfter > 0)
-        compact(batch.sparkSession, indexPath, compactAfter)
+      // `compactAfter` bounds the DELTA PILE, not total live (r16): the
+      // size-tiered compact keeps the big tier (base + merged pile) as
+      // its floor of 2 live segments, so the trigger fires when the pile
+      // exceeds the cadence — live > compactAfter — and the merge takes
+      // it back to the floor. Steady state: live in [2, compactAfter+1]
+      // momentarily, <= compactAfter observed between batches, one
+      // pile rewrite every compactAfter-1 batches.
+      if (committed && compactAfter > 0 &&
+          graft.sources.VersionedIndex.readMeta(indexPath)
+            .exists(_.live.size > compactAfter))
+        compact(batch.sparkSession, indexPath, compactAfter + 1)
       committed
     }
   }

@@ -1,0 +1,104 @@
+package graft.tools
+
+import graft.{Sessions, Tables}
+import graft.queries.AnnPack
+import graft.sources.{AnnIndex, SignatureIndex, VersionedIndex}
+import org.apache.spark.sql.functions.{col, size => fSize}
+
+/** Scratch profiler for the index lifecycle's write costs (round-16 #3):
+  * times a base build, per-day appends and a size-tiered compaction at
+  * the week-rehearsal fixture scale, so the fixed per-segment overhead
+  * (file fan-out, catalog round-trips) is measured, not guessed.
+  */
+object CompactProfile {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft_sf1")
+    val spark = Sessions.get()
+    def time[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[profile] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+    val root = java.nio.file.Files.createTempDirectory("cprof").toString
+    val annPath = s"$root/ann"
+    val sigPath = s"$root/sig"
+    val embRaw = Tables.embeddings(spark, dir)
+    val dim = embRaw.select(fSize(col("embedding")).as("d")).head.getInt(0)
+    val cv = AnnPack.clusteredEmbeddings(embRaw, Some(s"$dir/embeddings"))
+    val docs = Tables.documents(spark, dir)
+    time("ann base build (9/16)") {
+      AnnIndex.build(AnnPack.ivfPqArtifactsFromCv(cv, dim,
+        Some(col("vec_id") % 16L < 9L), None), annPath, "fp")
+    }
+    time("sig base build (9/16)") {
+      SignatureIndex.build(
+        graft.queries.PipelinePack.bandSignaturesOf(
+          docs.filter(col("doc_id") % 16L < 9L)), sigPath, "fp")
+    }
+    for (day <- 0 until 3) {
+      val res = 9L + day
+      time(s"sig append day $day") {
+        graft.streaming.SignatureIndexStream.processBatch(
+          docs.filter(col("doc_id") % 16L === res), day.toLong, sigPath)
+      }
+      time(s"ann delta derive day $day") {
+        AnnPack.deltaArtifactsFor(
+          cv.filter(col("vec_id") % 16L === res),
+          AnnIndex.serve(spark, annPath))
+      }
+      time(s"ann append day $day") {
+        graft.streaming.AnnIndexStream.processBatch(
+          cv.filter(col("vec_id") % 16L === res), day.toLong, annPath)
+      }
+    }
+    // day 3: the append's WRITE broken into its three table legs (the
+    // same shapes AnnIndex.writeTables produces), to locate the fixed cost
+    locally {
+      import org.apache.spark.sql.SaveMode
+      import org.apache.spark.sql.functions.{lit, pmod}
+      val served = AnnIndex.serve(spark, annPath)
+      val meta = VersionedIndex.readMeta(annPath).get
+      val d = time("day3 delta derive") {
+        AnnPack.deltaArtifactsFor(cv.filter(col("vec_id") % 16L === 12L), served)
+      }
+      val segDir = s"$annPath/seg/breakdown-probe"
+      val cellsP = d.cells.withColumn("pcell",
+        pmod(col("cell"), lit(meta.pcells.toLong)).cast("int"))
+      val cellsPinned = time("day3 cells pin") {
+        cellsP.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .count(); cellsP
+      }
+      time("day3 cells write") {
+        cellsPinned.repartition(col("pcell")).sortWithinPartitions("cell", "vec_id")
+          .write.partitionBy("pcell").mode(SaveMode.Overwrite)
+          .parquet(s"$segDir/cells")
+      }
+      val pmap = cellsPinned.select(col("vec_id"), col("pcell"))
+      time("day3 vectors write") {
+        d.vectors.join(pmap, "vec_id")
+          .repartition(col("pcell")).sortWithinPartitions("vec_id")
+          .write.partitionBy("pcell").mode(SaveMode.Overwrite)
+          .parquet(s"$segDir/vectors")
+      }
+      time("day3 codes write (bucketed)") {
+        VersionedIndex.writeBucketedFiles(
+          d.codes.selectExpr("CAST(vec_id AS BIGINT) AS vec_id",
+            "CAST(m AS BIGINT) AS m", "CAST(cid AS BIGINT) AS cid")
+            .join(pmap, "vec_id"),
+          s"$segDir/codes", meta.buckets, Seq("vec_id"), Seq("vec_id"),
+          kind = "annseg", partitionCols = Seq("pcell"))
+      }
+      cellsPinned.unpersist(blocking = false)
+    }
+    time("sig compact (tier)") { SignatureIndex.compact(spark, sigPath, minLive = 3) }
+    time("ann compact (tier)") { AnnIndex.compact(spark, annPath, minLive = 3) }
+    time("gc both") {
+      VersionedIndex.gcVersions(sigPath, keep = 2)
+      VersionedIndex.gcVersions(annPath, keep = 2)
+    }
+    VersionedIndex.walkAll(java.nio.file.Paths.get(root)).reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    spark.stop()
+  }
+}

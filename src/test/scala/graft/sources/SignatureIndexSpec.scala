@@ -295,16 +295,23 @@ class SignatureIndexSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1))).toMap
     val statsBefore = statsNow
 
-    assert(SignatureIndex.compact(spark, path)) // v4
+    // first compact folds the delta PILE (size-tiered, r16 — the base is
+    // the largest tier and stays); a second, at two live segments, is
+    // the degenerate full fold
+    assert(SignatureIndex.compact(spark, path)) // v4: pile -> one
+    assert(SignatureIndex.readMeta(path).get.live ===
+      Seq("base-v1", "compact-v4"))
+    assert(SignatureIndex.compact(spark, path)) // v5: fold both
     val meta = SignatureIndex.readMeta(path).get
     // ONE live segment; the ledger keeps every committed batch name
-    assert(meta.live === Seq("compact-v4"))
-    assert(meta.segments === Seq("base-v1", "batch-0", "batch-1", "compact-v4"))
+    assert(meta.live === Seq("compact-v5"))
+    assert(meta.segments ===
+      Seq("base-v1", "batch-0", "batch-1", "compact-v4", "compact-v5"))
     // the rewritten segment is at most one file per bucket: the compact
     // read is bucket-aligned, so the write needs no reshuffle and the
     // steady-state file count is O(buckets), not O(batches x writers)
     assert(VersionedIndex.dataFiles(
-      Paths.get(path, "seg", "compact-v4")).size <= meta.buckets)
+      Paths.get(path, "seg", "compact-v5")).size <= meta.buckets)
     assert(sigRows(SignatureIndex.serve(spark, path)) === rowsBefore)
     assert(statsNow === statsBefore)
 
@@ -367,7 +374,8 @@ class SignatureIndexSpec extends AnyFunSuite {
       // live never exceeds compactAfter: append -> threshold -> rewrite
       assert(SignatureIndex.readMeta(path).get.live.size <= 2)
     }
-    assert(SignatureIndex.readMeta(path).get.live.size === 1)
+    // steady state is the size-tiered floor: base tier + merged pile
+    assert(SignatureIndex.readMeta(path).get.live.size <= 2)
     val want = sigRows(PipelinePack.bandSignaturesOf(docs.filter(col("doc_id") < 80)))
     assert(sigRows(SignatureIndex.serve(spark, path)) === want)
   }

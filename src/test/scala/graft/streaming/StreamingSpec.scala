@@ -824,8 +824,9 @@ class StreamingSpec extends AnyFunSuite {
         in.toDS().toDF("doc_id", "text"), path, s"sigidx_compact_$i",
         Some(ckpt), compactAfter = 2)
       q.awaitTermination()
-      // post-batch live is the compacted single segment, never O(batches)
-      assert(SignatureIndex.readMeta(path).get.live.size === 1)
+      // post-batch live is bounded by the pile cadence (base + merged
+      // pile under the r16 size-tiered trigger), never O(batches)
+      assert(SignatureIndex.readMeta(path).get.live.size <= 2)
     }
     val meta = SignatureIndex.readMeta(path).get
     assert(Seq("batch-0", "batch-1", "batch-2").forall(meta.segments.contains))
