@@ -81,13 +81,30 @@ object CompactProfile {
           .write.partitionBy("pcell").mode(SaveMode.Overwrite)
           .parquet(s"$segDir/vectors")
       }
+      val codesIn = d.codes.selectExpr("CAST(vec_id AS BIGINT) AS vec_id",
+        "CAST(m AS BIGINT) AS m", "CAST(cid AS BIGINT) AS cid")
+        .join(pmap, "vec_id")
       time("day3 codes write (bucketed)") {
         VersionedIndex.writeBucketedFiles(
-          d.codes.selectExpr("CAST(vec_id AS BIGINT) AS vec_id",
-            "CAST(m AS BIGINT) AS m", "CAST(cid AS BIGINT) AS cid")
-            .join(pmap, "vec_id"),
-          s"$segDir/codes", meta.buckets, Seq("vec_id"), Seq("vec_id"),
+          codesIn, s"$segDir/codes", meta.buckets, Seq("vec_id"), Seq("vec_id"),
           kind = "annseg", partitionCols = Seq("pcell"))
+      }
+      // micro-splits: where do the bucketed write's seconds go?
+      time("day3 codes plain partitionBy write") {
+        codesIn.repartition(col("pcell"))
+          .write.partitionBy("pcell").mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$segDir/codes_plain")
+      }
+      time("day3 codes flat bucketed (no partitionBy)") {
+        VersionedIndex.writeBucketedFiles(
+          codesIn, s"$segDir/codes_flat", meta.buckets,
+          Seq("vec_id"), Seq("vec_id"), kind = "annseg")
+      }
+      time("day3 catalog create+drop only") {
+        val tmp = s"graft_probe_tmp_${System.nanoTime()}"
+        spark.sql(s"CREATE TABLE `$tmp` (vec_id BIGINT) USING parquet " +
+          s"LOCATION '$segDir/codes_flat'")
+        spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
       }
       cellsPinned.unpersist(blocking = false)
     }
