@@ -690,7 +690,8 @@ object ScaleRehearsal {
       // rewrite is O(live set) by design and amortizes over the cadence),
       // the maintained d37 stats equal a from-scratch re-aggregation,
       // and every day's batch replays as a no-op after the week.
-      val (weekSigDays, weekAnnFrac, weekBytesReclaimed, weekSignalDay) = {
+      val (weekSigDays, weekAnnFrac, weekBytesReclaimed, weekSignalDay,
+        weekCompactionBytes) = {
         import graft.sources.{AnnIndex, SignatureIndex, VersionedIndex}
         import graft.streaming.{AnnIndexStream, SignatureIndexStream}
         import graft.queries.AnnPack
@@ -730,6 +731,23 @@ object ScaleRehearsal {
             annPath, "fp-week")
           AnnIndexStream.retrainSignals.remove(annPath) // fresh drift cycle
           var reclaimed = 0L
+          // (rewritten bytes, base-tier bytes) per compaction event — the
+          // size-tiered invariant in BYTES (r15 verdict #3): a compaction
+          // rewrites the delta pile, a fraction of the base tier, never
+          // the corpus. Captured while the segment files still exist
+          // (GC retires them soon after).
+          val compactionBytes = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, Long)]
+          def recordCompactions(path: String, tag: String): Unit = {
+            val m = VersionedIndex.readMeta(path).get
+            m.live.filter(_.startsWith("compact-")).foreach { seg =>
+              if (!compactionBytes.exists(c => c._1 == s"$tag/$seg")) {
+                val rewritten = VersionedIndex.segmentBytes(path, seg)
+                val largest = m.live.map(VersionedIndex.segmentBytes(path, _)).max
+                compactionBytes += ((s"$tag/$seg", rewritten, largest))
+              }
+            }
+          }
           val dayStats = (0 until 7).map { day =>
             val res = 9L + day
             val live0 = SignatureIndex.readMeta(sigPath).get.live.size
@@ -742,6 +760,8 @@ object ScaleRehearsal {
               cv.filter(fCol("vec_id") % 16L === res), day.toLong,
               annPath, compactAfter = 3)
             val gateMs = (System.nanoTime() - t0) / 1000000L
+            recordCompactions(sigPath, "sig")
+            recordCompactions(annPath, "ann")
             val before = dirBytes(sigPath) + dirBytes(annPath)
             VersionedIndex.gcVersions(sigPath, keep = 2)
             VersionedIndex.gcVersions(annPath, keep = 2)
@@ -794,6 +814,17 @@ object ScaleRehearsal {
             allDays.max <= allDays.min * 3 / 2 + 1500,
             s"day costs ms: ${allDays.mkString(",")} — max/min " +
               f"${allDays.max.toDouble / allDays.min}%.2f")
+          // the size-tiered invariant in BYTES: every compaction event
+          // rewrote strictly LESS than the big tier it left in place —
+          // the pile, which legitimately grows toward the base's size
+          // across the week (0.33x -> 0.78x measured), but never
+          // base + pile. The r15 full rewrite left nothing bigger than
+          // what it wrote (rewritten == largest live) and fails loudly.
+          check("week_compaction_rewrites_pile_not_corpus")(
+            compactionBytes.nonEmpty &&
+              compactionBytes.forall { case (_, rw, big) => rw < big },
+            compactionBytes.map { case (s, rw, big) => s"$s: $rw vs $big" }
+              .mkString("; "))
           // maintained d37 stats survived 7 appends + compactions + GC:
           // they equal a from-scratch aggregation of everything ingested
           val statsServed = SignatureIndex.sourceStats(spark, sigPath)
@@ -829,7 +860,9 @@ object ScaleRehearsal {
           check("week_replays_all_noop")(replays.forall(identity),
             s"replay no-op by day: ${replays.mkString(",")}")
           (dayStats.map(_._3).mkString("|"), fracPre, reclaimed,
-            signal.map(_.batchId).getOrElse(-1L))
+            signal.map(_.batchId).getOrElse(-1L),
+            compactionBytes.map { case (s, rw, big) => s"$s:$rw/$big" }
+              .mkString("|"))
         } finally deleteTree(weekRoot)
       }
 
@@ -984,6 +1017,7 @@ object ScaleRehearsal {
         s""""week_ann_fraction_at_retrain":$weekAnnFrac,""" +
         s""""week_retrain_signal_day":$weekSignalDay,""" +
         s""""week_gc_bytes_reclaimed":$weekBytesReclaimed,""" +
+        s""""week_compaction_rewritten_vs_big_tier":"$weekCompactionBytes",""" +
         s""""compaction_live_segments":$cmpLive,"compaction_files_plain":$cmpFilesPlain,""" +
         s""""compaction_files_comp":$cmpFilesComp,"compaction_rows":$cmpRows,""" +
         s""""d37_rows_10x":$d37Rows,"d37_admitted_10x":$d37Adm,""" +
