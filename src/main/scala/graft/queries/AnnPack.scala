@@ -1006,6 +1006,11 @@ object AnnPack {
     val (qRows, probePairs) = servedQueryBatchCache.getOrElseUpdate(
       (spark, t.path, t.version, nprobe), {
         SessionMemos.arm(spark)
+        // a publish superseded any older version's batch — drop it so a
+        // long-lived session maintaining many batches stays O(indexes)
+        servedQueryBatchCache.filterInPlace { case ((s, p, v, _), _) =>
+          !((s eq spark) && p == t.path && v != t.version)
+        }
         val rows = t.vectors.filter(col("vec_id") < NumQueries)
           .select(col("vec_id"), col("embedding"))
           .as[(Long, Seq[Float])].collect().toSeq
