@@ -805,15 +805,19 @@ object ScaleRehearsal {
             plainDays.size >= 2 && plainDays.max <= plainDays.min * 3 + 1500,
             s"non-compaction day costs ms: ${plainDays.mkString(",")}")
           // r15 verdict #3: with SIZE-TIERED compaction a compaction day
-          // rewrites the delta pile, never the whole live set — so the
-          // worst day is bounded near the best day, not a multiple of it
-          // (r15 measured 1.7x under the full rewrite; the bound leaves
-          // jitter room but fails the old behavior loudly)
+          // rewrites the delta pile, never the whole live set. The
+          // worst/best-day SECONDS ratio rides the receipt
+          // (week_day_gate_ms — 1.59 measured idle, vs 1.75 for the r15
+          // full rewrite at near-double the absolute cost), but is NOT a
+          // hard check: identical code measured 2.47 under ambient VM
+          // load (a NON-compaction day ran 1.9x its idle time), so a
+          // sub-2x wall-clock bound at this fixture asserts the host,
+          // not the engine. The enforceable form of the invariant is
+          // BYTES (below) — deterministic whatever the neighbors do —
+          // plus week_day_cost_flat's x3 catcher above.
           val allDays = dayStats.map(_._3)
-          check("week_compaction_day_bounded")(
-            allDays.max <= allDays.min * 3 / 2 + 1500,
-            s"day costs ms: ${allDays.mkString(",")} — max/min " +
-              f"${allDays.max.toDouble / allDays.min}%.2f")
+          println(f"[week] day-gate max/min ${allDays.max.toDouble / allDays.min}%.2f " +
+            s"(${allDays.mkString(",")} ms)")
           // the size-tiered invariant in BYTES: every compaction event
           // rewrote strictly LESS than the big tier it left in place —
           // the pile, which legitimately grows toward the base's size
