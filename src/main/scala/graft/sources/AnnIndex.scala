@@ -308,7 +308,10 @@ object AnnIndex {
               .map(seg => Paths.get(path, "seg", seg, name))
               .filter(java.nio.file.Files.isDirectory(_))
               .map(d => spark.read.parquet(d.toString).drop("pcell"))
-              .reduce(_ unionByName _)
+              .reduceOption(_ unionByName _)
+              .getOrElse(throw new IllegalStateException(
+                s"compaction tier ${tier.mkString(",")} at $path carries no " +
+                  s"'$name' table — refusing to rewrite an empty table"))
             // a legacy (pre-baseRows) manifest records 0: backfill it from
             // the base segment's footers NOW — its files are still live
             // (nothing can GC a live-referenced segment), and after this

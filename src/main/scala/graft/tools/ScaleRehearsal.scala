@@ -493,8 +493,12 @@ object ScaleRehearsal {
         s"/tmp/graft_annindex/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_ivfpq"
       // per-path receipt hook (ADVICE r15): attribute the probe set to
       // THIS index's serve, immune to interleaved serves of other indexes
-      val (e12Probed, e12Pcells) = AnnPack.probedPcellsByPath(
-        java.nio.file.Paths.get(e12IdxPath).toAbsolutePath.toString)
+      // getOrElse (ADVICE r16): if the serve took the flat path (or the
+      // key normalization ever drifts) the check below must fail with its
+      // labeled diagnostic, not a bare NoSuchElementException
+      val (e12Probed, e12Pcells) = AnnPack.probedPcellsByPath.getOrElse(
+        java.nio.file.Paths.get(e12IdxPath).toAbsolutePath.toString,
+        (Seq.empty[Int], 0))
       val e12IdxV = graft.sources.VersionedIndex.currentVersion(e12IdxPath).get
       def pcellFiles(tbl: String, sel: Option[Set[Int]]): Int =
         graft.sources.VersionedIndex.dataFilesRecursive(

@@ -34,54 +34,177 @@ class VersionedIndexSpec extends AnyFunSuite {
     Files.writeString(seg.resolve("part-00000-x_00000.parquet"), "x")
   }
 
-  test("optimistic claims: the loser of v2 retries onto v3 with a rebased ledger") {
-    val path = freshPath()
-    baseIndex(path) // v1
-    // two uncoordinated WRITER PROCESSES race the next number — the claim
-    // primitives stand in for them (the per-JVM write lock doesn't apply
-    // across processes; the claim is what does)
-    assert(VersionedIndex.tryClaimNext(path) === Some(2L)) // writer A wins
-    assert(VersionedIndex.tryClaimNext(path) === None)     // writer B loses
-    // A commits v2 with its segment; publish retires A's claim marker
-    fakeSegment(path, "segA")
-    val m1 = VersionedIndex.readMeta(path).get
-    VersionedIndex.publish(path, 2L,
-      m1.copy(segments = m1.segments :+ "segA", live = m1.live :+ "segA"))
-    assert(VersionedIndex.currentVersion(path) === Some("v2"))
-    assert(!Files.exists(VersionedIndex.claimMarker(path, 2L)))
-    // B retries: fresh claim onto v3, REBASED on v2's manifest — A's
-    // committed segment cannot be lost from the ledger
-    assert(VersionedIndex.tryClaimNext(path) === Some(3L))
-    val m2 = VersionedIndex.readMeta(path).get
-    assert(m2.segments.contains("segA"))
-    fakeSegment(path, "segB")
-    VersionedIndex.publish(path, 3L,
-      m2.copy(segments = m2.segments :+ "segB", live = m2.live :+ "segB"))
-    assert(VersionedIndex.readMeta(path).get.segments ===
-      Seq("base-v1", "segA", "segB"))
-    assert(VersionedIndex.currentVersion(path) === Some("v3"))
+  /** One claim-store-under-test: its instance plus how the suite makes
+    * marker age pass (real sleep for the mtime-aged file store; a
+    * logical-clock tick for the CAS store, which deliberately has no
+    * mtimes at all).
+    */
+  private trait StoreHarness {
+    def store: VersionedIndex.ClaimStore
+    def advance(ms: Long): Unit
   }
 
-  test("a crashed claim blocks its number until the TTL, then is stolen and GC-swept") {
-    val path = freshPath()
-    baseIndex(path) // v1
-    assert(VersionedIndex.tryClaimNext(path) === Some(2L)) // claimant crashes here
-    // within the TTL the number stays blocked (a live writer may hold it)
-    assert(VersionedIndex.tryClaimNext(path) === None)
-    Thread.sleep(15L)
-    // past the TTL the stale marker is stolen (atomic tombstone rename —
-    // exactly one stealer can win) and the number becomes claimable
-    assert(VersionedIndex.tryClaimNext(path, claimTtlMs = 1L) === Some(2L))
-    VersionedIndex.releaseClaim(path, 2L)
-    // the GC leg: a crashed claim above CURRENT past the TTL is swept
-    assert(VersionedIndex.tryClaimNext(path) === Some(2L))
-    Thread.sleep(15L)
-    val gone = VersionedIndex.gcVersions(path, keep = 2, claimTtlMs = 1L)
-    assert(gone.contains("claims/v2"), gone)
-    assert(!Files.exists(VersionedIndex.claimMarker(path, 2L)))
-    assert(VersionedIndex.tryClaimNext(path) === Some(2L))
-    VersionedIndex.releaseClaim(path, 2L)
+  /** Register the commit-protocol contract tests once per store (r16
+    * verdict #2): the FILE default proves the shipped implementation;
+    * the in-memory CAS store (conditional-PUT semantics, generation
+    * tokens, logical clock — no filesystem, no mtimes) proves the
+    * CONTRACT is store-independent, not just that calls route through
+    * the trait. Same assertions, both stores, including the composed
+    * kill-mid-publish crash sequence.
+    */
+  private def claimContractTests(storeName: String, mk: () => StoreHarness): Unit = {
+    def withStore[T](body: StoreHarness => T): T = {
+      val h = mk()
+      val prev = VersionedIndex.setClaimStore(h.store)
+      try body(h) finally VersionedIndex.setClaimStore(prev)
+    }
+    def markerLive(h: StoreHarness, path: String, ver: Long): Boolean =
+      h.store.observe(VersionedIndex.claimMarker(path, ver)).isDefined
+
+    test(s"[$storeName] optimistic claims: the loser of v2 retries onto v3 " +
+        "with a rebased ledger") { withStore { h =>
+      val path = freshPath()
+      baseIndex(path) // v1
+      // two uncoordinated WRITER PROCESSES race the next number — the claim
+      // primitives stand in for them (the per-JVM write lock doesn't apply
+      // across processes; the claim is what does)
+      assert(VersionedIndex.tryClaimNext(path) === Some(2L)) // writer A wins
+      assert(VersionedIndex.tryClaimNext(path) === None)     // writer B loses
+      // A commits v2 with its segment; publish retires A's claim marker
+      fakeSegment(path, "segA")
+      val m1 = VersionedIndex.readMeta(path).get
+      VersionedIndex.publish(path, 2L,
+        m1.copy(segments = m1.segments :+ "segA", live = m1.live :+ "segA"))
+      assert(VersionedIndex.currentVersion(path) === Some("v2"))
+      assert(!markerLive(h, path, 2L))
+      // B retries: fresh claim onto v3, REBASED on v2's manifest — A's
+      // committed segment cannot be lost from the ledger
+      assert(VersionedIndex.tryClaimNext(path) === Some(3L))
+      val m2 = VersionedIndex.readMeta(path).get
+      assert(m2.segments.contains("segA"))
+      fakeSegment(path, "segB")
+      VersionedIndex.publish(path, 3L,
+        m2.copy(segments = m2.segments :+ "segB", live = m2.live :+ "segB"))
+      assert(VersionedIndex.readMeta(path).get.segments ===
+        Seq("base-v1", "segA", "segB"))
+      assert(VersionedIndex.currentVersion(path) === Some("v3"))
+    }}
+
+    test(s"[$storeName] a crashed claim blocks its number until the TTL, " +
+        "then is stolen and GC-swept") { withStore { h =>
+      val path = freshPath()
+      baseIndex(path) // v1
+      assert(VersionedIndex.tryClaimNext(path) === Some(2L)) // claimant crashes here
+      // within the TTL the number stays blocked (a live writer may hold it)
+      assert(VersionedIndex.tryClaimNext(path) === None)
+      h.advance(15L)
+      // past the TTL the stale marker is stolen (token-checked retire —
+      // exactly one stealer can win) and the number becomes claimable
+      assert(VersionedIndex.tryClaimNext(path, claimTtlMs = 1L) === Some(2L))
+      VersionedIndex.releaseClaim(path, 2L)
+      // the GC leg: a crashed claim above CURRENT past the TTL is swept
+      assert(VersionedIndex.tryClaimNext(path) === Some(2L))
+      h.advance(15L)
+      val gone = VersionedIndex.gcVersions(path, keep = 2, claimTtlMs = 1L)
+      assert(gone.contains("claims/v2"), gone)
+      assert(!markerLive(h, path, 2L))
+      assert(VersionedIndex.tryClaimNext(path) === Some(2L))
+      VersionedIndex.releaseClaim(path, 2L)
+    }}
+
+    test(s"[$storeName] a slow stealer cannot retire the winner's freshly " +
+        "recreated claim (incarnation token)") { withStore { h =>
+      // ADVICE r16 (medium): with rename-by-path retire, the LOSER of a
+      // steal race could grab the winner's freshly recreated marker —
+      // its create-if-absent then succeeded and two writers held the
+      // same version number. The token makes retire conditional on the
+      // observed incarnation, so the stale retire fails.
+      val path = freshPath()
+      baseIndex(path) // v1
+      assert(VersionedIndex.tryClaimNext(path) === Some(2L)) // A; crashes
+      h.advance(20L)
+      val marker = VersionedIndex.claimMarker(path, 2L)
+      val staleView = h.store.observe(marker).get // slow stealer S observes
+      assert(staleView.ageMs > 1L)
+      // fast stealer B wins the steal through the protocol: retires A's
+      // marker and holds a FRESH claim on the same number
+      assert(VersionedIndex.tryClaimNext(path, claimTtlMs = 1L) === Some(2L))
+      val freshView = h.store.observe(marker).get
+      assert(freshView.token !== staleView.token)
+      // S's retire with its stale token must FAIL, leaving B's claim live
+      assert(!h.store.retire(marker, staleView.token))
+      assert(h.store.observe(marker).map(_.token) === Some(freshView.token))
+      // and S cannot claim the number (B's fresh claim is within TTL)
+      assert(VersionedIndex.tryClaimNext(path, claimTtlMs = 60000L) === None)
+      VersionedIndex.releaseClaim(path, 2L)
+    }}
+
+    test(s"[$storeName] kill mid-publish: a writer dies between segment write " +
+        "and CURRENT swap; a second writer steals after the TTL, publishes, and " +
+        "GC reclaims the orphan — serving never sees a torn version") {
+      withStore { h =>
+        // r15 verdict #7: the composed crash sequence, not just the unit legs
+        val path = freshPath()
+        baseIndex(path) // v1
+        val serveRows = SignatureIndex.serve(spark, path).count()
+        assert(serveRows > 0L)
+
+        // writer A claims v2, writes its segment files, starts building the
+        // version dir ... and DIES before the CURRENT swap (no _meta, marker
+        // still held) — the worst crash point: bytes on disk, nothing
+        // committed
+        assert(VersionedIndex.tryClaimNext(path) === Some(2L))
+        fakeSegment(path, "segA")
+        val tornDir = Paths.get(path, "v2")
+        Files.createDirectories(tornDir)
+        Files.writeString(tornDir.resolve("segA-part-00000-x_00000.parquet"), "x")
+        // ...crash. Serving throughout resolves the COMMITTED v1, bit-stable:
+        assert(VersionedIndex.currentVersion(path) === Some("v1"))
+        assert(SignatureIndex.serve(spark, path).count() === serveRows)
+
+        // within the TTL writer B cannot take the number (A might be alive)
+        assert(VersionedIndex.tryClaimNext(path) === None)
+        h.advance(15L)
+        // past the TTL, B steals A's claim (token-checked retire + re-create)
+        assert(VersionedIndex.tryClaimNext(path, claimTtlMs = 1L) === Some(2L))
+        // ... writes ITS segment and publishes v2 — publish clears A's torn
+        // v2 remnants before linking, so the committed v2 holds exactly B's
+        // (and the retained) files
+        fakeSegment(path, "segB")
+        val m = VersionedIndex.readMeta(path).get
+        VersionedIndex.publish(path, 2L,
+          m.copy(segments = m.segments :+ "segB", live = m.live :+ "segB"))
+        assert(VersionedIndex.currentVersion(path) === Some("v2"))
+        val m2 = VersionedIndex.readMeta(path).get
+        assert(m2.segments === Seq("base-v1", "segB"))
+        assert(m2.live === Seq("base-v1", "segB"))
+        assert(!Files.exists(tornDir.resolve("segA-part-00000-x_00000.parquet")),
+          "publish must clear the crashed attempt's torn files")
+        assert(!markerLive(h, path, 2L))
+
+        // GC reclaims A's orphan segment (live in no retained manifest) and
+        // the superseded v1; the committed v2 keeps serving
+        val gone = VersionedIndex.gcVersions(path, keep = 1).toSet
+        assert(gone.contains("seg/segA"), gone)
+        assert(VersionedIndex.currentVersion(path) === Some("v2"))
+        assert(VersionedIndex.readMeta(path).get.segments === Seq("base-v1", "segB"))
+        // and the next claim proceeds normally on top
+        assert(VersionedIndex.tryClaimNext(path) === Some(3L))
+        VersionedIndex.releaseClaim(path, 3L)
+      }
+    }
   }
+
+  claimContractTests("FileClaimStore", () => new StoreHarness {
+    val store: VersionedIndex.ClaimStore = VersionedIndex.FileClaimStore
+    def advance(ms: Long): Unit = Thread.sleep(ms)
+  })
+  claimContractTests("CasClaimStore", () => new StoreHarness {
+    private val tick = new java.util.concurrent.atomic.AtomicLong(0L)
+    val store: VersionedIndex.ClaimStore =
+      new VersionedIndex.CasClaimStore(() => tick.get())
+    def advance(ms: Long): Unit = { tick.addAndGet(ms); () }
+  })
 
   test("a claim based on a stale CURRENT read is released, not honored") {
     val path = freshPath()
@@ -160,70 +283,23 @@ class VersionedIndexSpec extends AnyFunSuite {
     assert(SignatureIndex.append(d1, "batch-0", fresh)) // name is free again
   }
 
-  test("kill mid-publish: a writer dies between segment write and CURRENT swap; " +
-      "a second writer steals after the TTL, publishes, and GC reclaims the orphan " +
-      "— serving never sees a torn version") {
-    // r15 verdict #7: the composed crash sequence, not just the unit legs
-    val path = freshPath()
-    baseIndex(path) // v1
-    val serveRows = SignatureIndex.serve(spark, path).count()
-    assert(serveRows > 0L)
-
-    // writer A claims v2, writes its segment files, starts building the
-    // version dir ... and DIES before the CURRENT swap (no _meta, marker
-    // still held) — the worst crash point: bytes on disk, nothing
-    // committed
-    assert(VersionedIndex.tryClaimNext(path) === Some(2L))
-    fakeSegment(path, "segA")
-    val tornDir = Paths.get(path, "v2")
-    Files.createDirectories(tornDir)
-    Files.writeString(tornDir.resolve("segA-part-00000-x_00000.parquet"), "x")
-    // ...crash. Serving throughout resolves the COMMITTED v1, bit-stable:
-    assert(VersionedIndex.currentVersion(path) === Some("v1"))
-    assert(SignatureIndex.serve(spark, path).count() === serveRows)
-
-    // within the TTL writer B cannot take the number (A might be alive)
-    assert(VersionedIndex.tryClaimNext(path) === None)
-    Thread.sleep(15L)
-    // past the TTL, B steals A's claim (atomic retire + re-create) ...
-    assert(VersionedIndex.tryClaimNext(path, claimTtlMs = 1L) === Some(2L))
-    // ... writes ITS segment and publishes v2 — publish clears A's torn
-    // v2 remnants before linking, so the committed v2 holds exactly B's
-    // (and the retained) files
-    fakeSegment(path, "segB")
-    val m = VersionedIndex.readMeta(path).get
-    VersionedIndex.publish(path, 2L,
-      m.copy(segments = m.segments :+ "segB", live = m.live :+ "segB"))
-    assert(VersionedIndex.currentVersion(path) === Some("v2"))
-    val m2 = VersionedIndex.readMeta(path).get
-    assert(m2.segments === Seq("base-v1", "segB"))
-    assert(m2.live === Seq("base-v1", "segB"))
-    assert(!Files.exists(tornDir.resolve("segA-part-00000-x_00000.parquet")),
-      "publish must clear the crashed attempt's torn files")
-    assert(!Files.exists(VersionedIndex.claimMarker(path, 2L)))
-
-    // GC reclaims A's orphan segment (live in no retained manifest) and
-    // the superseded v1; the committed v2 keeps serving
-    val gone = VersionedIndex.gcVersions(path, keep = 1).toSet
-    assert(gone.contains("seg/segA"), gone)
-    assert(VersionedIndex.currentVersion(path) === Some("v2"))
-    assert(VersionedIndex.readMeta(path).get.segments === Seq("base-v1", "segB"))
-    // and the next claim proceeds normally on top
-    assert(VersionedIndex.tryClaimNext(path) === Some(3L))
-    VersionedIndex.releaseClaim(path, 3L)
-  }
-
   test("the claim store is pluggable; every claim primitive routes through it") {
     // r15 verdict #4: the conditional-PUT seam is an interface like the
     // snapshot provider — an object store installs its own in one line
+    // (the contract itself is proven store-independently by the
+    // parameterized claimContractTests above)
     val calls = new java.util.concurrent.atomic.AtomicReference(Vector.empty[String])
     val inner = VersionedIndex.claimStore
     val wrapper = new VersionedIndex.ClaimStore {
       private def rec(op: String): Unit = calls.updateAndGet(_ :+ op)
       def tryCreate(m: java.nio.file.Path): Boolean = { rec("create"); inner.tryCreate(m) }
-      def ageMs(m: java.nio.file.Path): Option[Long] = { rec("age"); inner.ageMs(m) }
-      def retire(m: java.nio.file.Path): Boolean = { rec("retire"); inner.retire(m) }
+      def observe(m: java.nio.file.Path): Option[VersionedIndex.ClaimView] =
+        { rec("observe"); inner.observe(m) }
+      def retire(m: java.nio.file.Path, token: String): Boolean =
+        { rec("retire"); inner.retire(m, token) }
       def release(m: java.nio.file.Path): Unit = { rec("release"); inner.release(m) }
+      def list(d: java.nio.file.Path): Seq[java.nio.file.Path] =
+        { rec("list"); inner.list(d) }
     }
     val path = freshPath()
     baseIndex(path)
@@ -233,7 +309,7 @@ class VersionedIndexSpec extends AnyFunSuite {
       assert(calls.get().contains("create"))
       Thread.sleep(15L)
       assert(VersionedIndex.tryClaimNext(path, claimTtlMs = 1L) === Some(2L))
-      assert(calls.get().contains("age") && calls.get().contains("retire"))
+      assert(calls.get().contains("observe") && calls.get().contains("retire"))
       VersionedIndex.releaseClaim(path, 2L)
       assert(calls.get().contains("release"))
     } finally VersionedIndex.setClaimStore(prev)
