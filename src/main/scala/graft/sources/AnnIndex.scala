@@ -229,7 +229,7 @@ object AnnIndex {
         else Nil
       VersionedIndex.publish(path, next,
         VersionedIndex.Meta(b, fingerprint, ledger :+ segName, Seq(segName),
-          baseRows, pcells),
+          baseRows, pcells, liveRows = Seq(baseRows)),
         Tables)
     } finally VersionedIndex.releaseClaim(path, next)
     buildCount += 1
@@ -262,9 +262,19 @@ object AnnIndex {
             writeTables(path, segName, m.buckets, m.pcells,
               d.vectors, d.cells, d.codes,
               centroids = None, codebook = None)
+            // record the delta's row count in the manifest (ADVICE r16):
+            // one footer-only count at append time makes every later
+            // appendFraction a pure manifest read with ZERO Spark jobs.
+            // Only a fully recorded lineage is trusted downstream, so a
+            // legacy (unrecorded) lineage stays legacy until a rebuild.
+            val segRows = d.vectors.sparkSession.read
+              .parquet(s"$path/seg/$segName/vectors").count()
+            val liveRows =
+              if (m.liveRows.size == m.live.size) m.liveRows :+ segRows
+              else Nil
             VersionedIndex.publish(path, next,
               m.copy(segments = m.segments :+ segName,
-                live = m.live :+ segName), Tables)
+                live = m.live :+ segName, liveRows = liveRows), Tables)
             true
           }
         } finally VersionedIndex.releaseClaim(path, next)
@@ -329,10 +339,24 @@ object AnnIndex {
               tbl("vectors"), tbl("cells"), tbl("codes"),
               if (hasGeometry) Some(tbl("centroids")) else None,
               if (hasGeometry) Some(tbl("codebook")) else None)
+            // per-live-segment rows (ADVICE r16): carried for retained
+            // segments, summed for the merged tier when recorded, footer-
+            // counted otherwise — so compaction HEALS an unrecorded
+            // lineage and appendFraction is a pure manifest read after
+            val recorded = meta.live.zip(meta.liveRows).toMap
+            def rowsOf(seg: String): Long = recorded.getOrElse(seg, {
+              val d = Paths.get(path, "seg", seg, "vectors")
+              if (java.nio.file.Files.isDirectory(d))
+                spark.read.parquet(d.toString).count()
+              else 0L
+            })
+            val retained = meta.live.filterNot(tier.contains)
+            val liveRows = retained.map(rowsOf) :+ tier.map(rowsOf).sum
             VersionedIndex.publish(path, next,
               meta.copy(segments = meta.segments :+ segName,
-                live = meta.live.filterNot(tier.contains) :+ segName,
-                baseRows = baseRows),
+                live = retained :+ segName,
+                baseRows = baseRows, liveRows = liveRows,
+                plain = meta.plain.filterNot(tier.contains)),
               Tables)
             true
           }
@@ -345,7 +369,11 @@ object AnnIndex {
     * (per-vector quantization), but recall degrades as the corpus drifts
     * from the geometry's training set; when this ratio exceeds the
     * operator's budget (0.5 is a common default), schedule a full
-    * [[build]]. Counts read parquet footers only — no data scan.
+    * [[build]]. On a lineage whose manifest records per-segment rows
+    * (every build/append/compact since r17 does) this is a PURE manifest
+    * read — zero Spark jobs, which is what lets a maintenance stream
+    * evaluate it after every committed micro-batch (ADVICE r16); legacy
+    * lineages fall back to parquet-footer counts (no data scan).
     */
   def appendFraction(spark: SparkSession, path: String): Double = {
     val meta = VersionedIndex.readMeta(path).getOrElse(
@@ -358,7 +386,9 @@ object AnnIndex {
     if (meta.baseRows > 0L) {
       // compaction-stable form: appended = live total minus the manifest's
       // recorded base count (the base segment's FILES may be long retired)
-      val total = meta.live.map(rows).sum
+      val total =
+        if (meta.liveRows.size == meta.live.size) meta.liveRows.sum // 0 jobs
+        else meta.live.map(rows).sum
       math.max(0L, total - meta.baseRows).toDouble / meta.baseRows
     } else {
       // pre-baseRows layout: the base segment's own files are the denominator
@@ -415,7 +445,11 @@ object AnnIndex {
 
   private def buildServed(spark: SparkSession, path: String, v: String): Served = {
     val vdir = s"$path/$v"
-    val meta = VersionedIndex.readMeta(path).get
+    // version-pinned reads (ADVICE r16): serve() resolved CURRENT once;
+    // every metadata read below uses that same v, so a concurrent
+    // process publishing mid-serve can never pair v's directory with the
+    // newer version's _files listing or pcells/buckets
+    val meta = VersionedIndex.readMetaAt(path, v)
     val partitioned = meta.pcells > 0
     // the committed file listing (r15 verdict #1): every table reads its
     // manifest-held file set, so a cold serve is a manifest read + file
@@ -423,7 +457,7 @@ object AnnIndex {
     // partition-discovery toll that cost e12/e13/e14 2.3-2.7x at sf1;
     // at 100 TB, an O(pcells x buckets) object-store LIST per serve).
     // Pre-`_files` versions (None) fall back to directory discovery.
-    val listing = VersionedIndex.readFiles(path)
+    val listing = VersionedIndex.readFiles(path, v)
     def tableFiles(tbl: String): Option[Seq[String]] =
       listing.map(_.filter(f => f.startsWith(s"$tbl/")).map(f => s"$vdir/$f"))
         .filter(_.nonEmpty)

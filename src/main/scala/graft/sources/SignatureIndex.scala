@@ -228,7 +228,10 @@ object SignatureIndex {
   def serve(spark: SparkSession, path: String): DataFrame = {
     val v = currentVersion(path).getOrElse(
       throw new IllegalStateException(s"signature index not initialized: $path"))
-    val meta = readMeta(path).get
+    // version-pinned (ADVICE r16): one CURRENT resolution governs the
+    // whole served snapshot — the buckets below must be v's, not a
+    // concurrently published newer version's
+    val meta = VersionedIndex.readMetaAt(path, v)
     VersionedIndex.serveBucketed(spark, "sig_idx", path, v,
       "doc_id BIGINT, band INT, sig BIGINT",
       Seq("band", "sig"), Seq("band", "sig"), meta.buckets, s"$path/$v")

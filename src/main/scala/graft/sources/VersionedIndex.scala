@@ -81,10 +81,23 @@ object VersionedIndex {
     *     `pcell = cell % pcells` directory key so a probe's scan prunes
     *     FILES to the probed cells — r14 verdict #2). Fixed at build like
     *     `buckets`; appends and compaction must write the same layout.
+    *   - `liveRows` (empty = unrecorded legacy lineage) is the primary
+    *     row count of each LIVE segment, parallel to `live` — recorded
+    *     at write time so drift measures ([[AnnIndex.appendFraction]])
+    *     are PURE manifest reads with zero Spark jobs (ADVICE r16: the
+    *     per-batch retrain check otherwise ran one job per live segment
+    *     on every committed micro-batch). Only trusted when complete
+    *     (`liveRows.size == live.size`).
+    *   - `plain` is the subset of `live` written in the PLAIN small-delta
+    *     layout (r16 verdict #1): broadcast-sized deltas skip the
+    *     bucketed/partitioned write machinery (its fixed per-append toll
+    *     dominates tiny segments) and live under `<table>_plain` names;
+    *     serves join them on the broadcast side, and the next size-tiered
+    *     compaction folds them into the bucketed layout.
     */
   final case class Meta(buckets: Int, fingerprint: String,
       segments: Seq[String], live: Seq[String], baseRows: Long,
-      pcells: Int = 0)
+      pcells: Int = 0, liveRows: Seq[Long] = Nil, plain: Seq[String] = Nil)
 
   object Meta {
     /** A fresh base manifest: the ledger and the live set are both just
@@ -413,21 +426,34 @@ object VersionedIndex {
       segments,
       list("live").getOrElse(segments), // pre-compaction layout: all live
       lines.get("baseRows").map(_.toLong).getOrElse(0L),
-      lines.get("pcells").map(_.toInt).getOrElse(0)) // pre-pcell: flat
+      lines.get("pcells").map(_.toInt).getOrElse(0), // pre-pcell: flat
+      list("liveRows").map(_.map(_.toLong)).getOrElse(Nil), // pre-r17: unrecorded
+      list("plain").getOrElse(Nil)) // pre-r17: all segments bucketed
   }
 
   def readMeta(path: String): Option[Meta] =
     currentVersion(path).map(v => parseMeta(Paths.get(path, v)))
+
+  /** A SPECIFIC version's manifest — the form a serve uses after it has
+    * resolved CURRENT once (ADVICE r16: re-resolving per table paired
+    * version v's directory with a concurrently published version's
+    * metadata; one resolution must govern the whole served snapshot).
+    */
+  def readMetaAt(path: String, version: String): Meta =
+    parseMeta(Paths.get(path, version))
 
   /** The committed version's file listing (paths relative to the version
     * directory, as written by [[publish]]) — None for pre-`_files`
     * versions, whose serves fall back to directory discovery.
     */
   def readFiles(path: String): Option[Seq[String]] =
-    currentVersion(path).flatMap { v =>
-      val f = Paths.get(path, v, "_files")
-      if (Files.exists(f)) Some(Files.readAllLines(f).asScala.toSeq) else None
-    }
+    currentVersion(path).flatMap(readFiles(path, _))
+
+  /** A SPECIFIC version's file listing (see [[readMetaAt]]). */
+  def readFiles(path: String, version: String): Option[Seq[String]] = {
+    val f = Paths.get(path, version, "_files")
+    if (Files.exists(f)) Some(Files.readAllLines(f).asScala.toSeq) else None
+  }
 
   /** Pluggable corpus-snapshot identity (r14 verdict #6): the staleness
     * check an `ensure` runs per serve asks "which snapshot of the corpus
@@ -632,7 +658,9 @@ object VersionedIndex {
       s"buckets=${meta.buckets}\nfingerprint=${meta.fingerprint}\n" +
         s"segments=${meta.segments.mkString(",")}\n" +
         s"live=${meta.live.mkString(",")}\nbaseRows=${meta.baseRows}\n" +
-        s"pcells=${meta.pcells}\n",
+        s"pcells=${meta.pcells}\n" +
+        s"liveRows=${meta.liveRows.mkString(",")}\n" +
+        s"plain=${meta.plain.mkString(",")}\n",
       StandardCharsets.UTF_8)
     val tmp = Paths.get(path, ".CURRENT.tmp")
     Files.writeString(tmp, s"v$ver", StandardCharsets.UTF_8)

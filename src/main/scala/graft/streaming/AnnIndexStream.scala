@@ -23,8 +23,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * The drift escape valve is SURFACED here, not just documented (r15
   * verdict #2 — e15 proved the retrain works; a long-lived stream must
   * also NOTICE it's needed): after every freshly committed batch the
-  * harness evaluates [[AnnIndex.retrainDue]] (a parquet-footer metadata
-  * read, O(live segments)) and, the first time the appended volume
+  * harness evaluates [[AnnIndex.retrainDue]] (a pure manifest read —
+  * per-segment row counts are recorded at append time, so the check
+  * runs ZERO Spark jobs; ADVICE r16) and, the first time the appended volume
   * crosses `maxAppendFraction`, emits a [[RetrainSignal]] through the
   * `onRetrainDue` callback (default: a loud stderr line) and records it
   * in [[retrainSignals]] for rehearsal receipts. The stream keeps
@@ -61,8 +62,9 @@ object AnnIndexStream {
     * as an idempotent segment. Returns whether the segment was newly
     * committed (false = replay, skipped). The manifest check runs FIRST so
     * a replayed batch forces no quantization work — and no Spark job — at
-    * all. A freshly committed batch then evaluates the retrain policy
-    * (metadata-only) and signals the exact batch that crossed the budget.
+    * all. A freshly committed batch then evaluates the retrain policy (a
+    * manifest read, zero jobs on a row-recorded lineage) and signals the
+    * exact batch that crossed the budget.
     */
   def processBatch(
       batch: DataFrame, batchId: Long, indexPath: String,

@@ -346,6 +346,60 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(!AnnIndex.retrainDue(spark, path))
   }
 
+  test("appendFraction on a row-recorded lineage runs ZERO Spark jobs") {
+    // ADVICE r16: the per-batch retrain check claimed to be a metadata
+    // read but ran one count job per live segment. build/append/compact
+    // now record per-segment rows in the manifest, so the drift measure
+    // is a pure manifest read — proven with a job listener, the same
+    // FIFO-marker discipline as the zero-jobs replay spec.
+    import spark.implicits._
+    val path = Files.createTempDirectory("annidx").toString
+    AnnIndex.ensure(spark, tinyArtifacts(0), path, "fp", buckets = 2)
+    val delta = AnnIndex.Delta(
+      vectors = Seq((2L, Seq(1f, 1f))).toDF("vec_id", "embedding"),
+      cells = Seq((2L, 0L)).toDF("vec_id", "cell"),
+      codes = Seq((2L, 0L, 0L)).toDF("vec_id", "m", "cid"))
+    assert(AnnIndex.append(delta, "batch-0", path))
+    val meta = VersionedIndex.readMeta(path).get
+    assert(meta.liveRows === Seq(2L, 1L), "manifest records per-segment rows")
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val seen = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        Option(j.properties).map(_.getProperty("spark.jobGroup.id")).foreach {
+          case g @ ("graft-frac-pre" | "graft-frac-post") => seen.set(g)
+          case _ => ()
+        }
+      }
+    }
+    def marker(group: String): Unit = {
+      spark.sparkContext.setJobGroup(group, group)
+      try spark.sparkContext.parallelize(Seq(1), 1).count()
+      finally spark.sparkContext.clearJobGroup()
+      val deadline = System.currentTimeMillis() + 30000
+      while (seen.get() != group && System.currentTimeMillis() < deadline)
+        Thread.sleep(10)
+      assert(seen.get() === group, s"$group never reached the listener")
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      marker("graft-frac-pre")
+      jobs.set(0)
+      assert(AnnIndex.appendFraction(spark, path) === 0.5)
+      marker("graft-frac-post")
+      assert(jobs.get() === 1,
+        s"appendFraction ran ${jobs.get() - 1} Spark job(s); expected 0")
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    // compaction carries/heals the recorded rows, so the measure stays
+    // job-free after the original files are retired
+    assert(AnnIndex.compact(spark, path))
+    assert(VersionedIndex.readMeta(path).get.liveRows === Seq(3L))
+    assert(AnnIndex.appendFraction(spark, path) === 0.5)
+  }
+
   test("streaming maintenance: frozen-geometry assignment/encode, replay skipped") {
     import spark.implicits._
     val path = Files.createTempDirectory("annidx").toString
