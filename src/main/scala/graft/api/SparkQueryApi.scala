@@ -91,9 +91,12 @@ object SparkQueryApi {
     if (!resp.success)
       return Left(GraftError.InvalidQuery(resp.error.getOrElse("invalid query")))
     val g = session.frames
-    // Merkle root: block digests computed in executors, 32 B per block to
-    // the driver — r03's O(N)-rows-through-the-driver certify cost is gone
-    val stateHash = DistributedStateHash.merkleStateHash(g)
+    // Merkle root: block digests computed in executors, fixed bytes per
+    // block to the driver — r03's O(N)-rows-through-the-driver certify
+    // cost is gone. INCREMENTAL (r16 verdict #3): the session's leaf
+    // cache reuses every key-range unchanged since the last certify, so
+    // repeat certifies cost O(mutated blocks), not O(corpus).
+    val stateHash = session.merkleRoot
     val grounding =
       if (!resp.found) Grounding.Unknown
       else req match {

@@ -64,8 +64,11 @@ object StatusApi {
       p.stableEdgesCurrent, p.stableEdgesNeeded)
   }
 
-  def hash(g: GraphFrames): HashResponse =
-    HashResponse(DistributedChecksum.checksum(g), DistributedStateHash.merkleStateHashHex(g))
+  def hash(g: GraphFrames): HashResponse = {
+    // one scan per section: checksum and root fold from the same leaves
+    val (checksum, rootHex) = DistributedStateHash.hashSummary(g)
+    HashResponse(checksum, rootHex)
+  }
 
   /** Liveness: the store answers a trivial read. */
   def health(g: GraphFrames): Boolean =

@@ -1042,7 +1042,7 @@ object AnnPack {
         (t.cells.join(probesLocal, "cell")
           .filter(col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id")),
-          t.codes, t.vectors)
+          t.bucketedCodes, t.vectors)
       else {
         val probedP = probePairs.map(p => (p._2 % t.pcells).toInt)
           .distinct.sorted
@@ -1054,7 +1054,7 @@ object AnnPack {
           .join(probesLocal, "cell")
           .filter(col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id")),
-          pruned(t.codes), pruned(t.vectors))
+          pruned(t.bucketedCodes), pruned(t.vectors))
       }
     // ADC: per-query distance table over the persisted codebook,
     // broadcast against the bucketed code table
@@ -1062,11 +1062,25 @@ object AnnPack {
       qel.join(t.codebook, Seq("m", "d"))
         .groupBy(col("q_id"), col("m"), col("cid"))
         .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("dq2")))
-    val wCand = Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))
-    val cand = cnd0.join(codesSrc, "vec_id")
+    // per-(q_id, vec_id) ADC sums, one leg per code layout (r16 verdict
+    // #1): a vector's code rows live wholly in one segment, so each
+    // (q_id, vec_id) group is complete within its leg and the aggregated
+    // legs union losslessly. The BUCKETED leg keeps its shuffle-free
+    // vec_id-aligned join + partial agg; any PLAIN small-delta segments
+    // are broadcast-sized by the append contract and meet the candidates
+    // as an explicit broadcast — never forcing the big code table
+    // through the Exchange a unioned scan would reintroduce.
+    def adcOf(codes: DataFrame) = cnd0.join(codes, "vec_id")
       .join(dt, Seq("q_id", "m", "cid"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("dq2")).as("adc"))
+    val adc = t.plainCodes match {
+      case None => adcOf(codesSrc)
+      case Some(pc) => adcOf(codesSrc).unionByName(
+        adcOf(broadcast(pc.select(col("vec_id"), col("m"), col("cid")))))
+    }
+    val wCand = Window.partitionBy("q_id").orderBy(col("adc"), col("vec_id"))
+    val cand = adc
       .withColumn("rn", row_number().over(wCand))
       .filter(col("rn") <= shortlist)
       .select(col("q_id"), col("vec_id"))

@@ -501,13 +501,14 @@ object PipelinePack {
     SignatureIndex.append(
       bandSignatures(docs.filter(isDay)), s"day-$dayRes", path)
     SignatureIndex.compact(spark, path, minLive = 2)
-    maintainedProbe(docs, SignatureIndex.serve(spark, path), deltaMod, deltaRes)
+    maintainedProbe(docs, SignatureIndex.serveSplit(spark, path), deltaMod, deltaRes)
   }
 
   /** The PROBE side of [[maintainedIngestDedup]] alone — today's batch
     * against an already-served index version, no lifecycle calls.
     */
-  private def maintainedProbe(docs: DataFrame, idx: DataFrame,
+  private def maintainedProbe(docs: DataFrame,
+      idx: graft.sources.SignatureIndex.ServedSig,
       deltaMod: Long, deltaRes: Long): DataFrame = {
     val isDelta = col("doc_id") % deltaMod === deltaRes
     val cands = probeIndexCandidates(docs, deltaMod, deltaRes, idx)
@@ -542,7 +543,7 @@ object PipelinePack {
     if (!ready) // cold machine / regenerated corpus: one-time lifecycle
       maintainedIngestDedup(spark, dir, deltaMod, dayRes, deltaRes, indexRoot)
     else maintainedProbe(Tables.documents(spark, dir),
-      SignatureIndex.serve(spark, path), deltaMod, deltaRes)
+      SignatureIndex.serveSplit(spark, path), deltaMod, deltaRes)
   }
 
   /** d36's candidate step alone (index served, delta probed), exposed so
@@ -570,19 +571,25 @@ object PipelinePack {
     import graft.sources.SignatureIndex
     val spark = store.sparkSession
     val isDelta = col("doc_id") % deltaMod === deltaRes
-    val idx = SignatureIndex.ensure(
+    SignatureIndex.ensure(
       spark, bandSignatures(store.filter(!isDelta)), path, fp, stats = stats)
-    probeIndexCandidates(store, deltaMod, deltaRes, idx)
+    probeIndexCandidates(store, deltaMod, deltaRes,
+      SignatureIndex.serveSplit(spark, path))
   }
 
-  /** The probe legs alone, against an ALREADY-SERVED index table —
+  /** The probe legs alone, against an ALREADY-SERVED index version —
     * shared by the ensure-then-probe paths above and d38's maintained
     * probe (where the index was built, appended and compacted before
-    * the batch arrives).
+    * the batch arrives). The index arrives SPLIT BY LAYOUT (r16 verdict
+    * #1): the bucketed leg is met through its (band, sig) bucket layout
+    * with no Exchange; any plain small-delta segments — broadcast-sized
+    * by the append contract — meet the delta as an explicit broadcast
+    * join, so tiny appended segments never cost the big leg its
+    * shuffle-free shape.
     */
   private[graft] def probeIndexCandidates(
       store: DataFrame, deltaMod: Long, deltaRes: Long,
-      idx: DataFrame): DataFrame = {
+      idx: graft.sources.SignatureIndex.ServedSig): DataFrame = {
     val isDelta = col("doc_id") % deltaMod === deltaRes
     val deltaSigs = bandSignatures(store.filter(isDelta))
     // probe leg: delta meets the SERVED index (which, at probe time,
@@ -591,12 +598,17 @@ object PipelinePack {
     // batch's own signatures are appended, re-probing still yields the
     // same set (self-pairs drop on inequality, same-batch pairs on the
     // earlier-row rule).
-    val candIndex = deltaSigs.as("x").join(idx.as("y"),
+    def candAgainst(leg: DataFrame) = deltaSigs.as("x").join(leg.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") =!= col("y.doc_id") &&
           (col("y.doc_id") % deltaMod =!= deltaRes ||
             col("y.doc_id") < col("x.doc_id")))
       .select(col("x.doc_id").as("doc_i"), col("y.doc_id").as("doc_j"))
+    val candIndex = idx.plain match {
+      case None => candAgainst(idx.bucketed)
+      case Some(p) => candAgainst(idx.bucketed)
+        .unionByName(candAgainst(broadcast(p)))
+    }
     // in-flight leg: the batch self-dedups against its own earlier rows
     // (they are not in the index yet — d32's candDelta, unchanged)
     val candBatch = deltaSigs.as("x").join(deltaSigs.as("y"),

@@ -57,11 +57,31 @@ object AnnIndex {
     * identify the snapshot, so per-serve derivations (the query batch,
     * the probe receipt) can be memoized and attributed by index instead
     * of through process-global slots (ADVICE r15).
+    *
+    * `vectors` and `cells` are COMPLETE (bucketed-layout segments
+    * unioned with any plain small-delta segments — the plain files
+    * carry `pcell` as a regular column, so the probed-cell filter
+    * applies uniformly). Codes come SPLIT BY LAYOUT: `bucketedCodes`
+    * is the bucketed catalog table, `plainCodes` any plain small-delta
+    * segments' codes, so the candidate ⋈ codes join keeps its
+    * shuffle-free bucketed big leg and meets the broadcast-sized plain
+    * leg as a broadcast join (r16 verdict #1 — a union would erase the
+    * bucket layout's output partitioning and shuffle the whole code
+    * table); [[Served.codes]] is the complete union for whole-table
+    * consumers.
     */
   final case class Served(
       vectors: DataFrame, centroids: DataFrame, cells: DataFrame,
-      codebook: DataFrame, codes: DataFrame, pcells: Int,
-      path: String, version: String)
+      codebook: DataFrame, bucketedCodes: DataFrame, pcells: Int,
+      path: String, version: String,
+      plainCodes: Option[DataFrame] = None) {
+    /** The COMPLETE code table (both layout legs) — correct for any
+      * consumer; probe plans use the split fields to keep their shape.
+      */
+    def codes: DataFrame = plainCodes.fold(bucketedCodes)(p =>
+      bucketedCodes.unionByName(
+        p.select(bucketedCodes.columns.map(col).toIndexedSeq: _*)))
+  }
 
   /** The artifacts a base build persists (same shapes as [[Served]]). */
   final case class Artifacts(
@@ -88,7 +108,22 @@ object AnnIndex {
   def readFingerprint(path: String): Option[String] =
     VersionedIndex.readMeta(path).map(_.fingerprint)
 
-  private val Tables = Seq("vectors", "centroids", "cells", "codebook", "codes")
+  private val Tables = Seq("vectors", "centroids", "cells", "codebook", "codes",
+    "vectors_plain", "cells_plain", "codes_plain")
+
+  /** Row ceiling under which a delta segment is written in the PLAIN
+    * layout (r16 verdict #1): single-file parquet per table, no bucketed
+    * catalog write, no per-pcell fan-out. Spark's bucketBy/saveAsTable
+    * machinery costs a FIXED ~4s per append at the 10x fixture
+    * regardless of delta size (PLANS.md §26) — a toll that caps a
+    * maintenance stream at ~1 segment per 8s per index. A 64k-vector
+    * delta is ≤ ~16 MB of embeddings at 64-dim fp32 plus ~10 MB of
+    * codes: broadcast-sized by definition, so serving joins it on the
+    * broadcast side and the next size-tiered compaction folds it into
+    * the bucketed layout. Deployments with fatter rows pass their own
+    * ceiling per append.
+    */
+  val PlainDeltaMaxRows: Long = 65536L
 
   /** Directory-partition cap: a 100 TB index's √N cells fold onto the
     * cap by modulus, trading exactness of the prune for a bounded
@@ -185,6 +220,54 @@ object AnnIndex {
     codebook.foreach(_.write.mode(SaveMode.Overwrite).parquet(s"$segDir/codebook"))
   }
 
+  /** The PLAIN small-delta layout (r16 verdict #1): one parquet file per
+    * table under `<table>_plain`, written with a plain partitioned write
+    * — none of the bucketed-catalog machinery whose fixed toll dominates
+    * a tiny append. `pcell` rides as a REGULAR column (same value the
+    * partitioned layout encodes as a directory), so serving can union
+    * plain cells/vectors with the bucketed tables and apply the
+    * probed-cell filter uniformly; codes stay a separate broadcast join
+    * leg (see [[Served]]). `repartition(1)` keeps the upstream delta
+    * derivation parallel while landing exactly one file per table.
+    */
+  private def writePlainTables(path: String, segName: String, pcells: Int,
+      vectors: DataFrame, cells: DataFrame, codes: DataFrame): Unit = {
+    val segDir = s"$path/seg/$segName"
+    val codesTyped = codes.selectExpr("CAST(vec_id AS BIGINT) AS vec_id",
+      "CAST(m AS BIGINT) AS m", "CAST(cid AS BIGINT) AS cid")
+    if (pcells > 0) {
+      val cellsP = withPcell(cells, pcells)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        cellsP.repartition(1).sortWithinPartitions("cell", "vec_id")
+          .write.mode(SaveMode.Overwrite).parquet(s"$segDir/cells_plain")
+        // same one-cell-per-vector guard as the bucketed path: a vector
+        // without an assignment must fail the write, not vanish
+        val pmap = cellsP.select(col("vec_id"), col("pcell"))
+        vectors.join(pmap, Seq("vec_id"), "left")
+          .withColumn("pcell",
+            org.apache.spark.sql.functions.when(col("pcell").isNull,
+              org.apache.spark.sql.functions.raise_error(
+                org.apache.spark.sql.functions.concat(
+                  org.apache.spark.sql.functions.lit("vector without a cell assignment: vec_id="),
+                  col("vec_id").cast("string"))))
+              .otherwise(col("pcell")))
+          .repartition(1).sortWithinPartitions("vec_id")
+          .write.mode(SaveMode.Overwrite).parquet(s"$segDir/vectors_plain")
+        codesTyped.join(pmap, "vec_id")
+          .repartition(1).sortWithinPartitions("vec_id", "m")
+          .write.mode(SaveMode.Overwrite).parquet(s"$segDir/codes_plain")
+      } finally cellsP.unpersist(blocking = false)
+    } else {
+      vectors.repartition(1).sortWithinPartitions("vec_id")
+        .write.mode(SaveMode.Overwrite).parquet(s"$segDir/vectors_plain")
+      cells.repartition(1).sortWithinPartitions("cell", "vec_id")
+        .write.mode(SaveMode.Overwrite).parquet(s"$segDir/cells_plain")
+      codesTyped.repartition(1).sortWithinPartitions("vec_id", "m")
+        .write.mode(SaveMode.Overwrite).parquet(s"$segDir/codes_plain")
+    }
+  }
+
   /** Full (re)build: commits the artifacts as the new base segment (any
     * previously appended segments are superseded — a rebuild re-derives
     * everything from the current corpus). With `buckets = 0` the count
@@ -242,8 +325,16 @@ object AnnIndex {
     * micro-batch needs. Cost is O(delta): assignment/encoding happened
     * caller-side against the committed geometry; this is three delta
     * writes plus an O(files) hardlink publish, never a base rewrite.
+    *
+    * A delta at or under `plainMaxRows` vectors lands in the PLAIN
+    * layout (r16 verdict #1 — [[writePlainTables]]): the bucketed write
+    * machinery's fixed per-append toll is skipped, the layout is marked
+    * in the manifest's `plain` set, serving joins the segment broadcast-
+    * side, and the next size-tiered [[compact]] folds it into the
+    * bucketed layout.
     */
-  def append(d: Delta, segName: String, path: String): Boolean =
+  def append(d: Delta, segName: String, path: String,
+      plainMaxRows: Long = PlainDeltaMaxRows): Boolean =
     VersionedIndex.withWriteLock(path) {
       val meta = VersionedIndex.readMeta(path).getOrElse(
         throw new IllegalStateException(s"ANN index not initialized: $path"))
@@ -259,22 +350,26 @@ object AnnIndex {
           val m = VersionedIndex.readMeta(path).get
           if (m.segments.contains(segName)) false
           else {
-            writeTables(path, segName, m.buckets, m.pcells,
-              d.vectors, d.cells, d.codes,
-              centroids = None, codebook = None)
-            // record the delta's row count in the manifest (ADVICE r16):
-            // one footer-only count at append time makes every later
-            // appendFraction a pure manifest read with ZERO Spark jobs.
-            // Only a fully recorded lineage is trusted downstream, so a
-            // legacy (unrecorded) lineage stays legacy until a rebuild.
-            val segRows = d.vectors.sparkSession.read
-              .parquet(s"$path/seg/$segName/vectors").count()
+            // one O(delta) count decides the layout AND records the
+            // manifest row count (ADVICE r16: recorded rows make every
+            // later appendFraction a pure manifest read, zero jobs)
+            val segRows = d.vectors.count()
+            val usePlain = segRows <= plainMaxRows
+            if (usePlain)
+              writePlainTables(path, segName, m.pcells,
+                d.vectors, d.cells, d.codes)
+            else
+              writeTables(path, segName, m.buckets, m.pcells,
+                d.vectors, d.cells, d.codes,
+                centroids = None, codebook = None)
             val liveRows =
               if (m.liveRows.size == m.live.size) m.liveRows :+ segRows
               else Nil
             VersionedIndex.publish(path, next,
               m.copy(segments = m.segments :+ segName,
-                live = m.live :+ segName, liveRows = liveRows), Tables)
+                live = m.live :+ segName, liveRows = liveRows,
+                plain = if (usePlain) m.plain :+ segName else m.plain),
+              Tables)
             true
           }
         } finally VersionedIndex.releaseClaim(path, next)
@@ -312,10 +407,16 @@ object AnnIndex {
             // bucketed catalog table would both elide the rewrite's
             // bucket-routing repartition (see [[SignatureIndex.compact]])
             // and churn the session catalog. The partitioned scans
-            // re-surface pcell as a discovered column; writeTables
-            // re-derives it from cell, so it is dropped here.
+            // re-surface pcell as a discovered column (plain segments
+            // carry it as a regular one); writeTables re-derives it from
+            // cell, so it is dropped here. A segment holds each table in
+            // exactly ONE layout — `<name>` (bucketed/partitioned) or
+            // `<name>_plain` — and the rewrite always emits the bucketed
+            // layout, which is how plain small deltas fold back in (r16
+            // verdict #1).
             def tbl(name: String): DataFrame = tier
-              .map(seg => Paths.get(path, "seg", seg, name))
+              .flatMap(seg => Seq(name, s"${name}_plain")
+                .map(n => Paths.get(path, "seg", seg, n)))
               .filter(java.nio.file.Files.isDirectory(_))
               .map(d => spark.read.parquet(d.toString).drop("pcell"))
               .reduceOption(_ unionByName _)
@@ -344,12 +445,12 @@ object AnnIndex {
             // counted otherwise — so compaction HEALS an unrecorded
             // lineage and appendFraction is a pure manifest read after
             val recorded = meta.live.zip(meta.liveRows).toMap
-            def rowsOf(seg: String): Long = recorded.getOrElse(seg, {
-              val d = Paths.get(path, "seg", seg, "vectors")
-              if (java.nio.file.Files.isDirectory(d))
-                spark.read.parquet(d.toString).count()
-              else 0L
-            })
+            def rowsOf(seg: String): Long = recorded.getOrElse(seg,
+              Seq("vectors", "vectors_plain")
+                .map(n => Paths.get(path, "seg", seg, n))
+                .find(java.nio.file.Files.isDirectory(_))
+                .map(d => spark.read.parquet(d.toString).count())
+                .getOrElse(0L))
             val retained = meta.live.filterNot(tier.contains)
             val liveRows = retained.map(rowsOf) :+ tier.map(rowsOf).sum
             VersionedIndex.publish(path, next,
@@ -378,11 +479,11 @@ object AnnIndex {
   def appendFraction(spark: SparkSession, path: String): Double = {
     val meta = VersionedIndex.readMeta(path).getOrElse(
       throw new IllegalStateException(s"ANN index not initialized: $path"))
-    def rows(seg: String): Long = {
-      val d = Paths.get(path, "seg", seg, "vectors")
-      if (java.nio.file.Files.isDirectory(d)) spark.read.parquet(d.toString).count()
-      else 0L
-    }
+    def rows(seg: String): Long =
+      Seq("vectors", "vectors_plain").map(n => Paths.get(path, "seg", seg, n))
+        .find(java.nio.file.Files.isDirectory(_))
+        .map(d => spark.read.parquet(d.toString).count())
+        .getOrElse(0L)
     if (meta.baseRows > 0L) {
       // compaction-stable form: appended = live total minus the manifest's
       // recorded base count (the base segment's FILES may be long retired)
@@ -467,23 +568,44 @@ object AnnIndex {
       case Some(fs) => spark.read.option("basePath", s"$vdir/$tbl").parquet(fs: _*)
       case None => spark.read.parquet(s"$vdir/$tbl")
     }
+    // plain small-delta tables (r16 verdict #1): flat single-file reads
+    // from the listing (pcell is a regular column where partitioned);
+    // absent from most versions. Pre-`_files` fallback checks the dir.
+    def readPlain(tbl: String): Option[DataFrame] = listing match {
+      case Some(l) =>
+        val fs = l.filter(_.startsWith(s"${tbl}_plain/")).map(f => s"$vdir/$f")
+        if (fs.nonEmpty) Some(spark.read.parquet(fs: _*)) else None
+      case None =>
+        val d = Paths.get(vdir, s"${tbl}_plain")
+        if (java.nio.file.Files.isDirectory(d) &&
+            VersionedIndex.dataFiles(d).nonEmpty)
+          Some(spark.read.parquet(d.toString))
+        else None
+    }
+    def withPlain(tbl: String, bucketed: DataFrame): DataFrame =
+      readPlain(tbl) match {
+        case Some(p) => bucketed.unionByName(p.select(
+          bucketed.columns.map(col).toIndexedSeq: _*))
+        case None => bucketed
+      }
     val codePartDirs = tableFiles("codes").map(_.flatMap { f =>
       val rel = f.stripPrefix(s"$vdir/codes/")
       if (rel.contains('/')) Some(rel.substring(0, rel.lastIndexOf('/'))) else None
     }.distinct)
     Served(
-      vectors = readTable("vectors"),
+      vectors = withPlain("vectors", readTable("vectors")),
       centroids = readTable("centroids"),
-      cells = readTable("cells"),
+      cells = withPlain("cells", readTable("cells")),
       codebook = readTable("codebook"),
-      codes = VersionedIndex.serveBucketed(spark, "ann_idx", path, v,
+      bucketedCodes = VersionedIndex.serveBucketed(spark, "ann_idx", path, v,
         if (partitioned) "vec_id BIGINT, m BIGINT, cid BIGINT, pcell INT"
         else "vec_id BIGINT, m BIGINT, cid BIGINT",
         Seq("vec_id"), Seq("vec_id"), meta.buckets, s"$vdir/codes",
         partitionCols = if (partitioned) Seq("pcell") else Nil,
         partitionDirs = if (partitioned) codePartDirs else None),
       pcells = meta.pcells,
-      path = canonicalServeKey(path), version = v)
+      path = canonicalServeKey(path), version = v,
+      plainCodes = readPlain("codes"))
   }
 
   /** Serve a committed version matching `fingerprint`, building from the

@@ -64,9 +64,22 @@ object SignatureIndex {
     VersionedIndex.dirFingerprint(dataPath)
 
   /** Segment tables: signatures at the segment root, per-source stats
-    * hidden beside them.
+    * hidden beside them; PLAIN small-delta signatures under the hidden
+    * `_plain` name (the "_" prefix keeps them out of the bucketed
+    * catalog table's recursive LOCATION listing, exactly like `_stats`).
     */
-  private val Tables = Seq("", "_stats")
+  private val Tables = Seq("", "_stats", "_plain")
+
+  /** Row ceiling under which a delta's signatures are written PLAIN
+    * (r16 verdict #1 — the [[AnnIndex.PlainDeltaMaxRows]] move for the
+    * signature leg): 256k (doc_id, band, sig) rows ≈ 6 MB on disk,
+    * broadcast-sized by definition. A plain append is one single-file
+    * parquet write instead of the bucketed-catalog machinery whose
+    * fixed ~4s toll dominates a tiny segment; probes meet plain
+    * segments through a broadcast join leg ([[serveSplit]]) and the
+    * next size-tiered [[compact]] folds them into the bucket layout.
+    */
+  val PlainDeltaMaxRows: Long = 262144L
 
   private def writeSegment(sigs: DataFrame, path: String, segName: String,
       buckets: Int, stats: Option[DataFrame]): Unit = {
@@ -134,7 +147,8 @@ object SignatureIndex {
     * signatures.
     */
   def append(sigs: DataFrame, segName: String, path: String,
-      stats: Option[DataFrame] = None): Boolean =
+      stats: Option[DataFrame] = None,
+      plainMaxRows: Long = PlainDeltaMaxRows): Boolean =
     VersionedIndex.withWriteLock(path) {
       val meta = readMeta(path).getOrElse(
         throw new IllegalStateException(s"signature index not initialized: $path"))
@@ -147,10 +161,31 @@ object SignatureIndex {
           val m = readMeta(path).get
           if (m.segments.contains(segName)) false
           else {
-            writeSegment(sigs, path, segName, m.buckets, stats)
+            // one O(delta) count decides the layout and records the
+            // manifest row count (see Meta.liveRows)
+            val segRows = sigs.count()
+            val usePlain = segRows <= plainMaxRows
+            if (usePlain) {
+              sigs.selectExpr("CAST(doc_id AS BIGINT) AS doc_id",
+                  "CAST(band AS INT) AS band", "CAST(sig AS BIGINT) AS sig")
+                .repartition(1).sortWithinPartitions("band", "sig")
+                .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+                .parquet(s"$path/seg/$segName/_plain")
+              stats.foreach { st =>
+                st.selectExpr("CAST(source AS STRING) AS source",
+                    "CAST(n AS BIGINT) AS n")
+                  .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+                  .parquet(s"$path/seg/$segName/_stats")
+              }
+            } else writeSegment(sigs, path, segName, m.buckets, stats)
+            val liveRows =
+              if (m.liveRows.size == m.live.size) m.liveRows :+ segRows
+              else Nil
             VersionedIndex.publish(path, next,
               m.copy(segments = m.segments :+ segName,
-                live = m.live :+ segName), Tables)
+                live = m.live :+ segName, liveRows = liveRows,
+                plain = if (usePlain) m.plain :+ segName else m.plain),
+              Tables)
             true
           }
         } finally VersionedIndex.releaseClaim(path, next)
@@ -205,13 +240,31 @@ object SignatureIndex {
             // is elided as redundant and the rewrite fans back out to
             // mixed-bucket tasks — a plain scan lets writeBucketedFiles
             // route every row to its bucket's single task (spec pins
-            // <= 1 file per bucket)
+            // <= 1 file per bucket). A PLAIN segment's signatures live
+            // under its hidden `_plain` dir (a root read skips "_" names)
+            // — the rewrite always emits the bucketed layout, folding
+            // plain small deltas back in (r16 verdict #1).
+            def segSigDir(seg: String): String = {
+              val plainDir = Paths.get(path, "seg", seg, "_plain")
+              if (Files.isDirectory(plainDir)) plainDir.toString
+              else s"$path/seg/$seg"
+            }
             writeSegment(
-              spark.read.parquet(tier.map(seg => s"$path/seg/$seg"): _*),
+              tier.map(seg => spark.read.parquet(segSigDir(seg)))
+                .reduce(_ unionByName _),
               path, segName, meta.buckets, stats)
+            // carry/record per-segment rows (see Meta.liveRows); a tier
+            // with unrecorded members leaves the lineage unrecorded
+            val recorded = meta.live.zip(meta.liveRows).toMap
+            val retained = meta.live.filterNot(tier.contains)
+            val liveRows =
+              if (meta.liveRows.size == meta.live.size)
+                retained.map(recorded) :+ tier.map(recorded).sum
+              else Nil
             VersionedIndex.publish(path, next,
               meta.copy(segments = meta.segments :+ segName,
-                live = meta.live.filterNot(tier.contains) :+ segName),
+                live = retained :+ segName, liveRows = liveRows,
+                plain = meta.plain.filterNot(tier.contains)),
               Tables)
             true
           }
@@ -219,23 +272,54 @@ object SignatureIndex {
       }
     }
 
-  /** Serve the committed index as a DataFrame backed by an external
-    * BUCKETED catalog table over the current version directory — the
-    * read side of the build/probe split. Lock-free apart from the cheap
-    * catalog registration; the probe plan scans the files bucket-aligned
-    * with no Exchange.
+  /** One committed version's signatures, split by layout: the BUCKETED
+    * catalog table (probe joins meet it Exchange-free through the
+    * (band, sig) bucket layout) and, when plain small-delta segments are
+    * live, their union as a separate broadcast-sized leg. Probes join
+    * each leg with the matching strategy ([[graft.queries.PipelinePack
+    * .probeIndexCandidates]]); whole-table consumers use [[serve]].
     */
-  def serve(spark: SparkSession, path: String): DataFrame = {
+  final case class ServedSig(bucketed: DataFrame, plain: Option[DataFrame]) {
+    /** The complete table (results-equivalent union of both legs). */
+    def all: DataFrame = plain.fold(bucketed)(bucketed.unionByName(_))
+  }
+
+  /** Serve the committed index split by segment layout — see
+    * [[ServedSig]]. Lock-free apart from the cheap catalog registration;
+    * the bucketed leg's probe plan scans the files bucket-aligned with
+    * no Exchange. The plain leg reads the version's committed `_files`
+    * listing (never a directory walk) where present.
+    */
+  def serveSplit(spark: SparkSession, path: String): ServedSig = {
     val v = currentVersion(path).getOrElse(
       throw new IllegalStateException(s"signature index not initialized: $path"))
     // version-pinned (ADVICE r16): one CURRENT resolution governs the
     // whole served snapshot — the buckets below must be v's, not a
     // concurrently published newer version's
     val meta = VersionedIndex.readMetaAt(path, v)
-    VersionedIndex.serveBucketed(spark, "sig_idx", path, v,
+    val bucketed = VersionedIndex.serveBucketed(spark, "sig_idx", path, v,
       "doc_id BIGINT, band INT, sig BIGINT",
       Seq("band", "sig"), Seq("band", "sig"), meta.buckets, s"$path/$v")
+    val plain = VersionedIndex.readFiles(path, v) match {
+      case Some(listing) =>
+        val fs = listing.filter(_.startsWith("_plain/")).map(f => s"$path/$v/$f")
+        if (fs.nonEmpty) Some(spark.read.parquet(fs: _*)) else None
+      case None =>
+        val d = Paths.get(path, v, "_plain")
+        if (Files.isDirectory(d) && VersionedIndex.dataFiles(d).nonEmpty)
+          Some(spark.read.parquet(d.toString))
+        else None
+    }
+    ServedSig(bucketed, plain)
   }
+
+  /** The committed index as ONE DataFrame (both layout legs) — the
+    * whole-table read. Probe joins should use [[serveSplit]] so the
+    * bucketed leg keeps its Exchange-free layout (a union erases the
+    * output partitioning Spark derives from the bucket spec).
+    */
+  def serve(spark: SparkSession, path: String): DataFrame =
+    serveSplit(spark, path).all
 
   /** The MAINTAINED per-source document counts of the committed version —
     * one tiny (source, n) row per source, summed over the base's and

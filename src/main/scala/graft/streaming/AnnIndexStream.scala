@@ -57,6 +57,64 @@ object AnnIndexStream {
         f"batch ${sig.batchId} (append fraction ${sig.appendFraction}%.3f) " +
         "— schedule a full rebuild (AnnIndex.build with carryLedger=true)")
 
+  /** (started, completed) rebuild counts per index path for rebuilds run
+    * through [[rebuildAction]] — the receipt a rehearsal asserts on
+    * (rebuild happened VIA THE HOOK, and ingest overlapped it).
+    */
+  val retrainRebuilds =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+
+  private def bumpRebuild(path: String, completed: Boolean): Unit = {
+    retrainRebuilds.updateWith(path) {
+      case Some((s, c)) => Some(if (completed) (s, c + 1) else (s + 1, c))
+      case None => Some(if (completed) (0L, 1L) else (1L, 0L))
+    }
+    ()
+  }
+
+  /** An opt-in `onRetrainDue` action that closes the drift loop THROUGH
+    * the maintenance discipline itself (r16 verdict #4): when the signal
+    * fires, derive fresh artifacts over the GROWN corpus (the caller's
+    * thunks — in production, the same derivation the base build used,
+    * pointed at the current snapshot) and run [[AnnIndex.build]] with
+    * `carryLedger = true`, which claims the next version, rewrites the
+    * geometry over everything, publishes under the CURRENT swap, and
+    * preserves the replay ledger; superseded minority-geometry versions
+    * are then GC'd. The rebuild runs on a daemon thread by default so
+    * INGEST NEVER STALLS: the signaling batch's commit already finished,
+    * and later appends serialize with the build only at the write-lock /
+    * claim boundary (they commit as soon as the build publishes —
+    * exactly the cross-writer discipline batch appends already obey).
+    * [[retrainSignals]] re-arms once the rebuild brings the fraction
+    * back under budget. A failed rebuild logs loudly and leaves the
+    * signal armed, so the next commit re-fires the policy.
+    */
+  def rebuildAction(
+      artifacts: () => AnnIndex.Artifacts,
+      fingerprint: () => String,
+      async: Boolean = true,
+      gcKeep: Int = 2): RetrainSignal => Unit = sig => {
+    def run(): Unit =
+      try {
+        AnnIndex.build(artifacts(), sig.indexPath, fingerprint(),
+          carryLedger = true)
+        graft.sources.VersionedIndex.gcVersions(sig.indexPath, keep = gcKeep)
+        retrainSignals.remove(sig.indexPath) // under budget again: re-arm
+        bumpRebuild(sig.indexPath, completed = true)
+      } catch {
+        case e: Exception =>
+          System.err.println(
+            s"[graft] retrain rebuild of ${sig.indexPath} FAILED " +
+              s"(signal stays armed): $e")
+      }
+    bumpRebuild(sig.indexPath, completed = false)
+    if (async) {
+      val t = new Thread(() => run(), s"graft-ann-retrain-${sig.batchId}")
+      t.setDaemon(true)
+      t.start()
+    } else run()
+  }
+
   /** foreachBatch body (public for deterministic unit testing): derive the
     * micro-batch's delta artifacts against the committed geometry, append
     * as an idempotent segment. Returns whether the segment was newly

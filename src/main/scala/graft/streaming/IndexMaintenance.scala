@@ -70,14 +70,19 @@ object IndexMaintenance {
   /** Wire a streaming source into a maintenance loop. With
     * `checkpointDir` set, a restart resumes at the first unprocessed
     * offset and the manifest absorbs the one-batch replay a crash
-    * between offset-write and commit-write produces.
+    * between offset-write and commit-write produces. The default
+    * AvailableNow trigger is the scheduled-maintenance cadence; a
+    * long-lived low-latency deployment passes a ProcessingTime trigger
+    * (the soak rehearsal proves empty and replayed ticks stay job-free
+    * under it — r16 verdict #5).
     */
   def start(
-      source: DataFrame, queryName: String, checkpointDir: Option[String])(
+      source: DataFrame, queryName: String, checkpointDir: Option[String],
+      trigger: Trigger = Trigger.AvailableNow())(
       process: (DataFrame, Long) => Unit): StreamingQuery = {
     val w = source.writeStream
       .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         process(batch, batchId); ()
       }

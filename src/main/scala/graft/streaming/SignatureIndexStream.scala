@@ -75,8 +75,10 @@ object SignatureIndexStream {
       queryName: String,
       checkpointDir: Option[String] = None,
       segPrefix: String = "batch",
-      compactAfter: Int = 0): StreamingQuery =
-    IndexMaintenance.start(docs, queryName, checkpointDir) { (batch, batchId) =>
+      compactAfter: Int = 0,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): StreamingQuery =
+    IndexMaintenance.start(docs, queryName, checkpointDir, trigger) { (batch, batchId) =>
       processBatch(batch, batchId, indexPath, segPrefix, compactAfter)
     }
 }

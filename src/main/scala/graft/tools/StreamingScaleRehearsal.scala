@@ -519,6 +519,131 @@ object StreamingScaleRehearsal {
       check("s11_batches_cover_chunks")(s11Curve.length >= chunks,
         s"${s11Curve.length} progress entries < $chunks chunks")
 
+      // ---- maintenance soak under ProcessingTime (r16 verdict #5): the
+      // zero-job replay and pile-bounded compaction claims are proven
+      // under AvailableNow; a long-lived deployment runs a short trigger
+      // interval, where the costs that matter are the TICKS — empty
+      // ticks and crash-replayed batches must run ZERO Spark jobs, live
+      // segments must stay bounded by the compaction cadence, and the
+      // process must not leak file descriptors across the soak (the r15
+      // leak class: unclosed directory streams under exactly this loop).
+      val (soakSegs, soakIdleJobs, soakReplayJobs, soakLive, soakFdDelta,
+        soakHeapMb) = {
+        import graft.sources.{SignatureIndex, VersionedIndex}
+        import graft.streaming.SignatureIndexStream
+        import org.apache.spark.sql.streaming.Trigger
+        def openFds: Int =
+          Option(new java.io.File("/proc/self/fd").list()).map(_.length).getOrElse(-1)
+        def heapUsedMb: Long = {
+          System.gc(); Thread.sleep(200L); System.gc()
+          val r = Runtime.getRuntime
+          (r.totalMemory() - r.freeMemory()) >> 20
+        }
+        val soakWork = s"$work/soak"
+        val root = java.nio.file.Paths.get(soakWork)
+        if (java.nio.file.Files.exists(root))
+          graft.sources.VersionedIndex.walkAll(root).reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        val soakIn = s"$soakWork/in"
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(soakIn))
+        val soakChunks = 12
+        val docsAll = spark.read.parquet(s"$srcDir/documents.parquet")
+          .select(col("doc_id"), col("text"), col("source"))
+        // base = residue 0 of 1+soakChunks; chunk i streams residue i+1
+        val mod = (soakChunks + 1).toLong
+        val sigPath = s"$soakWork/sig"
+        SignatureIndex.build(
+          graft.queries.PipelinePack.bandSignaturesOf(
+            docsAll.filter(col("doc_id") % mod === 0L)),
+          sigPath, "fp-soak")
+        (1 to soakChunks).foreach { i =>
+          docsAll.filter(col("doc_id") % mod === i.toLong)
+            .coalesce(1).write.mode("overwrite").parquet(s"$soakIn/chunk_$i")
+        }
+        val fd0 = openFds
+        val heap0 = heapUsedMb
+        val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            jobs.incrementAndGet(); ()
+          }
+        }
+        val schema = spark.read.parquet(s"$soakIn/chunk_1").schema
+        def sourceDf = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$soakIn/chunk_*")
+        def segCount: Int = SignatureIndex.readMeta(sigPath).get
+          .segments.count(_.startsWith("soak-"))
+        // phase 1: drain the 12 fresh batches on a 500 ms cadence, then
+        // idle ~8 s of EMPTY ticks with a job listener armed
+        val q1 = SignatureIndexStream.start(sourceDf, sigPath, "sig_soak",
+          Some(s"$soakWork/ckpt"), segPrefix = "soak", compactAfter = 3,
+          trigger = Trigger.ProcessingTime("500 milliseconds"))
+        val drainDeadline = System.currentTimeMillis() + 240000L
+        while (segCount < soakChunks && System.currentTimeMillis() < drainDeadline)
+          Thread.sleep(250L)
+        val drained = segCount
+        // segCount flips when the append publishes, but the same
+        // foreachBatch call may still be running its compaction — settle
+        // before arming, so trailing batch-12 work isn't counted as idle
+        Thread.sleep(4000L)
+        spark.sparkContext.addSparkListener(listener)
+        val idleJobs =
+          try {
+            org.apache.spark.GraftListenerBridge.waitUntilListenerBusEmpty(spark.sparkContext)
+            jobs.set(0)
+            Thread.sleep(8000L) // ~16 empty ticks
+            org.apache.spark.GraftListenerBridge.waitUntilListenerBusEmpty(spark.sparkContext)
+            jobs.get()
+          } finally spark.sparkContext.removeSparkListener(listener)
+        q1.stop()
+        // phase 2: crash-replay under the live trigger — drop the LAST
+        // batch's commit marker so the restart replays it; the ledger
+        // gates the replay to a no-op and the replayed tick runs ZERO
+        // jobs (IndexMaintenance consults the manifest before isEmpty)
+        val commits = java.nio.file.Paths.get(s"$soakWork/ckpt/commits")
+        val lastCommit = graft.sources.VersionedIndex.listDir(commits)
+          .filter(_.getFileName.toString.forall(_.isDigit))
+          .maxBy(_.getFileName.toString.toLong)
+        val replayedId = lastCommit.getFileName.toString.toLong
+        java.nio.file.Files.delete(lastCommit)
+        val segsBefore = SignatureIndex.readMeta(sigPath).get.segments
+        spark.sparkContext.addSparkListener(listener)
+        val replayJobs =
+          try {
+            org.apache.spark.GraftListenerBridge.waitUntilListenerBusEmpty(spark.sparkContext)
+            jobs.set(0)
+            val q2 = SignatureIndexStream.start(sourceDf, sigPath, "sig_soak2",
+              Some(s"$soakWork/ckpt"), segPrefix = "soak", compactAfter = 3,
+              trigger = Trigger.ProcessingTime("500 milliseconds"))
+            val replayDeadline = System.currentTimeMillis() + 120000L
+            while (!Option(q2.lastProgress).exists(_.batchId >= replayedId) &&
+                System.currentTimeMillis() < replayDeadline)
+              Thread.sleep(250L)
+            q2.stop()
+            org.apache.spark.GraftListenerBridge.waitUntilListenerBusEmpty(spark.sparkContext)
+            jobs.get()
+          } finally spark.sparkContext.removeSparkListener(listener)
+        val segsAfter = SignatureIndex.readMeta(sigPath).get.segments
+        val live = SignatureIndex.readMeta(sigPath).get.live.size
+        val fdDelta = openFds - fd0
+        val heap1 = heapUsedMb
+        check("soak_fresh_batches_all_committed")(drained == soakChunks,
+          s"$drained of $soakChunks chunk batches committed")
+        check("soak_empty_ticks_job_free")(idleJobs == 0,
+          s"$idleJobs Spark jobs across ~16 empty ProcessingTime ticks")
+        check("soak_replayed_tick_job_free")(
+          replayJobs == 0 && segsAfter == segsBefore,
+          s"$replayJobs jobs on the replayed tick; segments " +
+            s"${segsBefore.size} -> ${segsAfter.size}")
+        check("soak_live_segments_bounded")(live <= 4,
+          s"$live live segments (compactAfter 3)")
+        check("soak_no_fd_leak")(fd0 > 0 && fdDelta <= 128,
+          s"open fds $fd0 -> ${fd0 + fdDelta} (+$fdDelta)")
+        (segsAfter.size, idleJobs, replayJobs, live, fdDelta, heap1 - heap0)
+      }
+
       def curveJson(c: Seq[(Long, Long)]): String =
         c.map { case (in, st) => s"[$in,$st]" }.mkString("[", ",", "]")
       val json =
@@ -540,6 +665,9 @@ object StreamingScaleRehearsal {
           s""""s11_max_state":$s11Max,"s11_open_bound":$s11OpenBound,""" +
           s""""s11_windows_emitted":${s11Emitted.size},"s11_windows_total":$s11WindowsTotal,""" +
           s""""s11_eval_grams":${s11EvalGrams.size},""" +
+          s""""soak_segments":$soakSegs,"soak_idle_jobs":$soakIdleJobs,""" +
+          s""""soak_replay_jobs":$soakReplayJobs,"soak_live":$soakLive,""" +
+          s""""soak_fd_delta":$soakFdDelta,"soak_heap_delta_mb":$soakHeapMb,""" +
           s""""s11_curve":${curveJson(s11Curve)},""" +
           s""""s03_curve":${curveJson(s03Curve)},"s05_curve":${curveJson(s05Curve)},""" +
           s""""s08_curve":${curveJson(s08Curve)},"s09_curve":${curveJson(s09Curve)},""" +

@@ -34,73 +34,147 @@ object DistributedStateHash {
   def merkleStateHash(g: GraphFrames, span: Long = Canonical.MerkleBlockSpan): Array[Byte] =
     merkleStateHashWithStats(g, span)._1
 
+  /** One key-range block's executor-computed summary: the SHA-256 leaf
+    * digest, its row count (the header's section counts sum these), and
+    * the block's commutative FNV-xor contribution (the header's checksum
+    * xors these) — everything the root assembly needs, 48 bytes per
+    * block, so a certify never re-aggregates the corpus for counts or
+    * checksum in separate passes.
+    */
+  private[verify] final case class Leaf(
+      block: Long, digest: Array[Byte], rows: Long, xor: Long)
+
+  /** Per-section leaf fold: colocate each key-range block
+    * (repartitionByRange keeps equal keys together), sort rows within
+    * partitions, hash each block where it lives, ship only the
+    * fixed-size [[Leaf]] summaries to the driver. With `onlyBlocks` the
+    * scan restricts to those blocks BEFORE the exchange — the
+    * incremental path ([[IncrementalMerkle]]) recomputes dirty ranges
+    * only, and on key-clustered storage the block predicate prunes the
+    * scan itself.
+    */
+  private[verify] def foldLeaves(
+      df: DataFrame, keyCol: String, sortCols: Seq[String], tag: Byte,
+      span: Long, onlyBlocks: Option[Seq[Long]] = None)(
+      rowBytes: Row => Array[Byte]): Array[Leaf] = {
+    // floor division, matching the driver twin's Math.floorDiv — SQL
+    // `div` truncates toward zero, which would put a negative key in a
+    // different block than the sequential twin and fork the root. The
+    // quotient-correction form never overflows (a subtract-the-pmod
+    // form computes key-1 for key = Long.MinValue under some spans)
+    val blocked = df.withColumn("__block", expr(
+      s"($keyCol div ${span}L) - (CASE WHEN $keyCol % ${span}L < 0 THEN 1 ELSE 0 END)"))
+    val restricted = onlyBlocks match {
+      case Some(bs) => blocked.filter(col("__block").isInCollection(bs))
+      case None => blocked
+    }
+    restricted
+      .repartitionByRange(col("__block"))
+      .sortWithinPartitions(("__block" +: sortCols).map(col): _*)
+      .rdd
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[Leaf]
+        var block = Long.MinValue
+        var rows = 0L
+        var xor = 0L
+        var leaf: MessageDigest = null
+        def close(): Unit =
+          if (leaf != null) out += Leaf(block, leaf.digest(), rows, xor)
+        it.foreach { r =>
+          val b = r.getLong(r.fieldIndex("__block"))
+          if (leaf == null || b != block) {
+            close()
+            leaf = MessageDigest.getInstance("SHA-256")
+            leaf.update(tag)
+            leaf.update(ByteBuffer.allocate(8).putLong(b).array())
+            block = b
+            rows = 0L
+            xor = 0L
+          }
+          val bytes = rowBytes(r)
+          leaf.update(bytes)
+          // the commutative checksum's row hash is FNV-1a64 over the
+          // TAGGED canonical bytes (Canonical.checksum / the bit_xor
+          // aggregate of Fnv1a64Expr compute the identical value)
+          val tagged = new Array[Byte](bytes.length + 1)
+          tagged(0) = tag
+          System.arraycopy(bytes, 0, tagged, 1, bytes.length)
+          xor ^= RowHash.fnv1a64(tagged)
+          rows += 1L
+        }
+        close()
+        out.iterator
+      }
+      .collect()
+      .sortBy(_.block)
+  }
+
+  private[verify] def foldSection(g: GraphFrames, tag: Byte, span: Long,
+      onlyBlocks: Option[Seq[Long]] = None): Array[Leaf] = tag match {
+    case Canonical.TagNode =>
+      foldLeaves(g.nodes, "node_id", Seq("node_id"), tag, span, onlyBlocks)(r =>
+        Canonical.nodeBytes(r.getLong(0), r.getLong(1)))
+    case Canonical.TagEdge =>
+      foldLeaves(g.edges, "src", Seq("src", "dst"), tag, span, onlyBlocks)(r =>
+        Canonical.edgeBytes(r.getLong(0), r.getLong(1), r.getLong(2)))
+    case Canonical.TagProp =>
+      foldLeaves(g.properties, "node_id",
+        Seq("node_id", "attribute", "value"), tag, span, onlyBlocks)(r =>
+        Canonical.propBytes(r.getLong(0), r.getString(1), r.getString(2)))
+    case t => throw new IllegalArgumentException(s"unknown section tag $t")
+  }
+
+  /** Assemble the root from per-section leaves — counts and checksum
+    * come FROM the leaves (rows summed, block xors folded), so the whole
+    * state hash is one scan per section, and the incremental path can
+    * assemble from cached leaves without touching the data at all.
+    */
+  private[verify] def assembleRoot(
+      nodeLeaves: Seq[Leaf], edgeLeaves: Seq[Leaf],
+      propLeaves: Seq[Leaf]): Array[Byte] = {
+    val checksum = (nodeLeaves.iterator ++ edgeLeaves.iterator ++
+      propLeaves.iterator).foldLeft(0L)(_ ^ _.xor)
+    val nNodes = nodeLeaves.iterator.map(_.rows).sum
+    val nEdges = edgeLeaves.iterator.map(_.rows).sum
+    val nProps = propLeaves.iterator.map(_.rows).sum
+    val md = MessageDigest.getInstance("SHA-256")
+    md.update(Canonical.headerBytes(nNodes, nNodes, nEdges, nProps, checksum))
+    nodeLeaves.foreach(l => md.update(l.digest))
+    edgeLeaves.foreach(l => md.update(l.digest))
+    propLeaves.foreach(l => md.update(l.digest))
+    md.digest()
+  }
+
   /** (root, non-empty leaf blocks) — the leaf count is the certify
-    * rehearsal's observable: driver ingress is exactly 32 bytes per leaf
-    * (plus an 8-byte block id and row count), independent of row volume,
-    * so a billion-node graph at the production span ships ~0.5 MB to the
-    * driver where the flat [[stateHash]] would stream every row.
+    * rehearsal's observable: driver ingress is fixed bytes per leaf,
+    * independent of row volume, so a billion-node graph at the
+    * production span ships ~0.5 MB to the driver where the flat
+    * [[stateHash]] would stream every row. The header's counts and
+    * commutative checksum ride the same fold (per-block row counts and
+    * FNV xors), so the whole certify is ONE scan per section — the
+    * separate checksum aggregation pass is gone (r16 verdict #3).
     */
   def merkleStateHashWithStats(
       g: GraphFrames,
       span: Long = Canonical.MerkleBlockSpan): (Array[Byte], Long) = {
-    // per-section: colocate each key-range block (repartitionByRange keeps
-    // equal keys together), sort rows within partitions, hash each block
-    // where it lives, ship only (block, 32-byte digest, row count) to the
-    // driver — the section counts the header needs ride along with the
-    // leaves, so each table is scanned exactly once
-    def fold(df: DataFrame, keyCol: String, sortCols: Seq[String], tag: Byte)(
-        rowBytes: Row => Array[Byte]): (Array[(Long, Array[Byte])], Long) = {
-      // floor division, matching the driver twin's Math.floorDiv — SQL
-      // `div` truncates toward zero, which would put a negative key in a
-      // different block than the sequential twin and fork the root. The
-      // quotient-correction form never overflows (a subtract-the-pmod
-      // form computes key-1 for key = Long.MinValue under some spans)
-      val digests = df
-        .withColumn("__block", expr(
-          s"($keyCol div ${span}L) - (CASE WHEN $keyCol % ${span}L < 0 THEN 1 ELSE 0 END)"))
-        .repartitionByRange(col("__block"))
-        .sortWithinPartitions(("__block" +: sortCols).map(col): _*)
-        .rdd
-        .mapPartitions { it =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte], Long)]
-          var block = Long.MinValue
-          var rows = 0L
-          var leaf: MessageDigest = null
-          def close(): Unit = if (leaf != null) out += ((block, leaf.digest(), rows))
-          it.foreach { r =>
-            val b = r.getLong(r.fieldIndex("__block"))
-            if (leaf == null || b != block) {
-              close()
-              leaf = MessageDigest.getInstance("SHA-256")
-              leaf.update(tag)
-              leaf.update(ByteBuffer.allocate(8).putLong(b).array())
-              block = b
-              rows = 0L
-            }
-            leaf.update(rowBytes(r))
-            rows += 1L
-          }
-          close()
-          out.iterator
-        }
-        .collect()
-      (digests.map(d => (d._1, d._2)).sortBy(_._1), digests.map(_._3).sum)
-    }
+    val nodeLeaves = foldSection(g, Canonical.TagNode, span)
+    val edgeLeaves = foldSection(g, Canonical.TagEdge, span)
+    val propLeaves = foldSection(g, Canonical.TagProp, span)
+    (assembleRoot(nodeLeaves.toSeq, edgeLeaves.toSeq, propLeaves.toSeq),
+      (nodeLeaves.length + edgeLeaves.length + propLeaves.length).toLong)
+  }
 
-    val (nodeLeaves, nNodes) = fold(g.nodes, "node_id", Seq("node_id"), Canonical.TagNode)(r =>
-      Canonical.nodeBytes(r.getLong(0), r.getLong(1)))
-    val (edgeLeaves, nEdges) = fold(g.edges, "src", Seq("src", "dst"), Canonical.TagEdge)(r =>
-      Canonical.edgeBytes(r.getLong(0), r.getLong(1), r.getLong(2)))
-    val (propLeaves, nProps) = fold(g.properties, "node_id", Seq("node_id", "attribute", "value"), Canonical.TagProp)(r =>
-      Canonical.propBytes(r.getLong(0), r.getString(1), r.getString(2)))
-
-    val md = MessageDigest.getInstance("SHA-256")
-    md.update(Canonical.headerBytes(nNodes, nNodes, nEdges, nProps,
-      DistributedChecksum.checksum(g)))
-    nodeLeaves.foreach { case (_, d) => md.update(d) }
-    edgeLeaves.foreach { case (_, d) => md.update(d) }
-    propLeaves.foreach { case (_, d) => md.update(d) }
-    (md.digest(), (nodeLeaves.length + edgeLeaves.length + propLeaves.length).toLong)
+  /** (commutative checksum, Merkle root hex) in ONE scan per section —
+    * the `/hash` surface: both values fold from the same leaf summaries,
+    * so the separate checksum aggregation pass is gone.
+    */
+  def hashSummary(g: GraphFrames,
+      span: Long = Canonical.MerkleBlockSpan): (Long, String) = {
+    val n = foldSection(g, Canonical.TagNode, span).toSeq
+    val e = foldSection(g, Canonical.TagEdge, span).toSeq
+    val p = foldSection(g, Canonical.TagProp, span).toSeq
+    val checksum = (n.iterator ++ e.iterator ++ p.iterator).foldLeft(0L)(_ ^ _.xor)
+    (checksum, assembleRoot(n, e, p).map(b => f"$b%02x").mkString)
   }
 
   def stateHashHex(g: GraphFrames): String =

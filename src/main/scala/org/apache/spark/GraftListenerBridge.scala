@@ -1,0 +1,12 @@
+package org.apache.spark
+
+/** Main-side twin of the test listener bridge: `SparkContext.listenerBus`
+  * is private[spark], but the soak rehearsal's zero-job receipts
+  * ([[graft.tools.StreamingScaleRehearsal]]) must drain the asynchronous
+  * bus before reading their counters, exactly like the spec-side
+  * measurements do.
+  */
+object GraftListenerBridge {
+  def waitUntilListenerBusEmpty(sc: SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+}

@@ -749,6 +749,57 @@ class StreamingSpec extends AnyFunSuite {
       "a rebuild under budget re-arms the policy")
   }
 
+  test("the retrain hook closes the drift loop: carryLedger rebuild, GC, policy re-arm") {
+    // r16 verdict #4: the signal no longer just asks the operator to
+    // rebuild — the opt-in rebuildAction runs the rebuild THROUGH the
+    // maintenance discipline (claim -> carryLedger build -> publish ->
+    // GC) and re-arms the policy. Synchronous here for determinism; the
+    // week rehearsal exercises the async form racing live ingest.
+    import spark.implicits._
+    import graft.sources.{AnnIndex, VersionedIndex}
+    import java.nio.file.Files
+    val path = Files.createTempDirectory("annhook").toString
+    def artifacts(vecs: Seq[(Long, Seq[Float])]) = AnnIndex.Artifacts(
+      vectors = vecs.toDF("vec_id", "embedding"),
+      centroids = Seq((0L, 0L, 127L), (0L, 1L, 0L)).toDF("ccid", "d", "ccq"),
+      cells = vecs.map { case (id, _) => (id, 0L) }.toDF("vec_id", "cell"),
+      codebook = Seq((0L, 0L, 0L, 5L)).toDF("m", "cid", "d", "cq"),
+      codes = vecs.map { case (id, _) => (id, 0L, 0L) }.toDF("vec_id", "m", "cid"))
+    val baseVecs = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)),
+      (2L, Seq(1f, 1f)), (3L, Seq(-1f, 0f)))
+    val batchVecs = Seq((10L, Seq(0.5f, 0.5f)), (11L, Seq(0.5f, -0.5f)),
+      (12L, Seq(-0.5f, 0.5f)))
+    AnnIndex.ensure(spark, artifacts(baseVecs), path, "fp", buckets = 2)
+    AnnIndexStream.retrainRebuilds.remove(path)
+    // the grown corpus the hook's rebuild derives from: base + the batch
+    val hook = AnnIndexStream.rebuildAction(
+      () => artifacts(baseVecs ++ batchVecs), () => "fp-hook", async = false)
+    // 3 appended on 4 base = 0.75 > 0.5: the commit signals AND rebuilds
+    assert(AnnIndexStream.processBatch(batchVecs.toDF("vec_id", "embedding"),
+      0L, path, maxAppendFraction = 0.5, onRetrainDue = hook))
+    val meta = VersionedIndex.readMeta(path).get
+    assert(meta.fingerprint === "fp-hook")
+    assert(meta.live.size === 1 && meta.live.head.startsWith("base-v"),
+      meta.live.mkString(","))
+    assert(meta.segments.contains("batch-0"), "carryLedger kept the batch name")
+    assert(AnnIndex.appendFraction(spark, path) === 0d)
+    assert(!AnnIndexStream.retrainSignals.contains(path), "policy re-armed")
+    assert(AnnIndexStream.retrainRebuilds(path) === ((1L, 1L)))
+    // the retrained snapshot serves the grown corpus
+    assert(AnnIndex.serve(spark, path).vectors.count() === 7L)
+    // the replayed batch still no-ops after its original files are gone
+    assert(!AnnIndexStream.processBatch(batchVecs.toDF("vec_id", "embedding"),
+      0L, path, maxAppendFraction = 0.5, onRetrainDue = hook))
+    assert(AnnIndexStream.retrainRebuilds(path) === ((1L, 1L)),
+      "a replay must not re-trigger the rebuild")
+    // the NEXT drift cycle fires fresh: 6 on 7 base crosses again
+    val fired = scala.collection.mutable.ArrayBuffer.empty[AnnIndexStream.RetrainSignal]
+    val more = (20L until 26L).map(i => (i, Seq(0.3f, 0.7f)))
+    assert(AnnIndexStream.processBatch(more.toDF("vec_id", "embedding"),
+      1L, path, maxAppendFraction = 0.5, onRetrainDue = fired += _))
+    assert(fired.map(_.batchId) === Seq(1L), "re-armed policy re-fires")
+  }
+
   test("a replayed maintenance batch runs ZERO Spark jobs (ledger checked before isEmpty)") {
     import spark.implicits._
     import graft.sources.AnnIndex

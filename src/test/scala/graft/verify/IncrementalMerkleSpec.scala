@@ -1,0 +1,127 @@
+package graft.verify
+
+import graft.SparkTestSession
+import graft.core.Signal
+import graft.graph.{GraphFrames, GraphTables, SparkGraphSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The incremental certify cache (r16 verdict #3): the session-held leaf
+  * cache must reproduce the full distributed Merkle root bit-for-bit
+  * across mutations while recomputing ONLY the dirty key-range blocks —
+  * and the checksum it folds from leaves must equal the distributed
+  * commutative checksum. Golden vectors for the root value itself live
+  * in [[CanonicalSpec]]; this suite pins the reuse discipline.
+  */
+class IncrementalMerkleSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def framesOf(signals: Seq[Signal]): GraphFrames = {
+    import spark.implicits._
+    val df = signals.zipWithIndex
+      .map { case (s, i) => (i.toLong, s.entityId, s.attribute, s.value) }
+      .toDF("seq", "entity_id", "attribute", "value")
+    GraphTables.build(GraphTables.validSignals(df))
+  }
+
+  private val sample = Seq(
+    Signal(1, "name", "Alice"), Signal(1, "role", "engineer"),
+    Signal(2, "name", "Bob"), Signal(3, "kind", "svc"),
+    Signal(1, "knows", "Bob"), Signal(2, "knows", "Alice"))
+
+  private def batchDf(signals: Seq[(Long, Long, String, String)]) = {
+    import spark.implicits._
+    signals.toDF("seq", "entity_id", "attribute", "value")
+  }
+
+  private def fullRoot(g: GraphFrames): String =
+    DistributedStateHash.merkleStateHashHex(g)
+
+  test("cold root equals the full distributed hash; a clean re-certify recomputes zero leaves") {
+    val s = new SparkGraphSession(framesOf(sample))
+    val r1 = s.merkleRootWithStats
+    assert(r1.rootHex === fullRoot(s.frames))
+    assert(r1.recomputed === r1.totalLeaves, "cold pass hashes everything once")
+    assert(r1.checksum === DistributedChecksum.checksum(s.frames))
+    val r2 = s.merkleRootWithStats
+    assert(r2.rootHex === r1.rootHex)
+    assert(r2.recomputed === 0L, "unchanged state must reuse every leaf")
+  }
+
+  test("after an ingest batch, only the touched blocks rehash and the root tracks the full hash") {
+    val s = new SparkGraphSession(framesOf(sample))
+    s.merkleRootWithStats // warm the cache
+    // ingest touches entities 1 and 4 (node ids 0 and a fresh one) — at
+    // the production span all ids share block 0, so the recompute is
+    // bounded by the three sections' single dirty block each
+    assert(s.ingestBatch(batchDf(Seq(
+      (0L, 1L, "visits", "svc"), (1L, 4L, "name", "Dana")))).isRight)
+    val r = s.merkleRootWithStats
+    assert(r.rootHex === fullRoot(s.frames),
+      "incremental root must equal a from-scratch recompute of the new snapshot")
+    assert(r.checksum === DistributedChecksum.checksum(s.frames))
+    assert(r.recomputed >= 1L && r.recomputed <= 3L,
+      s"expected <= 1 dirty block per section, recomputed ${r.recomputed}")
+    // and certifying again without mutations is pure cache
+    assert(s.merkleRootWithStats.recomputed === 0L)
+  }
+
+  test("decrementEdge dirties only the edge section") {
+    val s = new SparkGraphSession(framesOf(sample))
+    s.merkleRootWithStats // warm
+    // adjacency edge 0->1 exists (consecutive sample signals); the
+    // decrement floors its weight and must dirty exactly one edge block
+    assert(s.decrementEdge(0L, 1L).isRight)
+    val r1 = s.merkleRootWithStats
+    assert(r1.rootHex === fullRoot(s.frames))
+    assert(r1.recomputed === 1L, "one edge block dirty, nothing else")
+    assert(s.merkleRootWithStats.recomputed === 0L)
+  }
+
+  test("a dirty block that emptied out loses its cached leaf") {
+    import org.apache.spark.sql.functions.col
+    val inc = new IncrementalMerkle()
+    val g = framesOf(sample)
+    val warm = inc.rootWithStats(g)
+    // drop the whole edge table (all srcs share block 0 at this span) —
+    // the marked block yields no fresh leaf, so the stale one must go,
+    // not linger and corrupt the root
+    val gone = g.copy(edges = g.edges.filter(col("weight") < 0L))
+    inc.noteEdgeSrcs(Seq(0L, 1L, 2L))
+    val r = inc.rootWithStats(gone)
+    assert(r.rootHex === fullRoot(gone))
+    assert(r.totalLeaves === warm.totalLeaves - 1,
+      "the emptied edge block must drop its cached leaf")
+    assert(r.recomputed === 0L,
+      "an emptied block yields no fresh leaf — the drop IS the update")
+  }
+
+  test("invalidateAll falls back to one full rehash") {
+    val inc = new IncrementalMerkle()
+    val g = framesOf(sample)
+    val r1 = inc.rootWithStats(g)
+    inc.invalidateAll()
+    val r2 = inc.rootWithStats(g)
+    assert(r2.rootHex === r1.rootHex)
+    assert(r2.recomputed === r2.totalLeaves)
+  }
+
+  test("a fine span separates blocks: mutations rehash a strict subset of leaves") {
+    // span=1: every row its own leaf — proves the dirty-set is actually
+    // restricting the fold, not silently recomputing a whole section
+    val inc = new IncrementalMerkle(span = 1L)
+    val s = new SparkGraphSession(framesOf(sample))
+    val cold = inc.rootWithStats(s.frames)
+    assert(cold.rootHex ===
+      DistributedStateHash.merkleStateHashHex(s.frames, span = 1L))
+    assert(cold.totalLeaves > 3L)
+    // mutate through the session, mirror the dirty keys into this
+    // instance (the session owns its own cache; here the spec drives the
+    // class directly to observe span-1 granularity)
+    assert(s.decrementEdge(0L, 1L).isRight)
+    inc.noteEdgeSrcs(Seq(0L))
+    val r = inc.rootWithStats(s.frames)
+    assert(r.rootHex ===
+      DistributedStateHash.merkleStateHashHex(s.frames, span = 1L))
+    assert(r.recomputed === 1L, s"span-1 edge mutation rehashes exactly its row's leaf")
+  }
+}
