@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs driver + all 32 task slots in ONE JVM, so the heap is
+  // execution memory for 32 concurrent tasks plus every broadcast/memo —
+  // 8g (250 MB/slot) was measured GC-bound on the full sf0.1 bench
+  // (265s at 8g vs 221s at 16g, identical code; inflation concentrated
+  // in the entries that run while many memos are live). 16g keeps
+  // ~500 MB/slot; still parameterized for smaller hosts.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

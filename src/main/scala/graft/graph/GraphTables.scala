@@ -116,7 +116,8 @@ object GraphTables {
 
   private[graft] def memoEntriesFor(session: SparkSession): Int =
     cache.keysIterator.count(_._1 eq session) +
-      triCache.keysIterator.count(_._1 eq session)
+      triCache.keysIterator.count(_._1 eq session) +
+      bfsClosureCache.keysIterator.count(_._1 eq session)
 
   /** Derive nodes / edges / properties from a validated signal log.
     *
@@ -723,6 +724,40 @@ object GraphTables {
   // Driver-side bounded algorithms over a collected subgraph
   // -----------------------------------------------------------------------
 
+  /** Memoized [[traverseBfs]] CLOSURES per (session, graph instance,
+    * start, bound, minWeight) — r17, guide §1.2 step 1 (don't recompute
+    * what you already have): one bench pass runs the depth-bounded BFS
+    * from node 0 up to SIX times (g17 + g18 via [[collectSubgraph]],
+    * g17b/g18b re-deriving the path AND checking it against the closure),
+    * and every run is `depth` sequential join+checkpoint rounds. The
+    * closure is a pure function of the (immutable) graph instance, so it
+    * is computed once and pinned; declared queries whose RESULT is the
+    * closure itself (g09/g10 and [[frontierEdges]]) deliberately do NOT
+    * route through the memo — only internal re-derivations do.
+    * GraphFrames is a case class over Datasets (reference equality), so a
+    * rebuilt graph is a different key, never a stale hit.
+    */
+  private val bfsClosureCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, GraphFrames, Long, Int, Option[Long]), DataFrame]
+
+  graft.SessionMemos.registerEvictor { dead =>
+    bfsClosureCache.filterInPlace { case ((s, _, _, _, _), df) =>
+      if (dead(s)) { graft.SessionMemos.releaseCheckpoints(df); false } else true
+    }
+  }
+
+  def traverseBfsMemo(
+      g: GraphFrames,
+      start: Long,
+      depth: Int,
+      minWeight: Option[Long] = None): DataFrame = {
+    val s = g.nodes.sparkSession
+    graft.SessionMemos.arm(s)
+    val bound = math.min(math.max(depth, 0), Limits.MaxTraversalDepth)
+    bfsClosureCache.getOrElseUpdate((s, g, start, bound, minWeight),
+      traverseBfs(g, start, bound, minWeight).localCheckpoint())
+  }
+
   /** Collect the BFS closure from `start` (depth-bounded) into an
     * [[InMemoryGraph]]. The reference's strongest-path / DFS answers are
     * *defined by* sequential visit order + the 50 000-visit budget
@@ -737,7 +772,7 @@ object GraphTables {
       start: Long,
       depth: Int = Limits.MaxTraversalDepth,
       maxEdges: Long = 5000000L): InMemoryGraph = {
-    val reachable = traverseBfs(g, start, depth).select("node_id")
+    val reachable = traverseBfsMemo(g, start, depth).select("node_id")
     val sub = g.edges.join(reachable, g.edges("src") === reachable("node_id"))
       .select(col("src"), col("dst"), col("weight"))
     val nEdges = sub.count()

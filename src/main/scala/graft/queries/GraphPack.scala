@@ -271,7 +271,7 @@ object GraphPack {
              CAST(0 AS BIGINT) AS off_closure""")) { (s, dir) =>
       val g = GraphTables.forDir(s, dir)
       val path = GraphTables.strongestPath(g, 0L, 42L)
-      val closure = GraphTables.traverseBfs(g, 0L, Limits.MaxTraversalDepth).select("node_id")
+      val closure = GraphTables.traverseBfsMemo(g, 0L, Limits.MaxTraversalDepth).select("node_id")
       // violation counts, not endpoint values: a NONEMPTY path must run
       // 0 → 42, but "no path" is itself a valid (budget-defined) answer at
       // some SFs, and then the correct output is empty — every counter 0.
@@ -300,7 +300,7 @@ object GraphPack {
              CAST(0 AS BIGINT) AS outside_closure, CAST(0 AS BIGINT) AS orphan_visits""")) { (s, dir) =>
       val g = GraphTables.forDir(s, dir)
       val visited = GraphTables.traverseDfs(g, 0L, 2)
-      val closure = GraphTables.traverseBfs(g, 0L, 2).select("node_id")
+      val closure = GraphTables.traverseBfsMemo(g, 0L, 2).select("node_id")
       val head = visited.agg(
         min(struct(col("step"), col("node_id"))).getField("node_id").as("starts_at"),
         (count(lit(1)) - countDistinct(col("node_id"))).as("dup_nodes"))

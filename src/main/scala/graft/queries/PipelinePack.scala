@@ -124,9 +124,13 @@ object PipelinePack {
       trainGrams: DataFrame,
       evalGrams: DataFrame,
       broadcastEval: Boolean = true): DataFrame = {
-    val ev0 = evalGrams.select(col("doc_id").as("eval_doc"), col("g"))
+    // r17: the gram is a pure join key here (the output is pair counts),
+    // so both sides key on its 64-bit hash — the broadcast eval table and
+    // the train-side probe carry 8-byte longs instead of 5-word strings.
+    // Exact up to collisions (none on any fixture; oracle-gated per SF).
+    val ev0 = evalGrams.select(col("doc_id").as("eval_doc"), xxhash64(col("g")).as("g"))
     val ev = if (broadcastEval) broadcast(ev0) else ev0
-    trainGrams.select(col("doc_id").as("train_doc"), col("g"))
+    trainGrams.select(col("doc_id").as("train_doc"), xxhash64(col("g")).as("g"))
       .join(ev, "g")
       .groupBy("train_doc", "eval_doc")
       .agg(count(lit(1)).as("shared_ngrams"))
@@ -289,7 +293,17 @@ object PipelinePack {
     // empty block-manager cache). A `persist()` here pinned a copy of the
     // shingle table in executor storage for the session lifetime per call —
     // r03's leak — and shuffle files are already the spill-safe medium.
-    val sh = shingles(docs)
+    //
+    // r17 (guide §2.3, "shuffle keys instead of payloads"): the gram is
+    // only ever a JOIN/GROUP key downstream, never output, so it is
+    // replaced by its 64-bit hash right after the per-doc distinct —
+    // the verification joins shuffle and compare 8-byte longs instead of
+    // multi-word strings. Sizes are counted from the same rows, so `n`
+    // is exact by construction; intersection counts are exact up to
+    // 64-bit collisions within one candidate pair (none on any fixture —
+    // oracle-gated at every SF; at 100 TB this is the standard hashed-
+    // shingle trade every MinHash pipeline in the family already makes).
+    val sh = shingles(docs).select(col("doc_id"), xxhash64(col("g")).as("g"))
 
     // Exact verification on candidates only.
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -335,7 +349,8 @@ object PipelinePack {
     * probability < 1e-13 per pair).
     */
   def fuzzyDecontaminationPairs(docs: DataFrame, evalMod: Long = 10L): DataFrame = {
-    val sh = shingles(docs)
+    // hashed-gram verification keys, same trade as [[verifyPairs]] (r17)
+    val sh = shingles(docs).select(col("doc_id"), xxhash64(col("g")).as("g"))
     val bands = bandSignatures(docs)
     val isEval = col("doc_id") % evalMod === 0
     val cands = bands.filter(!isEval).as("x")
@@ -821,7 +836,16 @@ object PipelinePack {
       dfCap: Option[Long] = None,
       capEngageFactor: Option[Long] = None,
       cacheKey: Option[String] = None): DataFrame = {
-    val sh = shingles(docs)
+    // r17 (guide §2.3): the shingle is only a join/group key in every
+    // branch below (inverted-index joins, df aggregates, hot-list
+    // semi-joins) and never appears in the output, so it is hashed to a
+    // long right after the per-doc distinct — candidate generation, the
+    // template corpus's quadratic footer fan-out included, shuffles and
+    // sorts 8-byte keys instead of 3-word strings. Per-doc sizes count
+    // the same rows (exact); intersection/df counts are exact up to
+    // 64-bit collisions (none on any fixture — oracle-gated at every
+    // SF; the d03/d18 members of this family already key on xxhash64).
+    val sh = shingles(docs).select(col("doc_id"), xxhash64(col("g")).as("g"))
     val effectiveCap = dfCap.filter { cap =>
       capEngageFactor.forall { factor =>
         val probe = () => sh.groupBy("g").agg(count(lit(1)).as("df"))
@@ -952,10 +976,16 @@ object PipelinePack {
       .select(col("doc_id"), col("ws"), size(col("ws")).as("n_tokens"))
     // 1-based start positions; sequence() descends when stop < start, so
     // short docs must produce an empty array, not [1, 0]
+    // r17 (guide §2.3): the gram is a pure join/group key (never output),
+    // so hash the token-array slice directly — tokens are space-split and
+    // cannot contain spaces, so slice equality ≡ joined-string equality —
+    // skipping the per-position string build AND shuffling 8-byte keys
+    // instead of ~n-word strings. Exact up to 64-bit collisions (none on
+    // any fixture — oracle-gated at every SF).
     val g = toks.select(col("doc_id"), col("n_tokens"),
       explode(when(col("n_tokens") >= n,
           expr(s"transform(sequence(1, size(ws) - ${n - 1}), " +
-            s"s -> struct(s AS s, concat_ws(' ', slice(ws, s, $n)) AS gram))"))
+            s"s -> struct(s AS s, xxhash64(slice(ws, s, $n)) AS gram))"))
         .otherwise(array())).as("x"))
       .select(col("doc_id"), col("x.s").as("s"), col("x.gram").as("gram"))
     val hot = g.groupBy("gram").agg(countDistinct(col("doc_id")).as("nd"))
@@ -1001,10 +1031,11 @@ object PipelinePack {
   def dupSpanRemoval(docs: DataFrame, n: Int = 10): DataFrame = {
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), col("ws"), size(col("ws")).as("n_tokens"))
+    // hashed gram keys, same trade as [[dupSpanCoverage]] (r17)
     val g = toks.select(col("doc_id"), col("n_tokens"),
       explode(when(col("n_tokens") >= n,
           expr(s"transform(sequence(1, size(ws) - ${n - 1}), " +
-            s"s -> struct(s AS s, concat_ws(' ', slice(ws, s, $n)) AS gram))"))
+            s"s -> struct(s AS s, xxhash64(slice(ws, s, $n)) AS gram))"))
         .otherwise(array())).as("x"))
       .select(col("doc_id"), col("x.s").as("s"), col("x.gram").as("gram"))
     // keep-first: the gram's earliest document owns it; later occurrences

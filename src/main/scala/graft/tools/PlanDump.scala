@@ -16,13 +16,23 @@ object PlanDump {
     val dir = args(0)
     val names = args(1).split(',').map(_.trim).filter(_.nonEmpty)
     val spark = Sessions.get()
+    // SPARK_GRAFT_PLAN_FORMAT=formatted prints `.explain("formatted")`
+    // (scan details: PushedFilters / ReadSchema / operator list) instead
+    // of the executed adaptive plan — the r17 plans/ deliverable format.
+    val formatted =
+      sys.env.get("SPARK_GRAFT_PLAN_FORMAT").exists(_.trim.equalsIgnoreCase("formatted"))
     for (name <- names) {
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect()
-      val s = df.queryExecution.executedPlan.toString
-      val i = s.indexOf("== Initial Plan ==")
       println(s"==== $name ====")
-      println(if (i >= 0) s.substring(0, i) else s)
+      if (formatted)
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      else {
+        val s = df.queryExecution.executedPlan.toString
+        val i = s.indexOf("== Initial Plan ==")
+        println(if (i >= 0) s.substring(0, i) else s)
+      }
     }
     spark.stop()
   }

@@ -481,15 +481,21 @@ class ExplainSpec extends AnyFunSuite {
       s"rank-limit pushdown missing (full per-stratum sort) in:\n$plan")
   }
 
-  test("e08: PQ codes/ADC meet the corpus only through broadcast equi-joins") {
-    // encode = elements ⋈ broadcast codebook on d; serve = codes ⋈
-    // broadcast distance table on (m, cid); re-rank joins candidates
-    // back by id. A nested-loop or cartesian term would mean the
-    // compressed-domain scan degenerated into the vector product it
-    // exists to avoid.
+  test("e08: PQ codes/ADC meet the corpus only through broadcast joins") {
+    // encode = elements ⋈ broadcast codebook on d; serve (r17) = one
+    // code-ARRAY row per vector paired with the broadcast per-query
+    // lookup table, ADC computed as an in-projection zip_with over the
+    // 8-nibble code vector — the compressed-domain scan. The ONLY
+    // permitted nested-loop term is that codes x query-table pairing
+    // (broadcast side = Q rows); a second one — or any cartesian —
+    // would mean the scan degenerated into the vector product it
+    // exists to avoid (the re-rank must stay an equi-join by id).
     val plan = withoutPqIdxMemo(planOf("e08_ann_pq_topk"))
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
-      s"non-equi join in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian product in:\n$plan")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
+      s"more than the ADC codes x queries pairing is nested-loop in:\n$plan")
+    assert(plan.contains("zip_with(cd"),
+      s"ADC is not the in-projection array-lookup form:\n$plan")
     // the ADC shortlist (rank <= 80) must plan as a partial top-k per
     // partition, not a full per-query sort of all scored candidates
     assert(plan.contains("WindowGroupLimit"),
