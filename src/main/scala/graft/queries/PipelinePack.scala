@@ -691,8 +691,14 @@ object PipelinePack {
         .groupBy("source").agg(count(lit(1)).as("n"))))
     // exact benchmark containment on the delta only (the admission
     // decision is exact; the Bloom is the streaming transport, s11)
-    val evalG = grams(docs.filter(isEval), 5).select("g").distinct()
-    val contaminated = grams(delta, 5).join(evalG, Seq("g"), "left_semi")
+    // r17: the gram is a pure membership key here — hash both sides so
+    // the semi-join shuffles 8-byte longs, the same trade (and the same
+    // collision argument) as decontaminationAgainst/verifyPairs
+    val evalG = grams(docs.filter(isEval), 5)
+      .select(xxhash64(col("g")).as("g")).distinct()
+    val contaminated = grams(delta, 5)
+      .select(col("doc_id"), xxhash64(col("g")).as("g"))
+      .join(evalG, Seq("g"), "left_semi")
       .select("doc_id").distinct().withColumn("contaminated", lit(1L))
     // admission quota per source: survivors rank by quality; existing
     // counts are the index's MAINTAINED stats table — O(sources) rows of
