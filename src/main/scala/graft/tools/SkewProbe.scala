@@ -1,0 +1,56 @@
+package graft.tools
+
+import graft.{Sessions, SparkEntry}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import scala.collection.concurrent.TrieMap
+
+/** Per-stage task-skew receipt (guide §2.5, VERDICT r17 #6): runs named
+  * registry entries once warm + once measured and prints, for every stage
+  * of the measured run, task count, max/median duration, and max/median
+  * shuffle-read rows/bytes — the max/median ratio is the skew signal the
+  * stage-page summary table would show.
+  *
+  * Usage: runMain graft.tools.SkewProbe <sfDir> <entry>[,<entry>...]
+  */
+object SkewProbe {
+  private final case class T(durMs: Long, srBytes: Long, srRows: Long)
+
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val names = args(1).split(',').map(_.trim).filter(_.nonEmpty)
+    val spark = Sessions.get()
+    val tasks = TrieMap.empty[Int, Vector[T]]
+    val listener = new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          val t = T(m.executorRunTime,
+            m.shuffleReadMetrics.totalBytesRead, m.shuffleReadMetrics.recordsRead)
+          tasks.updateWith(e.stageId)(v => Some(v.getOrElse(Vector.empty) :+ t))
+        }
+      }
+    }
+    for (name <- names) {
+      val warm = SparkEntry.queries(name)(spark, dir)
+      warm.collect() // memos, codegen, index builds — measure steady state
+      tasks.clear()
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        SparkEntry.queries(name)(spark, dir).collect()
+        Thread.sleep(1000) // let the listener bus drain
+      } finally spark.sparkContext.removeSparkListener(listener)
+      println(s"==== $name ====")
+      def med(v: Seq[Long]): Long = v.sorted.apply(v.length / 2)
+      tasks.toSeq.sortBy(_._1).foreach { case (stage, ts) =>
+        val durs = ts.map(_.durMs)
+        val rows = ts.map(_.srRows)
+        val bytes = ts.map(_.srBytes)
+        println(f"stage=$stage%4d tasks=${ts.size}%4d " +
+          f"dur(max/med)=${durs.max}%6d/${med(durs)}%6d ms " +
+          f"srRows(max/med)=${rows.max}%9d/${med(rows)}%9d " +
+          f"srMB(max/med)=${bytes.max / 1e6}%8.2f/${med(bytes) / 1e6}%8.2f")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -615,6 +615,51 @@ class PipelineSpec extends AnyFunSuite {
       ((nTrain.toLong, nExact.toLong, 0L, 0L)))
   }
 
+  test("bloom decontamination: the eval-gram filter memoizes; a warm plan-build runs zero jobs") {
+    // r18 (VERDICT r17 #7): the Bloom bit array is a pure function of the
+    // corpus — the first keyed call pays the two eager build jobs (count +
+    // OR-fold aggregate), a second call with the same key must construct
+    // its plan from the memoized bytes with ZERO Spark jobs, and the
+    // memoized report must equal the memo-free one bit-for-bit.
+    val docs = graft.Tables.documents(spark, dir)
+    val free = PipelinePack.bloomDecontaminationReport(docs)
+      .collect().head.toSeq
+    val key = Some(s"$dir/documents#spec")
+    PipelinePack.bloomDecontaminationReport(docs, cacheKey = key) // warm the memo
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val seen = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        Option(j.properties).map(_.getProperty("spark.jobGroup.id")).foreach {
+          case g @ ("graft-bloom-pre" | "graft-bloom-post") => seen.set(g)
+          case _ => ()
+        }
+      }
+    }
+    def marker(group: String): Unit = {
+      spark.sparkContext.setJobGroup(group, group)
+      try spark.sparkContext.parallelize(Seq(1), 1).count()
+      finally spark.sparkContext.clearJobGroup()
+      val deadline = System.currentTimeMillis() + 30000
+      while (seen.get() != group && System.currentTimeMillis() < deadline)
+        Thread.sleep(10)
+      assert(seen.get() === group, s"$group never reached the listener")
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val warm =
+      try {
+        marker("graft-bloom-pre")
+        jobs.set(0)
+        val df = PipelinePack.bloomDecontaminationReport(docs, cacheKey = key)
+        marker("graft-bloom-post")
+        assert(jobs.get() === 1,
+          s"warm bloom plan-build ran ${jobs.get() - 1} Spark job(s); expected 0")
+        df
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(warm.collect().head.toSeq === free)
+  }
+
   test("tfidf top terms match a plain-Scala recompute") {
     val got = graft.SparkEntry.queries("d23_tfidf_top_terms")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),

@@ -154,13 +154,49 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(VersionedIndex.currentVersion(path) === v)
   }
 
-  test("e13: a second maintained serve performs zero builds and zero new appends") {
+  test("e13: a second maintained serve performs zero builds, zero new appends, ZERO jobs") {
     val path = "/tmp/graft_annindex/_root_testdata_sf0.001_ivfpq_m10r7"
     val first = graft.SparkEntry.queries("e13_ann_maintained_topk")(spark, dir)
       .orderBy("q_id", "rank").collect().map(_.toString).toSeq
     val before = AnnIndex.buildCount
     val v = AnnIndex.currentVersion(path)
-    val again = graft.SparkEntry.queries("e13_ann_maintained_topk")(spark, dir)
+    // r18 (VERDICT r17 #2): the warm serve must be pure metadata — the
+    // ensure fingerprint check, the append's manifest gate, the serve
+    // memo and the memoized query batch run ZERO Spark jobs while the
+    // plan is CONSTRUCTED (the query itself, of course, runs jobs when
+    // collected). Same FIFO-marker listener as the appendFraction spec.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val seen = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        Option(j.properties).map(_.getProperty("spark.jobGroup.id")).foreach {
+          case g @ ("graft-e13-pre" | "graft-e13-post") => seen.set(g)
+          case _ => ()
+        }
+      }
+    }
+    def marker(group: String): Unit = {
+      spark.sparkContext.setJobGroup(group, group)
+      try spark.sparkContext.parallelize(Seq(1), 1).count()
+      finally spark.sparkContext.clearJobGroup()
+      val deadline = System.currentTimeMillis() + 30000
+      while (seen.get() != group && System.currentTimeMillis() < deadline)
+        Thread.sleep(10)
+      assert(seen.get() === group, s"$group never reached the listener")
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val warmDf =
+      try {
+        marker("graft-e13-pre")
+        jobs.set(0)
+        val df = graft.SparkEntry.queries("e13_ann_maintained_topk")(spark, dir)
+        marker("graft-e13-post")
+        assert(jobs.get() === 1,
+          s"warm maintained serve ran ${jobs.get() - 1} Spark job(s); expected 0")
+        df
+      } finally spark.sparkContext.removeSparkListener(listener)
+    val again = warmDf
       .orderBy("q_id", "rank").collect().map(_.toString).toSeq
     assert(AnnIndex.buildCount === before) // no rebuild
     assert(AnnIndex.currentVersion(path) === v) // no re-append (manifest gate)

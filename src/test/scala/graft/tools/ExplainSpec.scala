@@ -103,17 +103,31 @@ class ExplainSpec extends AnyFunSuite {
   }
 
   test("d36: the index side is a bucketed scan with no Exchange; the corpus is never re-minhashed") {
-    pinIndexProbePlan("d36_indexed_ingest_dedup")
+    // run the full entry once so the index is committed, then pin the
+    // candidate PROBE stage — since r18 it executes eagerly (the verify
+    // leg reads materialized candidates, VERDICT r17 #4), so the plan
+    // claims attach to the probe DataFrame itself
+    graft.queries.PipelinePack.defs
+      .find(_.name == "d36_indexed_ingest_dedup").get.run(spark, dir).collect()
+    pinIndexProbePlan(
+      graft.queries.PipelinePack.indexedCandidates(spark, dir))
   }
 
   test("d38: the compacted maintained index keeps d36's probe shape") {
     // same pins over the full lifecycle: the served snapshot has been
     // appended to and compacted, and must still meet the delta through
     // its bucket layout with only the delta's partial MinHash
-    pinIndexProbePlan("d38_maintained_ingest_dedup")
+    graft.queries.PipelinePack.defs
+      .find(_.name == "d38_maintained_ingest_dedup").get.run(spark, dir).collect()
+    val path = s"/tmp/graft_sigindex/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}" +
+      "_m10d7r8-maint"
+    pinIndexProbePlan(
+      graft.queries.PipelinePack.probeIndexCandidates(
+        graft.Tables.documents(spark, dir), 10L, 8L,
+        graft.sources.SignatureIndex.serveSplit(spark, path)))
   }
 
-  private def pinIndexProbePlan(entry: String): Unit = {
+  private def pinIndexProbePlan(candidates: => org.apache.spark.sql.DataFrame): Unit = {
     import org.apache.spark.sql.execution._
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
@@ -126,9 +140,7 @@ class ExplainSpec extends AnyFunSuite {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val q = graft.queries.PipelinePack.defs
-        .find(_.name == entry).getOrElse(fail(s"no $entry"))
-      val df = q.run(spark, dir)
+      val df = candidates
       df.collect()
       val all = flatten(df.queryExecution.executedPlan)
 
