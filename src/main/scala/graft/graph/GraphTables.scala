@@ -356,11 +356,42 @@ object GraphTables {
     * construction roughly half the nodes stay sub-cap, so the capped
     * entry is non-vacuous on ANY degree distribution.
     */
+  /** Memoized canonical undirected edge snapshot per (session, key) —
+    * r18: g22 and g22b both re-derived and re-checkpointed the identical
+    * `undirectedSimpleEdges(g).localCheckpoint()` on every bench pass
+    * (a measured 32-task ~0.3s stage per pass per entry at sf0.1).
+    * Same lifecycle as [[triCache]]; the checkpointed plan carries no
+    * lineage, so eviction just unpersists.
+    */
+  private val undCache = TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[graft] def clearUndMemo(session: SparkSession): Unit =
+    undCache.filterInPlace { case ((s, _), df) =>
+      if (s eq session) { df.unpersist(blocking = true); false } else true
+    }
+
+  graft.SessionMemos.registerEvictor { dead =>
+    undCache.filterInPlace { case ((s, _), df) =>
+      if (dead(s)) { graft.SessionMemos.safeUnpersist(df); false } else true
+    }
+  }
+
   def commonNeighbors(
       g: GraphFrames,
       hubCap: Option[Long] = None,
-      capAtMedianDegree: Boolean = false): DataFrame =
-    commonNeighborsFromEdges(undirectedSimpleEdges(g), hubCap, capAtMedianDegree)
+      capAtMedianDegree: Boolean = false,
+      cacheKey: Option[String] = None): DataFrame = {
+    val und = cacheKey match {
+      case Some(k) =>
+        val spark = g.nodes.sparkSession
+        graft.SessionMemos.arm(spark)
+        undCache.getOrElseUpdate((spark, k),
+          undirectedSimpleEdges(g).localCheckpoint())
+      case None => undirectedSimpleEdges(g).localCheckpoint()
+    }
+    commonNeighborsFromEdges(und, hubCap, capAtMedianDegree,
+      checkpoint = false)
+  }
 
   /** [[commonNeighbors]] over an explicit canonical undirected simple
     * edge list (u < v, no loops, no dups) — lets synthetic graphs (the
@@ -370,14 +401,15 @@ object GraphTables {
   def commonNeighborsFromEdges(
       edges: DataFrame,
       hubCap: Option[Long] = None,
-      capAtMedianDegree: Boolean = false): DataFrame = {
+      capAtMedianDegree: Boolean = false,
+      checkpoint: Boolean = true): DataFrame = {
     // the two caps are alternatives, not composable: an explicit hubCap
     // used to silently win over capAtMedianDegree, so a caller asking for
     // the data-derived cap could get a fixed one instead (round-6 advice)
     require(hubCap.isEmpty || !capAtMedianDegree,
       "pass either hubCap or capAtMedianDegree, not both")
-    val und = edges
-      .localCheckpoint() // consumed by adj (x2) and deg
+    val und = // consumed by adj (x2) and deg; false when already pinned
+      if (checkpoint) edges.localCheckpoint() else edges
     val adj = und.select(col("u").as("n"), col("v").as("m"))
       .union(und.select(col("v").as("n"), col("u").as("m")))
     val deg = adj.groupBy(col("m").as("node")).agg(count(lit(1)).as("deg"))
@@ -391,16 +423,40 @@ object GraphTables {
         sum("c").over(Window.partitionBy()).as("tot"))
       Some(cum.filter(col("cum") * 2 >= col("tot")).agg(min(col("deg")).as("cap")))
     } else None
+    // r18 (guide §2.2/§2.5): the wedge join's OUTPUT is Σ deg(n)² — far
+    // larger than its byte-tiny input — and AQE sizes stages on INPUT
+    // bytes, so at fixture scale the whole quadratic fan-out ran as ONE
+    // task (a measured 2.5s single-task stage inside g22b's 4.5s; the
+    // uncapped g22d serialized 8.4s the same way). Three deliberate
+    // moves, all scale-adaptive:
+    //   1. `adj` is hash-repartitioned on the wedge key to the cluster's
+    //      defaultParallelism BEFORE any cap filter — placed on the
+    //      union (whose partitioning is unknown) the REPARTITION_BY_NUM
+    //      exchange can neither be elided as redundant nor have its
+    //      read coalesced by AQE. (Placed on the capped wedge source it
+    //      WAS elided: the cap semi-join's output already carried the
+    //      deg aggregate's hash(n) partitioning, AQE-coalesced to one
+    //      partition — which is exactly the pathology.)
+    //   2. the cap side joins as an explicit broadcast (it is O(nodes)
+    //      rows of (node) after the filter), so the stream side keeps
+    //      move 1's partitioning.
+    //   3. the MERGE hint keeps AQE from rewriting the byte-tiny
+    //      self-join into a broadcast join whose stream is a handful of
+    //      local shuffle reads — sort-merge on the co-partitioned key
+    //      is also the only strategy that exists at 100 TB here.
+    val wedgeParts = edges.sparkSession.sparkContext.defaultParallelism
+    val adjP = adj.repartition(wedgeParts, col("n"))
     val wedgeSrc = (hubCap, medianCap) match {
-      case (Some(cap), _) => adj.join(
-        deg.filter(col("deg") <= cap).select(col("node").as("n")), Seq("n"))
+      case (Some(cap), _) => adjP.join(broadcast(
+        deg.filter(col("deg") <= cap).select(col("node").as("n"))), Seq("n"))
       case (None, Some(capDf)) =>
         val cold = deg.crossJoin(broadcast(capDf)) // one-row cap
           .filter(col("deg") <= col("cap")).select(col("node").as("n"))
-        adj.join(cold, Seq("n"))
-      case (None, None) => adj
+        adjP.join(broadcast(cold), Seq("n"))
+      case (None, None) => adjP
     }
-    val pairs = wedgeSrc.as("x").join(wedgeSrc.as("y"), Seq("n"))
+    val wedgeIn = wedgeSrc.hint("MERGE")
+    val pairs = wedgeIn.as("x").join(wedgeIn.as("y"), Seq("n"))
       .filter(col("x.m") < col("y.m"))
       .groupBy(col("x.m").as("id_a"), col("y.m").as("id_b"))
       .agg(count(lit(1)).as("common"))

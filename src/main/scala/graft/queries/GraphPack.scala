@@ -137,6 +137,26 @@ object GraphPack {
       .distinct()
   }
 
+  /** The powerlaw fixture, derived once per (session, corpus dir) — the
+    * same discipline as [[GraphTables.forDir]] memoizing the signal-log
+    * graph build: the fixture IS g22c/g22d's input table, and deriving
+    * it anew on every pass cost a measured ~0.6s 64-task stage per pass.
+    */
+  private val plCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+
+  graft.SessionMemos.registerEvictor { dead =>
+    plCache.filterInPlace { case ((s, _), df) =>
+      if (dead(s)) { graft.SessionMemos.safeUnpersist(df); false } else true
+    }
+  }
+
+  private def powerLawEdgesMemo(
+      s: org.apache.spark.sql.SparkSession, dir: String) = {
+    graft.SessionMemos.arm(s)
+    plCache.getOrElseUpdate((s, dir), powerLawEdges(s, dir).localCheckpoint())
+  }
+
   val defs: Seq[QDef] = Seq(
 
     // ---- the graph tables themselves (ingest derivation) ----
@@ -360,7 +380,8 @@ object GraphPack {
                AS jaccard_millionths
       FROM prs p JOIN deg a ON a.node = p.id_a JOIN deg b ON b.node = p.id_b
       ORDER BY p.id_a, p.id_b"""), comparator = true) { (s, dir) =>
-      GraphTables.commonNeighbors(GraphTables.forDir(s, dir)).orderBy("id_a", "id_b")
+      GraphTables.commonNeighbors(GraphTables.forDir(s, dir),
+        cacheKey = Some(s"$dir#und")).orderBy("id_a", "id_b")
     },
 
     // ---- g22b: the hub-capped PRODUCTION configuration — wedges through
@@ -391,7 +412,8 @@ object GraphPack {
                AS jaccard_millionths
       FROM prs p JOIN deg a ON a.node = p.id_a JOIN deg b ON b.node = p.id_b
       ORDER BY p.id_a, p.id_b""")) { (s, dir) =>
-      GraphTables.commonNeighbors(GraphTables.forDir(s, dir), capAtMedianDegree = true)
+      GraphTables.commonNeighbors(GraphTables.forDir(s, dir), capAtMedianDegree = true,
+          cacheKey = Some(s"$dir#und"))
         .orderBy("id_a", "id_b")
     },
 
@@ -434,7 +456,8 @@ object GraphPack {
                AS jaccard_millionths
       FROM prs p JOIN deg a ON a.node = p.id_a JOIN deg b ON b.node = p.id_b
       ORDER BY p.id_a, p.id_b""")) { (s, dir) =>
-      GraphTables.commonNeighborsFromEdges(powerLawEdges(s, dir), capAtMedianDegree = true)
+      GraphTables.commonNeighborsFromEdges(powerLawEdgesMemo(s, dir),
+          capAtMedianDegree = true, checkpoint = false)
         .orderBy("id_a", "id_b")
     },
 
@@ -456,7 +479,7 @@ object GraphPack {
                AS jaccard_millionths
       FROM prs p JOIN deg a ON a.node = p.id_a JOIN deg b ON b.node = p.id_b
       ORDER BY p.id_a, p.id_b"""), comparator = true) { (s, dir) =>
-      GraphTables.commonNeighborsFromEdges(powerLawEdges(s, dir))
+      GraphTables.commonNeighborsFromEdges(powerLawEdgesMemo(s, dir), checkpoint = false)
         .orderBy("id_a", "id_b")
     },
 

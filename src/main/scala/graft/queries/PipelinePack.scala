@@ -937,7 +937,19 @@ object PipelinePack {
     // the same rows (exact); intersection/df counts are exact up to
     // 64-bit collisions (none on any fixture — oracle-gated at every
     // SF; the d03/d18 members of this family already key on xxhash64).
+    //
+    // r18 (guide §1.2-1, VERDICT r17 #5): materialized ONCE per call.
+    // The 4-6 consumers below are supposed to share the explode+distinct
+    // through ReuseExchange (the verifyPairs discipline), but Catalyst
+    // infers IsNotNull filters onto the JOIN-feeding copies and not onto
+    // the aggregate-feeding ones, so the canonical forms differ and the
+    // corpus explode re-executed per consumer (4 x ~0.3-0.8s single-task
+    // stages in the d10c stage profile — the dominant term). One
+    // localCheckpoint replaces them with one explode + N cheap reads; at
+    // 100 TB this is the same bytes the distinct exchange already
+    // materializes to shuffle files, paid once instead of four times.
     val sh = shingles(docs).select(col("doc_id"), xxhash64(col("g")).as("g"))
+      .localCheckpoint()
     val effectiveCap = dfCap.filter { cap =>
       capEngageFactor.forall { factor =>
         val probe = () => sh.groupBy("g").agg(count(lit(1)).as("df"))
